@@ -1,0 +1,124 @@
+package graft.ingest
+
+import graft.model.{FeedSpec, Schemas}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch ingestion of Unity-style NDJSON export feeds, re-expressing the
+ * reference's download→transform→load loop (ua2sql.py:209–278) as a
+ * declarative Spark pipeline.
+ *
+ * Reference semantics preserved (SURVEY.md §1.3–1.4):
+ *  - **Lossy schema projection** (ua2sql.py:226–235): reading with an
+ *    explicit wire schema drops undeclared JSON fields and maps missing
+ *    declared fields to NULL — byte-for-byte the reference's column
+ *    intersection, with no inference.
+ *  - **Epoch-ms → UTC timestamp** (ua2sql.py:232–233): `ts`/`submit_time`
+ *    arrive as epoch milliseconds; the reference truncates to whole
+ *    seconds via `time.gmtime(int(v)/1000)`. `normalize` keeps millisecond
+ *    fidelity by default; `paritySeconds = true` reproduces the truncation.
+ *  - **Gzip fan-out** (ua2sql.py:128–161): the reference downloads and
+ *    gunzips each export file by hand; Spark's JSON source decompresses
+ *    `.gz` natively and parallelizes across files, so ingest is just a
+ *    glob — at cluster scale each file becomes ≥1 task with no driver
+ *    involvement.
+ *
+ * Upgrades over the reference, by design (SURVEY.md §2 D2–D4):
+ *  - `dedup` fixes the at-least-once duplication window (crash between
+ *    final INSERT and ledger append, ua2sql.py:274–278) by dropping
+ *    duplicate natural keys before the write.
+ *  - `writePartitioned` lands Hive-style `jobType=<feed>/ingest_date=<d>`
+ *    parquet instead of the hand-rolled `<root>/<jobType>/<YYYY-MM-DD>/`
+ *    copy tree (ua2sql.py:188–204), enabling partition pruning.
+ */
+object FeedIngest {
+
+  /**
+   * Scan one feed's staging directory of (possibly gzipped) NDJSON.
+   * FAILFAST matches the reference, which would raise on a corrupt line
+   * (bare `json.loads`, ua2sql.py:222).
+   */
+  def readFeed(spark: SparkSession, feed: FeedSpec, path: String,
+               failFast: Boolean = true): DataFrame =
+    spark.read
+      .schema(feed.wire)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(path)
+
+  /** Epoch-ms wire columns → UTC timestamps (ua2sql.py:232–233). */
+  def normalize(df: DataFrame, paritySeconds: Boolean = false): DataFrame =
+    FeedSpec.epochMillisColumns.foldLeft(df) { (d, c) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val t = timestamp_millis(col(c))
+        d.withColumn(c, if (paritySeconds) date_trunc("second", t) else t)
+      }
+    }
+
+  /** Exactly-once repair: one row per natural key, keeping the earliest arrival. */
+  def dedup(df: DataFrame, feed: FeedSpec): DataFrame =
+    df.dropDuplicates(feed.naturalKey)
+
+  /** Full ingest of one staged export: scan → normalize → dedup. */
+  def ingest(spark: SparkSession, feed: FeedSpec, path: String,
+             paritySeconds: Boolean = false): DataFrame =
+    dedup(normalize(readFeed(spark, feed, path), paritySeconds), feed)
+
+  /**
+   * Date-partitioned analytics sink (supersedes backup_job_results,
+   * ua2sql.py:188–204). Partition layout keys every downstream scan's
+   * pruning; at 100 TB this is the difference between reading a day and
+   * reading the archive.
+   */
+  def writePartitioned(df: DataFrame, feed: FeedSpec, root: String): Unit =
+    df.withColumn("jobType", lit(feed.name))
+      .withColumn("ingest_date", to_date(col("ts")))
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("jobType", "ingest_date")
+      .parquet(root)
+}
+
+/**
+ * Parquet-backed job ledger — the reference's `JobId` table
+ * (ua2sql.py:39–44) plus its latest-per-key lookup (ua2sql.py:165–176).
+ */
+object Ledger {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.jobLedger).parquet(path)
+
+  /**
+   * find_previous_job_id (ua2sql.py:165–176): newest jobId for one
+   * jobType. Catalyst plans the single-key form as TakeOrderedAndProject —
+   * no full sort, no full shuffle.
+   */
+  def latestJobId(ledger: DataFrame, jobType: String): Option[String] =
+    ledger.filter(col("jobType") === jobType)
+      .orderBy(col("ts").desc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(_.getAs[String]("jobId"))
+
+  /**
+   * All feeds at once — the generalized "latest record per key" operator
+   * (one shuffle, no per-key driver loop; scales to any key count).
+   */
+  def latestPerType(ledger: DataFrame): DataFrame = {
+    val w = Window.partitionBy("jobType").orderBy(col("ts").desc, col("jobId").desc)
+    ledger.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Ledger append after a successful load (ua2sql.py:278). */
+  def append(spark: SparkSession, path: String, jobId: String, jobType: String): Unit = {
+    import spark.implicits._
+    Seq((new java.sql.Timestamp(System.currentTimeMillis()), jobId, jobType))
+      .toDF("ts", "jobId", "jobType")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+}

@@ -1,0 +1,482 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/**
+ * The core relational operator surface (SURVEY.md §2 groups C, F–I):
+ * scans, filters, hash aggregation, broadcast/sort-merge/semi/anti joins,
+ * window analytics (rank, lag, running frames, latest-per-key, as-of),
+ * rollup/cube, set operations, top-k, JSON/string/date scalar suites.
+ *
+ * The reference delegates all of this to PostgreSQL over the schema it
+ * materializes (SURVEY.md §2.F–J); here each capability is a named,
+ * deterministic, oracle-checked Spark query over the driver fixtures.
+ *
+ * Scale notes (100 TB design stance):
+ *  - dimension joins (`nation`, `region`, `supplier`, `part`) are
+ *    explicitly `broadcast()` — no shuffle of the fact side;
+ *  - fact aggregations are single-shuffle hash aggregates with map-side
+ *    partial aggregation (Catalyst default for sum/count/min/max);
+ *  - latest-per-key and sessionization are one window shuffle each, no
+ *    driver-side iteration, so they scale with executors;
+ *  - top-k uses orderBy+limit, which Catalyst executes as
+ *    TakeOrderedAndProject (per-partition heaps, no global sort).
+ */
+object CoreQueries {
+
+  private val SessionGapMs = 30L * 60 * 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------------- scans + hash agg
+    // Flagship: TPC-H Q1-shaped pricing summary — scan, pushed filter,
+    // projection, partial+final hash agg, exact decimal sums (§7.2).
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    "q02_daily_revenue" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(to_date($"o_orderdate").as("order_date"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"order_date")
+    },
+
+    // ------------------------------------------------------------- latest-per-key (C1)
+    // Generalizes the reference's find_previous_job_id (ua2sql.py:165–176)
+    // to all keys at once: one window shuffle, no per-key driver loop.
+    "q03_latest_event_per_user" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns".desc, $"event_id".desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"event_type".as("last_event_type"), $"value".as("last_val"),
+          $"ms".as("last_ts_ms"))
+        .orderBy($"user_id")
+    },
+
+    "q04_top_spenders" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("total_spend"))
+        .orderBy($"total_spend".desc, $"user_id")
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------------- joins
+    "q05_revenue_by_nation" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"n_name")
+    },
+
+    "q06_brand_revenue" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"p_brand")
+    },
+
+    "q07_customers_with_orders" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    "q08_customers_without_orders" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // -------------------------------------------------------------------- windows
+    "q09_running_spend" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        // o_orderdate is TIMESTAMP_NTZ in parquet; session tz is pinned UTC,
+        // so the cast is instant-preserving and matches DuckDB's epoch_ms.
+        .select($"o_custkey", $"o_orderkey",
+          unix_millis($"o_orderdate".cast("timestamp")).as("order_ms"),
+          sum($"o_totalprice".cast(money)).over(w).as("running_spend"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    "q10_event_gaps" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      events(s, dir)
+        .withColumn("prev_ms", lag($"ms", 1).over(ord))
+        .groupBy($"user_id")
+        .agg(count($"prev_ms").as("n_gaps"),
+          sum($"ms" - $"prev_ms").as("total_gap_ms"),
+          round(sum($"ms" - $"prev_ms").cast("double") / count($"prev_ms"), 2).as("avg_gap_ms"))
+        .orderBy($"user_id")
+    },
+
+    // --------------------------------------------------------- rollup / cube / sets
+    "q11_event_rollup" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .withColumn("event_date", to_date($"ts"))
+        .rollup($"event_type", $"event_date")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .orderBy($"event_type".asc_nulls_first, $"event_date".asc_nulls_first)
+    },
+
+    "q12_high_value_or_error" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      ev.filter($"value" > 450.0)
+        .union(ev.filter($"event_type" === "error"))
+        .distinct()
+        .orderBy($"event_id")
+    },
+
+    "q13_click_and_purchase_users" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      ev.filter($"event_type" === "click").select($"user_id")
+        .intersect(ev.filter($"event_type" === "purchase").select($"user_id"))
+        .orderBy($"user_id")
+    },
+
+    "q14_view_not_purchase_users" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      ev.filter($"event_type" === "view").select($"user_id")
+        .except(ev.filter($"event_type" === "purchase").select($"user_id"))
+        .orderBy($"user_id")
+    },
+
+    // -------------------------------------------------------------- sessionization
+    // Gaps-and-islands with a 30-minute inactivity gap: two window passes
+    // over one shuffle by user_id, then a hash agg — the batch equivalent
+    // of session_window (streaming variant in graft.streaming).
+    "q15_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      events(s, dir)
+        .withColumn("prev_ms", lag($"ms", 1).over(ord))
+        .withColumn("new_sess",
+          when($"prev_ms".isNull || $"ms" - $"prev_ms" >= SessionGapMs, 1L).otherwise(0L))
+        .withColumn("sess_seq",
+          sum($"new_sess").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ms").as("session_start_ms"), max($"ms").as("session_end_ms"))
+        .orderBy($"user_id", $"sess_seq")
+    },
+
+    // ------------------------------------------------------------------- JSON props
+    // The Spark face of the reference's JSONB columns (ua2sql.py:68,85).
+    "q16_props_by_type" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+
+    // ------------------------------------------------------------ string/date suites
+    "q17_doc_stats" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"n_chars",
+          length($"text").cast("long").as("text_len"),
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          upper($"lang").as("lang_uc"))
+        .orderBy($"doc_id")
+    },
+
+    "q18_hourly_activity" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type", hour($"ts").cast("long").as("hour_of_day"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .orderBy($"event_type", $"hour_of_day")
+    },
+
+    "q19_distinct_users_by_type" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .orderBy($"event_type")
+    },
+
+    // HLL sketch — no oracle (approximate by construction); rows-only check.
+    "q19b_approx_users_by_type" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+        .orderBy($"event_type")
+    },
+
+    "q20_cube_pricing" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ----------------------------------------------------------------------- top-k
+    "q21_top_parts" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"p_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"p_partkey")
+        .limit(15)
+    },
+
+    "q22_supplier_rank_in_nation" -> { (s, dir) =>
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .groupBy($"l_suppkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      val w = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"s_suppkey")
+      rev.join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"s_suppkey", $"revenue",
+          row_number().over(w).cast("long").as("rk"))
+        .orderBy($"n_name", $"rk")
+    },
+
+    // ------------------------------------------------------------------ as-of join
+    // Attribution: for each purchase, the latest strictly-preceding click
+    // by the same user — an as-of join expressed as one window pass
+    // (no range-join explosion; scales as one shuffle by user_id).
+    "q23_purchase_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("click_id", when($"event_type" === "click", $"event_id"))
+        .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"last_click_id")
+        .orderBy($"purchase_id")
+    },
+
+    // Single-key form of C1: filter → orderBy → limit 1 plans as
+    // TakeOrderedAndProject (no global sort).
+    "q24_latest_purchase" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .filter($"event_type" === "purchase")
+        .orderBy($"ts_ns".desc, $"event_id".desc)
+        .limit(1)
+        .select($"event_id", $"user_id", $"ms".as("ts_ms"), $"value")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlDsum6("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_daily_revenue" ->
+      s"""SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_latest_event_per_user" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_val, epoch_ms(ts) AS last_ts_ms
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q04_top_spenders" ->
+      s"""SELECT user_id, COUNT(*) AS n_purchases, ${sqlDsum("value")} AS total_spend
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY user_id ORDER BY total_spend DESC, user_id LIMIT 10""".stripMargin,
+
+    "q05_revenue_by_nation" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_brand_revenue" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q07_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_running_spend" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events)
+        |SELECT user_id, COUNT(prev_ms) AS n_gaps,
+        |  CAST(SUM(ms - prev_ms) AS BIGINT) AS total_gap_ms,
+        |  ROUND(CAST(SUM(ms - prev_ms) AS DOUBLE) / COUNT(prev_ms), 2) AS avg_gap_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q11_event_rollup" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+         |ORDER BY event_type NULLS FIRST, event_date NULLS FIRST""".stripMargin,
+
+    "q12_high_value_or_error" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value FROM events WHERE value > 450.0
+        |  UNION
+        |  SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'error') t
+        |ORDER BY event_id""".stripMargin,
+
+    "q13_click_and_purchase_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q14_view_not_purchase_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q15_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, ms,
+        |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM g)
+        |SELECT user_id, sess_seq, COUNT(*) AS n_events,
+        |  MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms
+        |FROM x GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+
+    "q16_props_by_type" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_doc_stats" ->
+      """SELECT doc_id, n_chars, CAST(LEN(text) AS BIGINT) AS text_len,
+        |  CAST(LEN(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tokens,
+        |  UPPER(lang) AS lang_uc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_hourly_activity" ->
+      """SELECT event_type, CAST(HOUR(ts) AS BIGINT) AS hour_of_day, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q19_distinct_users_by_type" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q20_cube_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q21_top_parts" ->
+      s"""SELECT p_partkey, p_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_partkey, p_name ORDER BY revenue DESC, p_partkey LIMIT 15""".stripMargin,
+
+    "q22_supplier_rank_in_nation" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  FROM lineitem GROUP BY l_suppkey)
+         |SELECT n_name, s_suppkey, revenue,
+         |  ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rk
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY n_name, rk""".stripMargin,
+
+    "q23_purchase_attribution" ->
+      """SELECT purchase_id, user_id, last_click_id FROM (
+        |  SELECT event_id AS purchase_id, user_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+
+    "q24_latest_purchase" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/**
+ * Shared helpers for the query surface.
+ *
+ * Oracle-parity conventions (every query here is differential-tested
+ * against DuckDB running equivalent SQL on the same parquet — SURVEY.md §5):
+ *
+ *  - **Exact sums.** Floating-point SUM is order-dependent, and Spark's
+ *    partial aggregation order is nondeterministic — so money-ish doubles
+ *    are cast to DECIMAL(18,4) *before* aggregation. Decimal addition is
+ *    exact and associative, so Spark and DuckDB agree bit-for-bit no
+ *    matter how partitions combine. This is also the 100 TB answer:
+ *    results don't drift as parallelism grows.
+ *  - **Averages** are expressed as decimal-sum ÷ count in double, rounded —
+ *    both engines then evaluate the identical expression on identical
+ *    inputs.
+ *  - **Determinism.** Every query ends in a total ORDER BY over a unique
+ *    key set; every LIMIT sits above such an ORDER BY.
+ *  - **Type alignment.** Counts stay BIGINT on both sides; DuckDB's
+ *    HUGEINT-producing integer SUMs are cast back to BIGINT in oracle SQL;
+ *    timestamps are compared as epoch-millis BIGINTs (the fixtures'
+ *    ns-precision parquet reads as µs in Spark but ns in DuckDB).
+ */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * The events fixture carries a nanosecond-precision parquet timestamp,
+   * which Spark reads only as a raw long (spark.sql.legacy.parquet
+   * .nanosAsLong=true — set in Verify/Bench/tests). Normalize once here:
+   *   ts_ns — exact nanos (total ordering identical to DuckDB's ns ts),
+   *   ms    — epoch millis (what oracle SQL sees via epoch_ms(ts)),
+   *   ts    — µs-truncated TimestampType for calendar functions.
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ms", expr("ts_ns div 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+          .withColumn("ms", unix_millis(col("ts")))
+    }
+  }
+
+  /** Exact money arithmetic: decimal-cast before summing (see above). */
+  val money: DecimalType = DecimalType(18, 4)
+
+  def dsum(c: Column): Column = sum(c.cast(money))
+
+  /**
+   * Scale-6 variant for 3-factor money products (e.g. price·(1−disc)·(1+tax)):
+   * those carry up to 6 true decimal digits, so a scale-4 cast can land on an
+   * exact .00005 tie where Spark (HALF_UP) and DuckDB disagree; scale 6 is
+   * exact and tie-free.
+   */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6)))
+  def sqlDsum6(expr: String): String = s"SUM(CAST($expr AS DECIMAL(18,6)))"
+
+  /** Order-insensitive average: exact decimal sum ÷ count, in double. */
+  def davg(c: Column): Column =
+    round(sum(c.cast(money)).cast(DoubleType) / count(lit(1)), 4)
+
+  /** DuckDB SQL fragments mirroring dsum/davg. */
+  def sqlDsum(expr: String): String = s"SUM(CAST($expr AS DECIMAL(18,4)))"
+  def sqlDavg(expr: String): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)"
+}

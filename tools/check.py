@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB (with views named after
+the fixture tables), sorts columns by name and rows by all columns, and
+compares cell-by-cell. Exact comparison; floats reported with max abs diff
+when they mismatch.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    # Unify decimal.Decimal and float/int logical values for comparison.
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        return ("f", v)
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"SKIP {name}: no parquet output"); n_skip += 1; continue
+        got = con.execute(f"SELECT * FROM '{files[0]}'").fetchall()
+        cols = [d[0] for d in con.execute(f"SELECT * FROM '{files[0]}' LIMIT 0").description]
+        if name not in oracle:
+            print(f"ROWS-ONLY {name}: rows={len(got)} (no oracle)"); n_skip += 1
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            exp = cur.fetchall()
+            ecols = [d[0] for d in cur.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        if sorted(cols) != sorted(ecols):
+            print(f"FAIL {name}: columns spark={sorted(cols)} oracle={sorted(ecols)}")
+            n_fail += 1; continue
+        # reorder columns by sorted name, then sort rows
+        gidx = [cols.index(c) for c in sorted(cols)]
+        eidx = [ecols.index(c) for c in sorted(ecols)]
+        g = sorted([tuple(norm(r[i]) for i in gidx) for r in got], key=str)
+        e = sorted([tuple(norm(r[i]) for i in eidx) for r in exp], key=str)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rowcount spark={len(g)} oracle={len(e)}")
+            n_fail += 1; continue
+        bad = None
+        for i, (rg, re_) in enumerate(zip(g, e)):
+            if rg != re_:
+                bad = (i, rg, re_); break
+        if bad:
+            print(f"FAIL {name}: first diff row {bad[0]}:\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(g)} rows"); n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} rows-only/skipped ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
