@@ -144,7 +144,7 @@ object CoreQueries {
         .groupBy($"user_id")
         .agg(count($"prev_ms").as("n_gaps"),
           sum($"ms" - $"prev_ms").as("total_gap_ms"),
-          round(sum($"ms" - $"prev_ms").cast("double") / count($"prev_ms"), 2).as("avg_gap_ms"))
+          (sum($"ms" - $"prev_ms").cast("double") / count($"prev_ms")).as("avg_gap_ms"))
         .orderBy($"user_id")
     },
 
@@ -380,7 +380,7 @@ object CoreQueries {
         |  FROM events)
         |SELECT user_id, COUNT(prev_ms) AS n_gaps,
         |  CAST(SUM(ms - prev_ms) AS BIGINT) AS total_gap_ms,
-        |  ROUND(CAST(SUM(ms - prev_ms) AS DOUBLE) / COUNT(prev_ms), 2) AS avg_gap_ms
+        |  CAST(SUM(ms - prev_ms) AS DOUBLE) / COUNT(prev_ms) AS avg_gap_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q11_event_rollup" ->

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import Tables._
+
+/**
+ * Deduplication operators over the `documents` fixture — the dedup family a
+ * large-scale training-data pipeline needs (exact, n-gram Jaccard, MinHash
+ * + LSH, SimHash), each expressed as shuffle-lean Spark plans.
+ *
+ * Scale design (the part that must survive 100 TB):
+ *  - Nothing here is O(n²) in documents except the *verification* of an
+ *    LSH-pruned candidate set. Exact Jaccard pairs come from an inverted
+ *    index on shingles (explode → self-join on shingle → count), whose cost
+ *    is Σ_s df(s)² over shingle frequencies — bounded in practice, and the
+ *    classic way dedup is run over web-scale corpora.
+ *  - MinHash signatures are computed with array-level higher-order
+ *    functions (no per-hash shuffle), then banded: only band-key collisions
+ *    ever meet in a shuffle.
+ *  - SimHash pairs use the 4×16-bit pigeonhole: any pair within Hamming
+ *    distance 3 shares at least one exact 16-bit chunk, so candidate
+ *    generation is an equi-join, never a cross join.
+ */
+object DedupQueries {
+
+  /** Word 5-gram shingles. k=5 keeps the inverted index selective even on
+    * low-diversity vocabularies (k=3 on the ~40-word fixture vocabulary
+    * produced hot shingles whose df² pair blowup dominated the join).
+    *
+    * Built as posexplode + window `lead` rather than array-level
+    * `transform(slice(concat_ws(...)))`: higher-order array lambdas
+    * evaluate interpreted (36 µs/shingle measured — 9 s just to shingle
+    * sf0.1), while token explode + lead is one shuffle by doc_id with
+    * cheap per-row work. Returns distinct (doc_id, shingle) rows. */
+  private val ShingleK = 5
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
+    t(s, dir, "documents")
+      .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+      .select($"doc_id",
+        concat_ws(" ", ($"tok" +: (1 until ShingleK).map(i => lead($"tok", i).over(w))): _*).as("shingle"),
+        lead($"tok", ShingleK - 1).over(w).as("last"))
+      .filter($"last".isNotNull)
+      .select($"doc_id", $"shingle")
+      .distinct()
+  }
+
+  /** Distinct shingle sets per doc (for exact Jaccard verification). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleRows(s, dir).groupBy($"doc_id").agg(collect_set($"shingle").as("sh"))
+  }
+
+  private val MinhashCount = 64
+  private val Bands = 16
+  private val RowsPerBand = 4
+  private val JaccardThreshold = 0.5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one hash-aggregate by content; keeper = min doc_id.
+    "q30_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5($"text").as("text_md5"), $"keep_id", $"n_copies")
+        .orderBy($"text_md5")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
+    // no cross join anywhere; candidate pairs exist only where a shingle
+    // is shared.
+    "q31_neardup_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      val rows = shingleRows(s, dir)
+      val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val ex = rows.join(broadcast(counts), "doc_id")
+        .select($"doc_id", $"n_sh", $"shingle")
+      ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          $"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
+        .filter($"jaccard" >= JaccardThreshold)
+        .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // MinHash + banded LSH with exact verification. Signatures come from
+    // explode + 64 codegen'd MIN aggregates (map-side partial min, one
+    // shuffle by doc_id) — an order of magnitude faster than array-level
+    // higher-order lambdas, which evaluate interpreted. Only band-key
+    // collisions join; candidates are then verified with exact Jaccard, so
+    // output equals the exact pair set whenever LSH recall is 1 at the
+    // threshold (16 bands × 4 rows ⇒ P(candidate | j=0.5) ≈ 0.65, ≈ 1.0
+    // for the j≥0.9 planted duplicates this threshold targets).
+    "q32_dedup_minhash_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val ex = shingleRows(s, dir)
+      val minCols = (1 to MinhashCount).map(i => min(hash($"shingle", lit(i))).as(s"h$i"))
+      val sig = ex.groupBy($"doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select($"doc_id", array((1 to MinhashCount).map(i => col(s"h$i")): _*).as("sig"))
+      val bands = sig.select($"doc_id",
+          explode(transform(sequence(lit(0), lit(Bands - 1)),
+            j => struct(j.as("band"),
+              hash(slice($"sig", j * lit(RowsPerBand) + 1, lit(RowsPerBand))).as("bkey")))).as("b"))
+        .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sets = shingleSets(s, dir)
+      cand
+        .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+        .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+        .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("jaccard", $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
+        .filter($"jaccard" >= JaccardThreshold)
+        .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // SimHash near-dup pairs (Hamming ≤ 3) — candidates via the 16-bit
+    // chunk pigeonhole, verified with bit_count(xor). Rows-only (the
+    // 64-bit token hash family is engine-specific, so no SQL oracle).
+    "q33_simhash_pairs" -> { (s, dir) =>
+      import s.implicits._
+      // Explode tokens once, hash once, then 64 codegen'd signed-bit SUM
+      // aggregates (map-side combine); the signature assembles from the 64
+      // aggregate columns — all inside whole-stage codegen.
+      val ex = t(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+        .withColumn("h", xxhash64($"tok"))
+      val bitCols = (0 until 64).map(b =>
+        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b"))
+      val docs = ex.groupBy($"doc_id")
+        .agg(bitCols.head, bitCols.tail: _*)
+        .select($"doc_id",
+          (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+      val chunks = docs.select($"doc_id", $"simhash",
+          explode(expr(
+            "transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(simhash, c * 16) & 65535) AS ckey))")).as("x"))
+        .select($"doc_id", $"simhash", $"x.chunk".as("chunk"), $"x.ckey".as("ckey"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+        .filter($"hamming" <= 3)
+        .select($"doc_a", $"doc_b", $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    }
+  )
+
+  private val jaccardOracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t FROM documents) s),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, n_common, jaccard FROM p
+      |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
+    "q31_neardup_jaccard" -> jaccardOracle,
+    // The LSH pipeline verifies candidates exactly, so at this threshold its
+    // output must equal the exhaustive pair set (recall checked in tests).
+    "q32_dedup_minhash_lsh" -> jaccardOracle
+  )
+}

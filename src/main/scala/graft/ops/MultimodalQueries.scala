@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** One opaque media payload: the multimodal column convention — binary
+  * bytes + typed metadata travelling beside them. */
+final case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String)
+
+/** Decoded/extracted features for one payload. */
+final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                               n_bytes: Long, feat: Array[Double])
+
+/**
+ * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata, processed in partition-local batches.
+ *
+ * The Spark-side shape is real and tested — schema, batch iteration,
+ * partition parallelism, feature-array output — while the decode itself is
+ * a clearly marked deterministic STUB (`decodeBatch`): this container has
+ * no image/audio codecs, so "decoding" derives dimensions and a feature
+ * vector from the payload bytes with an FNV-1a mix. Swapping in a real
+ * decoder changes only the body of `decodeBatch`; every plan around it
+ * (including q42/q43 below) is unchanged.
+ *
+ * At scale this is the standard pattern: batch rows per partition through
+ * a native decoder, never collect, keep payloads columnar-compressed in
+ * parquet, and carry metadata in a sibling struct so pruning works when
+ * queries touch only metadata.
+ */
+object MultimodalQueries {
+
+  /** Attach the binary payload + metadata struct (payloads here are the
+    * documents' UTF-8 bytes — the fixtures carry no real media). */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(lit("fake/utf8").as("format"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  /**
+   * STUB decoder — deterministic fake in place of a real codec call.
+   * Real implementation would hand the whole batch to a native library
+   * (the reason this is an iterator-of-batch API and not a per-row UDF).
+   */
+  def decodeBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+    batch.map { r =>
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      r.payload.foreach { b => h = (h ^ (b & 0xffL)) * 1099511628211L }
+      val width = 64 + (math.abs(h) % 1024).toInt
+      val height = 64 + (math.abs(h >>> 11) % 1024).toInt
+      val feat = Array.tabulate(8) { i =>
+        val x = h * (2862933555777941757L * (i + 1) + 3037000493L)
+        (x >>> 11).toDouble / (1L << 53).toDouble
+      }
+      MediaFeatures(r.doc_id, width, height, r.payload.length.toLong, feat)
+    }
+
+  /** Full stub pipeline: payload column → partition-batched decode. */
+  def decode(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withBinaryPayload(docs)
+      .select($"doc_id", $"payload", $"meta.format".as("format"))
+      .as[MediaRecord]
+      .mapPartitions(decodeBatch)
+  }
+
+  /** Pseudo frame-sampling: split a payload into fixed-size "frames" and
+    * keep every `stride`-th — the schema/explode shape video sampling needs. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    df.withColumn("n_frames",
+        ceil(col("meta.n_bytes").cast("double") / frameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0)))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Metadata-only projection over the binary column — oracle-checked
+    // (byte length + md5 agree across engines on UTF-8 payloads).
+    "q42_binary_meta" -> { (s, dir) =>
+      import s.implicits._
+      withBinaryPayload(t(s, dir, "documents"))
+        .select($"doc_id", $"meta.n_bytes".as("n_bytes"), md5($"payload").as("payload_md5"))
+        .orderBy($"doc_id")
+    },
+
+    // Full decode pipeline (stub) — rows-only: deterministic, but the fake
+    // features are engine-specific by construction.
+    "q43_media_features_stub" -> { (s, dir) =>
+      import s.implicits._
+      decode(s, t(s, dir, "documents")).toDF()
+        .select($"doc_id", $"width", $"height", $"n_bytes",
+          round(element_at($"feat", 1), 6).as("feat0"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q42_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
+
+import Tables._
+
+/**
+ * Similarity search over the `embeddings` fixture (`Array[Float]`, dim 64).
+ *
+ * Brute-force cosine is the exactness baseline: scoring runs inside
+ * whole-stage codegen via the native [[graft.functions.CosineSimilarity]]
+ * expression, with the smaller relation broadcast so the candidate side
+ * never shuffles. At 100 TB the same plans hold by blocking: broadcast the
+ * query batch, scan the corpus partition-parallel, keep per-partition
+ * top-k heaps (TakeOrderedAndProject / window-rank below) — plus an
+ * LSH/IVF pruning stage (the MinHash banding in DedupQueries is the same
+ * pattern) when the corpus side outgrows a full scan.
+ */
+object SimilarityQueries {
+
+  private val NearDupThreshold = 0.45
+  private val TopK = 5
+  private val NumQueries = 10
+
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)).as("emb"), $"label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // All pairs with cosine ≥ threshold — exact; one broadcast, no shuffle
+    // of the streaming side.
+    "q34_cosine_neardup" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+      val a = e.select($"vec_id".as("vec_a"), $"emb".as("emb_a"))
+      val b = e.select($"vec_id".as("vec_b"), $"emb".as("emb_b"))
+      a.join(broadcast(b), $"vec_a" < $"vec_b")
+        .withColumn("cos", VectorFunctions.cosine($"emb_a", $"emb_b"))
+        .filter($"cos" >= NearDupThreshold)
+        .select($"vec_a", $"vec_b", round($"cos", 6).as("cos_sim"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+
+    // Brute-force ANN top-k: first NumQueries vectors are the query batch
+    // (broadcast); per-query ranking is a window over the scored scan.
+    "q35_ann_topk" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"emb".as("q_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos", VectorFunctions.cosine($"emb", $"q_emb"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= TopK)
+        .select($"query_id", $"rk".cast("long").as("rk"),
+          $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos_sim"))
+        .orderBy($"query_id", $"rk")
+    },
+
+    // Per-label centroids — elementwise mean via posexplode + one hash agg.
+    // Decimal-cast per element keeps the sum order-independent (exact),
+    // mirroring the money policy in Tables.
+    "q36_label_centroids" -> { (s, dir) =>
+      import s.implicits._
+      embs(s, dir)
+        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos".cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          (sum($"v".cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+            .as("mean_v"))
+        .orderBy($"label", $"pos")
+    }
+  )
+
+  private def cosExpr(a: String, b: String): String =
+    s"list_dot_product($a.emb, $b.emb) / " +
+      s"(SQRT(list_dot_product($a.emb, $a.emb)) * SQRT(list_dot_product($b.emb, $b.emb)))"
+
+  val oracles: Map[String, String] = Map(
+    "q34_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ROUND(${cosExpr("a", "b")}, 6) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosExpr("a", "b")} >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q35_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, ${cosExpr("a", "q")} AS cos
+         |  FROM e a JOIN e q ON q.vec_id < $NumQueries AND a.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, rk, neighbor_id, ROUND(cos, 6) AS cos_sim
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+
+    // DuckDB 1.0 has no UNNEST ... WITH ORDINALITY; zip index via list
+    // comprehension instead.
+    "q36_label_centroids" ->
+      """SELECT label, CAST(u.pos AS BIGINT) AS pos, COUNT(*) AS n,
+        |       CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_v
+        |FROM (SELECT label,
+        |        unnest([{'pos': i - 1, 'v': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
+        |      FROM embeddings) t
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+  )
+}

@@ -66,12 +66,15 @@ object Tables {
   def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6)))
   def sqlDsum6(expr: String): String = s"SUM(CAST($expr AS DECIMAL(18,6)))"
 
-  /** Order-insensitive average: exact decimal sum ÷ count, in double. */
+  /** Order-insensitive average: exact decimal sum ÷ count, in double.
+    * No ROUND on either side: Spark (BigDecimal HALF_UP) and DuckDB
+    * (multiply-based) disagree on exact ties, while the unrounded division
+    * of identical inputs is bit-identical in both engines. */
   def davg(c: Column): Column =
-    round(sum(c.cast(money)).cast(DoubleType) / count(lit(1)), 4)
+    sum(c.cast(money)).cast(DoubleType) / count(lit(1))
 
   /** DuckDB SQL fragments mirroring dsum/davg. */
   def sqlDsum(expr: String): String = s"SUM(CAST($expr AS DECIMAL(18,4)))"
   def sqlDavg(expr: String): String =
-    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
 }

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/**
+ * Text-analysis operators over the `documents` fixture: language ID
+ * (stopword-hit heuristic), quality scoring, token counting (whitespace +
+ * BPE-ish regex), and content fingerprinting.
+ *
+ * Everything is per-row scalar work followed by at most one hash
+ * aggregate — embarrassingly parallel, no shuffle except the final
+ * grouped variants, so these scale linearly with executors.
+ */
+object TextQueries {
+
+  /** Count of stopword hits for one language's small dictionary. */
+  private def hits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(1)))
+
+  private val En = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "was")
+  private val De = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den")
+  private val Fr = Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour")
+  private val Es = Seq("el", "los", "las", "una", "es", "y", "por", "con", "para", "como")
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID: n-gram/stopword-hit heuristic with a deterministic
+    // argmax tie order (en > de > fr > es); multi-byte text short-circuits
+    // to zh (byte length > char length).
+    "q37_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("s_en", hits($"text", En))
+        .withColumn("s_de", hits($"text", De))
+        .withColumn("s_fr", hits($"text", Fr))
+        .withColumn("s_es", hits($"text", Es))
+        .withColumn("pred_lang",
+          when(octet_length($"text") > length($"text"), "zh")
+            .when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_es", "en")
+            .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
+            .when($"s_fr" >= $"s_es", "fr")
+            .otherwise("es"))
+        .select($"doc_id", $"lang", $"pred_lang", ($"pred_lang" === $"lang").as("agree"))
+        .orderBy($"doc_id")
+    },
+
+    // Quality score: length/stopword/token-shape mix in [0,1].
+    "q38_quality_score" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+        .withColumn("avg_token_len",
+          ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+        .withColumn("stop_ratio", hits($"text", En).cast("double") / $"n_tokens")
+        .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio",
+          (least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.5
+            + (lit(1.0) - $"stop_ratio") * 0.3
+            + least($"avg_token_len" / 8.0, lit(1.0)) * 0.2).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs | digit runs | single other non-space), per source.
+    "q39_token_stats" -> { (s, dir) =>
+      import s.implicits._
+      val subtok = size(regexp_extract_all(lower($"text"), lit("([a-z]+|[0-9]+|[^a-z0-9\\s])"), lit(1)))
+      t(s, dir, "documents")
+        .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
+        .withColumn("subtokens", subtok.cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"ws_tokens").as("total_ws_tokens"),
+          sum($"subtokens").as("total_subtokens"),
+          (sum($"ws_tokens").cast("double") / count(lit(1))).as("avg_ws_tokens"))
+        .orderBy($"source")
+    },
+
+    // Content fingerprint: md5 of the case-normalized text (the oracle-able
+    // face; the engine-specific 64-bit rolling variant is q41, rows-only).
+    "q40_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", md5(lower($"text")).as("fp"))
+        .orderBy($"doc_id")
+    },
+
+    // 64-bit rolling fingerprint: xxhash64 chained over tokens (order-
+    // sensitive, unlike a bag-of-tokens hash). Engine-specific hash family
+    // → rows-only; pinned by unit tests.
+    "q41_rolling_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("toks", split(lower($"text"), " "))
+        .withColumn("fp64", expr("aggregate(toks, 42L, (acc, t) -> xxhash64(acc, t))"))
+        .select($"doc_id", $"fp64")
+        .orderBy($"doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    ${sqlHits(En)} AS s_en, ${sqlHits(De)} AS s_de,
+         |    ${sqlHits(Fr)} AS s_fr, ${sqlHits(Es)} AS s_es,
+         |    strlen(text) > len(text) AS mb
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN mb THEN 'zh'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang,
+         |  (CASE WHEN mb THEN 'zh'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END) = lang AS agree
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q38_quality_score" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${sqlHits(En)} AS s_en
+         |  FROM documents),
+         |y AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+         |    CAST(s_en AS DOUBLE) / n_tokens AS stop_ratio
+         |  FROM x)
+         |SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+         |  LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         |    + (1.0 - stop_ratio) * 0.3
+         |    + LEAST(avg_token_len / 8.0, 1.0) * 0.2 AS quality
+         |FROM y ORDER BY doc_id""".stripMargin,
+
+    "q39_token_stats" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])')) AS BIGINT) AS subtokens
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(subtokens) AS BIGINT) AS total_subtokens,
+        |  CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    "q40_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id"
+  )
+}
