@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.ingest.FeedIngest
+import graft.model.FeedSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Structured Streaming re-expression of the reference's polled batch loop
+ * (process_raw_dump, ua2sql.py:250–278) — SURVEY.md §2.J.
+ *
+ * Mapping from the reference's moving parts:
+ *  - 5 s job-poll loop (ua2sql.py:263–265)  → file-source micro-batches with
+ *    `Trigger.AvailableNow` (drain-and-stop, like one daily run) or
+ *    `ProcessingTime` (continuous).
+ *  - job ledger continuation (ua2sql.py:165–176, 278) → the checkpoint's
+ *    offset/commit logs; no hand-rolled high-watermark.
+ *  - at-least-once duplicate window (crash between load and ledger append,
+ *    ua2sql.py:274–278) → `dropDuplicatesWithinWatermark` over the feed's
+ *    natural key: exactly-once output for any replayed input inside the
+ *    watermark.
+ *  - staging cleanup (remove_files_in_directory, ua2sql.py:180–184) →
+ *    `cleanSource` option on the file source.
+ *
+ * The reference never had a late-data story (Unity jobs carry explicit
+ * time ranges); here lateness beyond the watermark is dropped — a
+ * documented semantic delta (SURVEY.md §2.J).
+ */
+object StreamingIngest {
+
+  val DefaultWatermark = "1 hour"
+
+  /**
+   * Streaming scan of a feed staging directory: explicit wire schema
+   * (same lossy-projection semantics as batch, §1.3), epoch-ms → UTC
+   * timestamps, watermark + natural-key dedup.
+   */
+  def streamFeed(spark: SparkSession, feed: FeedSpec, stagingDir: String,
+                 watermark: String = DefaultWatermark,
+                 cleanSource: Boolean = false): DataFrame = {
+    val reader = spark.readStream
+      .schema(feed.wire)
+      .option("maxFilesPerTrigger", "64")
+    val withClean =
+      if (cleanSource) reader.option("cleanSource", "delete") else reader
+    FeedIngest.normalize(withClean.json(stagingDir))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(feed.naturalKey.head, feed.naturalKey.tail: _*)
+  }
+
+  /**
+   * Partitioned parquet sink via foreachBatch (the shape a JDBC/warehouse
+   * sink takes too — swap the batch writer). AvailableNow = one
+   * reference-style "daily run" that drains everything staged and stops.
+   */
+  def sinkToParquet(df: DataFrame, feed: FeedSpec, root: String,
+                    checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        FeedIngest.writePartitioned(batch, feed, root)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Tumbling-window event rollup (watermarked, append-safe). */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     every: String, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), every), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap-based sessionization — the streaming face of q15_sessions. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+}

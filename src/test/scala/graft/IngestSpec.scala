@@ -1,0 +1,91 @@
+package graft
+
+import graft.ingest.FeedIngest
+import graft.model.Schemas
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the reference's ingest semantics (SURVEY.md §1.3–1.4):
+  * lossy projection, NULL for missing fields, epoch-ms normalization with
+  * optional second-truncation parity, gzip transparency, natural-key dedup. */
+class IngestSpec extends AnyFunSuite with SparkSuite {
+
+  private val appStart = Schemas.feed("appStart")
+  private def feedPath(p: String) = s"src/test/resources/feeds/$p"
+
+  test("explicit schema drops undeclared fields and nulls missing ones (ua2sql.py:226–235)") {
+    val df = FeedIngest.readFeed(spark, appStart, feedPath("appStart/job1"))
+    assert(df.columns.toSet === appStart.wire.fieldNames.toSet) // extra_field/debug dropped
+    val u2 = df.filter(col("userid") === "u2").collect().head
+    assert(u2.isNullAt(u2.fieldIndex("submit_time")))
+    assert(u2.isNullAt(u2.fieldIndex("remote_ip")))
+    assert(u2.getAs[String]("platform") === "android")
+    assert(df.count() === 3)
+  }
+
+  test("epoch-ms keeps millisecond fidelity by default (ts=...207179 → .179)") {
+    val df = FeedIngest.ingest(spark, appStart, feedPath("appStart/job1"))
+    val u1 = df.filter(col("userid") === "u1")
+      .select(unix_millis(col("ts")).as("ms")).collect().head.getLong(0)
+    assert(u1 === 1704067207179L)
+  }
+
+  test("paritySeconds truncates to whole seconds like time.gmtime (ua2sql.py:232–233)") {
+    val df = FeedIngest.ingest(spark, appStart, feedPath("appStart/job1"), paritySeconds = true)
+    val ms = df.select(unix_millis(col("ts")).as("ms"), col("userid"))
+      .collect().map(r => r.getAs[String]("userid") -> r.getLong(0)).toMap
+    assert(ms("u1") === 1704067207000L) // .179 truncated
+    assert(ms("u2") === 1704067300000L) // .500 truncated (not rounded)
+  }
+
+  test("gzip NDJSON reads identically to plain (replaces ua2sql.py:157–158)") {
+    val plain = FeedIngest.ingest(spark, appStart, feedPath("appStart/job1"))
+      .orderBy("userid").collect()
+    val gz = FeedIngest.ingest(spark, appStart, feedPath("appStart_gz/job1"))
+      .orderBy("userid").collect()
+    assert(plain.toSeq === gz.toSeq)
+  }
+
+  test("natural-key dedup repairs the at-least-once replay window (ua2sql.py:274–278)") {
+    // u3 appears in both job dirs; dedup keeps one row
+    val replay = FeedIngest.readFeed(spark, appStart, feedPath("appStart/job1"))
+      .union(FeedIngest.readFeed(spark, appStart, feedPath("appStart/job2")))
+    val deduped = FeedIngest.dedup(FeedIngest.normalize(replay), appStart)
+    assert(replay.count() === 5)
+    assert(deduped.count() === 4)
+    assert(deduped.filter(col("userid") === "u3").count() === 1)
+  }
+
+  test("JSONB payloads survive verbatim as JSON text (ua2sql.py:68,85)") {
+    val custom = FeedIngest.ingest(spark, Schemas.feed("custom"), feedPath("custom/job1"))
+    val params = custom.filter(col("userid") === "u1")
+      .select(get_json_object(col("custom_params"), "$.level").as("lvl"),
+        get_json_object(col("custom_params"), "$.nested.a").as("a"))
+      .collect().head
+    assert(params.getString(0) === "7")
+    assert(params.getString(1) === "1")
+    val u2 = custom.filter(col("userid") === "u2")
+      .select(col("custom_params")).collect().head.getString(0)
+    assert(u2.contains("dragon"))
+  }
+
+  test("transaction amount is exact decimal money (Numeric → DecimalType(18,4))") {
+    val tx = FeedIngest.ingest(spark, Schemas.feed("transaction"), feedPath("transaction/job1"))
+    val amounts = tx.select(sum(col("amount")).as("total")).collect().head.getDecimal(0)
+    assert(amounts.compareTo(new java.math.BigDecimal("5.98")) === 0)
+  }
+
+  test("property: second-truncation equals ms - ms % 1000 for arbitrary epochs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = Gen.choose(0L, 4102444800000L) // 1970..2100
+    val prop = Prop.forAll(gen) { rawMs =>
+      val df = Seq(rawMs).toDF("ts")
+      val out = FeedIngest.normalize(df, paritySeconds = true)
+        .select(unix_millis(col("ts"))).collect().head.getLong(0)
+      out == rawMs - rawMs % 1000
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.MultimodalQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: payload/metadata schema, batched stub decode,
+  * frame sampling shape. */
+class MultimodalSpec extends AnyFunSuite with SparkSuite {
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("binary payload carries byte-exact content with typed metadata") {
+    val df = MultimodalQueries.withBinaryPayload(docs)
+    assert(df.schema("payload").dataType.typeName === "binary")
+    val r = df.select(col("doc_id"), col("meta.n_bytes").as("nb"),
+        length(col("payload")).as("pl")).collect()
+    r.foreach(row => assert(row.getAs[Long]("nb") === row.getAs[Int]("pl").toLong))
+  }
+
+  test("stub decode is deterministic, partition-batched, and total") {
+    val a = MultimodalQueries.decode(spark, docs).collect().sortBy(_.doc_id)
+    val b = MultimodalQueries.decode(spark, docs.repartition(7)).collect().sortBy(_.doc_id)
+    assert(a.length === docs.count())
+    assert(a.map(_.doc_id).toSeq === b.map(_.doc_id).toSeq)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.width === y.width && x.height === y.height)
+      assert(x.feat.toSeq === y.feat.toSeq) // partitioning must not change results
+      assert(x.feat.length === 8)
+      x.feat.foreach(v => assert(v >= 0.0 && v < 1.0))
+    }
+  }
+
+  test("frame sampling keeps every stride-th fixed-size chunk") {
+    val sampled = MultimodalQueries.sampleFrames(
+      MultimodalQueries.withBinaryPayload(docs), frameBytes = 64, stride = 2)
+    val rows = sampled.select("doc_id", "frame_idx", "frame").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 2 === 0)
+      assert(r.getAs[Array[Byte]]("frame").length <= 64)
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.model.Schemas
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming ingest + windowed analytics (SURVEY.md §2.J). */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streaming feed ingest dedups replayed jobs (exactly-once repair)") {
+    val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
+      "src/test/resources/feeds/appStart/*")
+    val q = stream.writeStream
+      .format("memory").queryName("appstart_stream")
+      .option("checkpointLocation", tmp("graft-ckpt"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT userid FROM appstart_stream").collect().map(_.getString(0))
+    assert(rows.sorted.toSeq === Seq("u1", "u2", "u3", "u4")) // u3 replayed in job2, kept once
+  }
+
+  test("tumbling window counts aggregate by window and key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("ts", "k")
+    val q = StreamingIngest.tumblingCounts(df, "ts", "k", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    ms.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "b"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:15:00"), "a"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT k, n FROM tumbling").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(got("a") === Seq(1L, 2L)) // two windows: [00:00,00:10) ×2, [00:10,00:20) ×1
+    assert(got("b") === Seq(1L))
+  }
+
+  test("session windows split on the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("ts", "k")
+    val q = StreamingIngest.sessionCounts(df, "ts", "k", "5 minutes")
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("complete").start()
+    ms.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "u"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "u"),  // same session
+      (java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "u"))  // gap > 5m → new session
+    q.processAllAvailable()
+    val counts = spark.sql("SELECT n FROM sessions_stream").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(counts === Seq(1L, 2L))
+  }
+
+  test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
+    val out = tmp("graft-stream-out")
+    val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
+      "src/test/resources/feeds/appStart/*")
+    val q = StreamingIngest.sinkToParquet(stream, Schemas.feed("appStart"),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(s"$out/data")
+    assert(written.count() === 4)
+    assert(written.columns.contains("jobType") && written.columns.contains("ingest_date"))
+  }
+}

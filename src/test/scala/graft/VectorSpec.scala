@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native cosine Catalyst expression: values, nulls, codegen path. */
+class VectorSpec extends AnyFunSuite with SparkSuite {
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val r = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c"))
+      .collect().head
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("orthogonal → 0, parallel → 1, antiparallel → -1") {
+    assert(cos(Seq(1, 0), Seq(0, 1)).get === 0.0)
+    assert(math.abs(cos(Seq(1, 2, 3), Seq(2, 4, 6)).get - 1.0) < 1e-12)
+    assert(math.abs(cos(Seq(1, 0), Seq(-2, 0)).get + 1.0) < 1e-12)
+  }
+
+  test("zero-norm input yields null, not NaN") {
+    assert(cos(Seq(0, 0), Seq(1, 1)) === None)
+  }
+
+  test("known value: cos([1,2],[3,4]) = 11/(sqrt(5)*sqrt(25))") {
+    val expected = 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))
+    assert(math.abs(cos(Seq(1, 2), Seq(3, 4)).get - expected) < 1e-15)
+  }
+
+  test("float-array fixture path: self-cosine is 1") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+      .limit(5)
+    val vals = e.select(VectorFunctions.cosine(col("emb"), col("emb")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("rejects non-double arrays with a clear analysis error") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(("x", "y")).toDF("a", "b")
+        .select(VectorFunctions.cosine($"a", $"b")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+}
