@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries ns-precision timestamps; Spark reads them
       // only as raw longs (normalized in graft.ops.Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

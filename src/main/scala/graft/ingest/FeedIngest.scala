@@ -71,14 +71,18 @@ object FeedIngest {
    * ua2sql.py:188–204). Partition layout keys every downstream scan's
    * pruning; at 100 TB this is the difference between reading a day and
    * reading the archive.
+   *
+   * Each feed writes under its own `jobType=<feed>` directory (still the
+   * Hive layout partition discovery expects) rather than `partitionBy`-ing
+   * jobType into a shared root: concurrent feed loads then use disjoint
+   * output-committer temp dirs, so they can run in parallel safely.
    */
   def writePartitioned(df: DataFrame, feed: FeedSpec, root: String): Unit =
-    df.withColumn("jobType", lit(feed.name))
-      .withColumn("ingest_date", to_date(col("ts")))
+    df.withColumn("ingest_date", to_date(col("ts")))
       .write
       .mode(SaveMode.Append)
-      .partitionBy("jobType", "ingest_date")
-      .parquet(root)
+      .partitionBy("ingest_date")
+      .parquet(s"$root/jobType=${feed.name}")
 }
 
 /**
@@ -114,11 +118,19 @@ object Ledger {
       .drop("rn")
   }
 
-  /** Ledger append after a successful load (ua2sql.py:278). */
-  def append(spark: SparkSession, path: String, jobId: String, jobType: String): Unit = {
-    import spark.implicits._
-    Seq((new java.sql.Timestamp(System.currentTimeMillis()), jobId, jobType))
-      .toDF("ts", "jobId", "jobType")
-      .write.mode(SaveMode.Append).parquet(path)
-  }
+  /** Ledger append after a successful load (ua2sql.py:278). Serialized:
+    * concurrent appends to one parquet path race on the shared
+    * output-committer temp dir (found by driving Pipeline.runAll); the
+    * ledger is tiny control metadata, so a JVM-wide lock costs nothing.
+    * On a real cluster this commit belongs in a transactional table
+    * format or metastore. */
+  def append(spark: SparkSession, path: String, jobId: String, jobType: String): Unit =
+    appendLock.synchronized {
+      import spark.implicits._
+      Seq((new java.sql.Timestamp(System.currentTimeMillis()), jobId, jobType))
+        .toDF("ts", "jobId", "jobType")
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+
+  private object appendLock
 }

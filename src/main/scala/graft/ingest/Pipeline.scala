@@ -1,0 +1,59 @@
+package graft.ingest
+
+import graft.model.{FeedSpec, Schemas}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Batch orchestration of one ingest cycle — the Spark face of the
+ * reference's process_raw_dump (ua2sql.py:250–278) and its serial 3-feed
+ * main loop (ua2sql.py:281–297).
+ *
+ * Differences by design:
+ *  - feeds are independent, so `runAll` can run them as parallel Spark
+ *    jobs (the reference serializes them only because it shares one
+ *    staging dir and one DB connection);
+ *  - the load is idempotent (natural-key dedup upstream + ledger append
+ *    last), so a crashed run can simply be re-run — the reference's
+ *    crash-between-load-and-ledger duplicate window (ua2sql.py:274–278)
+ *    does not exist here;
+ *  - request/poll/download of the export job (ua2sql.py:95–161) is
+ *    driver-side control I/O handled by [[graft.sources.UnityExportClient]];
+ *    this function starts where bytes are staged locally.
+ */
+object Pipeline {
+
+  final case class FeedRun(feed: FeedSpec, stagingDir: String, jobId: String)
+
+  /**
+   * Ledger continuation for a feed: the jobId to pass as `continueFrom`
+   * (ua2sql.py:252–259); None → caller requests the initial 30-day window.
+   */
+  def continuation(spark: SparkSession, ledgerPath: String, feed: FeedSpec): Option[String] =
+    if (!new java.io.File(ledgerPath).exists()) None
+    else Ledger.latestJobId(Ledger.read(spark, ledgerPath), feed.name)
+
+  /** One feed: staged NDJSON → normalize → dedup → partitioned warehouse →
+    * ledger append (exactly the E1 dataflow, minus the HTTP legs). */
+  def runFeed(spark: SparkSession, run: FeedRun, warehouseRoot: String,
+              ledgerPath: String, paritySeconds: Boolean = false): Long = {
+    val df = FeedIngest.ingest(spark, run.feed, run.stagingDir, paritySeconds)
+    val n = df.count()
+    FeedIngest.writePartitioned(df, run.feed, warehouseRoot)
+    Ledger.append(spark, ledgerPath, run.jobId, run.feed.name)
+    n
+  }
+
+  /** All three reference feeds (ua2sql.py:293–295), submitted concurrently
+    * (independent Spark jobs share the cluster; the reference serialized
+    * them only because of its single staging dir + DB connection). */
+  def runAll(spark: SparkSession, runs: Seq[FeedRun], warehouseRoot: String,
+             ledgerPath: String): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = runs.map(r => Future(r.feed.name -> runFeed(spark, r, warehouseRoot, ledgerPath)))
+    Await.result(Future.sequence(fs), Duration.Inf).toMap
+  }
+
+  def feeds: Seq[FeedSpec] = Schemas.feeds
+}

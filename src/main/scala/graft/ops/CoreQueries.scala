@@ -299,6 +299,49 @@ object CoreQueries {
         .orderBy($"purchase_id")
     },
 
+    // Range-frame window (the "how many clicks in the preceding hour"
+    // attribution count) — a range join expressed as one window pass.
+    "q25_clicks_before_purchase" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms")
+        .rangeBetween(-3600000L, -1L)
+      events(s, dir)
+        .withColumn("is_click", when($"event_type" === "click", 1L).otherwise(0L))
+        .withColumn("clicks_prev_hour", sum($"is_click").over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id",
+          coalesce($"clicks_prev_hour", lit(0L)).as("clicks_prev_hour"))
+        .orderBy($"event_id")
+    },
+
+    // Exact percentiles (linear interpolation) per group.
+    "q26_value_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type")
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.9D))").as("ps"),
+          count(lit(1)).as("n"))
+        .select($"event_type", $"n",
+          element_at($"ps", 1).as("p25"),
+          element_at($"ps", 2).as("p50"),
+          element_at($"ps", 3).as("p90"))
+        .orderBy($"event_type")
+    },
+
+    // Pivot: day × event_type count matrix (the platform×day rollup shape,
+    // SURVEY.md §2.H) — one shuffle; pivot columns are enumerated so the
+    // plan needs no extra pass to discover them.
+    "q27_daily_type_matrix" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .withColumn("event_date", to_date($"ts"))
+        .groupBy($"event_date")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"event_date")
+    },
+
     // Single-key form of C1: filter → orderBy → limit 1 plans as
     // TakeOrderedAndProject (no global sort).
     "q24_latest_purchase" -> { (s, dir) =>
@@ -477,6 +520,31 @@ object CoreQueries {
     "q24_latest_purchase" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin
+        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "q25_clicks_before_purchase" ->
+      """SELECT event_id, user_id, COALESCE(clicks_prev_hour, 0) AS clicks_prev_hour FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |            RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING) AS BIGINT) AS clicks_prev_hour
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q26_value_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q27_daily_type_matrix" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
