@@ -90,12 +90,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object VectorFunctions {
 
   val CosineName = "graft_cosine"
+  val TopKName = "graft_topk"
 
-  /** Idempotent per-session registration; call before using `cosine`. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session registration; call before using `cosine`/`topk`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName, exprs => TopKPairs(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 
   /** Column-API face of [[CosineSimilarity]] (requires `register`). */
   def cosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Column-API face of [[TopKPairs]]: array of (score,id) structs,
+    * best-first (requires `register`). */
+  def topk(score: Column, id: Column, k: Int): Column =
+    call_function(TopKName, score, id, org.apache.spark.sql.functions.lit(k))
 }

@@ -67,6 +67,26 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rk")
     },
 
+    // Same search as q35 but through the native TopKPairs aggregate:
+    // per-partition bounded heaps reduce map-side, so only k pairs per
+    // partition per query cross the shuffle (the window form shuffles
+    // every scored row). Same deterministic order ⇒ same oracle as q35.
+    "q35b_ann_topk_agg" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"emb".as("q_emb"))
+      e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos", VectorFunctions.cosine($"emb", $"q_emb"))
+        .groupBy($"query_id")
+        .agg(VectorFunctions.topk($"cos", $"vec_id", TopK).as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("i", "p")))
+        .select($"query_id", ($"i" + 1).cast("long").as("rk"),
+          $"p.id".as("neighbor_id"), round($"p.score", 6).as("cos_sim"))
+        .orderBy($"query_id", $"rk")
+    },
+
     // Per-label centroids — elementwise mean via posexplode + one hash agg.
     // Decimal-cast per element keeps the sum order-independent (exact),
     // mirroring the money policy in Tables.
@@ -86,6 +106,18 @@ object SimilarityQueries {
     s"list_dot_product($a.emb, $b.emb) / " +
       s"(SQRT(list_dot_product($a.emb, $a.emb)) * SQRT(list_dot_product($b.emb, $b.emb)))"
 
+  private lazy val annTopkOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, ${cosExpr("a", "q")} AS cos
+       |  FROM e a JOIN e q ON q.vec_id < $NumQueries AND a.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q34_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
@@ -95,17 +127,9 @@ object SimilarityQueries {
          |WHERE ${cosExpr("a", "b")} >= $NearDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q35_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, ${cosExpr("a", "q")} AS cos
-         |  FROM e a JOIN e q ON q.vec_id < $NumQueries AND a.vec_id <> q.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-         |  FROM scored)
-         |SELECT query_id, rk, neighbor_id, ROUND(cos, 6) AS cos_sim
-         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "q35_ann_topk" -> annTopkOracle,
+    // The aggregate formulation must produce the identical result set.
+    "q35b_ann_topk_agg" -> annTopkOracle,
 
     // DuckDB 1.0 has no UNNEST ... WITH ORDINALITY; zip index via list
     // comprehension instead.

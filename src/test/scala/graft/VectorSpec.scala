@@ -42,6 +42,32 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("TopKPairs keeps the k best with deterministic tie order") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 5L), (1L, 0.1, 1L), (1L, 0.5, 7L),
+      (2L, 0.3, 2L)
+    ).toDF("g", "score", "id")
+    val got = df.groupBy($"g")
+      .agg(VectorFunctions.topk($"score", $"id", 2).as("top"))
+      .orderBy($"g")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getDouble(0), p.getLong(1))))
+      .toMap
+    assert(got(1L) === Seq((0.9, 5L), (0.9, 10L))) // tie → smaller id first
+    assert(got(2L) === Seq((0.3, 2L)))             // fewer than k rows ok
+  }
+
+  test("aggregate top-k equals window top-k on the fixture") {
+    val window = graft.ops.SimilarityQueries.queries("q35_ann_topk")(spark, sf0001)
+      .collect().toSeq
+    val agg = graft.ops.SimilarityQueries.queries("q35b_ann_topk_agg")(spark, sf0001)
+      .collect().toSeq
+    assert(agg === window)
+  }
+
   test("rejects non-double arrays with a clear analysis error") {
     VectorFunctions.register(spark)
     import spark.implicits._
