@@ -342,6 +342,18 @@ object CoreQueries {
         .orderBy($"event_date")
     },
 
+    // GROUPING SETS with disjoint sets (two independent one-key rollups in
+    // one pass over the data — the general form of rollup/cube).
+    "q28_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .withColumn("event_date", to_date($"ts"))
+        .groupingSets(Seq(Seq($"event_type"), Seq($"event_date")),
+          $"event_type", $"event_date")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .orderBy($"event_type".asc_nulls_first, $"event_date".asc_nulls_first)
+    },
+
     // Single-key form of C1: filter → orderBy → limit 1 plans as
     // TakeOrderedAndProject (no global sort).
     "q24_latest_purchase" -> { (s, dir) =>
@@ -537,6 +549,12 @@ object CoreQueries {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q28_grouping_sets" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
+         |ORDER BY event_type NULLS FIRST, event_date NULLS FIRST""".stripMargin,
 
     "q27_daily_type_matrix" ->
       """SELECT CAST(ts AS DATE) AS event_date,

@@ -75,6 +75,18 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(amounts.compareTo(new java.math.BigDecimal("5.98")) === 0)
   }
 
+  test("unionByName builds the all-events view across feed schemas (SURVEY.md §2.I)") {
+    val custom = FeedIngest.ingest(spark, Schemas.feed("custom"), feedPath("custom/job1"))
+    val tx = FeedIngest.ingest(spark, Schemas.feed("transaction"), feedPath("transaction/job1"))
+    // the three feeds share the appStart column core; missing columns null-fill
+    val all = custom.unionByName(tx, allowMissingColumns = true)
+    assert(all.count() === 4)
+    assert(all.columns.toSet === (custom.columns.toSet ++ tx.columns.toSet))
+    // transaction rows have no `name`; custom rows have no `amount`
+    assert(all.filter(col("name").isNull).count() === 2)
+    assert(all.filter(col("amount").isNull).count() === 2)
+  }
+
   test("property: second-truncation equals ms - ms % 1000 for arbitrary epochs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
