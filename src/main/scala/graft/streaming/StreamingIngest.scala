@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.ingest.FeedIngest
 import graft.model.FeedSpec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -77,4 +77,31 @@ object StreamingIngest {
     events.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-key running state for one update cycle. */
+  final case class KeyState(key: String, totalEvents: Long, batches: Long)
+
+  /**
+   * Arbitrary stateful processing via flatMapGroupsWithState: a running
+   * per-key event counter that emits an updated snapshot whenever a key
+   * receives data — the escape hatch for state machines the built-in
+   * windowed aggregations can't express (SURVEY.md §2.J). State lives in
+   * the checkpointed state store, partitioned by key, so it scales with
+   * executors like any shuffle.
+   */
+  def statefulKeyCounts(spark: SparkSession, events: DataFrame,
+                        keyCol: String): Dataset[KeyState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events.select(col(keyCol).cast("string").as("k")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[String], state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(key, 0L, 0L))
+          val next = KeyState(key, prev.totalEvents + rows.size, prev.batches + 1)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }

@@ -68,6 +68,41 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(counts === Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState keeps running per-key counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("ts", "k")
+    val q = StreamingIngest.statefulKeyCounts(spark, df, "k")
+      .writeStream.format("memory").queryName("stateful")
+      .option("checkpointLocation", tmp("graft-state-ckpt"))
+      .outputMode("append").start()
+    ms.addData((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "b"))
+    q.processAllAvailable()
+    ms.addData((java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "a"))
+    q.processAllAvailable()
+    val snaps = spark.sql("SELECT key, totalEvents, batches FROM stateful").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // batch 1 emits a→2, b→1; batch 2 emits a→3 (state carried across batches)
+    assert(snaps === Set(("a", 2L, 1L), ("b", 1L, 1L), ("a", 3L, 2L)))
+  }
+
+  test("typed Dataset boundaries round-trip the ingested feeds") {
+    val app = graft.model.Records.appStarts(spark,
+      graft.ingest.FeedIngest.ingest(spark, Schemas.feed("appStart"),
+        "src/test/resources/feeds/appStart/job1"))
+    assert(app.collect().map(_.userid).sorted.toSeq === Seq("u1", "u2", "u3"))
+    assert(app.filter((a: graft.model.AppStart) => a.submit_time.isEmpty).count() === 1)
+    val tx = graft.model.Records.transactions(spark,
+      graft.ingest.FeedIngest.ingest(spark, Schemas.feed("transaction"),
+        "src/test/resources/feeds/transaction/job1"))
+    val total = tx.collect().flatMap(_.amount).map(BigDecimal(_)).sum
+    assert(total === BigDecimal("5.98"))
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
