@@ -342,6 +342,18 @@ object CoreQueries {
         .orderBy($"event_date")
     },
 
+    // Correlated EXISTS with an extra non-equi conjunct (TPC-H Q4 shape):
+    // left-semi join on key plus range predicate, then a one-shuffle agg.
+    "q29_priority_with_late_items" -> { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+      o.join(li, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
     // GROUPING SETS with disjoint sets (two independent one-key rollups in
     // one pass over the data — the general form of rollup/cube).
     "q28_grouping_sets" -> { (s, dir) =>
@@ -549,6 +561,13 @@ object CoreQueries {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q29_priority_with_late_items" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q28_grouping_sets" ->
       s"""SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,

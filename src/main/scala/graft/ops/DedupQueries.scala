@@ -78,10 +78,14 @@ object DedupQueries {
     // is shared.
     "q31_neardup_jaccard" -> { (s, dir) =>
       import s.implicits._
+      // Join on the 64-bit shingle hash, not the string: ~4× less shuffle
+      // byte volume and cheaper key compares. A hash collision would need
+      // two distinct shingles in overlapping docs to share an xxhash64
+      // (≈ 2⁻⁶⁴ per pair — vanishing, and deterministic per dataset).
       val rows = shingleRows(s, dir)
       val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val ex = rows.join(broadcast(counts), "doc_id")
-        .select($"doc_id", $"n_sh", $"shingle")
+        .select($"doc_id", $"n_sh", xxhash64($"shingle").as("shingle"))
       ex.as("a").join(ex.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
