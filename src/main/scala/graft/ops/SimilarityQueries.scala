@@ -88,16 +88,21 @@ object SimilarityQueries {
     },
 
     // Per-label centroids — elementwise mean via posexplode + one hash agg.
-    // Decimal-cast per element keeps the sum order-independent (exact),
-    // mirroring the money policy in Tables.
+    // NOTE the deliberate departure from the decimal-sum policy: decimal
+    // casts of float-derived doubles land on EXACT rounding ties at any
+    // scale (dyadic values like m·2⁻¹³ tie at every decimal scale), where
+    // the engines' rounding modes diverge — observed at both sf0.01 and
+    // sf0.1. Plain double sums differ across engines only by summation
+    // order (~1e-13 relative here), so ROUND(mean, 6) absorbs the noise
+    // with negligible tie exposure (a true mean within 1e-14 of a 5e-7
+    // boundary).
     "q36_label_centroids" -> { (s, dir) =>
       import s.implicits._
       embs(s, dir)
         .select($"label", posexplode($"emb").as(Seq("pos", "v")))
         .groupBy($"label", $"pos".cast("long").as("pos"))
         .agg(count(lit(1)).as("n"),
-          (sum($"v".cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
-            .as("mean_v"))
+          round(sum($"v") / count(lit(1)), 6).as("mean_v"))
         .orderBy($"label", $"pos")
     }
   )
@@ -135,7 +140,7 @@ object SimilarityQueries {
     // comprehension instead.
     "q36_label_centroids" ->
       """SELECT label, CAST(u.pos AS BIGINT) AS pos, COUNT(*) AS n,
-        |       CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_v
+        |       ROUND(SUM(CAST(u.v AS DOUBLE)) / COUNT(*), 6) AS mean_v
         |FROM (SELECT label,
         |        unnest([{'pos': i - 1, 'v': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
         |      FROM embeddings) t

@@ -81,6 +81,22 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    // Vocabulary analytics: top-5 tokens per source — token explode (the
+    // scan-heavy shape), one grouped count, then a per-source window rank.
+    "q44_top_tokens_per_source" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n".desc, $"token")
+      t(s, dir, "documents")
+        .select($"source", explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"source", $"token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"source", $"rk", $"token", $"n")
+        .orderBy($"source", $"rk")
+    },
+
     // Content fingerprint: md5 of the case-normalized text (the oracle-able
     // face; the engine-specific 64-bit rolling variant is q41, rows-only).
     "q40_fingerprint" -> { (s, dir) =>
@@ -154,6 +170,19 @@ object TextQueries {
         |FROM x GROUP BY source ORDER BY source""".stripMargin,
 
     "q40_fingerprint" ->
-      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id"
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+
+    "q44_top_tokens_per_source" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), ' ')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
+        |rk AS (
+        |  SELECT source, token, n,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+        |  FROM cnt)
+        |SELECT source, rk, token, n FROM rk WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin
   )
 }
