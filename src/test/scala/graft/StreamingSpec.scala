@@ -103,6 +103,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(total === BigDecimal("5.98"))
   }
 
+  test("streaming ingest is batch-equivalent on the same staged input") {
+    val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
+      "src/test/resources/feeds/appStart/*")
+    val q = stream.writeStream
+      .format("memory").queryName("equiv_stream")
+      .option("checkpointLocation", tmp("graft-equiv-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT * FROM equiv_stream")
+      .orderBy("userid").collect().toSeq
+    val batch = graft.ingest.FeedIngest.dedup(
+      graft.ingest.FeedIngest.normalize(
+        graft.ingest.FeedIngest.readFeed(spark, Schemas.feed("appStart"),
+          "src/test/resources/feeds/appStart/*")),
+      Schemas.feed("appStart"))
+      .orderBy("userid").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
