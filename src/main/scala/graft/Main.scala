@@ -1,0 +1,58 @@
+package graft
+
+import graft.ingest.{GraftConfig, Pipeline}
+import graft.model.Schemas
+import org.apache.spark.sql.SparkSession
+
+/**
+ * CLI entry point — the engine's face of the reference's
+ * `python ua2sql.py config.json` contract (README.md:4–6,
+ * ua2sql.py:281–297).
+ *
+ * Usage: graft.Main <config.json> [--job-id <id>]
+ *
+ * Reads the typed config (same required/optional keys as the reference),
+ * then runs one ingest cycle for every feed whose staging directory
+ * exists under `<stagingPath>/<feedName>`: normalize → dedup →
+ * partitioned warehouse → ledger append. The request/poll/download legs
+ * against the Unity export API (driver-side HTTP,
+ * [[graft.sources.UnityExportClient]]) run upstream of this program in a
+ * connected deployment; offline, staged files are the input contract.
+ */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Main <config.json> [--job-id <id>]")
+    val cfg = GraftConfig.load(args(0))
+    val jobId = args.sliding(2).collectFirst {
+      case Array("--job-id", id) => id
+    }.getOrElse("manual-" + System.currentTimeMillis())
+
+    // spark-submit injects spark.master as a system property; standalone
+    // runs (sbt runMain, tests) fall back to local.
+    val master = sys.props.getOrElse("spark.master",
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    val spark = SparkSession.builder()
+      .appName("graft-ingest")
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val runs = Schemas.feeds.flatMap { feed =>
+      val staging = s"${cfg.stagingPath}/${feed.name}"
+      if (new java.io.File(staging).exists())
+        Some(Pipeline.FeedRun(feed, staging, s"$jobId-${feed.name}"))
+      else None
+    }
+    require(runs.nonEmpty, s"no feed staging dirs found under ${cfg.stagingPath}")
+
+    val counts = Pipeline.runAll(spark, runs, cfg.warehouseRoot, cfg.ledgerPath)
+    counts.toSeq.sortBy(_._1).foreach { case (feed, n) =>
+      println(s"[graft] $feed: loaded $n rows")
+    }
+    println(s"[graft] warehouse=${cfg.warehouseRoot} ledger=${cfg.ledgerPath} jobId=$jobId")
+    spark.stop()
+  }
+}

@@ -75,6 +75,18 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(amounts.compareTo(new java.math.BigDecimal("5.98")) === 0)
   }
 
+  test("corrupt line: FAILFAST raises like the reference; PERMISSIVE recovers") {
+    // reference parity: bare json.loads would raise (ua2sql.py:222)
+    val strict = FeedIngest.readFeed(spark, appStart, feedPath("corrupt/job1"))
+    val err = intercept[Exception](strict.collect())
+    assert(err.getMessage.toLowerCase.contains("malformed") ||
+      Option(err.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+    // robust mode: bad line → all-null row, good lines intact
+    val lax = FeedIngest.readFeed(spark, appStart, feedPath("corrupt/job1"), failFast = false)
+    assert(lax.filter(col("userid").isNotNull).count() === 2)
+    assert(lax.count() === 3)
+  }
+
   test("unionByName builds the all-events view across feed schemas (SURVEY.md §2.I)") {
     val custom = FeedIngest.ingest(spark, Schemas.feed("custom"), feedPath("custom/job1"))
     val tx = FeedIngest.ingest(spark, Schemas.feed("transaction"), feedPath("transaction/job1"))
