@@ -17,6 +17,12 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracleSql keys without a query: $unknown")
+    // the registry is a ++ of per-module maps — a key collision would
+    // silently drop a query
+    val moduleSizes = Seq(graft.ops.CoreQueries.queries, graft.ops.DedupQueries.queries,
+      graft.ops.SimilarityQueries.queries, graft.ops.TextQueries.queries,
+      graft.ops.MultimodalQueries.queries).map(_.size).sum
+    assert(SparkEntry.queries.size === moduleSizes, "query name collision between modules")
   }
 
   test("representative queries are deterministic across runs") {
