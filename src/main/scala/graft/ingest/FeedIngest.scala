@@ -83,6 +83,18 @@ object FeedIngest {
       .mode(SaveMode.Append)
       .partitionBy("ingest_date")
       .parquet(s"$root/jobType=${feed.name}")
+
+  /**
+   * Staging cleanup (remove_files_in_directory, ua2sql.py:180–184):
+   * deletes files directly under `path` (non-recursive, like the
+   * reference), used after a successful load and to clear a previous
+   * failed run's leftovers (ua2sql.py:275, 286). Returns files removed.
+   */
+  def clearStaging(path: String): Int = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) 0
+    else dir.listFiles.filter(_.isFile).count(_.delete())
+  }
 }
 
 /**

@@ -33,13 +33,16 @@ object Pipeline {
     else Ledger.latestJobId(Ledger.read(spark, ledgerPath), feed.name)
 
   /** One feed: staged NDJSON → normalize → dedup → partitioned warehouse →
-    * ledger append (exactly the E1 dataflow, minus the HTTP legs). */
+    * ledger append → staging cleanup (exactly the E1 dataflow,
+    * ua2sql.py:250–278, minus the HTTP legs). */
   def runFeed(spark: SparkSession, run: FeedRun, warehouseRoot: String,
-              ledgerPath: String, paritySeconds: Boolean = false): Long = {
+              ledgerPath: String, paritySeconds: Boolean = false,
+              cleanStaging: Boolean = false): Long = {
     val df = FeedIngest.ingest(spark, run.feed, run.stagingDir, paritySeconds)
     val n = df.count()
     FeedIngest.writePartitioned(df, run.feed, warehouseRoot)
     Ledger.append(spark, ledgerPath, run.jobId, run.feed.name)
+    if (cleanStaging) FeedIngest.clearStaging(run.stagingDir) // ua2sql.py:275
     n
   }
 

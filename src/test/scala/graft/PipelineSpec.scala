@@ -50,6 +50,21 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(led === 3)
   }
 
+  test("staging cleanup removes loaded files non-recursively (ua2sql.py:180-184)") {
+    val staging = tmp("graft-clean")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/feeds/appStart/job1/part-0.json"),
+      java.nio.file.Paths.get(s"$staging/part-0.json"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$staging/subdir"))
+    val wh = tmp("graft-clean-wh")
+    val n = Pipeline.runFeed(spark,
+      Pipeline.FeedRun(Schemas.feed("appStart"), staging, "jc1"),
+      wh, tmp("graft-clean-led") + "/ledger", cleanStaging = true)
+    assert(n === 3)
+    val left = new java.io.File(staging).listFiles.toSeq
+    assert(left.map(_.getName) === Seq("subdir")) // files gone, dirs kept
+  }
+
   test("parquet sink appends per table") {
     val root = tmp("graft-sink")
     val sink = new ParquetSink(root)
