@@ -108,7 +108,11 @@ object DedupQueries {
     // for the j≥0.9 planted duplicates this threshold targets).
     "q32_dedup_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
+      // One strong 64-bit base hash per shingle, then a cheap universal
+      // family over the long — 64 murmurs of 12 bytes instead of 64
+      // re-hashes of the full shingle string.
       val ex = shingleRows(s, dir)
+        .select($"doc_id", xxhash64($"shingle").as("shingle"))
       val minCols = (1 to MinhashCount).map(i => min(hash($"shingle", lit(i))).as(s"h$i"))
       val sig = ex.groupBy($"doc_id")
         .agg(minCols.head, minCols.tail: _*)
