@@ -15,7 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      TextQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.extraQueries ++ TextQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -366,6 +366,18 @@ object CoreQueries {
         .orderBy($"event_type".asc_nulls_first, $"event_date".asc_nulls_first)
     },
 
+    // ntile bucketing: account-balance deciles over a total order.
+    "q45_acctbal_deciles" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      t(s, dir, "customer")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"),
+          min($"c_acctbal").as("min_bal"), max($"c_acctbal").as("max_bal"))
+        .orderBy($"decile")
+    },
+
     // Single-key form of C1: filter → orderBy → limit 1 plans as
     // TakeOrderedAndProject (no global sort).
     "q24_latest_purchase" -> { (s, dir) =>
@@ -574,6 +586,13 @@ object CoreQueries {
          |  ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
          |ORDER BY event_type NULLS FIRST, event_date NULLS FIRST""".stripMargin,
+
+    "q45_acctbal_deciles" ->
+      """SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM (SELECT c_acctbal,
+        |        CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+        |      FROM customer) t
+        |GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q27_daily_type_matrix" ->
       """SELECT CAST(ts AS DATE) AS event_date,

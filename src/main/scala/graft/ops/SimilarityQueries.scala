@@ -107,6 +107,19 @@ object SimilarityQueries {
     }
   )
 
+  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-vector array stats: built-in array_min/max + an L2 norm via a
+    // sequential fold (matches list_dot_product's evaluation order).
+    "q46_embedding_stats" -> { (s, dir) =>
+      import s.implicits._
+      embs(s, dir)
+        .select($"vec_id", size($"emb").cast("long").as("dim"),
+          array_min($"emb").as("amin"), array_max($"emb").as("amax"),
+          sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")).as("l2_norm"))
+        .orderBy($"vec_id")
+    }
+  )
+
   private def cosExpr(a: String, b: String): String =
     s"list_dot_product($a.emb, $b.emb) / " +
       s"(SQRT(list_dot_product($a.emb, $a.emb)) * SQRT(list_dot_product($b.emb, $b.emb)))"
@@ -138,6 +151,13 @@ object SimilarityQueries {
 
     // DuckDB 1.0 has no UNNEST ... WITH ORDINALITY; zip index via list
     // comprehension instead.
+    "q46_embedding_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim,
+        |       list_min(emb) AS amin, list_max(emb) AS amax,
+        |       SQRT(list_dot_product(emb, emb)) AS l2_norm
+        |FROM e ORDER BY vec_id""".stripMargin,
+
     "q36_label_centroids" ->
       """SELECT label, CAST(u.pos AS BIGINT) AS pos, COUNT(*) AS n,
         |       ROUND(SUM(CAST(u.v AS DOUBLE)) / COUNT(*), 6) AS mean_v

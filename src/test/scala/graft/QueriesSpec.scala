@@ -20,8 +20,8 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     // the registry is a ++ of per-module maps — a key collision would
     // silently drop a query
     val moduleSizes = Seq(graft.ops.CoreQueries.queries, graft.ops.DedupQueries.queries,
-      graft.ops.SimilarityQueries.queries, graft.ops.TextQueries.queries,
-      graft.ops.MultimodalQueries.queries).map(_.size).sum
+      graft.ops.SimilarityQueries.queries, graft.ops.SimilarityQueries.extraQueries,
+      graft.ops.TextQueries.queries, graft.ops.MultimodalQueries.queries).map(_.size).sum
     assert(SparkEntry.queries.size === moduleSizes, "query name collision between modules")
   }
 
