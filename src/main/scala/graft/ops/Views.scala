@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * SQL face of the engine: registers every fixture table as a temp view so
+ * the whole operator surface is reachable through `spark.sql(...)` as well
+ * as the DataFrame API (same Catalyst plans either way).
+ */
+object Views {
+
+  val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register `<table>` views over `dir`; `events` gets the normalized
+    * ts_ns/ms/ts columns from [[Tables.events]]. */
+  def register(spark: SparkSession, dir: String): Unit =
+    tables.foreach { name =>
+      val df = if (name == "events") Tables.events(spark, dir)
+               else Tables.t(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    register(spark, dir)
+    spark.sql(query)
+  }
+}

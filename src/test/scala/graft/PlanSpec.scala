@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties SCALE.md promises must be
+  * visible in the physical plans, not just intended. */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: the date filter pushes into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: scan reads only the referenced columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_orderkey"), "column pruning lost: scan reads unused key column")
+  }
+
+  test("dimension joins broadcast (q05, q21)") {
+    assert(plan("q05_revenue_by_nation").contains("BroadcastHashJoin"))
+    assert(plan("q21_top_parts").contains("BroadcastHashJoin"))
+  }
+
+  test("q24: single-key latest plans as TakeOrderedAndProject") {
+    assert(plan("q24_latest_purchase").contains("TakeOrderedAndProject"))
+  }
+
+  test("q04: top-k limit plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q04_top_spenders").contains("TakeOrderedAndProject"))
+  }
+
+  test("SQL face: spark.sql over registered views matches the DataFrame query") {
+    val viaSql = graft.ops.Views.sql(spark, sf0001,
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect().toSeq
+    import org.apache.spark.sql.functions._
+    val viaDf = graft.ops.Tables.t(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(viaSql === viaDf)
+  }
+
+  test("SQL face: normalized events view exposes ms/ts_ns") {
+    val r = graft.ops.Views.sql(spark, sf0001,
+      "SELECT COUNT(*) FROM events WHERE ms IS NOT NULL AND ts_ns IS NOT NULL")
+      .collect().head.getLong(0)
+    assert(r === 1000)
+  }
+}
