@@ -366,6 +366,21 @@ object CoreQueries {
         .orderBy($"event_type".asc_nulls_first, $"event_date".asc_nulls_first)
     },
 
+    // Cohort retention — THE analytics the reference's event schema exists
+    // to serve: cohort = first activity day per user; retention = distinct
+    // users active k days later. Two hash aggs + one broadcast-size join.
+    "q48_cohort_retention" -> { (s, dir) =>
+      import s.implicits._
+      val activity = events(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val cohort = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      activity.join(broadcast(cohort), "user_id")
+        .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+
     // ntile bucketing: account-balance deciles over a total order.
     "q45_acctbal_deciles" -> { (s, dir) =>
       import s.implicits._
@@ -586,6 +601,16 @@ object CoreQueries {
          |  ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
          |ORDER BY event_type NULLS FIRST, event_date NULLS FIRST""".stripMargin,
+
+    "q48_cohort_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q45_acctbal_deciles" ->
       """SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal

@@ -139,6 +139,36 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // Dedup clusters: connected components over the near-dup pair graph
+    // (cluster id = smallest doc_id in the component; singletons keep
+    // themselves). Iterative min-label propagation — each round is one
+    // distributed join+aggregate, and rounds needed = graph diameter in
+    // log-ish steps, the standard way components are computed at corpus
+    // scale (a recursive CTE is the oracle's luxury, not the cluster's).
+    "q47_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = queries("q31_neardup_jaccard")(s, dir).select($"doc_a", $"doc_b")
+      val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
+        .localCheckpoint() // tiny edge set; cut lineage for the iteration
+      var labels = t(s, dir, "documents")
+        .select($"doc_id", $"doc_id".as("cluster_id"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val nbrMin = edges.join(labels, $"src" === $"doc_id")
+          .groupBy($"dst".as("doc_id")).agg(min($"cluster_id").as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select($"doc_id",
+            least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+          .filter($"cluster_id" =!= $"old").count()
+        labels = next
+        rounds += 1
+      }
+      labels.orderBy($"doc_id")
+    },
+
     // SimHash near-dup pairs (Hamming ≤ 3) — candidates via the 16-bit
     // chunk pigeonhole, verified with bit_count(xor). Rows-only (the
     // 64-bit token hash family is engine-specific, so no SQL oracle).
@@ -188,7 +218,29 @@ object DedupQueries {
       |SELECT doc_a, doc_b, n_common, jaccard FROM p
       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  // Transitive closure over the same thresholded pair graph; cluster id =
+  // min reachable doc (plus self). Closure is fine for DuckDB at oracle
+  // scale; the Spark side uses iterative propagation instead (see q47).
+  private lazy val clustersOracle: String = {
+    val pairsCte = jaccardOracle
+      .replace("SELECT doc_a, doc_b, n_common, jaccard FROM p",
+        "SELECT doc_a, doc_b FROM p")
+      .replaceAll("ORDER BY doc_a, doc_b$", "")
+    s"""WITH RECURSIVE pr AS ($pairsCte),
+       |edge AS (SELECT doc_a AS a, doc_b AS b FROM pr
+       |         UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edge
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edge e ON r.dst = e.a),
+       |m AS (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src)
+       |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN m ON m.src = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q47_dedup_clusters" -> clustersOracle,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,
