@@ -366,6 +366,18 @@ object CoreQueries {
         .orderBy($"event_type".asc_nulls_first, $"event_date".asc_nulls_first)
     },
 
+    // Sliding-window counts in batch: each event lands in two overlapping
+    // 2-day windows sliding by 1 day (same semantics as the streaming
+    // window() operator, checked against an explicit window-start expansion).
+    "q49_sliding_window_counts" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "2 days", "1 day").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".cast("date").as("window_start"), $"event_type", $"n")
+        .orderBy($"window_start", $"event_type")
+    },
+
     // Cohort retention — THE analytics the reference's event schema exists
     // to serve: cohort = first activity day per user; retention = distinct
     // users active k days later. Two hash aggs + one broadcast-size join.
@@ -601,6 +613,12 @@ object CoreQueries {
          |  ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
          |ORDER BY event_type NULLS FIRST, event_date NULLS FIRST""".stripMargin,
+
+    "q49_sliding_window_counts" ->
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n
+        |FROM (SELECT unnest([CAST(ts AS DATE) - 1, CAST(ts AS DATE)]) AS ws, event_type
+        |      FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q48_cohort_retention" ->
       """WITH activity AS (
