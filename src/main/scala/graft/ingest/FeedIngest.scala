@@ -57,7 +57,8 @@ object FeedIngest {
       }
     }
 
-  /** Exactly-once repair: one row per natural key, keeping the earliest arrival. */
+  /** Exactly-once repair: one row per natural key (replayed export rows
+    * are full-row identical, so which survivor is kept is immaterial). */
   def dedup(df: DataFrame, feed: FeedSpec): DataFrame =
     df.dropDuplicates(feed.naturalKey)
 
