@@ -106,6 +106,28 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // TF-IDF relevance scoring: term frequency × ln(N/df), top-3 terms per
+    // doc. Three hash aggregates + one broadcast of the (token, df) table
+    // and the corpus-size scalar — no per-row UDFs, log noise absorbed by
+    // ROUND(…, 6) on both engines.
+    "q50_tfidf_top_terms" -> { (s, dir) =>
+      import s.implicits._
+      val tok = t(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+      tf.join(broadcast(df), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"token", $"tfidf")
+        .orderBy($"doc_id", $"rk")
+    },
+
     // 64-bit rolling fingerprint: xxhash64 chained over tokens (order-
     // sensitive, unlike a bag-of-tokens hash). Engine-specific hash family
     // → rows-only; pinned by unit tests.
@@ -171,6 +193,24 @@ object TextQueries {
 
     "q40_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+
+    "q50_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, tfidf FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "q44_top_tokens_per_source" ->
       """WITH tok AS (
