@@ -12,10 +12,12 @@ import org.apache.spark.sql.SparkSession
  *  - feeds are independent, so `runAll` can run them as parallel Spark
  *    jobs (the reference serializes them only because it shares one
  *    staging dir and one DB connection);
- *  - the load is idempotent (natural-key dedup upstream + ledger append
- *    last), so a crashed run can simply be re-run — the reference's
+ *  - the load is idempotent per jobId: the warehouse write lands under a
+ *    jobId-scoped partition directory with OVERWRITE (plus natural-key
+ *    dedup upstream), so re-running a run that crashed between the write
+ *    and the ledger append replaces its own output — the reference's
  *    crash-between-load-and-ledger duplicate window (ua2sql.py:274–278)
- *    does not exist here;
+ *    is closed, not merely narrowed;
  *  - request/poll/download of the export job (ua2sql.py:95–161) is
  *    driver-side control I/O handled by [[graft.sources.UnityExportClient]];
  *    this function starts where bytes are staged locally.
@@ -40,7 +42,7 @@ object Pipeline {
               cleanStaging: Boolean = false): Long = {
     val df = FeedIngest.ingest(spark, run.feed, run.stagingDir, paritySeconds)
     val n = df.count()
-    FeedIngest.writePartitioned(df, run.feed, warehouseRoot)
+    FeedIngest.writePartitioned(df, run.feed, warehouseRoot, Some(run.jobId))
     Ledger.append(spark, ledgerPath, run.jobId, run.feed.name)
     if (cleanStaging) FeedIngest.clearStaging(run.stagingDir) // ua2sql.py:275
     n

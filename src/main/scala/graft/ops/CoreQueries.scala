@@ -37,7 +37,10 @@ object CoreQueries {
     "q01_pricing_summary" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
-        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+        // TZ-independent bound: the string cast resolves under the pinned
+        // UTC session timezone (Timestamp.valueOf would parse in JVM-default
+        // TZ and shift the predicate on a non-UTC host).
+        .filter($"l_shipdate" <= lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           dsum($"l_quantity").as("sum_qty"),
@@ -132,7 +135,7 @@ object CoreQueries {
         // so the cast is instant-preserving and matches DuckDB's epoch_ms.
         .select($"o_custkey", $"o_orderkey",
           unix_millis($"o_orderdate".cast("timestamp")).as("order_ms"),
-          sum($"o_totalprice".cast(money)).over(w).as("running_spend"))
+          moneyOut(sum($"o_totalprice".cast(money)).over(w)).as("running_spend"))
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
@@ -473,11 +476,12 @@ object CoreQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q09_running_spend" ->
-      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      s"""SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+         |  ${sqlMoneyOut(
+        """SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+          |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)} AS running_spend
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q10_event_gaps" ->
       """WITH g AS (

@@ -56,9 +56,19 @@ object DedupQueries {
     shingleRows(s, dir).groupBy($"doc_id").agg(collect_set($"shingle").as("sh"))
   }
 
+  /**
+   * Banding chosen so the exact-Jaccard oracle equality is sound at the
+   * 0.5 threshold: with 32 bands × 2 rows, P(band collision | j) =
+   * 1 − (1 − j²)³², i.e. ≈ 0.9999 at j = 0.5 and ≥ 0.996 even two sigma
+   * of signature-estimation noise below it — versus ≈ 0.65 with the
+   * previous 16 × 4 split, which could legitimately prune a borderline
+   * pair and fail the equality gate. The wider net admits more false
+   * candidates (≈5% of j≈0.2 pairs), but they're removed by the exact
+   * verification join, costing only candidate-verification work.
+   */
   private val MinhashCount = 64
-  private val Bands = 16
-  private val RowsPerBand = 4
+  private val Bands = 32
+  private val RowsPerBand = 2
   private val JaccardThreshold = 0.5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,9 +113,9 @@ object DedupQueries {
     // shuffle by doc_id) — an order of magnitude faster than array-level
     // higher-order lambdas, which evaluate interpreted. Only band-key
     // collisions join; candidates are then verified with exact Jaccard, so
-    // output equals the exact pair set whenever LSH recall is 1 at the
-    // threshold (16 bands × 4 rows ⇒ P(candidate | j=0.5) ≈ 0.65, ≈ 1.0
-    // for the j≥0.9 planted duplicates this threshold targets).
+    // output equals the exact pair set whenever every true pair at the
+    // threshold collides in some band (see the banding-parameter note
+    // above: P ≈ 0.9999 at j = 0.5 with 32 × 2).
     "q32_dedup_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
       // One strong 64-bit base hash per shingle, then a cheap universal

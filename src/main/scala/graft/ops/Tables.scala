@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /**
  * Shared helpers for the query surface.
@@ -55,7 +55,27 @@ object Tables {
   /** Exact money arithmetic: decimal-cast before summing (see above). */
   val money: DecimalType = DecimalType(18, 4)
 
-  def dsum(c: Column): Column = sum(c.cast(money))
+  /**
+   * Present an exact decimal aggregate as a DOUBLE output column via an
+   * engine-independent path: (decimal × 10^scale) is an exact integer,
+   * BIGINT→DOUBLE is exact below 2^53, and 10^scale is an exact double, so
+   * the final division is correctly rounded — bit-identical in Spark and
+   * DuckDB. Two reasons decimal must not reach the output schema:
+   *  1. result-consumer representations of DECIMAL columns differ across
+   *     loaders (round 1: every decimal-typed output column hash-mismatched
+   *     the driver compare while the values were provably equal);
+   *  2. a direct decimal→double CAST is NOT correctly rounded in DuckDB
+   *     (≈1 ulp drift vs Java BigDecimal.doubleValue).
+   * Exactness bound: |sum| < 2^53 / 10^scale (≈ 9·10^11 at scale 4) keeps
+   * the BIGINT and the double both exact; beyond that the double output
+   * rounds — acceptable, since a double column can't carry more anyway.
+   */
+  private def shifted(dec: Column, scale: Int): Column = {
+    val p = math.pow(10, scale).toLong
+    (dec * p).cast(LongType) / lit(p.toDouble)
+  }
+
+  def dsum(c: Column): Column = shifted(sum(c.cast(money)), 4)
 
   /**
    * Scale-6 variant for 3-factor money products (e.g. price·(1−disc)·(1+tax)):
@@ -63,18 +83,23 @@ object Tables {
    * exact .00005 tie where Spark (HALF_UP) and DuckDB disagree; scale 6 is
    * exact and tie-free.
    */
-  def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6)))
-  def sqlDsum6(expr: String): String = s"SUM(CAST($expr AS DECIMAL(18,6)))"
+  def dsum6(c: Column): Column = shifted(sum(c.cast(DecimalType(18, 6))), 6)
+  def sqlDsum6(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) * 1000000 AS BIGINT) / 1000000.0"
+
+  /** Wrap an already-built decimal aggregate (e.g. a window SUM) for output. */
+  def moneyOut(dec: Column): Column = shifted(dec, 4)
+  def sqlMoneyOut(expr: String): String =
+    s"CAST(($expr) * 10000 AS BIGINT) / 10000.0"
 
   /** Order-insensitive average: exact decimal sum ÷ count, in double.
-    * No ROUND on either side: Spark (BigDecimal HALF_UP) and DuckDB
-    * (multiply-based) disagree on exact ties, while the unrounded division
-    * of identical inputs is bit-identical in both engines. */
-  def davg(c: Column): Column =
-    sum(c.cast(money)).cast(DoubleType) / count(lit(1))
+    * No ROUND on either side: both engines evaluate the identical division
+    * of bit-identical doubles. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   /** DuckDB SQL fragments mirroring dsum/davg. */
-  def sqlDsum(expr: String): String = s"SUM(CAST($expr AS DECIMAL(18,4)))"
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) * 10000 AS BIGINT) / 10000.0"
   def sqlDavg(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+    s"(${sqlDsum(expr)}) / COUNT(*)"
 }

@@ -22,7 +22,9 @@ final class UnityExportClient(
     projectId: String,
     apiKey: String,
     base: String = "https://analytics.cloud.unity3d.com",
-    send: HttpRequest => HttpResponse[String] = UnityExportClient.defaultSend) {
+    send: HttpRequest => HttpResponse[String] = UnityExportClient.defaultSend,
+    sendBytes: HttpRequest => HttpResponse[Array[Byte]] =
+      UnityExportClient.defaultSendBytes) {
 
   import UnityExportClient._
 
@@ -68,7 +70,9 @@ final class UnityExportClient(
     fileUrls(resp.body()).zipWithIndex.map { case (url, i) =>
       val out = dest.resolve(f"part-$i%05d.json.gz")
       val fileReq = HttpRequest.newBuilder(URI.create(url)).GET().build()
-      Files.write(out, send(fileReq).body().getBytes("ISO-8859-1"))
+      // Binary-safe: the .json.gz payload must never pass through a String
+      // (UTF-8 decode would mangle arbitrary gzip bytes into U+FFFD).
+      Files.write(out, sendBytes(fileReq).body())
       out
     }
   }
@@ -80,6 +84,9 @@ object UnityExportClient {
 
   def defaultSend(req: HttpRequest): HttpResponse[String] =
     http.send(req, HttpResponse.BodyHandlers.ofString())
+
+  def defaultSendBytes(req: HttpRequest): HttpResponse[Array[Byte]] =
+    http.send(req, HttpResponse.BodyHandlers.ofByteArray())
 
   def authHeader(projectId: String, apiKey: String): String =
     "Basic " + java.util.Base64.getEncoder

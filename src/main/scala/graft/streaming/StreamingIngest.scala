@@ -58,8 +58,11 @@ object StreamingIngest {
                     checkpoint: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        FeedIngest.writePartitioned(batch, feed, root)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-scoped overwrite: a replayed micro-batch (crash between
+        // sink write and checkpoint commit) rewrites its own directory
+        // instead of appending duplicates — exactly-once end to end.
+        FeedIngest.writePartitioned(batch, feed, root, Some(s"batch-$batchId"))
       }
       .trigger(Trigger.AvailableNow())
       .start()
