@@ -15,11 +15,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      SimilarityQueries.extraQueries ++ TextQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.extraQueries ++ TextQueries.queries ++
+      MultimodalQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ MultimodalQueries.oracles
+      TextQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles
 }

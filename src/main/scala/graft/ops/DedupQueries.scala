@@ -37,7 +37,7 @@ object DedupQueries {
     * cheap per-row work. Returns distinct (doc_id, shingle) rows. */
   private val ShingleK = 5
 
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
     t(s, dir, "documents")

@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Dataset, GraftPlanApi, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+
+/**
+ * Group-wise top-k as a first-class whole-plan operator: for each group
+ * (e.g. per language, per source, per user) keep the first `k` rows under
+ * a total ordering — the "best k documents per bucket" primitive every
+ * training-data curation pipeline runs.
+ *
+ * Why a custom operator instead of the window formulation
+ * (`row_number().over(partitionBy(g).orderBy(o)) <= k`, cf. q03/q22):
+ * Spark plans that as Exchange → full Sort of EVERY row → running
+ * row_number → filter. Two scale problems at 100 TB: (1) every input row
+ * crosses the shuffle even though only k per group survive; (2) each
+ * shuffle partition is fully sorted even though only the top k per group
+ * are needed. This operator instead runs PARTIAL bounded heaps before the
+ * exchange (each map task emits ≤ k rows per group it saw — the top-k
+ * analogue of map-side partial aggregation) and FINAL heaps after it, so
+ * the shuffle carries at most (map partitions × groups × k) rows and
+ * nothing is ever globally sorted. Same mechanism as TopKPairs
+ * (functions/TopKAggregate.scala) but for whole rows as a plan node:
+ * logical node + planner strategy + physical partial/final execution,
+ * the (c) rung of the custom-operator ladder (custom Expression < custom
+ * plan + Strategy), registered via SparkSessionExtensions or per-session
+ * via experimental strategies.
+ *
+ * Determinism: callers must pass a TOTAL ordering (include a unique
+ * tiebreaker column); then output is independent of partitioning — the
+ * heap keeps exactly the rows the window formulation keeps.
+ */
+case class GroupTopKPlan(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKPlan =
+    copy(child = newChild)
+}
+
+/** Plans GroupTopKPlan as partial heaps → (exchange inserted by
+  * EnsureRequirements) → final heaps. */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopKPlan(g, o, k, child) =>
+      GroupTopKExec(g, o, k, partial = false,
+        GroupTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GroupTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** The final pass needs all rows of a group in one partition; the
+    * partial pass runs wherever the data already is (that's the point). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupLocal = groupExprs
+    val orderLocal = order
+    val outputLocal = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
+      val ord: Ordering[InternalRow] = GenerateOrdering.generate(orderLocal, outputLocal)
+      // Per-group bounded heap: worst row at the head (reverse ordering),
+      // so admission is O(log k) and eviction is poll().
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val worstFirst = ord.reverse
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) heap.add(row.copy().asInstanceOf[UnsafeRow])
+        else if (ord.lt(row, heap.peek())) {
+          heap.poll()
+          heap.add(row.copy().asInstanceOf[UnsafeRow])
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values.forEach(h => h.forEach(r => out += r))
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+}
+
+object GroupTopK {
+
+  /** Public face: top-k rows per group under `order` (must be total). */
+  def apply(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    GraftPlanApi.ensureStrategy(spark, GroupTopKStrategy)
+    val plan = df.queryExecution.analyzed
+    val groupExprs = groupCols.map(GraftPlanApi.expression(spark, _))
+    val sortOrders = order.map { c =>
+      GraftPlanApi.expression(spark, c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    GraftPlanApi.ofRows(spark, GroupTopKPlan(groupExprs, sortOrders, k, plan))
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration path
+  * (the per-session `experimental.extraStrategies` fallback in
+  * [[GroupTopK.apply]] covers sessions built without it). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+}

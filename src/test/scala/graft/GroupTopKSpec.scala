@@ -1,0 +1,68 @@
+package graft
+
+import graft.plans.{GroupTopK, GroupTopKExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom group-wise top-k plan operator (logical node + strategy +
+  * partial/final physical exec) against its window-formulation twin. */
+class GroupTopKSpec extends AnyFunSuite with SparkSuite {
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  test("GroupTopK equals the row_number window formulation") {
+    val k = 3
+    val got = GroupTopK(docs, Seq(col("lang")),
+        Seq(col("n_chars").desc, col("doc_id").asc), k)
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+      .collect().map(_.toSeq)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val want = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+      .collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("plans as partial heaps -> one exchange -> final heaps") {
+    val df = GroupTopK(docs, Seq(col("lang")), Seq(col("n_chars").desc), 2)
+    df.collect() // materialize so AQE finalizes the physical plan
+    // Traverse into AQE query stages (leaf nodes hiding their subtree).
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(all)
+    }
+    val nodes = all(df.queryExecution.executedPlan)
+    val execs = nodes.collect { case g: GroupTopKExec => g }
+    assert(execs.map(_.partial).sorted === Seq(false, true))
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size === 1,
+      s"expected exactly one shuffle, got:\n${nodes.mkString("\n")}")
+  }
+
+  test("output is independent of input partitioning") {
+    val byOne = GroupTopK(docs.repartition(1), Seq(col("lang")),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id")).collect().toSeq
+    val byMany = GroupTopK(docs.repartition(7, col("doc_id")), Seq(col("lang")),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id")).collect().toSeq
+    assert(byOne === byMany)
+  }
+
+  test("groups smaller than k pass through whole") {
+    val small = docs.limit(2)
+    val out = GroupTopK(small, Seq(col("lang")),
+      Seq(col("doc_id").asc), 100).count()
+    assert(out === 2)
+  }
+}

@@ -21,7 +21,8 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     // silently drop a query
     val moduleSizes = Seq(graft.ops.CoreQueries.queries, graft.ops.DedupQueries.queries,
       graft.ops.SimilarityQueries.queries, graft.ops.SimilarityQueries.extraQueries,
-      graft.ops.TextQueries.queries, graft.ops.MultimodalQueries.queries).map(_.size).sum
+      graft.ops.TextQueries.queries, graft.ops.MultimodalQueries.queries,
+      graft.ops.CurationQueries.queries).map(_.size).sum
     assert(SparkEntry.queries.size === moduleSizes, "query name collision between modules")
   }
 
