@@ -107,6 +107,16 @@ object SimilarityQueries {
     }
   )
 
+  // IVF geometry: Cells coarse cells, Probes probed per query. Probes is
+  // deliberately high relative to Cells (recall over speed) because this
+  // fixture's similarity regime is weak — nearest neighbors sit at
+  // cos 0.3–0.5, so cell membership is only loosely correlated with
+  // neighborhood; production corpora with tight clusters run 1024+ cells
+  // and probe ~1% of them. Recall vs the exact q35 answer is measured in
+  // SimilaritySpec; the oracle gate is rows-only (approximate by design).
+  private val Cells = 16
+  private val Probes = 6
+
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-vector array stats: built-in array_min/max + an L2 norm via a
     // sequential fold (matches list_dot_product's evaluation order).
@@ -117,6 +127,55 @@ object SimilarityQueries {
           array_min($"emb").as("amin"), array_max($"emb").as("amax"),
           sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")).as("l2_norm"))
         .orderBy($"vec_id")
+    },
+
+    // IVF ANN — the scale path past brute force (q35/q35b). Structure:
+    //  1. coarse quantizer: Cells deterministic seed vectors (lowest
+    //     vec_ids stand in for trained k-means centroids — reproducible,
+    //     no training dependency);
+    //  2. invert: every corpus vector is assigned to its nearest cell
+    //     (one broadcast of the tiny centroid set, one argmax — the
+    //     inverted file, built once and reusable across queries);
+    //  3. probe: each query scores only vectors in its Probes nearest
+    //     cells — the equi-join on cell id IS the pruning: candidate
+    //     generation is a hash join, never a cross join;
+    //  4. exact re-rank of candidates through the codegen'd cosine +
+    //     GroupTopK bounded heaps.
+    // At 100 TB: the inverted file is a partitioned table bucketed by
+    // cell; a query batch touches Probes/Cells of the corpus, and the
+    // only corpus-wide shuffle is the one-off cell assignment.
+    "q54_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+      val cents = e.filter($"vec_id" < Cells)
+        .select($"vec_id".as("cent_id"), $"emb".as("c_emb"))
+      // Inverted file: argmax cell per vector (ties → lowest cent_id).
+      val assigned = e.join(broadcast(cents), lit(true))
+        .withColumn("ccos", VectorFunctions.cosine($"emb", $"c_emb"))
+        .groupBy($"vec_id")
+        .agg(max(struct($"ccos", (-$"cent_id").as("neg_cent"))).as("best"),
+          first($"emb").as("emb"))
+        .select($"vec_id", (-$"best.neg_cent").as("cell"), $"emb")
+      // Probe list: the Probes nearest cells per query vector.
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"emb".as("q_emb"))
+      val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cent_id")
+      val probes = q.join(broadcast(cents), lit(true))
+        .withColumn("pcos", VectorFunctions.cosine($"q_emb", $"c_emb"))
+        .withColumn("pk", row_number().over(wp))
+        .filter($"pk" <= Probes)
+        .select($"query_id", $"q_emb", $"cent_id".as("cell"))
+      // Candidates = inverted-file rows of probed cells; exact re-rank.
+      val scored = assigned.join(broadcast(probes), "cell")
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", VectorFunctions.cosine($"emb", $"q_emb"))
+      val wr = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      graft.plans.GroupTopK(scored, Seq($"query_id"), Seq($"cos".desc, $"vec_id".asc), TopK)
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .select($"query_id", $"rk", $"vec_id".as("neighbor_id"),
+          round($"cos", 6).as("cos_sim"))
+        .orderBy($"query_id", $"rk")
     }
   )
 

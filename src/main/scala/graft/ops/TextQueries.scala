@@ -82,17 +82,21 @@ object TextQueries {
     },
 
     // Vocabulary analytics: top-5 tokens per source — token explode (the
-    // scan-heavy shape), one grouped count, then a per-source window rank.
+    // scan-heavy shape), one grouped count, then the custom GroupTopK
+    // operator (partial heaps cut the per-source rank's shuffle+sort to
+    // ≤ 5 rows per source per task; see graft.plans.GroupTopK). The
+    // trailing row_number runs over ≤ 5 rows per source, already clustered
+    // by the GroupTopK exchange — no second shuffle.
     "q44_top_tokens_per_source" -> { (s, dir) =>
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"n".desc, $"token")
-      t(s, dir, "documents")
+      val counts = t(s, dir, "documents")
         .select($"source", explode(split(lower($"text"), " ")).as("token"))
         .groupBy($"source", $"token")
         .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n".desc, $"token")
+      graft.plans.GroupTopK(counts, Seq($"source"), Seq($"n".desc, $"token".asc), 5)
         .withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= 5)
         .select($"source", $"rk", $"token", $"n")
         .orderBy($"source", $"rk")
     },
@@ -109,7 +113,10 @@ object TextQueries {
     // TF-IDF relevance scoring: term frequency × ln(N/df), top-3 terms per
     // doc. Three hash aggregates + one broadcast of the (token, df) table
     // and the corpus-size scalar — no per-row UDFs, log noise absorbed by
-    // ROUND(…, 6) on both engines.
+    // ROUND(…, 6) on both engines. Per-doc ranking runs through the custom
+    // GroupTopK operator (≤ 3 scored terms per doc cross the rank shuffle,
+    // not every (doc, token) score); the trailing row_number sees ≤ 3 rows
+    // per doc, already clustered by the GroupTopK exchange.
     "q50_tfidf_top_terms" -> { (s, dir) =>
       import s.implicits._
       val tok = t(s, dir, "documents")
@@ -117,13 +124,13 @@ object TextQueries {
       val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
       val df = tok.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
-      tf.join(broadcast(df), "token")
+      val scored = tf.join(broadcast(df), "token")
         .crossJoin(broadcast(n))
         .withColumn("tfidf", round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+      graft.plans.GroupTopK(scored, Seq($"doc_id"), Seq($"tfidf".desc, $"token".asc), 3)
         .withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= 3)
         .select($"doc_id", $"rk", $"token", $"tfidf")
         .orderBy($"doc_id", $"rk")
     },

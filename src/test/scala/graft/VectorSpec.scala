@@ -68,6 +68,25 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(agg === window)
   }
 
+  test("IVF ANN is well-formed and recall vs exact top-k is recorded") {
+    val exact = graft.ops.SimilarityQueries.queries("q35_ann_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.ops.SimilarityQueries.extraQueries("q54_ann_ivf")(spark, sf0001)
+      .collect()
+    // well-formed: ranks 1..k per query, no self-matches
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    ivf.foreach(r => assert(r.getLong(2) !== r.getLong(0)))
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
+    val recall = hits.toDouble / exact.size
+    info(f"IVF recall@5 vs exact: $recall%.3f")
+    // This fixture's weak-similarity regime (top neighbors at cos 0.3-0.5)
+    // is hostile to space partitioning — see COVERAGE.md. The assertion
+    // pins a floor so a regression to near-random candidates fails loudly.
+    assert(recall >= 0.4, f"IVF recall collapsed: $recall%.3f")
+  }
+
   test("rejects non-double arrays with a clear analysis error") {
     VectorFunctions.register(spark)
     import spark.implicits._
