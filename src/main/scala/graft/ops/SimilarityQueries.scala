@@ -150,13 +150,18 @@ object SimilarityQueries {
       val e = embs(s, dir)
       val cents = e.filter($"vec_id" < Cells)
         .select($"vec_id".as("cent_id"), $"emb".as("c_emb"))
-      // Inverted file: argmax cell per vector (ties → lowest cent_id).
-      val assigned = e.join(broadcast(cents), lit(true))
+      // Inverted file: argmax cell per vector (ties → lowest cent_id),
+      // expressed as GroupTopK k=1 — whole-row top-1 via bounded heaps.
+      // (An agg formulation would carry the embedding array through the
+      // aggregation buffer, which forces SortAggregate: array-typed
+      // buffers are not hash-aggregable. The heap keeps the full row with
+      // no buffer constraint, and each map task already reduces to one
+      // row per vector before the exchange.)
+      val cellScores = e.join(broadcast(cents), lit(true))
         .withColumn("ccos", VectorFunctions.cosine($"emb", $"c_emb"))
-        .groupBy($"vec_id")
-        .agg(max(struct($"ccos", (-$"cent_id").as("neg_cent"))).as("best"),
-          first($"emb").as("emb"))
-        .select($"vec_id", (-$"best.neg_cent").as("cell"), $"emb")
+      val assigned = graft.plans.GroupTopK(cellScores,
+          Seq($"vec_id"), Seq($"ccos".desc, $"cent_id".asc), 1)
+        .select($"vec_id", $"cent_id".as("cell"), $"emb")
       // Probe list: the Probes nearest cells per query vector.
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"emb".as("q_emb"))
