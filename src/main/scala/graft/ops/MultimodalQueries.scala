@@ -98,12 +98,41 @@ object MultimodalQueries {
         .select($"doc_id", $"width", $"height", $"n_bytes",
           round(element_at($"feat", 1), 6).as("feat0"))
         .orderBy($"doc_id")
+    },
+
+    // Frame sampling, oracle-checked: fixed-size frames with a stride —
+    // the sequence→stride-filter→explode→slice shape video frame-sampling
+    // uses (sampleFrames above is the byte-level twin over the binary
+    // payload; this query frames the character stream because DuckDB 1.0
+    // cannot slice BLOBs, and an oracle-checked plan beats a rows-only
+    // one). Each doc expands to ceil(len/256)/2 frames; md5 pins content.
+    "q55_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val F = 256
+      t(s, dir, "documents")
+        .withColumn("n_frames", ceil(length($"text").cast("double") / F).cast("int"))
+        .withColumn("frame_idx",
+          explode(filter(sequence(lit(0), $"n_frames" - 1), i => i % 2 === 0)))
+        .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+          length(expr(s"substring(text, frame_idx * $F + 1, $F)")).cast("long").as("frame_len"),
+          md5(expr(s"substring(text, frame_idx * $F + 1, $F)")).as("frame_md5"))
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 
   val oracles: Map[String, String] = Map(
     "q42_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest([i for i in range(0, CAST(ceil(len(text) / 256.0) AS INT)) if i % 2 = 0]) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(len(substring(text, frame_idx * 256 + 1, 256)) AS BIGINT) AS frame_len,
+        |       md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

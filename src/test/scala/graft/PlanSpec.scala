@@ -33,6 +33,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan("q04_top_spenders").contains("TakeOrderedAndProject"))
   }
 
+  test("q53: the benchmark shingle set broadcasts; the corpus side never does") {
+    val p = plan("q53_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q52: the hash split is shuffle-free (no Exchange except the output sort)") {
+    val p = plan("q52_train_val_split")
+    // exactly one exchange: the rangepartitioning for the final ORDER BY
+    val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size === 1 && exchanges.head.contains("range"),
+      s"split assignment must not shuffle: $p")
+  }
+
   test("SQL face: spark.sql over registered views matches the DataFrame query") {
     val viaSql = graft.ops.Views.sql(spark, sf0001,
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
