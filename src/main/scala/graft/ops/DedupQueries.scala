@@ -155,13 +155,20 @@ object DedupQueries {
     // distributed join+aggregate, and rounds needed = graph diameter in
     // log-ish steps, the standard way components are computed at corpus
     // scale (a recursive CTE is the oracle's luxury, not the cluster's).
+    //
+    // The iteration runs ONLY over edge-touched vertices: for dedup the
+    // pair graph is ≪ corpus (most documents are in no near-dup pair), so
+    // labels for the untouched majority are a single left-join at the end,
+    // not per-round work — at 100 TB that's rounds over the (small)
+    // duplicate subgraph instead of rounds over the archive.
     "q47_dedup_clusters" -> { (s, dir) =>
       import s.implicits._
       val pairs = queries("q31_neardup_jaccard")(s, dir).select($"doc_a", $"doc_b")
       val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
         .localCheckpoint() // tiny edge set; cut lineage for the iteration
-      var labels = t(s, dir, "documents")
+      var labels = edges.select($"src".as("doc_id")).distinct()
         .select($"doc_id", $"doc_id".as("cluster_id"))
+        .localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -176,7 +183,14 @@ object DedupQueries {
         labels = next
         rounds += 1
       }
-      labels.orderBy($"doc_id")
+      // No broadcast hint: the checkpointed labels frame carries accurate
+      // size stats, so AQE broadcasts when the duplicate subgraph is small
+      // (the normal case) but can fall back to a shuffle join if a corpus
+      // ever has a huge duplicate fraction.
+      t(s, dir, "documents")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+        .orderBy($"doc_id")
     },
 
     // SimHash near-dup pairs (Hamming ≤ 3) — candidates via the 16-bit

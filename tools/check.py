@@ -41,6 +41,18 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"SKIP {name}: no parquet output"); n_skip += 1; continue
+        # Decimal-typed OUTPUT columns fail the driver's hash compare even
+        # when values are equal (result loaders represent decimals
+        # inconsistently) — and this local mirror can NOT reproduce that
+        # failure, so guard on the schema instead.
+        import pyarrow.parquet as pq
+        decs = [n for n, t in zip(pq.read_schema(files[0]).names,
+                                  pq.read_schema(files[0]).types)
+                if "decimal" in str(t)]
+        if decs:
+            print(f"FAIL {name}: decimal output columns {decs} "
+                  "(driver hash-compare rejects decimal outputs)")
+            n_fail += 1; continue
         got = con.execute(f"SELECT * FROM '{files[0]}'").fetchall()
         cols = [d[0] for d in con.execute(f"SELECT * FROM '{files[0]}' LIMIT 0").description]
         if name not in oracle:
