@@ -30,23 +30,25 @@ object DedupQueries {
     * low-diversity vocabularies (k=3 on the ~40-word fixture vocabulary
     * produced hot shingles whose df² pair blowup dominated the join).
     *
-    * Built as posexplode + window `lead` rather than array-level
-    * `transform(slice(concat_ws(...)))`: higher-order array lambdas
-    * evaluate interpreted (36 µs/shingle measured — 9 s just to shingle
-    * sf0.1), while token explode + lead is one shuffle by doc_id with
-    * cheap per-row work. Returns distinct (doc_id, shingle) rows. */
+    * Built as a typed flatMap over the token array (`sliding(k)` compiles
+    * to plain JVM code): shingle generation is per-row work with NO
+    * shuffle. The alternatives both lose: array-level higher-order
+    * lambdas evaluate interpreted (36 µs/shingle measured — 9 s just to
+    * shingle sf0.1), and the posexplode + window-`lead` form pays a full
+    * shuffle+sort by doc_id before the `distinct`'s own shuffle. Returns
+    * distinct (doc_id, shingle) rows. */
   private val ShingleK = 5
 
   private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
     t(s, dir, "documents")
-      .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
-      .select($"doc_id",
-        concat_ws(" ", ($"tok" +: (1 until ShingleK).map(i => lead($"tok", i).over(w))): _*).as("shingle"),
-        lead($"tok", ShingleK - 1).over(w).as("last"))
-      .filter($"last".isNotNull)
-      .select($"doc_id", $"shingle")
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        toks.iterator.sliding(ShingleK).withPartial(false)
+          .map(w => (id, w.mkString(" ")))
+      }
+      .toDF("doc_id", "shingle")
       .distinct()
   }
 
@@ -94,8 +96,19 @@ object DedupQueries {
       // (≈ 2⁻⁶⁴ per pair — vanishing, and deterministic per dataset).
       val rows = shingleRows(s, dir)
       val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val ex = rows.join(broadcast(counts), "doc_id")
-        .select($"doc_id", $"n_sh", xxhash64($"shingle").as("shingle"))
+      // df>1 pruning: a shingle unique to one document can never produce a
+      // pair, yet 90% of shingle rows are df=1 on this corpus (measured at
+      // sf0.1; the fraction only grows with corpus diversity). Dropping
+      // them shrinks the self-join input ~10× without changing its output.
+      // Jaccard denominators still use the UNFILTERED per-doc counts. The
+      // df aggregate shares the pair-join's hash(shingle) partitioning, so
+      // exchange reuse makes it nearly free.
+      val hashed = rows.select($"doc_id", xxhash64($"shingle").as("shingle"))
+      val shared = hashed.groupBy($"shingle")
+        .agg(count(lit(1)).as("df")).filter($"df" > 1).select($"shingle")
+      val ex = hashed.join(shared, "shingle")
+        .join(broadcast(counts), "doc_id")
+        .select($"doc_id", $"n_sh", $"shingle")
       ex.as("a").join(ex.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
