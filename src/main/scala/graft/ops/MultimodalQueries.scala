@@ -68,6 +68,34 @@ object MultimodalQueries {
       .mapPartitions(decodeBatch)
   }
 
+  /**
+   * STUB resize — nearest-neighbor byte sampling of the payload down to a
+   * target "pixel" budget, tagging the new dimensions in the format
+   * metadata. Same swap-point contract as decodeBatch: a real
+   * implementation hands the whole batch to a codec and only this body
+   * changes; the partition-batched plumbing around it is the tested part.
+   */
+  def resizeBatch(targetW: Int, targetH: Int)(
+      batch: Iterator[MediaRecord]): Iterator[MediaRecord] =
+    batch.map { r =>
+      val budget = targetW * targetH
+      val out =
+        if (r.payload.length <= budget) r.payload
+        else Array.tabulate(budget)(i =>
+          r.payload((i.toLong * r.payload.length / budget).toInt))
+      MediaRecord(r.doc_id, out, r.format + s";resized=${targetW}x$targetH")
+    }
+
+  /** Partition-batched resize over the payload column. */
+  def resize(spark: SparkSession, docs: DataFrame,
+             targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    withBinaryPayload(docs)
+      .select($"doc_id", $"payload", $"meta.format".as("format"))
+      .as[MediaRecord]
+      .mapPartitions(resizeBatch(targetW, targetH))
+  }
+
   /** Pseudo frame-sampling: split a payload into fixed-size "frames" and
     * keep every `stride`-th — the schema/explode shape video sampling needs. */
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =

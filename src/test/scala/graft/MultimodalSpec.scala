@@ -31,6 +31,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("stub resize bounds payloads to the target budget, deterministically") {
+    val out = MultimodalQueries.resize(spark, docs, 16, 16).collect().sortBy(_.doc_id)
+    assert(out.length === docs.count())
+    val orig = MultimodalQueries.withBinaryPayload(docs)
+      .select(col("doc_id"), length(col("payload")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.payload.length === math.min(orig(r.doc_id), 256))
+      assert(r.format.endsWith(";resized=16x16"))
+    }
+    val again = MultimodalQueries.resize(spark, docs.repartition(5), 16, 16)
+      .collect().sortBy(_.doc_id)
+    out.zip(again).foreach { case (x, y) =>
+      assert(x.payload.toSeq === y.payload.toSeq)
+    }
+  }
+
   test("frame sampling keeps every stride-th fixed-size chunk") {
     val sampled = MultimodalQueries.sampleFrames(
       MultimodalQueries.withBinaryPayload(docs), frameBytes = 64, stride = 2)
