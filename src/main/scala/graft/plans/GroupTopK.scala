@@ -17,20 +17,23 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
  *
  * Why a custom operator instead of the window formulation
  * (`row_number().over(partitionBy(g).orderBy(o)) <= k`, cf. q03/q22):
- * Spark plans that as Exchange → full Sort of EVERY row → running
- * row_number → filter. Two scale problems at 100 TB: (1) every input row
- * crosses the shuffle even though only k per group survive; (2) each
- * shuffle partition is fully sorted even though only the top k per group
- * are needed. This operator instead runs PARTIAL bounded heaps before the
- * exchange (each map task emits ≤ k rows per group it saw — the top-k
- * analogue of map-side partial aggregation) and FINAL heaps after it, so
- * the shuffle carries at most (map partitions × groups × k) rows and
- * nothing is ever globally sorted. Same mechanism as TopKPairs
- * (functions/TopKAggregate.scala) but for whole rows as a plan node:
- * logical node + planner strategy + physical partial/final execution,
- * the (c) rung of the custom-operator ladder (custom Expression < custom
- * plan + Strategy), registered via SparkSessionExtensions or per-session
- * via experimental strategies.
+ * Spark 4 plans that as partial WindowGroupLimit → Exchange → Sort →
+ * WindowGroupLimit → Sort → Window → filter. The rank-limit pushdown
+ * already bounds what crosses the shuffle (both forms ship ≤ tasks ×
+ * groups × k rows), but every surviving partition is still SORTED —
+ * twice — and then runs a full window pass. This operator replaces each
+ * sort+limit with a bounded heap (O(n log k) admission, no sort buffers,
+ * no window pass): PARTIAL heaps before the exchange — the top-k
+ * analogue of map-side partial aggregation — and FINAL heaps after it.
+ * Same mechanism as TopKPairs (functions/TopKAggregate.scala) but for
+ * whole rows as a plan node: logical node + planner strategy + physical
+ * partial/final execution, the (c) rung of the custom-operator ladder
+ * (custom Expression < custom plan + Strategy), registered via
+ * SparkSessionExtensions or per-session via experimental strategies.
+ * A second capability the window form lacks: k=1 is a whole-row argmax
+ * that can carry array columns (q54's inverted file), where an aggregate
+ * formulation degrades to SortAggregate (array-typed buffers are not
+ * hash-aggregable).
  *
  * Determinism: callers must pass a TOTAL ordering (include a unique
  * tiebreaker column); then output is independent of partitioning — the
