@@ -59,6 +59,36 @@ class GroupTopKSpec extends AnyFunSuite with SparkSuite {
     assert(byOne === byMany)
   }
 
+  test("property: GroupTopK equals sort-and-take per group on arbitrary data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = for {
+      key <- Gen.choose(0, 5)
+      score <- Gen.choose(-100, 100)
+      id <- Gen.choose(0L, 50L)
+    } yield (key, score, id)
+    val gen = for {
+      rows <- Gen.listOfN(60, rowGen)
+      k <- Gen.choose(1, 4)
+    } yield (rows, k)
+    val prop = Prop.forAll(gen) { case (rows, k) =>
+      val df = rows.toDF("key", "score", "id").repartition(3)
+      val got = GroupTopK(df, Seq(col("key")),
+          Seq(col("score").desc, col("id").asc), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._2, t._3)).toSeq).toMap
+      // Duplicate (score, id) rows are identical whole rows, so multiset
+      // sort-and-take is the exact reference even though the ordering is
+      // only total up to row identity.
+      val want = rows.map(t => (t._1, t._2, t._3))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(t => (-t._2, t._3)).take(k).toSeq).toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("groups smaller than k pass through whole") {
     val small = docs.limit(2)
     val out = GroupTopK(small, Seq(col("lang")),
