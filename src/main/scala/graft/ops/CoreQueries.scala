@@ -417,6 +417,41 @@ object CoreQueries {
         .orderBy($"ts_ns".desc, $"event_id".desc)
         .limit(1)
         .select($"event_id", $"user_id", $"ms".as("ts_ms"), $"value")
+    },
+
+    // Distribution ranks: percent_rank/cume_dist over a total order —
+    // both are rank ratios ((rk−1)/(n−1), rk'/n), so the doubles are
+    // bit-identical across engines given identical rank integers.
+    "q56_acctbal_dist" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"c_custkey")
+    },
+
+    // Ordered funnel: view → first click after the first view → first
+    // purchase after that click, per user. Three conditional min-aggs
+    // chained by joins on the (tiny) per-user stage frames — the event
+    // schema's canonical conversion query. One events scan per stage with
+    // the type filter pushed to parquet; stage frames are user-level (≪
+    // events) and joined hash-to-hash on user_id.
+    "q57_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_type", $"ms")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ms").as("mv"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ms" > $"mv")
+        .groupBy($"user_id").agg(min($"ms").as("mc"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ms" > $"mc")
+        .groupBy($"user_id").agg(min($"ms").as("mp"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_view_click"))).crossJoin(
+          p.agg(count(lit(1)).as("n_view_click_purchase")))
     }
   )
 
@@ -640,6 +675,30 @@ object CoreQueries {
         |        CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
         |      FROM customer) t
         |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q56_acctbal_dist" ->
+      """SELECT c_custkey, c_acctbal,
+        |  PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pr,
+        |  CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q57_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS mv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS mc
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.mv
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS mp
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.mc
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_view_click,
+        |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin,
 
     "q27_daily_type_matrix" ->
       """SELECT CAST(ts AS DATE) AS event_date,
