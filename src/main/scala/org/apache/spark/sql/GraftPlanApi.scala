@@ -30,4 +30,13 @@ object GraftPlanApi {
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Test hook: the planner strategies an extensions setup would install
+    * into a session built with `spark.sql.extensions`. */
+  def plannerStrategies(spark: SparkSession,
+                        ext: SparkSessionExtensions => Unit): Seq[org.apache.spark.sql.execution.SparkStrategy] = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.buildPlannerStrategies(spark.asInstanceOf[ClassicSparkSession])
+  }
 }

@@ -89,6 +89,12 @@ class GroupTopKSpec extends AnyFunSuite with SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("GraftExtensions installs the strategy via SparkSessionExtensions") {
+    val strategies = org.apache.spark.sql.GraftPlanApi.plannerStrategies(
+      spark, new graft.plans.GraftExtensions())
+    assert(strategies.contains(graft.plans.GroupTopKStrategy))
+  }
+
   test("groups smaller than k pass through whole") {
     val small = docs.limit(2)
     val out = GroupTopK(small, Seq(col("lang")),
