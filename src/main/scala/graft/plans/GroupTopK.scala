@@ -117,6 +117,14 @@ case class GroupTopKExec(
 
 object GroupTopK {
 
+  /** Install the full GroupTopK machinery into an existing session: the
+    * planner strategy plus the optimizer rewrite that turns window-top-k
+    * idioms ([[GroupTopKRewrite]]) into this operator. Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    GraftPlanApi.ensureStrategy(spark, GroupTopKStrategy)
+    GraftPlanApi.ensureOptimizerRule(spark, GroupTopKRewrite)
+  }
+
   /** Public face: top-k rows per group under `order` (must be total). */
   def apply(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -134,9 +142,12 @@ object GroupTopK {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` registration path
-  * (the per-session `experimental.extraStrategies` fallback in
-  * [[GroupTopK.apply]] covers sessions built without it). */
+  * (the per-session runtime fallback is [[GroupTopK.install]], used for
+  * sessions built without it). Installs both the planner strategy and the
+  * window-top-k rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => GroupTopKRewrite)
+  }
 }

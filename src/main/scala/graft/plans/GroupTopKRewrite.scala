@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/**
+ * Optimizer rule: rewrite the window top-k idiom
+ *
+ *   Project(cols without rk,
+ *     Filter(rk <= k,
+ *       Window(rk := row_number() OVER (PARTITION BY g ORDER BY o), ...)))
+ *
+ * into the [[GroupTopKPlan]] operator, so SQL-face and DataFrame queries
+ * written in the standard pattern automatically execute on partial/final
+ * bounded heaps (no per-partition sorts, no window pass) without being
+ * rewritten by hand.
+ *
+ * Safety conditions, all required:
+ *  - the window computes exactly one expression: a plain `row_number`
+ *    (optionally CAST) over the default ROWS UNBOUNDED PRECEDING..CURRENT
+ *    frame with a non-empty ORDER BY;
+ *  - the filter is a single `rk <= k` / `rk < k` / `rk = 1` against an
+ *    integer literal;
+ *  - the projection does not reference the rank attribute (if the query
+ *    keeps ranks, the window must run).
+ * Ties: row_number over a non-total ORDER BY is already nondeterministic
+ * in Spark; the rewrite preserves the same guarantee level (some row from
+ * each tie class), identical to Spark's own WindowGroupLimit pushdown.
+ *
+ * Registered by [[GraftExtensions]] (`injectOptimizerRule`) and at
+ * runtime via `experimental.extraOptimizations` in [[GroupTopK.install]].
+ */
+object GroupTopKRewrite extends Rule[LogicalPlan] {
+
+  /** Strip a cast around the window expression (queries often widen the
+    * rank to long for oracle-type alignment). */
+  private def unwrapCast(e: Expression): Expression = e match {
+    case Cast(child, _, _, _) => unwrapCast(child)
+    case other => other
+  }
+
+  private def isRowNumberWindow(e: Expression): Option[(Seq[Expression], Seq[SortOrder])] =
+    unwrapCast(e) match {
+      case WindowExpression(_: RowNumber,
+          WindowSpecDefinition(part, order,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)))
+          if order.nonEmpty =>
+        Some((part, order))
+      case _ => None
+    }
+
+  /** k from the filter shape, if it is a pure rank bound. */
+  private def rankBound(cond: Expression, rank: Attribute): Option[Int] = {
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    cond match {
+      case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
+        lit(l).map(_.toInt)
+      case LessThan(a: Attribute, l) if a.semanticEquals(rank) =>
+        lit(l).map(k => (k - 1).toInt)
+      case EqualTo(a: Attribute, l) if a.semanticEquals(rank) =>
+        lit(l).filter(_ == 1L).map(_.toInt)
+      case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rank) =>
+        lit(l).map(_.toInt)
+      case GreaterThan(l, a: Attribute) if a.semanticEquals(rank) =>
+        lit(l).map(k => (k - 1).toInt)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, Filter(cond, w: Window))
+        if w.windowExpressions.size == 1 =>
+      val alias = w.windowExpressions.head
+      isRowNumberWindow(alias match {
+        case a: Alias => a.child
+        case other => other
+      }) match {
+        case Some((part, order)) =>
+          val rank = alias.toAttribute
+          rankBound(cond, rank) match {
+            case Some(k) if k > 0 &&
+                projectList.forall(ne => !ne.references.contains(rank)) =>
+              // Spark may already have inserted its own WindowGroupLimit
+              // below the window; keep it — it only pre-prunes the heap's
+              // input.
+              val child = w.child match {
+                case wgl: WindowGroupLimit => wgl
+                case c => c
+              }
+              Project(projectList, GroupTopKPlan(part, order, k, child))
+            case _ => p
+          }
+        case None => p
+      }
+  }
+}

@@ -31,6 +31,23 @@ object GraftPlanApi {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Idempotent runtime registration of an optimizer rule (the
+    * `spark.sql.extensions`-less counterpart of injectOptimizerRule). */
+  def ensureOptimizerRule(spark: SparkSession,
+                          rule: org.apache.spark.sql.catalyst.rules.Rule[
+                            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
+
+  /** Test hook: drop all runtime-registered strategies/rules. */
+  def clearExperimental(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+    exp.extraStrategies = Nil
+    exp.extraOptimizations = Nil
+  }
+
   /** Test hook: the planner strategies an extensions setup would install
     * into a session built with `spark.sql.extensions`. */
   def plannerStrategies(spark: SparkSession,

@@ -95,6 +95,45 @@ class GroupTopKSpec extends AnyFunSuite with SparkSuite {
     assert(strategies.contains(graft.plans.GroupTopKStrategy))
   }
 
+  test("optimizer rule rewrites the SQL window-top-k idiom onto GroupTopK") {
+    val sql =
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM docs_v) t
+        |WHERE rk <= 3
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin
+    docs.createOrReplaceTempView("docs_v")
+    val before = spark.sql(sql).collect().toSeq
+    GroupTopK.install(spark)
+    try {
+      val df = spark.sql(sql)
+      val execs = df.queryExecution.executedPlan.toString
+      assert(execs.contains("GroupTopK"), s"rewrite did not fire:\n$execs")
+      assert(df.collect().toSeq === before)
+    } finally {
+      // keep the shared session pristine for other suites
+      org.apache.spark.sql.GraftPlanApi.clearExperimental(spark)
+    }
+  }
+
+  test("rewrite leaves rank-keeping queries alone") {
+    docs.createOrReplaceTempView("docs_v")
+    GroupTopK.install(spark)
+    try {
+      val df = spark.sql(
+        """SELECT lang, doc_id, rk FROM (
+          |  SELECT lang, doc_id,
+          |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM docs_v) t
+          |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)
+      assert(!df.queryExecution.executedPlan.toString.contains("GroupTopK"))
+      assert(df.count() > 0)
+    } finally {
+      org.apache.spark.sql.GraftPlanApi.clearExperimental(spark)
+    }
+  }
+
   test("groups smaller than k pass through whole") {
     val small = docs.limit(2)
     val out = GroupTopK(small, Seq(col("lang")),
