@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /**
  * SQL face of the engine: registers every fixture table as a temp view so
  * the whole operator surface is reachable through `spark.sql(...)` as well
- * as the DataFrame API (same Catalyst plans either way).
+ * as the DataFrame API (same Catalyst plans either way). Installing the
+ * GroupTopK machinery here means SQL-written window-top-k idioms execute
+ * on bounded heaps automatically (see plans/GroupTopKRewrite).
  */
 object Views {
 
@@ -14,12 +16,14 @@ object Views {
 
   /** Register `<table>` views over `dir`; `events` gets the normalized
     * ts_ns/ms/ts columns from [[Tables.events]]. */
-  def register(spark: SparkSession, dir: String): Unit =
+  def register(spark: SparkSession, dir: String): Unit = {
+    graft.plans.GroupTopK.install(spark)
     tables.foreach { name =>
       val df = if (name == "events") Tables.events(spark, dir)
                else Tables.t(spark, dir, name)
       df.createOrReplaceTempView(name)
     }
+  }
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
