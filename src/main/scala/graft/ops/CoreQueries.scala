@@ -331,6 +331,24 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Sketch percentiles — the bounded-memory twin of q26: a mergeable
+    // quantile sketch per group (accuracy 1/10000), so per-group state is
+    // O(sketch), not O(group). Rows-only (sketch internals are
+    // engine-specific); VectorlessSpec-style tolerance vs exact q26 is
+    // asserted in QueriesSpec.
+    "q58_approx_value_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(value, array(0.25D, 0.5D, 0.9D), 10000)").as("ps"))
+        .select($"event_type", $"n",
+          element_at($"ps", 1).as("p25"),
+          element_at($"ps", 2).as("p50"),
+          element_at($"ps", 3).as("p90"))
+        .orderBy($"event_type")
+    },
+
     // Pivot: day × event_type count matrix (the platform×day rollup shape,
     // SURVEY.md §2.H) — one shuffle; pivot columns are enumerated so the
     // plan needs no extra pass to discover them.

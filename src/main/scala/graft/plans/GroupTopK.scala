@@ -79,11 +79,19 @@ case class GroupTopKExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupLocal = groupExprs
     val orderLocal = order
     val outputLocal = child.output
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
       val ord: Ordering[InternalRow] = GenerateOrdering.generate(orderLocal, outputLocal)
@@ -107,6 +115,8 @@ case class GroupTopKExec(
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       heaps.values.forEach(h => h.forEach(r => out += r))
+      numGroups += heaps.size()
+      numOutputRows += out.size
       out.iterator
     }, preservesPartitioning = true)
   }

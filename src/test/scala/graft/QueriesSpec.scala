@@ -26,6 +26,25 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(SparkEntry.queries.size === moduleSizes, "query name collision between modules")
   }
 
+  test("approx percentiles track the exact ones within sketch tolerance") {
+    def byType(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    val exact = byType("q26_value_percentiles")
+    val approx = byType("q58_approx_value_percentiles")
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (t, (e25, e50, e90)) =>
+      val (a25, a50, a90) = approx(t)
+      // value domain is ~[0, 500]; 1/10000 accuracy on ~200-row fixture
+      // groups means the sketch returns an actual sample near the rank —
+      // allow a loose absolute drift bound.
+      Seq((e25, a25), (e50, a50), (e90, a90)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 25.0, s"$t: exact=$e approx=$a")
+      }
+    }
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
