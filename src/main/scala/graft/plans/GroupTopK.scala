@@ -38,6 +38,15 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
  * Determinism: callers must pass a TOTAL ordering (include a unique
  * tiebreaker column); then output is independent of partitioning — the
  * heap keeps exactly the rows the window formulation keeps.
+ *
+ * Memory envelope (the honest trade against the window form): per-task
+ * state is O(distinct groups in the task × k) pinned rows, and the heaps
+ * do NOT spill — the window form's sort does. For the curation shapes
+ * this operator targets (groups = languages/sources/query batches;
+ * cardinality ≤ millions, k small) that's MBs; for very-high-cardinality
+ * groups with large rows, size partitions accordingly or keep the window
+ * form. The partial pass bounds its own state the same way because a map
+ * task only ever sees its slice's groups.
  */
 case class GroupTopKPlan(
     groupExprs: Seq[Expression],
