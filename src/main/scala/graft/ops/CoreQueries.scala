@@ -331,6 +331,23 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Table profile — the data-quality pass a pipeline runs before
+    // training on a new drop: row count, per-column null counts, domain
+    // extrema, key cardinality. One scan, one aggregate row.
+    "q59_events_profile" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"user_id".isNull, 1L).otherwise(0L)).as("null_user_id"),
+        sum(when($"event_type".isNull, 1L).otherwise(0L)).as("null_event_type"),
+        sum(when($"value".isNull, 1L).otherwise(0L)).as("null_value"),
+        sum(when($"props".isNull, 1L).otherwise(0L)).as("null_props"),
+        countDistinct($"user_id").as("n_users"),
+        countDistinct($"event_type").as("n_types"),
+        min($"value").as("min_value"), max($"value").as("max_value"),
+        min($"ms").as("min_ms"), max($"ms").as("max_ms"))
+    },
+
     // Sketch percentiles — the bounded-memory twin of q26: a mergeable
     // quantile sketch per group (accuracy 1/10000), so per-group state is
     // O(sketch), not O(group). Rows-only (sketch internals are
@@ -693,6 +710,18 @@ object CoreQueries {
         |        CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
         |      FROM customer) t
         |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q59_events_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  MIN(epoch_ms(ts)) AS min_ms, MAX(epoch_ms(ts)) AS max_ms
+        |FROM events""".stripMargin,
 
     "q56_acctbal_dist" ->
       """SELECT c_custkey, c_acctbal,
