@@ -84,6 +84,45 @@ object StreamingIngest {
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 
+  /** Funnel progress for one user: highest stage reached (0 none,
+    * 1 view, 2 view→click, 3 view→click→purchase) and when. */
+  final case class FunnelState(userId: String, stage: Int, stageMs: Long)
+
+  /**
+   * Streaming face of the batch funnel (q57_funnel): per-user ordered
+   * view → click → purchase progression tracked as arbitrary state.
+   * A stage only advances on an event of the next type with a strictly
+   * later timestamp, so out-of-order events within a micro-batch are
+   * sorted first and stale events can't regress state. Emits a snapshot
+   * whenever a user's stage advances — downstream, a conversion dashboard
+   * is just a count by stage over the update stream.
+   */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+                   userCol: String, typeCol: String, msCol: String): Dataset[FunnelState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val next = Map(0 -> "view", 1 -> "click", 2 -> "purchase")
+    events.select(col(userCol).cast("string").as("u"),
+        col(typeCol).cast("string").as("t"), col(msCol).cast("long").as("ms"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(user, 0, Long.MinValue))
+          var advanced = false
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, t, ms) =>
+            if (st.stage < 3 && next(st.stage) == t && ms > st.stageMs) {
+              st = FunnelState(user, st.stage + 1, ms)
+              advanced = true
+            }
+          }
+          if (advanced) { state.update(st); Iterator.single(st) }
+          else Iterator.empty
+      }
+  }
+
   /**
    * Arbitrary stateful processing via flatMapGroupsWithState: a running
    * per-key event counter that emits an updated snapshot whenever a key

@@ -90,6 +90,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(snaps === Set(("a", 2L, 1L), ("b", 1L, 1L), ("a", 3L, 2L)))
   }
 
+  test("stateful funnel advances in order and ignores stale/out-of-stage events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String, Long)]
+    val df = ms.toDF().toDF("u", "t", "ms")
+    val q = StreamingIngest.funnelStages(spark, df, "u", "t", "ms")
+      .writeStream.format("memory").queryName("funnel")
+      .option("checkpointLocation", tmp("graft-funnel-ckpt"))
+      .outputMode("append").start()
+    // u1 completes view→click in one (out-of-order) batch; u2's click
+    // precedes any view and must not advance
+    ms.addData(("u1", "click", 2L), ("u1", "view", 1L), ("u2", "click", 1L))
+    q.processAllAvailable()
+    // u1 converts; u2 starts the funnel at ms=5
+    ms.addData(("u1", "purchase", 3L), ("u2", "view", 5L))
+    q.processAllAvailable()
+    // stale click (ms=4 < view's ms=5) must not advance u2
+    ms.addData(("u2", "click", 4L))
+    q.processAllAvailable()
+    val snaps = spark.sql("SELECT userId, stage, stageMs FROM funnel").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    q.stop()
+    assert(snaps === Set(("u1", 2, 2L), ("u1", 3, 3L), ("u2", 1, 5L)))
+  }
+
   test("typed Dataset boundaries round-trip the ingested feeds") {
     val app = graft.model.Records.appStarts(spark,
       graft.ingest.FeedIngest.ingest(spark, Schemas.feed("appStart"),
