@@ -331,6 +331,24 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Skew-safe join, end to end: event_type has 5 values over the whole
+    // fact table — the textbook hot-key shape. The salted join fans each
+    // hot key across 8 tasks; salts are dropped before aggregation, so
+    // the result equals the unsalted join exactly (that equality IS the
+    // oracle). The dim side is derived (type → weight) to keep the
+    // demonstration self-contained.
+    "q60_salted_type_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select($"event_id", $"event_type", $"value")
+      val dim = ev.select($"event_type").distinct()
+        .withColumn("type_weight", length($"event_type").cast("long"))
+      Salting.saltedEquiJoin(ev, dim, "event_type", 8)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum($"value" * $"type_weight").as("weighted_value"))
+        .orderBy($"event_type")
+    },
+
     // Table profile — the data-quality pass a pipeline runs before
     // training on a new drop: row count, per-column null counts, domain
     // extrema, key cardinality. One scan, one aggregate row.
@@ -710,6 +728,14 @@ object CoreQueries {
         |        CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
         |      FROM customer) t
         |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q60_salted_type_join" ->
+      s"""SELECT e.event_type, COUNT(*) AS n,
+         |  ${sqlDsum("e.value * d.type_weight")} AS weighted_value
+         |FROM events e
+         |JOIN (SELECT DISTINCT event_type, CAST(LEN(event_type) AS BIGINT) AS type_weight
+         |      FROM events) d ON e.event_type = d.event_type
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q59_events_profile" ->
       """SELECT COUNT(*) AS n_rows,
