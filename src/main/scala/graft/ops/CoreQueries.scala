@@ -331,6 +331,25 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Calendar densification: one row per (day × type) over the table's
+    // full span, zero-filled where no events occurred — the date-spine
+    // join every dashboard needs so gaps read as 0, not missing. The
+    // spine (days × types) is generated from two tiny aggregates and
+    // broadcast; the fact side contributes one grouped count.
+    "q61_daily_dense" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val days = ev.agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1"))
+        .select(explode(sequence($"d0", $"d1")).as("day"))
+      val types = ev.select($"event_type").distinct()
+      val counts = ev.groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      days.crossJoin(types)
+        .join(counts, Seq("day", "event_type"), "left")
+        .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"day", $"event_type")
+    },
+
     // Skew-safe join, end to end: event_type has 5 values over the whole
     // fact table — the textbook hot-key shape. The salted join fans each
     // hot key across 8 tasks; salts are dropped before aggregation, so
@@ -728,6 +747,20 @@ object CoreQueries {
         |        CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
         |      FROM customer) t
         |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q61_daily_dense" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
 
     "q60_salted_type_join" ->
       s"""SELECT e.event_type, COUNT(*) AS n,
