@@ -78,26 +78,25 @@ object FeedIngest {
    * jobType into a shared root: concurrent feed loads then use disjoint
    * output-committer temp dirs, so they can run in parallel safely.
    *
-   * When `jobId` is given, the load is **idempotent per job**: rows land
-   * under `jobType=<feed>/jobId=<id>/ingest_date=<d>` with OVERWRITE, so
-   * re-running a job that crashed after the write but before the ledger
-   * append replaces its own output instead of appending duplicates — this
-   * (not just upstream dedup) is what closes the reference's
-   * crash-between-load-and-ledger window (ua2sql.py:274–278). Distinct
-   * jobs write disjoint directories, so concurrency stays safe.
+   * The layout is uniformly `jobType=<feed>/jobId=<id>/ingest_date=<d>`
+   * (one shape — mixing a flat and a jobId-scoped layout under one
+   * jobType root breaks Spark's partition discovery, so there is no
+   * optional flat mode). Each load is **idempotent per job**: its
+   * directory is OVERWRITTEN, so re-running a job that crashed after the
+   * write but before the ledger append replaces its own output instead of
+   * appending duplicates — this (not just upstream dedup) is what closes
+   * the reference's crash-between-load-and-ledger window
+   * (ua2sql.py:274–278). Distinct jobs write disjoint directories, so
+   * concurrency stays safe, and readers get jobId as a partition column —
+   * per-load lineage for free.
    */
   def writePartitioned(df: DataFrame, feed: FeedSpec, root: String,
-                       jobId: Option[String] = None): Unit = {
-    val (dir, mode) = jobId match {
-      case Some(id) => (s"$root/jobType=${feed.name}/jobId=$id", SaveMode.Overwrite)
-      case None     => (s"$root/jobType=${feed.name}", SaveMode.Append)
-    }
+                       jobId: String): Unit =
     df.withColumn("ingest_date", to_date(col("ts")))
       .write
-      .mode(mode)
+      .mode(SaveMode.Overwrite)
       .partitionBy("ingest_date")
-      .parquet(dir)
-  }
+      .parquet(s"$root/jobType=${feed.name}/jobId=$jobId")
 
   /**
    * Staging cleanup (remove_files_in_directory, ua2sql.py:180–184):

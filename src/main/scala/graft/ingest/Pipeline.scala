@@ -42,7 +42,7 @@ object Pipeline {
               cleanStaging: Boolean = false): Long = {
     val df = FeedIngest.ingest(spark, run.feed, run.stagingDir, paritySeconds)
     val n = df.count()
-    FeedIngest.writePartitioned(df, run.feed, warehouseRoot, Some(run.jobId))
+    FeedIngest.writePartitioned(df, run.feed, warehouseRoot, run.jobId)
     Ledger.append(spark, ledgerPath, run.jobId, run.feed.name)
     if (cleanStaging) FeedIngest.clearStaging(run.stagingDir) // ua2sql.py:275
     n

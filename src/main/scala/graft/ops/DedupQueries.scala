@@ -42,6 +42,9 @@ object DedupQueries {
   private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
+      // NULL text must contribute zero shingles (as the SQL formulations
+      // do), not a null token array that would NPE inside the flatMap.
+      .filter($"text".isNotNull)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, toks) =>

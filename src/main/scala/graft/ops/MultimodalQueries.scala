@@ -139,8 +139,14 @@ object MultimodalQueries {
       val F = 256
       t(s, dir, "documents")
         .withColumn("n_frames", ceil(length($"text").cast("double") / F).cast("int"))
+        // Guard n_frames = 0 (empty text): sequence(0, -1) is NOT empty in
+        // Spark — the step defaults to -1 when start > stop, yielding
+        // [0, -1] and a phantom frame the oracle's range(0, 0) never emits.
         .withColumn("frame_idx",
-          explode(filter(sequence(lit(0), $"n_frames" - 1), i => i % 2 === 0)))
+          explode(filter(
+            when($"n_frames" > 0, sequence(lit(0), $"n_frames" - 1))
+              .otherwise(array().cast("array<int>")),
+            i => i % 2 === 0)))
         .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
           length(expr(s"substring(text, frame_idx * $F + 1, $F)")).cast("long").as("frame_len"),
           md5(expr(s"substring(text, frame_idx * $F + 1, $F)")).as("frame_md5"))

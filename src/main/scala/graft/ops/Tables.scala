@@ -66,9 +66,13 @@ object Tables {
    *     the driver compare while the values were provably equal);
    *  2. a direct decimal→double CAST is NOT correctly rounded in DuckDB
    *     (≈1 ulp drift vs Java BigDecimal.doubleValue).
-   * Exactness bound: |sum| < 2^53 / 10^scale (≈ 9·10^11 at scale 4) keeps
-   * the BIGINT and the double both exact; beyond that the double output
-   * rounds — acceptable, since a double column can't carry more anyway.
+   * Bounds, precisely: |sum| < 2^53 / 10^scale (≈ 9·10^11 at scale 4)
+   * keeps BIGINT and double both exact; from there to Long.MaxValue /
+   * 10^scale (≈ 9.2·10^14 at scale 4) the double output rounds; beyond
+   * THAT the long conversion overflows — Spark (non-ANSI) yields NULL and
+   * DuckDB raises — so a deployment summing past ~10^14 money units per
+   * group must widen the shift to a decimal-to-decimal rescale instead.
+   * The internal decimal aggregate itself has 10^24 headroom.
    */
   private def shifted(dec: Column, scale: Int): Column = {
     val p = math.pow(10, scale).toLong

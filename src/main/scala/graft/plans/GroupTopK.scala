@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrd
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 
 /**
  * Group-wise top-k as a first-class whole-plan operator: for each group
@@ -83,9 +83,13 @@ case class GroupTopKExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   /** The final pass needs all rows of a group in one partition; the
-    * partial pass runs wherever the data already is (that's the point). */
+    * partial pass runs wherever the data already is (that's the point).
+    * With no group columns this is GLOBAL top-k: the final pass needs all
+    * (≤ tasks × k, thanks to the partial pass) rows in one partition —
+    * ClusteredDistribution(Nil) is not a legal way to say that. */
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    else if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(

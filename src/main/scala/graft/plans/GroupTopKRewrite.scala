@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -51,24 +51,28 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** k from the filter shape, if it is a pure rank bound. */
+  /** k from the filter shape, if it is a pure rank bound. Bounds above
+    * Int.MaxValue abstain (a .toInt would silently truncate a
+    * keep-everything filter into a tiny k). */
   private def rankBound(cond: Expression, rank: Attribute): Option[Int] = {
     def lit(e: Expression): Option[Long] = e match {
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Long, LongType) => Some(v)
       case _ => None
     }
+    def toK(l: Long): Option[Int] =
+      if (l >= 1L && l <= Int.MaxValue.toLong) Some(l.toInt) else None
     cond match {
       case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
-        lit(l).map(_.toInt)
+        lit(l).flatMap(toK)
       case LessThan(a: Attribute, l) if a.semanticEquals(rank) =>
-        lit(l).map(k => (k - 1).toInt)
+        lit(l).flatMap(k => toK(k - 1))
       case EqualTo(a: Attribute, l) if a.semanticEquals(rank) =>
         lit(l).filter(_ == 1L).map(_.toInt)
       case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rank) =>
-        lit(l).map(_.toInt)
+        lit(l).flatMap(toK)
       case GreaterThan(l, a: Attribute) if a.semanticEquals(rank) =>
-        lit(l).map(k => (k - 1).toInt)
+        lit(l).flatMap(k => toK(k - 1))
       case _ => None
     }
   }
@@ -87,13 +91,9 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
             case Some(k) if k > 0 &&
                 projectList.forall(ne => !ne.references.contains(rank)) =>
               // Spark may already have inserted its own WindowGroupLimit
-              // below the window; keep it — it only pre-prunes the heap's
-              // input.
-              val child = w.child match {
-                case wgl: WindowGroupLimit => wgl
-                case c => c
-              }
-              Project(projectList, GroupTopKPlan(part, order, k, child))
+              // below the window (it would be at w.child); it is kept
+              // as-is — it only pre-prunes the heap's input.
+              Project(projectList, GroupTopKPlan(part, order, k, w.child))
             case _ => p
           }
         case None => p

@@ -62,7 +62,7 @@ object StreamingIngest {
         // batchId-scoped overwrite: a replayed micro-batch (crash between
         // sink write and checkpoint commit) rewrites its own directory
         // instead of appending duplicates — exactly-once end to end.
-        FeedIngest.writePartitioned(batch, feed, root, Some(s"batch-$batchId"))
+        FeedIngest.writePartitioned(batch, feed, root, s"batch-$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -92,10 +92,19 @@ object StreamingIngest {
    * Streaming face of the batch funnel (q57_funnel): per-user ordered
    * view → click → purchase progression tracked as arbitrary state.
    * A stage only advances on an event of the next type with a strictly
-   * later timestamp, so out-of-order events within a micro-batch are
-   * sorted first and stale events can't regress state. Emits a snapshot
-   * whenever a user's stage advances — downstream, a conversion dashboard
-   * is just a count by stage over the update stream.
+   * later timestamp; events within a micro-batch are sorted by timestamp
+   * first, and stale events can never regress state. One snapshot is
+   * emitted per stage ADVANCE (not per batch), so a downstream per-stage
+   * count over the append stream sees every transition.
+   *
+   * Semantic delta vs the batch twin, stated plainly: ordering is exact
+   * within a micro-batch but arrival-order across batches — an event that
+   * arrives in a later batch than a logically-later event it should have
+   * preceded (e.g. the click lands a batch after the purchase) is not
+   * retroactively applied; exact retroactive ordering would need unbounded
+   * per-user event buffering. This is the same late-data stance as the
+   * rest of the streaming module (lateness beyond the watermark is
+   * dropped); q57 is the exact batch reconciliation.
    */
   def funnelStages(spark: SparkSession, events: DataFrame,
                    userCol: String, typeCol: String, msCol: String): Dataset[FunnelState] = {
@@ -111,15 +120,16 @@ object StreamingIngest {
         (user: String, rows: Iterator[(String, String, Long)],
          state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(user, 0, Long.MinValue))
-          var advanced = false
+          val snapshots = Seq.newBuilder[FunnelState]
           rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, t, ms) =>
             if (st.stage < 3 && next(st.stage) == t && ms > st.stageMs) {
               st = FunnelState(user, st.stage + 1, ms)
-              advanced = true
+              snapshots += st
             }
           }
-          if (advanced) { state.update(st); Iterator.single(st) }
-          else Iterator.empty
+          val out = snapshots.result()
+          if (out.nonEmpty) state.update(st)
+          out.iterator
       }
   }
 

@@ -134,6 +134,48 @@ class GroupTopKSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("global top-k (no group columns) works and uses a single final partition") {
+    val got = GroupTopK(docs, Nil, Seq(col("n_chars").desc, col("doc_id").asc), 5)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+  }
+
+  test("SQL global top-k idiom (empty PARTITION BY) survives the rewrite") {
+    docs.createOrReplaceTempView("docs_v")
+    GroupTopK.install(spark)
+    try {
+      val df = spark.sql(
+        """SELECT doc_id FROM (
+          |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM docs_v) t
+          |WHERE rk <= 3 ORDER BY doc_id""".stripMargin)
+      val want = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(3)
+        .select(col("doc_id")).orderBy(col("doc_id")).collect().toSeq
+      assert(df.collect().toSeq === want)
+    } finally {
+      org.apache.spark.sql.GraftPlanApi.clearExperimental(spark)
+    }
+  }
+
+  test("huge rank bounds abstain instead of truncating to a tiny k") {
+    docs.createOrReplaceTempView("docs_v")
+    GroupTopK.install(spark)
+    try {
+      val df = spark.sql(
+        """SELECT doc_id FROM (
+          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+          |  FROM docs_v) t
+          |WHERE rk <= 4294967297""".stripMargin)
+      assert(!df.queryExecution.executedPlan.toString.contains("GroupTopK"))
+      assert(df.count() === docs.count()) // keep-everything bound keeps everything
+    } finally {
+      org.apache.spark.sql.GraftPlanApi.clearExperimental(spark)
+    }
+  }
+
   test("groups smaller than k pass through whole") {
     val small = docs.limit(2)
     val out = GroupTopK(small, Seq(col("lang")),

@@ -112,7 +112,8 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val snaps = spark.sql("SELECT userId, stage, stageMs FROM funnel").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     q.stop()
-    assert(snaps === Set(("u1", 2, 2L), ("u1", 3, 3L), ("u2", 1, 5L)))
+    // one snapshot PER ADVANCE: u1 passes stages 1 and 2 inside batch 1
+    assert(snaps === Set(("u1", 1, 1L), ("u1", 2, 2L), ("u1", 3, 3L), ("u2", 1, 5L)))
   }
 
   test("typed Dataset boundaries round-trip the ingested feeds") {

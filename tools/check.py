@@ -11,6 +11,7 @@ when they mismatch.
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,10 +46,8 @@ def main():
         # when values are equal (result loaders represent decimals
         # inconsistently) — and this local mirror can NOT reproduce that
         # failure, so guard on the schema instead.
-        import pyarrow.parquet as pq
-        decs = [n for n, t in zip(pq.read_schema(files[0]).names,
-                                  pq.read_schema(files[0]).types)
-                if "decimal" in str(t)]
+        sch = pq.read_schema(files[0])
+        decs = [n for n, t in zip(sch.names, sch.types) if "decimal" in str(t)]
         if decs:
             print(f"FAIL {name}: decimal output columns {decs} "
                   "(driver hash-compare rejects decimal outputs)")
