@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
  *  - `dedup` fixes the at-least-once duplication window (crash between
  *    final INSERT and ledger append, ua2sql.py:274–278) by dropping
  *    duplicate natural keys before the write.
- *  - `writePartitioned` lands Hive-style `jobType=<feed>/ingest_date=<d>`
- *    parquet instead of the hand-rolled `<root>/<jobType>/<YYYY-MM-DD>/`
- *    copy tree (ua2sql.py:188–204), enabling partition pruning.
+ *  - `writePartitioned` lands Hive-style
+ *    `jobType=<feed>/jobId=<id>/ingest_date=<d>` parquet instead of the
+ *    hand-rolled `<root>/<jobType>/<YYYY-MM-DD>/` copy tree
+ *    (ua2sql.py:188–204), enabling partition pruning and per-job
+ *    idempotent overwrite.
  */
 object FeedIngest {
 

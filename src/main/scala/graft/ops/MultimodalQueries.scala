@@ -101,8 +101,13 @@ object MultimodalQueries {
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     df.withColumn("n_frames",
         ceil(col("meta.n_bytes").cast("double") / frameBytes).cast("int"))
+      // Same n_frames = 0 guard as q55_frame_sample: sequence(0, -1) is
+      // [0, -1] in Spark (default step -1), not an empty array.
       .withColumn("frame_idx",
-        explode(filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0)))
+        explode(filter(
+          when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1))
+            .otherwise(array().cast("array<int>")),
+          i => i % stride === 0)))
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col("doc_id"), col("frame_idx"), col("frame"))

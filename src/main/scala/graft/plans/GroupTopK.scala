@@ -117,7 +117,10 @@ case class GroupTopKExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+          // Initial capacity only — the queue grows as needed, so clamp
+          // instead of risking kLocal + 1 overflow for extreme k.
+          val cap = math.min(kLocal.toLong + 1L, 1024L).toInt
+          heap = new java.util.PriorityQueue[UnsafeRow](cap, worstFirst)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < kLocal) heap.add(row.copy().asInstanceOf[UnsafeRow])

@@ -60,8 +60,10 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
       case Literal(v: Long, LongType) => Some(v)
       case _ => None
     }
+    // Strictly below Int.MaxValue: a bound that large is a keep-everything
+    // filter, and downstream heap sizing must be able to form k + 1.
     def toK(l: Long): Option[Int] =
-      if (l >= 1L && l <= Int.MaxValue.toLong) Some(l.toInt) else None
+      if (l >= 1L && l < Int.MaxValue.toLong) Some(l.toInt) else None
     cond match {
       case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rank) =>
         lit(l).flatMap(toK)

@@ -135,12 +135,29 @@ class GroupTopKSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("global top-k (no group columns) works and uses a single final partition") {
-    val got = GroupTopK(docs, Nil, Seq(col("n_chars").desc, col("doc_id").asc), 5)
-      .orderBy(col("n_chars").desc, col("doc_id"))
+    val df = GroupTopK(docs.repartition(4), Nil,
+      Seq(col("n_chars").desc, col("doc_id").asc), 5)
+    val got = df.orderBy(col("n_chars").desc, col("doc_id"))
       .collect().map(_.getLong(0)).toSeq
     val want = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(5)
       .collect().map(_.getLong(0)).toSeq
     assert(got === want)
+    // the distribution property itself: the final GroupTopKExec must see
+    // a single partition (AllTuples), not per-partition tops unioned
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: through.flatMap(all)
+    }
+    df.collect()
+    val finalExec = all(df.queryExecution.executedPlan)
+      .collect { case g: GroupTopKExec if !g.partial => g }
+    assert(finalExec.nonEmpty)
+    assert(finalExec.head.outputPartitioning.numPartitions === 1,
+      s"final global top-k must run on one partition:\n${df.queryExecution.executedPlan}")
   }
 
   test("SQL global top-k idiom (empty PARTITION BY) survives the rewrite") {
