@@ -29,15 +29,20 @@ object Main {
     }.getOrElse("manual-" + System.currentTimeMillis())
 
     // spark-submit injects spark.master as a system property; standalone
-    // runs (sbt runMain, tests) fall back to local.
-    val master = sys.props.getOrElse("spark.master",
-      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-    val spark = SparkSession.builder()
-      .appName("graft-ingest")
-      .master(master)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // runs (sbt runMain, tests) fall back to local. An already-running
+    // session (embedding callers, tests) is reused — and then NOT stopped
+    // on exit: this main only tears down what it created.
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse {
+      val master = sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      SparkSession.builder()
+        .appName("graft-ingest")
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
 
     val runs = Schemas.feeds.flatMap { feed =>
@@ -53,6 +58,6 @@ object Main {
       println(s"[graft] $feed: loaded $n rows")
     }
     println(s"[graft] warehouse=${cfg.warehouseRoot} ledger=${cfg.ledgerPath} jobId=$jobId")
-    spark.stop()
+    if (existing.isEmpty) spark.stop()
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI contract end to end — graft.Main IS the engine's face of
+  * `python ua2sql.py config.json` (README.md:4–6), so it gets driven as a
+  * user would drive it: a JSON config on disk, staged feed directories,
+  * one main() call. */
+class MainSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("main(config.json) loads every staged feed and reports counts") {
+    spark // force the shared session so Main's getOrCreate attaches to it
+    val root = tmp("graft-main")
+    val staging = s"$root/staging"
+    for (feed <- Seq("appStart", "custom", "transaction")) {
+      val dir = java.nio.file.Paths.get(s"$staging/$feed")
+      java.nio.file.Files.createDirectories(dir)
+      val src = java.nio.file.Paths.get(s"src/test/resources/feeds/$feed/job1")
+      java.nio.file.Files.list(src).forEach { f =>
+        java.nio.file.Files.copy(f, dir.resolve(f.getFileName.toString))
+      }
+    }
+    val cfg = s"$root/config.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      s"""{"projectId": "p1", "apiKey": "k1",
+         |"warehouseRoot": "$root/wh", "stagingPath": "$staging",
+         |"ledgerPath": "$root/ledger"}""".stripMargin)
+
+    Main.main(Array(cfg, "--job-id", "e2e-1"))
+
+    val wh = spark.read.parquet(s"$root/wh")
+    assert(wh.count() === 7) // 3 appStart + 2 custom + 2 transaction
+    assert(wh.columns.contains("jobType") && wh.columns.contains("jobId")
+      && wh.columns.contains("ingest_date"))
+    val led = graft.ingest.Ledger.latestPerType(
+      graft.ingest.Ledger.read(spark, s"$root/ledger"))
+      .collect().map(r => r.getAs[String]("jobType") -> r.getAs[String]("jobId")).toMap
+    assert(led === Map("appStart" -> "e2e-1-appStart",
+      "custom" -> "e2e-1-custom", "transaction" -> "e2e-1-transaction"))
+
+    // idempotency, the CLI way: re-running the same jobId replaces, never
+    // duplicates (the crash-and-rerun path a cron job actually takes)
+    Main.main(Array(cfg, "--job-id", "e2e-1"))
+    assert(spark.read.parquet(s"$root/wh").count() === 7)
+  }
+
+  test("main without staged feeds fails with a clear message") {
+    val root = tmp("graft-main-empty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/staging"))
+    val cfg = s"$root/config.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      s"""{"projectId": "p", "apiKey": "k", "warehouseRoot": "$root/wh",
+         |"stagingPath": "$root/staging", "ledgerPath": "$root/ledger"}""".stripMargin)
+    val err = intercept[IllegalArgumentException](Main.main(Array(cfg)))
+    assert(err.getMessage.contains("no feed staging dirs"))
+  }
+}
