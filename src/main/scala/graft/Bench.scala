@@ -14,10 +14,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: pay JVM/codegen/parquet-footer costs once so the
-    // per-query numbers measure the plans, not JIT.
-    try SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
+    // per-query numbers measure the plans, not JIT. One representative
+    // per code-path family: scan+hash-agg (q01), typed flatMap + shuffle
+    // join (q31), vector codegen + custom aggregate (q35b).
+    for (w <- Seq("q01_pricing_summary", "q31_neardup_jaccard", "q35b_ann_topk_agg"))
+      try SparkEntry.queries.get(w)
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => () }
     // noop sink materializes every column of every row (count() would let
     // Catalyst prune most of the plan and flatter the numbers).
     val failed = scala.collection.mutable.ListBuffer.empty[String]
