@@ -35,6 +35,26 @@ case class TopKPairs(
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
 
+  /** SQL-reachable (graft_topk), so malformed calls must fail ANALYSIS,
+    * not throw ClassCastException mid-job on an executor. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckFailure(s"graft_topk score must be double, got ${scoreExpr.dataType.simpleString}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"graft_topk id must be bigint, got ${idExpr.dataType.simpleString}")
+    else if (!kExpr.foldable ||
+        !Seq(ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckFailure("graft_topk k must be an integer literal")
+    else {
+      val kv = kExpr.eval()
+      if (kv == null || kv.asInstanceOf[Number].longValue() < 1L ||
+          kv.asInstanceOf[Number].longValue() > Int.MaxValue.toLong - 1)
+        TypeCheckFailure(s"graft_topk k must be in [1, ${Int.MaxValue - 1}], got $kv")
+      else TypeCheckSuccess
+    }
+  }
+
   override def nullable: Boolean = false
 
   override def dataType: DataType = ArrayType(

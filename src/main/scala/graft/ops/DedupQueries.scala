@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
 
 import Tables._
 
@@ -110,13 +109,16 @@ object DedupQueries {
       val shared = hashed.groupBy($"shingle")
         .agg(count(lit(1)).as("df")).filter($"df" > 1).select($"shingle")
       val ex = hashed.join(shared, "shingle")
-        .join(broadcast(counts), "doc_id")
-        .select($"doc_id", $"n_sh", $"shingle")
+      // Per-doc shingle counts attach AFTER the pair aggregation: the pair
+      // set is tiny relative to the corpus, so AQE broadcasts it against
+      // the counts frame — broadcasting `counts` itself (one row per
+      // document) would be a corpus-sized driver collect at scale.
       ex.as("a").join(ex.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_common"))
+        .join(counts.toDF("doc_a", "n_a"), "doc_a")
+        .join(counts.toDF("doc_b", "n_b"), "doc_b")
         .withColumn("jaccard",
           $"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
         .filter($"jaccard" >= JaccardThreshold)
@@ -167,10 +169,12 @@ object DedupQueries {
 
     // Dedup clusters: connected components over the near-dup pair graph
     // (cluster id = smallest doc_id in the component; singletons keep
-    // themselves). Iterative min-label propagation — each round is one
-    // distributed join+aggregate, and rounds needed = graph diameter in
-    // log-ish steps, the standard way components are computed at corpus
-    // scale (a recursive CTE is the oracle's luxury, not the cluster's).
+    // themselves). Min-label propagation WITH pointer jumping: each round
+    // takes the min over 1-hop neighbor labels AND the label-of-label
+    // (path shortcutting), so label distance halves per round and rounds
+    // needed is O(log diameter), not O(diameter) — a 2^30-long chain
+    // converges within the cap. If the cap is ever hit the query FAILS
+    // loudly rather than returning a silently-wrong clustering.
     //
     // The iteration runs ONLY over edge-touched vertices: for dedup the
     // pair graph is ≪ corpus (most documents are in no near-dup pair), so
@@ -187,18 +191,26 @@ object DedupQueries {
         .localCheckpoint()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 20) {
+      val maxRounds = 40 // log2-convergent: enough for any feasible graph
+      while (changed > 0 && rounds < maxRounds) {
         val nbrMin = edges.join(labels, $"src" === $"doc_id")
           .groupBy($"dst".as("doc_id")).agg(min($"cluster_id").as("nbr_min"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        val jump = labels.toDF("j_doc", "j_cluster")
+        val next = labels
+          .join(nbrMin, Seq("doc_id"), "left")
+          .join(jump, $"cluster_id" === $"j_doc", "left") // label-of-label
           .select($"doc_id",
-            least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
+            least($"cluster_id",
+              coalesce($"nbr_min", $"cluster_id"),
+              coalesce($"j_cluster", $"cluster_id")).as("cluster_id"))
           .localCheckpoint()
         changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
           .filter($"cluster_id" =!= $"old").count()
         labels = next
         rounds += 1
       }
+      require(changed == 0,
+        s"connected components did not converge in $maxRounds rounds")
       // No broadcast hint: the checkpointed labels frame carries accurate
       // size stats, so AQE broadcasts when the duplicate subgraph is small
       // (the normal case) but can fall back to a shuffle join if a corpus

@@ -76,15 +76,19 @@ object MultimodalQueries {
    * changes; the partition-batched plumbing around it is the tested part.
    */
   def resizeBatch(targetW: Int, targetH: Int)(
-      batch: Iterator[MediaRecord]): Iterator[MediaRecord] =
+      batch: Iterator[MediaRecord]): Iterator[MediaRecord] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
+    // Long product: 65536×65536 overflows Int to 0 and would silently
+    // replace every payload with zero bytes.
+    val budget = math.min(targetW.toLong * targetH.toLong, Int.MaxValue.toLong).toInt
     batch.map { r =>
-      val budget = targetW * targetH
       val out =
         if (r.payload.length <= budget) r.payload
         else Array.tabulate(budget)(i =>
           r.payload((i.toLong * r.payload.length / budget).toInt))
       MediaRecord(r.doc_id, out, r.format + s";resized=${targetW}x$targetH")
     }
+  }
 
   /** Partition-batched resize over the payload column. */
   def resize(spark: SparkSession, docs: DataFrame,

@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import Tables._
 

@@ -23,10 +23,19 @@ object Views {
                else Tables.t(spark, dir, name)
       df.createOrReplaceTempView(name)
     }
+    registeredDir.put(spark, dir)
   }
 
+  // One registration per session-and-dir: sql() is a hot entry point, and
+  // re-reading 10 parquet footers + replacing 10 views per query is pure
+  // churn. The views are session-global, so the cache tracks the CURRENT
+  // dir per session — switching dirs re-registers (and invalidates the
+  // other dir), and register() can always be called explicitly to force.
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
-    register(spark, dir)
+    if (registeredDir.get(spark) != dir) register(spark, dir)
     spark.sql(query)
   }
 }

@@ -105,31 +105,49 @@ object StreamingIngest {
    * per-user event buffering. This is the same late-data stance as the
    * rest of the streaming module (lateness beyond the watermark is
    * dropped); q57 is the exact batch reconciliation.
+   *
+   * State lifecycle: pass `idleTimeout = Some(duration)` for long-running
+   * deployments — per-user state then lapses after that much
+   * processing-time inactivity; without it, state accumulates one entry
+   * per user EVER seen (including fully-converted users who can never
+   * advance again) and the state store grows without bound. The default
+   * stays None because a processing-time timeout keeps a drain-and-stop
+   * (`processAllAvailable`) run spinning on timeout-only batches — use it
+   * with continuous triggers.
    */
   def funnelStages(spark: SparkSession, events: DataFrame,
-                   userCol: String, typeCol: String, msCol: String): Dataset[FunnelState] = {
+                   userCol: String, typeCol: String, msCol: String,
+                   idleTimeout: Option[String] = None): Dataset[FunnelState] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val next = Map(0 -> "view", 1 -> "click", 2 -> "purchase")
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     events.select(col(userCol).cast("string").as("u"),
         col(typeCol).cast("string").as("t"), col(msCol).cast("long").as("ms"))
       .as[(String, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelState](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: String, rows: Iterator[(String, String, Long)],
          state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(user, 0, Long.MinValue))
-          val snapshots = Seq.newBuilder[FunnelState]
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, t, ms) =>
-            if (st.stage < 3 && next(st.stage) == t && ms > st.stageMs) {
-              st = FunnelState(user, st.stage + 1, ms)
-              snapshots += st
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(user, 0, Long.MinValue))
+            val snapshots = Seq.newBuilder[FunnelState]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, t, ms) =>
+              if (st.stage < 3 && next(st.stage) == t && ms > st.stageMs) {
+                st = FunnelState(user, st.stage + 1, ms)
+                snapshots += st
+              }
             }
+            val out = snapshots.result()
+            if (out.nonEmpty) state.update(st)
+            idleTimeout.foreach(d => if (state.exists) state.setTimeoutDuration(d))
+            out.iterator
           }
-          val out = snapshots.result()
-          if (out.nonEmpty) state.update(st)
-          out.iterator
       }
   }
 
@@ -139,7 +157,9 @@ object StreamingIngest {
    * receives data — the escape hatch for state machines the built-in
    * windowed aggregations can't express (SURVEY.md §2.J). State lives in
    * the checkpointed state store, partitioned by key, so it scales with
-   * executors like any shuffle.
+   * executors like any shuffle — but is unbounded in TIME by design here
+   * (a lifetime counter never expires); for state that should lapse,
+   * follow funnelStages' idle-timeout pattern.
    */
   def statefulKeyCounts(spark: SparkSession, events: DataFrame,
                         keyCol: String): Dataset[KeyState] = {
