@@ -195,10 +195,15 @@ object DedupQueries {
       while (changed > 0 && rounds < maxRounds) {
         val nbrMin = edges.join(labels, $"src" === $"doc_id")
           .groupBy($"dst".as("doc_id")).agg(min($"cluster_id").as("nbr_min"))
-        val jump = labels.toDF("j_doc", "j_cluster")
-        val next = labels
-          .join(nbrMin, Seq("doc_id"), "left")
-          .join(jump, $"cluster_id" === $"j_doc", "left") // label-of-label
+        val withNbr = labels.join(nbrMin, Seq("doc_id"), "left")
+        // Shortcut join only from round 2 on: in round 1 labels are the
+        // identity, so label-of-label is provably a no-op.
+        val shortcut =
+          if (rounds == 0) withNbr.select($"doc_id", $"cluster_id", $"nbr_min",
+            $"cluster_id".as("j_cluster"))
+          else withNbr.join(labels.toDF("j_doc", "j_cluster"),
+            $"cluster_id" === $"j_doc", "left")
+        val next = shortcut
           .select($"doc_id",
             least($"cluster_id",
               coalesce($"nbr_min", $"cluster_id"),
