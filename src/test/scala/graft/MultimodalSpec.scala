@@ -48,6 +48,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("resize budget survives large target dims (no Int overflow to zero)") {
+    val out = MultimodalQueries.resize(spark, docs.limit(5), 65536, 65536).collect()
+    val orig = MultimodalQueries.withBinaryPayload(docs.limit(5))
+      .select(col("doc_id"), length(col("payload")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach(r => assert(r.payload.length === orig(r.doc_id),
+      "a 65536x65536 budget must keep payloads, not empty them"))
+    val err = intercept[IllegalArgumentException] {
+      MultimodalQueries.resizeBatch(0, 16)(Iterator.empty)
+    }
+    assert(err.getMessage.contains("positive"))
+  }
+
   test("frame sampling keeps every stride-th fixed-size chunk") {
     val sampled = MultimodalQueries.sampleFrames(
       MultimodalQueries.withBinaryPayload(docs), frameBytes = 64, stride = 2)

@@ -87,6 +87,30 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.4, f"IVF recall collapsed: $recall%.3f")
   }
 
+  test("mismatched vector dimensions yield null, not a prefix similarity") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val row = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c"))
+      .collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("graft_topk rejects bad score type and out-of-range k at analysis time") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1, 2L)).toDF("i", "id")
+    val typeErr = intercept[Exception] {
+      df.select(VectorFunctions.topk($"i", $"id", 3)).collect()
+    }
+    assert(typeErr.getMessage.contains("score must be double"))
+    val kErr = intercept[Exception] {
+      df.select(VectorFunctions.topk($"i".cast("double"), $"id", 0)).collect()
+    }
+    assert(kErr.getMessage.contains("k must be in"))
+  }
+
   test("rejects non-double arrays with a clear analysis error") {
     VectorFunctions.register(spark)
     import spark.implicits._
