@@ -52,13 +52,19 @@ object DedupQueries {
       }
       .toDF("doc_id", "shingle")
       .distinct()
+      // Materialize once: consumers branch this frame 3-4 ways (pair join
+      // sides, df filter, per-doc counts, signature + verification sets),
+      // and the branches differ after optimization so Catalyst cannot
+      // reuse one exchange across them — without the checkpoint the
+      // scan + shingle flatMap + distinct executes once PER BRANCH
+      // (4× in q31's physical plan). Checkpointed size is the distinct
+      // (doc_id, shingle) set, the same thing the shuffles already carry.
+      .localCheckpoint()
   }
 
   /** Distinct shingle sets per doc (for exact Jaccard verification). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    shingleRows(s, dir).groupBy($"doc_id").agg(collect_set($"shingle").as("sh"))
-  }
+  private def shingleSets(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
 
   /**
    * Banding chosen so the exact-Jaccard oracle equality is sound at the
@@ -138,9 +144,11 @@ object DedupQueries {
       import s.implicits._
       // One strong 64-bit base hash per shingle, then a cheap universal
       // family over the long — 64 murmurs of 12 bytes instead of 64
-      // re-hashes of the full shingle string.
-      val ex = shingleRows(s, dir)
-        .select($"doc_id", xxhash64($"shingle").as("shingle"))
+      // re-hashes of the full shingle string. One shingleRows call feeds
+      // both the signature path and the verification sets (one
+      // materialization, not two).
+      val rows = shingleRows(s, dir)
+      val ex = rows.select($"doc_id", xxhash64($"shingle").as("shingle"))
       val minCols = (1 to MinhashCount).map(i => min(hash($"shingle", lit(i))).as(s"h$i"))
       val sig = ex.groupBy($"doc_id")
         .agg(minCols.head, minCols.tail: _*)
@@ -155,7 +163,7 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sets = shingleSets(s, dir)
+      val sets = shingleSets(rows)
       cand
         .join(sets.toDF("doc_a", "sh_a"), "doc_a")
         .join(sets.toDF("doc_b", "sh_b"), "doc_b")
