@@ -13,21 +13,23 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink materializes every column of every row (count() would let
+    // Catalyst prune most of the plan and flatter the numbers); shared by
+    // warmup and the timed loop so the two can never diverge.
+    def runToNoop(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // Untimed warmup: pay JVM/codegen/parquet-footer costs once so the
     // per-query numbers measure the plans, not JIT. One representative
     // per code-path family: scan+hash-agg (q01), typed flatMap + shuffle
     // join (q31), vector codegen + custom aggregate (q35b).
     for (w <- Seq("q01_pricing_summary", "q31_neardup_jaccard", "q35b_ann_topk_agg"))
-      try SparkEntry.queries.get(w)
-        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-      catch { case _: Throwable => () }
-    // noop sink materializes every column of every row (count() would let
-    // Catalyst prune most of the plan and flatter the numbers).
+      try runToNoop(w) catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { runToNoop(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name; false

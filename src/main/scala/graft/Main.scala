@@ -24,9 +24,14 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <config.json> [--job-id <id>]")
     val cfg = GraftConfig.load(args(0))
+    // Default jobId is DETERMINISTIC over the staged input (names+sizes):
+    // a crash-and-rerun on the same staged files reuses the same jobId, so
+    // the per-job overwrite stays idempotent even without --job-id (a
+    // timestamp default would mint a fresh directory per attempt and
+    // reopen the duplicate window the layout exists to close).
     val jobId = args.sliding(2).collectFirst {
       case Array("--job-id", id) => id
-    }.getOrElse("manual-" + System.currentTimeMillis())
+    }.getOrElse("auto-" + stagingFingerprint(cfg.stagingPath))
 
     // spark-submit injects spark.master as a system property; standalone
     // runs (sbt runMain, tests) fall back to local. An already-running
@@ -43,21 +48,55 @@ object Main {
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     }
-    spark.sparkContext.setLogLevel("WARN")
+    // Only our own session gets its log level forced; a reused embedder
+    // session keeps the caller's logging configuration.
+    if (existing.isEmpty) spark.sparkContext.setLogLevel("WARN")
+    // ingest_date partitioning must be UTC regardless of who built the
+    // session (to_date resolves in the session timezone); restore the
+    // caller's setting on the way out.
+    val prevTz = spark.conf.getOption("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
 
-    val runs = Schemas.feeds.flatMap { feed =>
-      val staging = s"${cfg.stagingPath}/${feed.name}"
-      if (new java.io.File(staging).exists())
-        Some(Pipeline.FeedRun(feed, staging, s"$jobId-${feed.name}"))
-      else None
-    }
-    require(runs.nonEmpty, s"no feed staging dirs found under ${cfg.stagingPath}")
+      val runs = Schemas.feeds.flatMap { feed =>
+        val staging = s"${cfg.stagingPath}/${feed.name}"
+        if (new java.io.File(staging).exists())
+          Some(Pipeline.FeedRun(feed, staging, s"$jobId-${feed.name}"))
+        else None
+      }
+      require(runs.nonEmpty, s"no feed staging dirs found under ${cfg.stagingPath}")
 
-    val counts = Pipeline.runAll(spark, runs, cfg.warehouseRoot, cfg.ledgerPath)
-    counts.toSeq.sortBy(_._1).foreach { case (feed, n) =>
-      println(s"[graft] $feed: loaded $n rows")
+      val counts = Pipeline.runAll(spark, runs, cfg.warehouseRoot, cfg.ledgerPath)
+      counts.toSeq.sortBy(_._1).foreach { case (feed, n) =>
+        println(s"[graft] $feed: loaded $n rows")
+      }
+      println(s"[graft] warehouse=${cfg.warehouseRoot} ledger=${cfg.ledgerPath} jobId=$jobId")
+    } finally {
+      prevTz match {
+        case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
+        case None => spark.conf.unset("spark.sql.session.timeZone")
+      }
+      if (existing.isEmpty) spark.stop()
     }
-    println(s"[graft] warehouse=${cfg.warehouseRoot} ledger=${cfg.ledgerPath} jobId=$jobId")
-    if (existing.isEmpty) spark.stop()
+  }
+
+  /** md5 over the sorted relative-path + size listing of the staging tree
+    * — stable across reruns while the staged files are unchanged. */
+  private def stagingFingerprint(stagingPath: String): String = {
+    import scala.jdk.CollectionConverters._
+    val rootPath = java.nio.file.Paths.get(stagingPath)
+    val listing =
+      if (!java.nio.file.Files.isDirectory(rootPath)) ""
+      else {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${rootPath.relativize(p)}:${java.nio.file.Files.size(p)}")
+          .toSeq.sorted.mkString("\n")
+        finally walk.close()
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
   }
 }

@@ -92,13 +92,28 @@ object FeedIngest {
    * concurrency stays safe, and readers get jobId as a partition column —
    * per-load lineage for free.
    */
+  /** Characters allowed in a jobId: it becomes a literal partition-path
+    * segment, so anything else (esp. '/', '..', '%', ':') is either path
+    * traversal — `jobId=x/../..` + OVERWRITE would delete the warehouse
+    * root — or a value Hive partition decoding mangles. */
+  private val SafeJobId = "[A-Za-z0-9._-]+".r
+
+  /** Migration note: roots written by the pre-jobId flat layout
+    * (`jobType=<feed>/ingest_date=<d>`) must be migrated once (move each
+    * feed's date dirs under a `jobId=legacy` level) before new loads land
+    * beside them — partition discovery rejects mixed depths. */
   def writePartitioned(df: DataFrame, feed: FeedSpec, root: String,
-                       jobId: String): Unit =
+                       jobId: String): String = {
+    require(SafeJobId.matches(jobId),
+      s"jobId must match ${SafeJobId.regex}, got '$jobId'")
+    val dir = s"$root/jobType=${feed.name}/jobId=$jobId"
     df.withColumn("ingest_date", to_date(col("ts")))
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("ingest_date")
-      .parquet(s"$root/jobType=${feed.name}/jobId=$jobId")
+      .parquet(dir)
+    dir
+  }
 
   /**
    * Staging cleanup (remove_files_in_directory, ua2sql.py:180–184):

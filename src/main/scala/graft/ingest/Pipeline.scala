@@ -41,8 +41,12 @@ object Pipeline {
               ledgerPath: String, paritySeconds: Boolean = false,
               cleanStaging: Boolean = false): Long = {
     val df = FeedIngest.ingest(spark, run.feed, run.stagingDir, paritySeconds)
-    val n = df.count()
-    FeedIngest.writePartitioned(df, run.feed, warehouseRoot, run.jobId)
+    // Count AFTER the write, from the written parquet: counting the
+    // DataFrame first would execute the whole scan+normalize+dedup
+    // pipeline twice (once for count, once for the write), while a
+    // parquet count is footer metadata only.
+    val dir = FeedIngest.writePartitioned(df, run.feed, warehouseRoot, run.jobId)
+    val n = spark.read.parquet(dir).count()
     Ledger.append(spark, ledgerPath, run.jobId, run.feed.name)
     if (cleanStaging) FeedIngest.clearStaging(run.stagingDir) // ua2sql.py:275
     n

@@ -72,7 +72,14 @@ final class UnityExportClient(
       val fileReq = HttpRequest.newBuilder(URI.create(url)).GET().build()
       // Binary-safe: the .json.gz payload must never pass through a String
       // (UTF-8 decode would mangle arbitrary gzip bytes into U+FFFD).
-      Files.write(out, sendBytes(fileReq).body())
+      val fileResp = sendBytes(fileReq)
+      // Fail at the source: an expired presigned URL returns an error body
+      // that would otherwise be staged as a corrupt .json.gz and blow up
+      // far away inside the Spark read.
+      if (fileResp.statusCode() != 200)
+        throw new IllegalStateException(
+          s"export file GET returned HTTP ${fileResp.statusCode()}: $url")
+      Files.write(out, fileResp.body())
       out
     }
   }

@@ -63,6 +63,7 @@ object StreamingIngest {
         // sink write and checkpoint commit) rewrites its own directory
         // instead of appending duplicates — exactly-once end to end.
         FeedIngest.writePartitioned(batch, feed, root, s"batch-$batchId")
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
