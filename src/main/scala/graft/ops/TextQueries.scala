@@ -135,6 +135,22 @@ object TextQueries {
         .orderBy($"doc_id", $"rk")
     },
 
+    // Text normalization — the cleaning pass that precedes tokenization
+    // in a training pipeline: lowercase, strip non-alphanumerics to
+    // spaces, collapse whitespace runs, trim. Pure per-row scalar work
+    // (no shuffle); n_removed records how aggressive the cleaning was,
+    // the signal used to route documents to gentler pipelines.
+    "q62_text_clean" -> { (s, dir) =>
+      import s.implicits._
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
+      t(s, dir, "documents")
+        .select($"doc_id",
+          cleaned.as("clean_text"),
+          (length($"text") - length(cleaned)).cast("long").as("n_removed"))
+        .orderBy($"doc_id")
+    },
+
     // 64-bit rolling fingerprint: xxhash64 chained over tokens (order-
     // sensitive, unlike a bag-of-tokens hash). Engine-specific hash family
     // → rows-only; pinned by unit tests.
@@ -200,6 +216,18 @@ object TextQueries {
 
     "q40_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+
+    // DuckDB's regexp_replace is first-match-only without the 'g' flag.
+    "q62_text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(
+        |           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |           '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |       CAST(len(text) - len(clean_text) AS BIGINT) AS n_removed
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q50_tfidf_top_terms" ->
       """WITH tok AS (
