@@ -45,6 +45,19 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("HLL approximate distinct counts stay within relative-error bounds") {
+    val exact = SparkEntry.queries("q19_distinct_users_by_type")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = SparkEntry.queries("q19b_approx_users_by_type")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (t, e) =>
+      val a = approx(t)
+      // rsd = 0.01; allow 5 sigma of slack
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$t: exact=$e approx=$a")
+    }
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
