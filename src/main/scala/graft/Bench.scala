@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/**
+ * Benchmark main. Prints ONE compact JSON line on stdout for the driver gate.
+ *
+ * Two hard-won constraints shape the output format:
+ *  - The driver keeps only a bounded TAIL of stdout. BENCH_r03.json recorded
+ *    `parsed: null` because 64 queries x 9-decimal doubles pushed the line past
+ *    the buffer and the head of the JSON was lost. All values are rounded to
+ *    millisecond precision and the line carries no per-query spread; full
+ *    per-run detail goes to bench_detail.json instead.
+ *  - Single-sample timings on this box vary +/-25% (BENCH_r02's q20 recorded
+ *    7.9 s vs a re-measured 1.44 s), so each query is timed 3 times and the
+ *    MEDIAN is reported. The first timed run also absorbs any residual
+ *    cold-path cost the family warmup missed.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,24 +40,47 @@ object Bench {
     // join (q31), vector codegen + custom aggregate (q35b).
     for (w <- Seq("q01_pricing_summary", "q31_neardup_jaccard", "q35b_ann_topk_agg"))
       try runToNoop(w) catch { case _: Throwable => () }
+    def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { runToNoop(name); true }
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { runToNoop(name); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name; false
+          -1.0
         }
+      }
+      name -> samples
+    }
+    val results = runs.map { case (name, samples) =>
       // A query that fails to plan/execute must not contribute a flattering
       // near-zero timing: report it as -1 and list it in "failed".
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (samples.exists(_ < 0)) { failed += name; name -> -1.0 }
+      else name -> ms(samples.sorted.apply(samples.size / 2))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = ms(results.values.filter(_ >= 0).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Worst relative spread across queries (max-min over median) as a single
+    // scalar noise indicator; the per-query breakdown lives in the detail file.
+    val spreads = runs.collect { case (n, s) if s.forall(_ >= 0) && s.size > 1 =>
+      n -> (s.max - s.min) / math.max(s.sorted.apply(s.size / 2), 1e-9)
+    }
+    val worst = if (spreads.isEmpty) ("", 0.0) else spreads.maxBy(_._2)
+    val detail = runs.map { case (n, s) =>
+      s"\"" + n + "\":[" + s.map(ms).mkString(",") + "]"
+    }.mkString("{\"runs\":{", ",", "},\"iters\":" + iters + "}")
+    try {
+      val p = java.nio.file.Paths.get("bench_detail.json")
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // Summary keys LAST: the driver buffers a bounded tail of stdout, so if
+    // the line ever outgrows the buffer again it is the head (per-query map)
+    // that is lost, not the headline total.
+    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"max_spread":${ms(worst._2)},"max_spread_query":"${worst._1}","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
