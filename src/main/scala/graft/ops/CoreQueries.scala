@@ -469,11 +469,16 @@ object CoreQueries {
     },
 
     // ntile bucketing: account-balance deciles over a total order.
+    // Distributed two-pass rank (GlobalRank) instead of `ntile(10) OVER
+    // (ORDER BY …)` — the unpartitioned window would move every row into
+    // ONE partition; here the only global sort is a range shuffle across
+    // all executors, and ntile is arithmetic over (rank, n).
     "q45_acctbal_deciles" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal", $"c_custkey")
-      t(s, dir, "customer")
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      val ranked = GlobalRank.withGlobalRank(
+        t(s, dir, "customer"), Seq($"c_acctbal", $"c_custkey"), "rk", "n_total")
+      ranked
+        .withColumn("decile", GlobalRank.ntileFromRank($"rk", $"n_total", 10))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n"),
           min($"c_acctbal").as("min_bal"), max($"c_acctbal").as("max_bal"))
@@ -492,15 +497,19 @@ object CoreQueries {
     },
 
     // Distribution ranks: percent_rank/cume_dist over a total order —
-    // both are rank ratios ((rk−1)/(n−1), rk'/n), so the doubles are
-    // bit-identical across engines given identical rank integers.
+    // both are rank ratios ((rk−1)/(n−1), rk/n), so the doubles are
+    // bit-identical across engines given identical rank integers. The
+    // (c_acctbal, c_custkey) order is unique (custkey is a key), so the
+    // distributed global row number IS the rank and the ratios are plain
+    // arithmetic — no single-partition window (see GlobalRank).
     "q56_acctbal_dist" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal", $"c_custkey")
-      t(s, dir, "customer")
+      val ranked = GlobalRank.withGlobalRank(
+        t(s, dir, "customer"), Seq($"c_acctbal", $"c_custkey"), "rk", "n_total")
+      ranked
         .select($"c_custkey", $"c_acctbal",
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          GlobalRank.percentRankFromRank($"rk", $"n_total").as("pr"),
+          GlobalRank.cumeDistFromRank($"rk", $"n_total").as("cd"))
         .orderBy($"c_custkey")
     },
 

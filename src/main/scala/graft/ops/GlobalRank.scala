@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed global ranking over a total order — the scale-safe replacement
+ * for `Window.orderBy(...)` with no partition key, which moves EVERY row into
+ * a single partition (one task sorts the world; fine at 1.5k customers, fatal
+ * at 100 TB).
+ *
+ * Two-pass shape, all data movement bounded:
+ *  1. `repartitionByRange` + `sortWithinPartitions` gives a globally ordered
+ *     layout: every row in partition i sorts before every row in partition
+ *     i+1, and rows are sorted within each partition. One range shuffle —
+ *     the same cost the single-partition window pays, but spread over all
+ *     executors.
+ *  2. `monotonically_increasing_id()` on that layout encodes
+ *     (partitionId << 33) | localRowIndex (Spark's documented bit layout),
+ *     so partition id and the 1-based local rank fall out of one narrow
+ *     projection — no window, no second shuffle over the data.
+ *  3. Per-partition row counts form a control-plane frame (ONE ROW PER
+ *     PARTITION — 32 here, a few thousand on a real cluster). The prefix-sum
+ *     window over that frame is the only unpartitioned window in the plan and
+ *     it runs over partition-count rows, never data rows. Offsets broadcast
+ *     back; global rank = local rank + partition offset.
+ *
+ * Ordering columns must form a UNIQUE total order (callers append a tiebreak
+ * key): with no ties, row_number == rank == dense_rank, and percent_rank /
+ * cume_dist / ntile are pure arithmetic over (rank, n) — computed below
+ * without any further shuffle.
+ *
+ * The tagged frame is pinned with `localCheckpoint` before fan-out because
+ * the counts job and the output job would otherwise each re-execute the
+ * range exchange, and `RangePartitioner` re-samples boundaries per planned
+ * RDD — borderline rows could land in different partitions across the two
+ * jobs, corrupting offsets. Same executor-local durability trade as the
+ * dedup pipeline's shingle frame; see SCALE.md for the reliable-checkpoint
+ * variant at cluster scale.
+ */
+object GlobalRank {
+
+  private val LocalIdxMask = (1L << 33) - 1
+
+  /**
+   * Adds `rankCol` (1-based global row number over `order`) and `nCol`
+   * (total row count) to `df`. `order` must be a unique total order.
+   */
+  def withGlobalRank(
+      df: DataFrame,
+      order: Seq[Column],
+      rankCol: String,
+      nCol: String,
+      partitions: Int = 32): DataFrame = {
+    val tagged = df
+      .repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_gr_mid", monotonically_increasing_id())
+      .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33))
+      .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit(LocalIdxMask)) + lit(1L))
+      .drop("_gr_mid")
+      // Pin the range partitioning: two downstream jobs must agree on it.
+      .localCheckpoint()
+
+    // Control-plane frame: one row per partition. max(local rank) == count
+    // because local ranks are consecutive from 1 within a partition.
+    val counts = tagged.groupBy(col("_gr_pid"))
+      .agg(max(col("_gr_lrn")).as("_gr_cnt"))
+    // The only unpartitioned window in the plan — over ≤`partitions` rows.
+    val wPrefix = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(wPrefix), lit(0L)))
+      .withColumn("_gr_n", sum(col("_gr_cnt")).over(wAll))
+      .select(col("_gr_pid"), col("_gr_off"), col("_gr_n"))
+
+    tagged
+      .join(broadcast(offsets), "_gr_pid")
+      .withColumn(rankCol, col("_gr_lrn") + col("_gr_off"))
+      .withColumn(nCol, col("_gr_n"))
+      .drop("_gr_pid", "_gr_lrn", "_gr_off", "_gr_n")
+  }
+
+  /**
+   * Exact long floor-division. Subtracting the modulo first makes the
+   * numerator an exact multiple, so the double division (Spark's `/` on
+   * longs) has an integer true quotient and IEEE rounds it exactly — naive
+   * `floor(a/b)` can round UP across an integer boundary for near-multiple
+   * numerators once values are large.
+   */
+  private def ldiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /**
+   * SQL NTILE(k) from a unique-order global rank: with n = qk + r, the first
+   * r buckets take q+1 rows, the rest q. Pure integer arithmetic — exact.
+   * (`floor(rank*k/n)`-style assignment is NOT ntile when k ∤ n: it can
+   * interleave big and small buckets.)
+   */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val q = ldiv(n, lit(k.toLong))
+    val r = n % lit(k.toLong)
+    val cut = r * (q + lit(1L))
+    when(rank <= cut, ldiv(rank + q, q + lit(1L)))
+      .otherwise(r + ldiv(rank - cut + q - lit(1L), q))
+  }
+
+  /** percent_rank over a unique total order: (rank-1)/(n-1); 0 when n=1. */
+  def percentRankFromRank(rank: Column, n: Column): Column =
+    when(n === lit(1L), lit(0.0))
+      .otherwise((rank - lit(1L)).cast("double") / (n - lit(1L)).cast("double"))
+
+  /** cume_dist over a unique total order: rank/n. */
+  def cumeDistFromRank(rank: Column, n: Column): Column =
+    rank.cast("double") / n.cast("double")
+}

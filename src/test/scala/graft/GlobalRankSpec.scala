@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GlobalRank
+
+/**
+ * GlobalRank must equal the single-partition window formulation bit-for-bit
+ * (it replaces it in q45/q56), and the queries that ride it must carry no
+ * unpartitioned window over DATA rows — only the documented control-plane
+ * prefix-sum over the one-row-per-partition counts frame.
+ */
+class GlobalRankSpec extends AnyFunSuite with SparkSuite {
+
+  private def fixture(n: Int) = {
+    import spark.implicits._
+    // Values with duplicates; (v, id) is the unique total order.
+    (1 to n).map(i => ((i * 7919) % 23, i.toLong)).toDF("v", "id")
+  }
+
+  private def ranked(n: Int) = {
+    import spark.implicits._
+    GlobalRank.withGlobalRank(fixture(n), Seq($"v", $"id"), "rk", "n_total", partitions = 4)
+  }
+
+  test("global rank equals row_number over the unpartitioned window") {
+    import spark.implicits._
+    val w = Window.orderBy($"v", $"id")
+    val expected = fixture(97)
+      .withColumn("rk_w", row_number().over(w).cast("long"))
+      .select($"id", $"rk_w")
+    val got = ranked(97).select($"id", $"rk")
+    val diff = got.join(expected, "id").filter($"rk" =!= $"rk_w").count()
+    assert(diff === 0)
+  }
+
+  test("ntileFromRank matches SQL NTILE for every n in 1..40 (k=10)") {
+    import spark.implicits._
+    for (n <- Seq(1, 3, 9, 10, 11, 19, 20, 21, 26, 37, 40)) {
+      val w = Window.orderBy($"v", $"id")
+      val expected = fixture(n)
+        .withColumn("nt", ntile(10).over(w).cast("long"))
+        .select($"id", $"nt")
+      val got = ranked(n)
+        .withColumn("nt2", GlobalRank.ntileFromRank($"rk", $"n_total", 10))
+        .select($"id", $"nt2")
+      val diff = got.join(expected, "id").filter($"nt2" =!= $"nt").count()
+      assert(diff === 0, s"ntile mismatch at n=$n")
+    }
+  }
+
+  test("percent_rank and cume_dist ratios are bit-identical to the window functions") {
+    import spark.implicits._
+    val w = Window.orderBy($"v", $"id")
+    val expected = fixture(53)
+      .withColumn("pr_w", percent_rank().over(w))
+      .withColumn("cd_w", cume_dist().over(w))
+      .select($"id", $"pr_w", $"cd_w")
+    val got = ranked(53)
+      .withColumn("pr", GlobalRank.percentRankFromRank($"rk", $"n_total"))
+      .withColumn("cd", GlobalRank.cumeDistFromRank($"rk", $"n_total"))
+      .select($"id", $"pr", $"cd")
+    val diff = got.join(expected, "id")
+      .filter($"pr" =!= $"pr_w" || $"cd" =!= $"cd_w").count()
+    assert(diff === 0)
+  }
+
+  test("percent_rank of a single row is 0, not NaN") {
+    import spark.implicits._
+    val r = ranked(1)
+      .select(GlobalRank.percentRankFromRank($"rk", $"n_total").as("pr"))
+      .collect().head.getDouble(0)
+    assert(r === 0.0)
+  }
+
+  // ---- plan guards -------------------------------------------------------
+
+  /** Unpartitioned WindowExec nodes whose input is NOT reduced to the
+    * control-plane counts frame (an aggregate keyed by _gr_pid). */
+  private def dataSizedGlobalWindows(plan: SparkPlan): Seq[WindowExec] = {
+    def hasPidAgg(p: SparkPlan): Boolean = p.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.exists(_.name == "_gr_pid") => a
+      case a: ObjectHashAggregateExec if a.groupingExpressions.exists(_.name == "_gr_pid") => a
+      case a: SortAggregateExec if a.groupingExpressions.exists(_.name == "_gr_pid") => a
+    }.isDefined
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty && !hasPidAgg(w.child) => w
+    }
+  }
+
+  test("q45/q56: no single-partition window over data rows") {
+    for (q <- Seq("q45_acctbal_deciles", "q56_acctbal_dist")) {
+      val p = SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan
+      val bad = dataSizedGlobalWindows(p)
+      assert(bad.isEmpty, s"$q has a data-sized global window:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("no registered query has an unpartitioned window over data rows") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan
+      if (dataSizedGlobalWindows(p).nonEmpty) Some(q) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned data windows in: $offenders")
+  }
+}
