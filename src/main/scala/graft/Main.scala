@@ -1,6 +1,6 @@
 package graft
 
-import graft.ingest.{GraftConfig, Pipeline}
+import graft.ingest.{DbConfig, GraftConfig, Pipeline}
 import graft.model.Schemas
 import org.apache.spark.sql.SparkSession
 
@@ -20,6 +20,18 @@ import org.apache.spark.sql.SparkSession
  * connected deployment; offline, staged files are the input contract.
  */
 object Main {
+
+  /**
+   * Builds the DB sink for a DB-configured run (reference step 2: rows
+   * into PostgreSQL, ua2sql.py:88–91, 209–246). The default is the real
+   * JDBC sink with the reference's 1000-row insert batching
+   * (ua2sql.py:238–246); a `var` so offline tests (no PostgreSQL driver
+   * jar ships in this environment) can substitute a recording sink and
+   * still drive the full CLI path.
+   */
+  private[graft] var jdbcSinkFactory: DbConfig => graft.sink.BatchSink = db =>
+    new graft.sink.JdbcSink(db.jdbcUrl,
+      Map("user" -> db.user, "password" -> db.password), batchSize = 1000)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <config.json> [--job-id <id>]")
@@ -66,11 +78,14 @@ object Main {
       }
       require(runs.nonEmpty, s"no feed staging dirs found under ${cfg.stagingPath}")
 
-      val counts = Pipeline.runAll(spark, runs, cfg.warehouseRoot, cfg.ledgerPath)
+      val dbSink = cfg.db.map(jdbcSinkFactory)
+      val counts = Pipeline.runAll(spark, runs, cfg.warehouseRoot, cfg.ledgerPath,
+        dbSink = dbSink, backupRoot = cfg.backupPath)
       counts.toSeq.sortBy(_._1).foreach { case (feed, n) =>
         println(s"[graft] $feed: loaded $n rows")
       }
-      println(s"[graft] warehouse=${cfg.warehouseRoot} ledger=${cfg.ledgerPath} jobId=$jobId")
+      val dbNote = cfg.db.map(d => s" db=${d.jdbcUrl}").getOrElse("")
+      println(s"[graft] warehouse=${cfg.warehouseRoot} ledger=${cfg.ledgerPath} jobId=$jobId$dbNote")
     } finally {
       prevTz match {
         case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)

@@ -35,11 +35,18 @@ object Pipeline {
     else Ledger.latestJobId(Ledger.read(spark, ledgerPath), feed.name)
 
   /** One feed: staged NDJSON → normalize → dedup → partitioned warehouse →
-    * ledger append → staging cleanup (exactly the E1 dataflow,
-    * ua2sql.py:250–278, minus the HTTP legs). */
+    * optional DB load (create-first) → optional raw-dump backup → ledger
+    * append → staging cleanup (exactly the E1 dataflow, ua2sql.py:250–278,
+    * minus the HTTP legs).
+    *
+    * The DB load reads back the just-written parquet rather than re-running
+    * scan+normalize+dedup, and projects exactly the feed's declared columns
+    * (the warehouse adds partition columns the PG schema doesn't have). */
   def runFeed(spark: SparkSession, run: FeedRun, warehouseRoot: String,
               ledgerPath: String, paritySeconds: Boolean = false,
-              cleanStaging: Boolean = false): Long = {
+              cleanStaging: Boolean = false,
+              dbSink: Option[graft.sink.BatchSink] = None,
+              backupRoot: Option[String] = None): Long = {
     val df = FeedIngest.ingest(spark, run.feed, run.stagingDir, paritySeconds)
     // Count AFTER the write, from the written parquet: counting the
     // DataFrame first would execute the whole scan+normalize+dedup
@@ -47,6 +54,12 @@ object Pipeline {
     // parquet count is footer metadata only.
     val dir = FeedIngest.writePartitioned(df, run.feed, warehouseRoot, run.jobId)
     val n = spark.read.parquet(dir).count()
+    dbSink.foreach { s => // rows into PostgreSQL, ua2sql.py:209–246
+      s.ensureTable(run.feed)
+      val cols = run.feed.table.fieldNames.toSeq
+      s.write(spark.read.parquet(dir).select(cols.head, cols.tail: _*), run.feed.name)
+    }
+    backupRoot.foreach(Backup.copyRawDump(run.feed.name, run.stagingDir, _))
     Ledger.append(spark, ledgerPath, run.jobId, run.feed.name)
     if (cleanStaging) FeedIngest.clearStaging(run.stagingDir) // ua2sql.py:275
     n
@@ -56,11 +69,15 @@ object Pipeline {
     * (independent Spark jobs share the cluster; the reference serialized
     * them only because of its single staging dir + DB connection). */
   def runAll(spark: SparkSession, runs: Seq[FeedRun], warehouseRoot: String,
-             ledgerPath: String): Map[String, Long] = {
+             ledgerPath: String,
+             dbSink: Option[graft.sink.BatchSink] = None,
+             backupRoot: Option[String] = None): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = runs.map(r => Future(r.feed.name -> runFeed(spark, r, warehouseRoot, ledgerPath)))
+    val fs = runs.map(r => Future(
+      r.feed.name -> runFeed(spark, r, warehouseRoot, ledgerPath,
+        dbSink = dbSink, backupRoot = backupRoot)))
     Await.result(Future.sequence(fs), Duration.Inf).toMap
   }
 

@@ -10,6 +10,10 @@ import org.apache.spark.sql.types._
   * (no PostgreSQL driver jar ships offline — SURVEY.md §7.4). */
 trait BatchSink {
   def write(df: DataFrame, table: String): Unit
+  /** Create-first DDL hook (the reference's metadata.create_all,
+    * ua2sql.py:91): called before the first write of a feed. No-op for
+    * schemaless sinks (parquet infers; PostgreSQL needs real DDL). */
+  def ensureTable(feed: FeedSpec): Unit = ()
 }
 
 /** Parquet warehouse sink (directory per table). */
@@ -29,7 +33,22 @@ final class ParquetSink(root: String) extends BatchSink {
  * reference's create_all at ua2sql.py:91).
  */
 final class JdbcSink(url: String, options: Map[String, String],
-                     batchSize: Int = 1000) extends BatchSink {
+                     val batchSize: Int = 1000,
+                     ddlRunner: Option[String => Unit] = None) extends BatchSink {
+
+  /** DDL goes through a plain driver-manager statement (Spark's jdbc
+    * writer can only CREATE from a Spark schema, which cannot express
+    * INET/JSONB). Injectable so offline tests can record the SQL. */
+  private val runDdl: String => Unit =
+    ddlRunner.getOrElse(JdbcSink.driverManagerDdl(url, options))
+
+  /** Idempotent create-first: the feed table and the job ledger
+    * (IF NOT EXISTS ≙ the reference's create_all, ua2sql.py:91). */
+  override def ensureTable(feed: FeedSpec): Unit = {
+    runDdl(PgDdl.jobLedgerSql)
+    runDdl(PgDdl.createTableSql(feed))
+  }
+
   override def write(df: DataFrame, table: String): Unit = {
     val w = df.write.format("jdbc")
       .option("url", url)
@@ -38,6 +57,19 @@ final class JdbcSink(url: String, options: Map[String, String],
     options.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
       .mode(SaveMode.Append)
       .save()
+  }
+}
+
+object JdbcSink {
+  /** One autocommitted statement per DDL string over a fresh connection. */
+  def driverManagerDdl(url: String, options: Map[String, String]): String => Unit = sql => {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
   }
 }
 

@@ -46,6 +46,60 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(s"$root/wh").count() === 7)
   }
 
+  test("a verbatim reference config drives the full CLI path: DB load + backup") {
+    spark
+    val root = tmp("graft-main-ref")
+    val staging = s"$root/dumps"
+    for (feed <- Seq("appStart", "custom")) {
+      val dir = java.nio.file.Paths.get(s"$staging/$feed")
+      java.nio.file.Files.createDirectories(dir)
+      val src = java.nio.file.Paths.get(s"src/test/resources/feeds/$feed/job1")
+      java.nio.file.Files.list(src).forEach { f =>
+        java.nio.file.Files.copy(f, dir.resolve(f.getFileName.toString))
+      }
+    }
+    val cfg = s"$root/config.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      s"""{
+         |  "postgres_server": "localhost",
+         |  "database": "ua",
+         |  "user": "u",
+         |  "password": "p",
+         |  "local_collection_path": "$staging",
+         |  "backup_collection_path": "$root/backup",
+         |  "unity_project_id": "proj",
+         |  "unity_export_api_key": "key"
+         |}""".stripMargin)
+
+    // No PostgreSQL driver ships offline: substitute a recording sink for
+    // the default JDBC one, but keep every other wire the same.
+    val recorded = new RecordingSink
+    val prevFactory = Main.jdbcSinkFactory
+    Main.jdbcSinkFactory = _ => recorded
+    try Main.main(Array(cfg, "--job-id", "ref-1"))
+    finally Main.jdbcSinkFactory = prevFactory
+
+    // DB load happened, create-first, one write per staged feed
+    assert(recorded.ddl.exists(_.contains("CREATE TABLE IF NOT EXISTS \"appStart\"")))
+    assert(recorded.ddl.exists(_.contains("INET")) && recorded.ddl.exists(_.contains("JSONB")))
+    assert(recorded.writes.map(w => w._1 -> w._3).toMap === Map("appStart" -> 3L, "custom" -> 2L))
+    // raw dumps backed up under <backup>/<jobType>/<date>/
+    for (feed <- Seq("appStart", "custom")) {
+      val bak = java.nio.file.Paths.get(s"$root/backup/$feed")
+      assert(java.nio.file.Files.isDirectory(bak), s"no backup dir for $feed")
+      val day = java.nio.file.Files.list(bak).findFirst().get()
+      assert(java.nio.file.Files.list(day).count() > 0)
+    }
+    // parquet warehouse twin landed at the derived default location
+    assert(spark.read.parquet(s"$staging/graft-warehouse").count() === 5)
+  }
+
+  test("the default DB sink is JDBC with the reference's 1000-row batching") {
+    val s = Main.jdbcSinkFactory(graft.ingest.DbConfig("h", "d", "u", "p"))
+    val jdbc = s.asInstanceOf[graft.sink.JdbcSink]
+    assert(jdbc.batchSize === 1000) // ua2sql.py:238-246
+  }
+
   test("main without staged feeds fails with a clear message") {
     val root = tmp("graft-main-empty")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/staging"))

@@ -107,9 +107,84 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(cfg.projectId === "p1")
     assert(cfg.warehouseRoot === System.getProperty("user.home") + "/wh")
     assert(cfg.backupPath === None)
+    assert(cfg.db === None)
     val err = intercept[IllegalArgumentException] {
       GraftConfig.fromJson("""{"projectId": "p1"}""")
     }
     assert(err.getMessage.contains("apiKey"))
   }
+
+  test("config parse: the reference README's exact keys load verbatim (README.md:15-26)") {
+    // This is the reference README's config example, keys and all.
+    val cfg = GraftConfig.fromJson(
+      """{
+        |  "postgres_server": "db.example.com",
+        |  "database": "analytics",
+        |  "user": "loader",
+        |  "password": "s3cret",
+        |  "local_collection_path": "~/ua-dumps",
+        |  "backup_collection_path": "/mnt/backup",
+        |  "unity_project_id": "proj-123",
+        |  "unity_export_api_key": "key-456"
+        |}""".stripMargin)
+    assert(cfg.projectId === "proj-123")
+    assert(cfg.apiKey === "key-456")
+    val home = System.getProperty("user.home")
+    assert(cfg.stagingPath === s"$home/ua-dumps")
+    assert(cfg.backupPath === Some("/mnt/backup"))
+    // warehouse/ledger (no reference equivalent) root NEXT TO the per-feed
+    // staging dirs, where staging cleanup can't reach them
+    assert(cfg.warehouseRoot === s"$home/ua-dumps/graft-warehouse")
+    assert(cfg.ledgerPath === s"$home/ua-dumps/graft-ledger")
+    val db = cfg.db.get
+    assert(db.jdbcUrl === "jdbc:postgresql://db.example.com/analytics")
+    assert(db.user === "loader" && db.password === "s3cret")
+  }
+
+  test("backup copies raw dumps to <root>/<jobType>/<date>/ pre-cleanup (ua2sql.py:188-204)") {
+    val staging = tmp("graft-bak-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/feeds/appStart/job1/part-0.json"),
+      java.nio.file.Paths.get(s"$staging/part-0.json"))
+    val bakRoot = tmp("graft-bak-dst")
+    val day = java.time.LocalDate.of(2026, 8, 12)
+    val n = graft.ingest.Backup.copyRawDump("appStart", staging, bakRoot, day)
+    assert(n === 1)
+    val dest = java.nio.file.Paths.get(s"$bakRoot/appStart/2026-08-12/part-0.json")
+    assert(java.nio.file.Files.exists(dest))
+    // byte-identical raw retention, not a normalized rewrite
+    assert(java.nio.file.Files.mismatch(
+      java.nio.file.Paths.get(s"$staging/part-0.json"), dest) === -1L)
+    // empty staging dir: no folder is created (ua2sql.py:193-194)
+    val empty = tmp("graft-bak-empty")
+    assert(graft.ingest.Backup.copyRawDump("custom", empty, bakRoot, day) === 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$bakRoot/custom")))
+  }
+
+  test("runFeed drives the DB sink create-first with the declared columns only") {
+    val recorded = new RecordingSink
+    val wh = tmp("graft-db-wh")
+    val n = Pipeline.runFeed(spark,
+      Pipeline.FeedRun(Schemas.feed("appStart"), "src/test/resources/feeds/appStart/job1", "dbj1"),
+      wh, tmp("graft-db-led") + "/ledger", dbSink = Some(recorded))
+    assert(n === 3)
+    assert(recorded.ddl.exists(_.contains("CREATE TABLE IF NOT EXISTS \"appStart\"")))
+    assert(recorded.ddl.exists(_.contains("\"JobId\"")))
+    val (table, cols, rows) = recorded.writes.head
+    assert(table === "appStart")
+    assert(rows === 3)
+    // PG schema columns only — no warehouse partition columns leak into DB
+    assert(!cols.contains("ingest_date") && !cols.contains("jobId"))
+    assert(cols.toSet === Schemas.feed("appStart").table.fieldNames.toSet)
+  }
+}
+
+/** Offline stand-in for the JDBC sink: records DDL and write calls. */
+class RecordingSink extends graft.sink.BatchSink {
+  val ddl = scala.collection.mutable.ListBuffer.empty[String]
+  val writes = scala.collection.mutable.ListBuffer.empty[(String, Seq[String], Long)]
+  override def ensureTable(feed: graft.model.FeedSpec): Unit =
+    ddl ++= Seq(graft.sink.PgDdl.jobLedgerSql, graft.sink.PgDdl.createTableSql(feed))
+  override def write(df: org.apache.spark.sql.DataFrame, table: String): Unit =
+    writes += ((table, df.columns.toSeq, df.count()))
 }
