@@ -59,7 +59,8 @@ object DedupQueries {
       // scan + shingle flatMap + distinct executes once PER BRANCH
       // (4× in q31's physical plan). Checkpointed size is the distinct
       // (doc_id, shingle) set, the same thing the shuffles already carry.
-      .localCheckpoint()
+      // (Pin upgrades to a reliable checkpoint when a dir is configured.)
+      .transform(Pin(_))
   }
 
   /** Distinct shingle sets per doc (for exact Jaccard verification). */
@@ -193,10 +194,10 @@ object DedupQueries {
       import s.implicits._
       val pairs = queries("q31_neardup_jaccard")(s, dir).select($"doc_a", $"doc_b")
       val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
-        .localCheckpoint() // tiny edge set; cut lineage for the iteration
+        .transform(Pin(_)) // tiny edge set; cut lineage for the iteration
       var labels = edges.select($"src".as("doc_id")).distinct()
         .select($"doc_id", $"doc_id".as("cluster_id"))
-        .localCheckpoint()
+        .transform(Pin(_))
       var changed = 1L
       var rounds = 0
       val maxRounds = 40 // log2-convergent: enough for any feasible graph
@@ -216,7 +217,7 @@ object DedupQueries {
             least($"cluster_id",
               coalesce($"nbr_min", $"cluster_id"),
               coalesce($"j_cluster", $"cluster_id")).as("cluster_id"))
-          .localCheckpoint()
+          .transform(Pin(_))
         changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
           .filter($"cluster_id" =!= $"old").count()
         labels = next
@@ -239,19 +240,7 @@ object DedupQueries {
     // 64-bit token hash family is engine-specific, so no SQL oracle).
     "q33_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      // Explode tokens once, hash once, then 64 codegen'd signed-bit SUM
-      // aggregates (map-side combine); the signature assembles from the 64
-      // aggregate columns — all inside whole-stage codegen.
-      val ex = t(s, dir, "documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
-        .withColumn("h", xxhash64($"tok"))
-      val bitCols = (0 until 64).map(b =>
-        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b"))
-      val docs = ex.groupBy($"doc_id")
-        .agg(bitCols.head, bitCols.tail: _*)
-        .select($"doc_id",
-          (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+      val docs = simhashDocs(s, dir)
       val chunks = docs.select($"doc_id", $"simhash",
           explode(expr(
             "transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(simhash, c * 16) & 65535) AS ckey))")).as("x"))
@@ -268,6 +257,25 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     }
   )
+
+  /** 64-bit SimHash per document. Explode tokens once, hash once, then 64
+    * codegen'd signed-bit SUM aggregates (map-side combine); the signature
+    * assembles from the 64 aggregate columns — all inside whole-stage
+    * codegen. Exposed so DedupSpec can exhaustively verify the pigeonhole
+    * candidate generation against all-pairs Hamming distances. */
+  private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b"))
+    ex.groupBy($"doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select($"doc_id",
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   private val jaccardOracle =
     """WITH d AS (

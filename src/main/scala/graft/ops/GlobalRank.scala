@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
  * cume_dist / ntile are pure arithmetic over (rank, n) — computed below
  * without any further shuffle.
  *
- * The tagged frame is pinned with `localCheckpoint` before fan-out because
+ * The tagged frame is pinned (via [[Pin]]) before fan-out because
  * the counts job and the output job would otherwise each re-execute the
  * range exchange, and `RangePartitioner` re-samples boundaries per planned
  * RDD — borderline rows could land in different partitions across the two
@@ -60,8 +60,9 @@ object GlobalRank {
       .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33))
       .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit(LocalIdxMask)) + lit(1L))
       .drop("_gr_mid")
-      // Pin the range partitioning: two downstream jobs must agree on it.
-      .localCheckpoint()
+      // Pin the range partitioning: two downstream jobs must agree on it
+      // (reliable checkpoint when a dir is configured — see Pin).
+      .transform(Pin(_))
 
     // Control-plane frame: one row per partition. max(local rank) == count
     // because local ranks are consecutive from 1 within a partition.

@@ -34,8 +34,14 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // All pairs with cosine ≥ threshold — exact; one broadcast, no shuffle
-    // of the streaming side.
+    // FIXTURE-ONLY EXACTNESS BASELINE — deliberately O(n²). Exact
+    // threshold-join over dense embeddings has no subquadratic form (and
+    // this fixture's similarity regime defeats LSH recall — COVERAGE.md
+    // "Known gaps"), so this query exists to pin the answers the scale
+    // paths are measured against: MinHash banding (q32) for near-dup sets,
+    // IVF probe + exact re-rank (q54) for neighbor search. Never run the
+    // broadcast-all-pairs shape on a real corpus; it is the exactness
+    // oracle, not the operator.
     "q34_cosine_neardup" -> { (s, dir) =>
       import s.implicits._
       VectorFunctions.register(s)

@@ -31,6 +31,26 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("simhash pigeonhole candidates cover ALL true Hamming<=3 pairs (exhaustive)") {
+    // Exhaustive ground truth: every pair of signatures, straight Hamming.
+    // If the chunked candidate join dropped even one true pair, q33 would
+    // silently under-report — this pins recall = 1 for the pigeonhole
+    // construction (4 chunks of 16 bits; 3 flipped bits can touch at most
+    // 3 chunks, so one chunk always matches exactly).
+    val sigs = DedupQueries.simhashDocs(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(sigs.length > 50, "fixture unexpectedly small")
+    val truth = (for {
+      (ida, sa) <- sigs
+      (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb, h.toLong)).toSet
+    val q33 = DedupQueries.queries("q33_simhash_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(q33 === truth)
+    assert(truth.nonEmpty, "fixture should contain simhash near-duplicates")
+  }
+
   test("near-dup jaccard values are within (0, 1] and pairs are distinct") {
     val rows = DedupQueries.queries("q31_neardup_jaccard")(spark, sf0001).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
