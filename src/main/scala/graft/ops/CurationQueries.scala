@@ -68,6 +68,76 @@ object CurationQueries {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
+    },
+
+    // Dedup retention policy — the step after clustering: keep exactly one
+    // document per near-dup cluster, chosen by a quality criterion (longest
+    // text, doc_id tiebreak). Composes the connected-components labels
+    // (q47) with per-cluster argmax through the custom GroupTopK operator
+    // (k = 1: only one row per cluster per partition crosses the shuffle,
+    // vs a full window sort). Member counts ride a second hash agg on the
+    // same clustered frame.
+    "q63_cluster_keep_best" -> { (s, dir) =>
+      import s.implicits._
+      val clusters = DedupQueries.queries("q47_dedup_clusters")(s, dir)
+      val docs = t(s, dir, "documents").select($"doc_id", $"n_chars")
+      val members = clusters.join(docs, "doc_id")
+        .select($"cluster_id", $"doc_id", $"n_chars")
+      val best = graft.plans.GroupTopK(members,
+          Seq($"cluster_id"), Seq($"n_chars".desc, $"doc_id".asc), 1)
+        .select($"cluster_id", $"doc_id".as("keep_id"), $"n_chars".as("keep_chars"))
+      val counts = members.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+      best.join(counts, "cluster_id")
+        .select($"cluster_id", $"keep_id", $"keep_chars", $"n_members")
+        .orderBy($"cluster_id")
+    },
+
+    // Incremental ingest dedup: a newly delivered batch (doc_id ≥ 200 —
+    // deliberately OVERLAPPING the corpus, the re-delivered-export case the
+    // reference's continueFrom exists to handle) is admitted only where its
+    // content hash is absent from the existing corpus (doc_id < 250); the
+    // 50 overlapping docs hash-match themselves and are rejected. The
+    // anti-join moves only (hash, id) pairs, never text: at 100 TB the
+    // corpus side is a pre-computed fingerprint table, so each increment
+    // shuffles its own hashes plus a hash-only scan of the index. NULL text
+    // hashes to NULL and an anti-join NULL key never matches — NULL-text
+    // docs are always admitted, matching the NOT EXISTS oracle.
+    "q64_incremental_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter($"doc_id" < 250)
+        .select(md5($"text").as("text_md5")).distinct()
+      docs.filter($"doc_id" >= 200)
+        .withColumn("text_md5", md5($"text"))
+        .join(corpus, Seq("text_md5"), "left_anti")
+        .select($"doc_id", $"text_md5")
+        .orderBy($"doc_id")
+    },
+
+    // Source-mixture balancing: per-source token budgets and the sampling
+    // rate that equalizes every source to a uniform share of the corpus —
+    // the knob a pretraining mixture is tuned with. One hash agg + a
+    // broadcast of the single-row total; all ratios are single IEEE
+    // divisions of exact longs, so the doubles are bit-identical across
+    // engines with no rounding needed.
+    "q65_source_mixture" -> { (s, dir) =>
+      import s.implicits._
+      val per = t(s, dir, "documents")
+        .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"ws_tokens", lit(0L))).as("n_tokens"))
+      val tot = per.agg(sum($"n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("token_share",
+          $"n_tokens".cast("double") / $"total_tokens".cast("double"))
+        .withColumn("sample_rate",
+          least(lit(1.0),
+            $"total_tokens".cast("double") / $"n_sources".cast("double")
+              / $"n_tokens".cast("double")))
+        .select($"source", $"n_docs", $"n_tokens", $"token_share", $"sample_rate")
+        .orderBy($"source")
     }
   )
 
@@ -99,6 +169,39 @@ object CurationQueries {
          |SELECT doc_id, COUNT(*) AS n_shared
          |FROM sh JOIN bench USING (shingle)
          |WHERE doc_id >= 20
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q63_cluster_keep_best" ->
+      s"""WITH RECURSIVE ${DedupQueries.clustersCteBody},
+         |j AS (
+         |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM clusters c JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars, n_members
+         |FROM j WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q64_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS m FROM documents WHERE doc_id < 250)
+        |SELECT doc_id, md5(text) AS text_md5
+        |FROM documents d
+        |WHERE doc_id >= 200
+        |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.m = md5(d.text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q65_source_mixture" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(COALESCE(CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT), 0)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |               COUNT(*) AS n_sources FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+        |  LEAST(1.0, CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
+        |               / CAST(n_tokens AS DOUBLE)) AS sample_rate
+        |FROM per, tot ORDER BY source""".stripMargin
   )
 }

@@ -294,23 +294,30 @@ object DedupQueries {
   // Transitive closure over the same thresholded pair graph; cluster id =
   // min reachable doc (plus self). Closure is fine for DuckDB at oracle
   // scale; the Spark side uses iterative propagation instead (see q47).
-  private lazy val clustersOracle: String = {
+  /** Recursive-closure cluster labeling as a reusable CTE body (ends in a
+    * `clusters(doc_id, cluster_id)` relation) — shared by the q47 oracle
+    * and the downstream curation oracles that select per cluster. */
+  private[graft] lazy val clustersCteBody: String = {
     val pairsCte = jaccardOracle
       .replace("SELECT doc_a, doc_b, n_common, jaccard FROM p",
         "SELECT doc_a, doc_b FROM p")
       .replaceAll("ORDER BY doc_a, doc_b$", "")
-    s"""WITH RECURSIVE pr AS ($pairsCte),
+    s"""pr AS ($pairsCte),
        |edge AS (SELECT doc_a AS a, doc_b AS b FROM pr
        |         UNION ALL SELECT doc_b, doc_a FROM pr),
        |reach(src, dst) AS (
        |  SELECT a, b FROM edge
        |  UNION
        |  SELECT r.src, e.b FROM reach r JOIN edge e ON r.dst = e.a),
-       |m AS (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src)
-       |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS cluster_id
-       |FROM documents d LEFT JOIN m ON m.src = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |m AS (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src),
+       |clusters AS (
+       |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN m ON m.src = d.doc_id)""".stripMargin
   }
+
+  private lazy val clustersOracle: String =
+    s"""WITH RECURSIVE $clustersCteBody
+       |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q47_dedup_clusters" -> clustersOracle,
