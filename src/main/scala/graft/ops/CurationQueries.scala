@@ -138,6 +138,66 @@ object CurationQueries {
               / $"n_tokens".cast("double")))
         .select($"source", $"n_docs", $"n_tokens", $"token_share", $"sample_rate")
         .orderBy($"source")
+    },
+
+    // Apply a mixture: deterministically sample each source at the rate
+    // that caps it at 4% of the corpus (tighter than uniform, so every
+    // source is genuinely downsampled). The per-row keep decision is a
+    // multiplicative hash of doc_id against floor(rate·1000) — stateless,
+    // shuffle-free at the row level (rates broadcast), reproducible across
+    // engines/runs/cluster sizes, and adding data never flips an existing
+    // row. floor on bit-identical doubles is tie-free, unlike round.
+    "q66_mixture_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
+      val per = docs.groupBy($"source")
+        .agg(sum(coalesce($"ws_tokens", lit(0L))).as("n_tokens"))
+      val tot = per.agg(sum($"n_tokens").as("total_tokens"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("keep_per_mille",
+          floor(least(lit(1.0),
+            lit(0.04) * $"total_tokens".cast("double") / $"n_tokens".cast("double"))
+            * 1000.0).cast("long"))
+        .select($"source", $"keep_per_mille")
+      docs.join(broadcast(rates), "source")
+        .withColumn("kept",
+          when(($"doc_id" * 2654435761L) % 1000L < $"keep_per_mille", 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
+          max($"keep_per_mille").as("keep_per_mille"))
+        .orderBy($"source")
+    },
+
+    // Document-length histogram: fixed-width buckets (64 chars, capped at
+    // bucket 9) — the profiling pass before choosing packing/truncation
+    // lengths. Pure integer arithmetic at the scan, one hash agg.
+    "q67_length_histogram" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          least(lit(9L), floor($"n_chars" / lit(64)).cast("long")))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .orderBy($"bucket")
+    },
+
+    // Quality-threshold filtering: drop the bottom quartile by quality
+    // score. The exact 25th percentile of the corpus-wide score (same
+    // linear-interpolation semantics in both engines, proven by q26)
+    // broadcasts as a one-row frame; the per-source survival counts show
+    // which sources the filter actually bites. Scores reuse q38's formula,
+    // whose doubles are bit-identical across engines.
+    "q68_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      val scored = TextQueries.qualityScored(s, dir)
+      val thr = scored.agg(expr("percentile(quality, 0.25D)").as("q25"))
+      scored.crossJoin(broadcast(thr))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"quality" >= $"q25", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"source")
     }
   )
 
@@ -190,6 +250,38 @@ object CurationQueries {
         |WHERE doc_id >= 200
         |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.m = md5(d.text))
         |ORDER BY doc_id""".stripMargin,
+
+    "q66_mixture_sample" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |         COALESCE(CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT), 0) AS ws_tokens
+        |  FROM documents),
+        |per AS (SELECT source, CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens
+        |        FROM docs GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+        |rates AS (
+        |  SELECT source,
+        |         CAST(FLOOR(LEAST(1.0, 0.04 * CAST(total_tokens AS DOUBLE)
+        |                                 / CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS keep_per_mille
+        |  FROM per, tot)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000 < r.keep_per_mille
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  MAX(r.keep_per_mille) AS keep_per_mille
+        |FROM docs d JOIN rates r USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q67_length_histogram" ->
+      """SELECT LEAST(9, CAST(FLOOR(n_chars / 64) AS BIGINT)) AS bucket,
+        |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q68_quality_filter" ->
+      s"""WITH ${TextQueries.qualityCteBody},
+         |thr AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM scored)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN quality >= q25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM scored, thr GROUP BY source ORDER BY source""".stripMargin,
 
     "q65_source_mixture" ->
       """WITH per AS (

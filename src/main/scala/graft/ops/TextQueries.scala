@@ -28,6 +28,43 @@ object TextQueries {
   private def sqlHits(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
 
+  /** Per-document quality scores (q38's formula) with `source` retained —
+    * shared by the q68 threshold filter. The score doubles are a fixed
+    * sequence of IEEE ops over exact integers, so they hash-match DuckDB's
+    * identically-expressed formula bit for bit. */
+  private[graft] def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("avg_token_len",
+        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+      .withColumn("stop_ratio", hits($"text", En).cast("double") / $"n_tokens")
+      .withColumn("quality",
+        least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - $"stop_ratio") * 0.3
+          + least($"avg_token_len" / 8.0, lit(1.0)) * 0.2)
+  }
+
+  /** SQL twin of [[qualityScored]] as a CTE body ending in
+    * `scored(doc_id, source, n_tokens, avg_token_len, stop_ratio, quality)`. */
+  private[graft] lazy val qualityCteBody: String =
+    s"""qx AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${sqlHits(En)} AS s_en
+       |  FROM documents),
+       |qy AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+       |    CAST(s_en AS DOUBLE) / n_tokens AS stop_ratio
+       |  FROM qx),
+       |scored AS (
+       |  SELECT doc_id, source, n_tokens, avg_token_len, stop_ratio,
+       |    LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + (1.0 - stop_ratio) * 0.3
+       |      + LEAST(avg_token_len / 8.0, 1.0) * 0.2 AS quality
+       |  FROM qy)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: n-gram/stopword-hit heuristic with a deterministic
@@ -53,15 +90,8 @@ object TextQueries {
     // Quality score: length/stopword/token-shape mix in [0,1].
     "q38_quality_score" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
-        .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
-        .withColumn("avg_token_len",
-          ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
-        .withColumn("stop_ratio", hits($"text", En).cast("double") / $"n_tokens")
-        .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio",
-          (least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.5
-            + (lit(1.0) - $"stop_ratio") * 0.3
-            + least($"avg_token_len" / 8.0, lit(1.0)) * 0.2).as("quality"))
+      qualityScored(s, dir)
+        .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio", $"quality")
         .orderBy($"doc_id")
     },
 
@@ -186,21 +216,9 @@ object TextQueries {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q38_quality_score" ->
-      s"""WITH x AS (
-         |  SELECT doc_id, n_chars,
-         |    CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tokens,
-         |    ${sqlHits(En)} AS s_en
-         |  FROM documents),
-         |y AS (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-         |    CAST(s_en AS DOUBLE) / n_tokens AS stop_ratio
-         |  FROM x)
-         |SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
-         |  LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-         |    + (1.0 - stop_ratio) * 0.3
-         |    + LEAST(avg_token_len / 8.0, 1.0) * 0.2 AS quality
-         |FROM y ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCteBody
+         |SELECT doc_id, n_tokens, avg_token_len, stop_ratio, quality
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q39_token_stats" ->
       """WITH x AS (
