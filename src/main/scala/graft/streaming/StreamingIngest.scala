@@ -82,6 +82,26 @@ object StreamingIngest {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /**
+   * Streaming incremental dedup — the stream-static face of the batch
+   * q64_incremental_dedup: arriving documents join anti against a STATIC
+   * corpus fingerprint table, so only content never seen in the corpus
+   * flows on. The static side is a plain DataFrame (at warehouse scale, a
+   * parquet/bucketed fingerprint table re-read per micro-batch — Spark
+   * re-plans the static side each batch, so a corpus refreshed between
+   * batches is picked up without restarting the query). Combined with
+   * `dropDuplicatesWithinWatermark` upstream this gives: no dups within
+   * the stream (watermark-bounded state) AND no dups against history
+   * (stateless anti-join, no state-store growth — the corpus is the
+   * state, stored where it belongs).
+   */
+  def dedupAgainstCorpus(stream: DataFrame, corpusFingerprints: DataFrame,
+                         textCol: String): DataFrame = {
+    val fp = corpusFingerprints.select(col("text_md5"))
+    stream.withColumn("text_md5", md5(col(textCol)))
+      .join(fp, Seq("text_md5"), "left_anti")
+  }
+
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 

@@ -150,6 +150,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static anti-join dedups arriving docs against the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq("seen before", "also seen")
+      .toDF("text").select(md5($"text").as("text_md5"))
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = StreamingIngest.dedupAgainstCorpus(stream, corpus, "text")
+      .writeStream.format("memory").queryName("incr_dedup")
+      .outputMode("append").start()
+    ms.addData((1L, "seen before"), (2L, "brand new"), (3L, "also seen"))
+    q.processAllAvailable()
+    // second batch: replays of corpus content still rejected, fresh passes
+    ms.addData((4L, "seen before"), (5L, "another new"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM incr_dedup")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got === Seq(2L, 5L))
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
