@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to LoggedOutput, which prefixes every stdout line
+// with "[info] " — that prefix is why the driver failed to parse
+// graft.Bench's JSON line in every prior round (BENCH_r01..r04 all have
+// parsed:null; r01's tail shows the intact line as `[info] {...}`).
+// StdoutOutput streams the child's stdout through verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,8 +59,16 @@ object Bench {
       if (samples.exists(_ < 0)) { failed += name; name -> -1.0 }
       else name -> ms(samples.sorted.apply(samples.size / 2))
     }.toMap
+    // Short keys ("q01", "q35b") keep the stdout line well inside the
+    // driver's 2000-char tail window: full names at 70 queries made the
+    // r04 line ~2.2KB and its head was truncated. The id prefix is unique
+    // by construction (registry names are "qNN[x]_description"); full
+    // names live in bench_detail.json.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    require(results.keySet.map(shortKey).size == results.size,
+      "short query ids must stay unique")
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + shortKey(k) + "\":" + v }
       .mkString("{", ",", "}")
     val total = ms(results.values.filter(_ >= 0).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -77,10 +85,14 @@ object Bench {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // Summary keys LAST: the driver buffers a bounded tail of stdout, so if
-    // the line ever outgrows the buffer again it is the head (per-query map)
-    // that is lost, not the headline total.
-    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"max_spread":${ms(worst._2)},"max_spread_query":"${worst._1}","metric":"total","value":$total,"unit":"sec"}""")
+    // Summary keys LAST: the driver buffers a bounded 2000-char tail of
+    // stdout, so if the line ever outgrows the buffer again it is the head
+    // (per-query map) that is lost, not the headline total. With short
+    // keys the whole line is ~1.2KB; warn loudly if it creeps back up.
+    val line = s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","iters":$iters,"max_spread":${ms(worst._2)},"metric":"total","value":$total,"unit":"sec"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars — approaching the driver's 2000-char tail window")
+    println(line)
     spark.stop()
   }
 }
