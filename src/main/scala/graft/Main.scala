@@ -95,21 +95,29 @@ object Main {
     }
   }
 
-  /** md5 over the sorted relative-path + size listing of the staging tree
-    * — stable across reruns while the staged files are unchanged. */
-  private def stagingFingerprint(stagingPath: String): String = {
+  /** md5 over the sorted relative-path + size listing of the per-feed
+    * staging dirs — stable across reruns while the staged files are
+    * unchanged. Only the known feed subdirectories are walked, never the
+    * whole staging tree: under the reference config dialect the
+    * warehouse/ledger default to `<stagingPath>/graft-{warehouse,ledger}`,
+    * so a full-tree walk would fold the previous run's own outputs into
+    * the fingerprint and every rerun would mint a fresh jobId — exactly
+    * the duplicate-load window the deterministic jobId exists to close. */
+  private[graft] def stagingFingerprint(stagingPath: String): String = {
     import scala.jdk.CollectionConverters._
     val rootPath = java.nio.file.Paths.get(stagingPath)
-    val listing =
-      if (!java.nio.file.Files.isDirectory(rootPath)) ""
+    val listing = Schemas.feeds.map(_.name).sorted.flatMap { feed =>
+      val dir = rootPath.resolve(feed)
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty[String]
       else {
-        val walk = java.nio.file.Files.walk(rootPath)
+        val walk = java.nio.file.Files.walk(dir)
         try walk.iterator().asScala
           .filter(java.nio.file.Files.isRegularFile(_))
           .map(p => s"${rootPath.relativize(p)}:${java.nio.file.Files.size(p)}")
-          .toSeq.sorted.mkString("\n")
+          .toList
         finally walk.close()
       }
+    }.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)

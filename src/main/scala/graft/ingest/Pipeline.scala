@@ -46,7 +46,8 @@ object Pipeline {
               ledgerPath: String, paritySeconds: Boolean = false,
               cleanStaging: Boolean = false,
               dbSink: Option[graft.sink.BatchSink] = None,
-              backupRoot: Option[String] = None): Long = {
+              backupRoot: Option[String] = None,
+              ensureDdl: Boolean = true): Long = {
     val df = FeedIngest.ingest(spark, run.feed, run.stagingDir, paritySeconds)
     // Count AFTER the write, from the written parquet: counting the
     // DataFrame first would execute the whole scan+normalize+dedup
@@ -55,9 +56,17 @@ object Pipeline {
     val dir = FeedIngest.writePartitioned(df, run.feed, warehouseRoot, run.jobId)
     val n = spark.read.parquet(dir).count()
     dbSink.foreach { s => // rows into PostgreSQL, ua2sql.py:209–246
-      s.ensureTable(run.feed)
+      // ensureDdl=false when the caller (runAll) already ran the DDL
+      // serially: PostgreSQL's CREATE TABLE IF NOT EXISTS is not
+      // concurrency-safe (concurrent creates race to a pg_type/pg_class
+      // duplicate-key error), so parallel feeds must not each fire it.
+      if (ensureDdl) s.ensureTable(run.feed)
       val cols = run.feed.table.fieldNames.toSeq
       s.write(spark.read.parquet(dir).select(cols.head, cols.tail: _*), run.feed.name)
+      // DB-side continuation ledger, after the load it records
+      // (ua2sql.py:277–278) — without this row the reference's
+      // find_previous_job_id sees a permanently empty "JobId" table.
+      s.appendJob(run.jobId, run.feed.name)
     }
     backupRoot.foreach(Backup.copyRawDump(run.feed.name, run.stagingDir, _))
     Ledger.append(spark, ledgerPath, run.jobId, run.feed.name)
@@ -75,9 +84,13 @@ object Pipeline {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // All DDL up front, serially: IF NOT EXISTS is not concurrency-safe
+    // in PostgreSQL, so the per-feed creates (and the shared "JobId"
+    // ledger create) must not race across the parallel feed futures.
+    dbSink.foreach(s => runs.foreach(r => s.ensureTable(r.feed)))
     val fs = runs.map(r => Future(
       r.feed.name -> runFeed(spark, r, warehouseRoot, ledgerPath,
-        dbSink = dbSink, backupRoot = backupRoot)))
+        dbSink = dbSink, backupRoot = backupRoot, ensureDdl = false)))
     Await.result(Future.sequence(fs), Duration.Inf).toMap
   }
 

@@ -147,6 +147,10 @@ object CurationQueries {
     // shuffle-free at the row level (rates broadcast), reproducible across
     // engines/runs/cluster sizes, and adding data never flips an existing
     // row. floor on bit-identical doubles is tie-free, unlike round.
+    // doc_id is reduced mod a prime BEFORE the Knuth multiply: the raw
+    // product wraps on 64-bit overflow in Spark but raises in DuckDB, so
+    // ids above ~3.4e9 would diverge; 1048572·2654435761 ≈ 2.8e15 stays
+    // comfortably in BIGINT range in both engines at any corpus size.
     "q66_mixture_sample" -> { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -162,7 +166,7 @@ object CurationQueries {
         .select($"source", $"keep_per_mille")
       docs.join(broadcast(rates), "source")
         .withColumn("kept",
-          when(($"doc_id" * 2654435761L) % 1000L < $"keep_per_mille", 1L).otherwise(0L))
+          when((($"doc_id" % 1048573L) * 2654435761L) % 1000L < $"keep_per_mille", 1L).otherwise(0L))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
           max($"keep_per_mille").as("keep_per_mille"))
@@ -265,7 +269,7 @@ object CurationQueries {
         |                                 / CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS keep_per_mille
         |  FROM per, tot)
         |SELECT d.source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000 < r.keep_per_mille
+        |  CAST(SUM(CASE WHEN ((d.doc_id % 1048573) * 2654435761) % 1000 < r.keep_per_mille
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  MAX(r.keep_per_mille) AS keep_per_mille
         |FROM docs d JOIN rates r USING (source)

@@ -14,6 +14,12 @@ trait BatchSink {
     * ua2sql.py:91): called before the first write of a feed. No-op for
     * schemaless sinks (parquet infers; PostgreSQL needs real DDL). */
   def ensureTable(feed: FeedSpec): Unit = ()
+  /** Records a completed load in the sink-side "JobId" ledger — the row
+    * the reference's find_previous_job_id continuation query reads
+    * (ua2sql.py:165–176, 277–278). Called once per feed after a
+    * successful write; no-op for sinks without a DB-side ledger (the
+    * parquet warehouse has its own ledger file). */
+  def appendJob(jobId: String, jobType: String): Unit = ()
 }
 
 /** Parquet warehouse sink (directory per table). */
@@ -48,6 +54,12 @@ final class JdbcSink(url: String, options: Map[String, String],
     runDdl(PgDdl.jobLedgerSql)
     runDdl(PgDdl.createTableSql(feed))
   }
+
+  /** The DB-side ledger row the next run's continuation reads
+    * (ua2sql.py:278 inserts ts=utcnow). Goes through the same statement
+    * runner as DDL so offline tests record it. */
+  override def appendJob(jobId: String, jobType: String): Unit =
+    runDdl(PgDdl.insertJobSql(java.time.Instant.now(), jobId, jobType))
 
   override def write(df: DataFrame, table: String): Unit = {
     val w = df.write.format("jdbc")
@@ -106,6 +118,20 @@ object PgDdl {
        |  id SERIAL PRIMARY KEY,
        |  $cols
        |)""".stripMargin
+  }
+
+  /** One ledger row per completed load (ua2sql.py:277–278: ts=utcnow,
+    * jobId, jobType). Values are inlined as escaped literals so the
+    * statement flows through the same single-statement runner as DDL;
+    * jobIds are charset-validated upstream, and single quotes are doubled
+    * here anyway. */
+  def insertJobSql(ts: java.time.Instant, jobId: String, jobType: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(ts)
+    s"""INSERT INTO "JobId" ("ts", "jobId", "jobType") VALUES (TIMESTAMP '$tsLit', '${q(jobId)}', '${q(jobType)}')"""
   }
 
   /** The ledger table (ua2sql.py:39–44). */

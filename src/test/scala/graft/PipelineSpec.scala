@@ -176,15 +176,78 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     // PG schema columns only — no warehouse partition columns leak into DB
     assert(!cols.contains("ingest_date") && !cols.contains("jobId"))
     assert(cols.toSet === Schemas.feed("appStart").table.fieldNames.toSet)
+    // the DB-side continuation ledger row lands after the load (ua2sql.py:277-278)
+    assert(recorded.jobs.toList === List(("dbj1", "appStart")))
+    assert(recorded.events.toList === List("ddl", "write", "job"))
+  }
+
+  test("runAll serializes all DDL before the parallel feed writes") {
+    val recorded = new RecordingSink
+    val wh = tmp("graft-ddl-wh")
+    val runs = Seq(
+      Pipeline.FeedRun(Schemas.feed("appStart"), "src/test/resources/feeds/appStart/job1", "p1"),
+      Pipeline.FeedRun(Schemas.feed("custom"), "src/test/resources/feeds/custom/job1", "p2"),
+      Pipeline.FeedRun(Schemas.feed("transaction"), "src/test/resources/feeds/transaction/job1", "p3"))
+    val counts = Pipeline.runAll(spark, runs, wh, tmp("graft-ddl-led") + "/ledger",
+      dbSink = Some(recorded))
+    assert(counts.values.sum === 7)
+    // PostgreSQL's CREATE TABLE IF NOT EXISTS is not concurrency-safe, so
+    // every DDL call must precede every write — no interleaving.
+    val ev = recorded.events.toList
+    assert(ev.lastIndexOf("ddl") < ev.indexOf("write"), s"DDL raced a write: $ev")
+    assert(ev.count(_ == "ddl") === 3 && ev.count(_ == "write") === 3 && ev.count(_ == "job") === 3)
+    // every feed recorded its continuation row
+    assert(recorded.jobs.map(_._2).toSet === Set("appStart", "custom", "transaction"))
+  }
+
+  test("JobId insert SQL matches the reference row shape and escapes quotes") {
+    val sql = PgDdl.insertJobSql(java.time.Instant.parse("2026-08-12T10:20:30.400Z"),
+      "job-1", "appStart")
+    assert(sql === """INSERT INTO "JobId" ("ts", "jobId", "jobType") VALUES (TIMESTAMP '2026-08-12 10:20:30.400', 'job-1', 'appStart')""")
+    assert(PgDdl.insertJobSql(java.time.Instant.EPOCH, "o'brien", "t").contains("'o''brien'"))
+  }
+
+  test("default jobId fingerprint ignores warehouse/ledger outputs under stagingPath") {
+    val staging = tmp("graft-fp")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$staging/appStart"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/feeds/appStart/job1/part-0.json"),
+      java.nio.file.Paths.get(s"$staging/appStart/part-0.json"))
+    val before = Main.stagingFingerprint(staging)
+    // a first run leaves warehouse/ledger trees under stagingPath (the
+    // reference-dialect defaults); they must not change the next jobId
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$staging/graft-warehouse/x"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$staging/graft-warehouse/x/part-0.parquet"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$staging/graft-ledger"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$staging/graft-ledger/l.parquet"), Array[Byte](9))
+    assert(Main.stagingFingerprint(staging) === before)
+    // but changing the staged input itself does change it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$staging/appStart/part-1.json"), Array[Byte](7))
+    assert(Main.stagingFingerprint(staging) !== before)
   }
 }
 
-/** Offline stand-in for the JDBC sink: records DDL and write calls. */
+/** Offline stand-in for the JDBC sink: records DDL, write, and ledger
+  * calls, plus their interleaving (runAll invokes write/appendJob from
+  * parallel futures, hence the synchronization). */
 class RecordingSink extends graft.sink.BatchSink {
   val ddl = scala.collection.mutable.ListBuffer.empty[String]
   val writes = scala.collection.mutable.ListBuffer.empty[(String, Seq[String], Long)]
-  override def ensureTable(feed: graft.model.FeedSpec): Unit =
+  val jobs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+  /** Ordered call kinds ("ddl" | "write" | "job") across all threads. */
+  val events = scala.collection.mutable.ListBuffer.empty[String]
+  override def ensureTable(feed: graft.model.FeedSpec): Unit = synchronized {
     ddl ++= Seq(graft.sink.PgDdl.jobLedgerSql, graft.sink.PgDdl.createTableSql(feed))
-  override def write(df: org.apache.spark.sql.DataFrame, table: String): Unit =
-    writes += ((table, df.columns.toSeq, df.count()))
+    events += "ddl"
+  }
+  override def write(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val row = (table, df.columns.toSeq, df.count())
+    synchronized { writes += row; events += "write" }
+  }
+  override def appendJob(jobId: String, jobType: String): Unit = synchronized {
+    jobs += ((jobId, jobType)); events += "job"
+  }
 }
