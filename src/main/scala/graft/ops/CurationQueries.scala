@@ -202,6 +202,30 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"quality" >= $"q25", 1L).otherwise(0L)).as("n_kept"))
         .orderBy($"source")
+    },
+
+    // Sequence packing: assign documents to fixed token-budget bins
+    // (2048 whitespace tokens) per source, greedily in doc_id order — the
+    // batch-construction step before training. A document lands in the
+    // bin its running start offset falls into, via one per-source prefix
+    // sum (ROWS frame) — each source sorts independently in its own
+    // partitions, no global single-partition window. A source so hot it
+    // overflows one task would shard through the same two-pass
+    // rank machinery as q45/q56 (ops/GlobalRank); at fixture scale the
+    // per-source window is the honest plan.
+    "q71_doc_packing" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
+        .withColumn("cum_before", coalesce(sum($"ws_tokens").over(w), lit(0L)))
+        // exact while cum < 2^53 (double-exact long division)
+        .withColumn("bin", floor($"cum_before" / 2048.0).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"ws_tokens").as("bin_tokens"))
+        .orderBy($"source", $"bin")
     }
   )
 
@@ -298,6 +322,20 @@ object CurationQueries {
         |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
         |  LEAST(1.0, CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
         |               / CAST(n_tokens AS DOUBLE)) AS sample_rate
-        |FROM per, tot ORDER BY source""".stripMargin
+        |FROM per, tot ORDER BY source""".stripMargin,
+
+    "q71_doc_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS ws_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, ws_tokens,
+        |         COALESCE(SUM(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT source, CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
   )
 }

@@ -187,6 +187,47 @@ object SimilarityQueries {
         .select($"query_id", $"rk", $"vec_id".as("neighbor_id"),
           round($"cos", 6).as("cos_sim"))
         .orderBy($"query_id", $"rk")
+    },
+
+    // Symmetric int8 quantization of the embedding column — the storage/
+    // bandwidth step before an ANN index ships to serving (4× smaller than
+    // float32, 8× than the double working form). Per-row higher-order
+    // functions only: no shuffle, no UDF, stays inside codegen. floor
+    // (not round) keeps the engines bit-identical: round ties at exact
+    // .5 products (dyadic floats reach them), floor has no tie to break —
+    // and with scale = 127/max|x| the products stay in [-127, 127], so
+    // no clipping branch is needed. The per-vector MSE is a sequential
+    // fold; ROUND(…,6) absorbs any engine fold-order noise (~1e-13).
+    "q70_quantize_error" -> { (s, dir) =>
+      import s.implicits._
+      embs(s, dir)
+        .withColumn("max_abs", expr("array_max(transform(emb, x -> abs(x)))"))
+        .filter($"max_abs" > 0.0)
+        .withColumn("scale", lit(127.0) / $"max_abs")
+        .withColumn("q", expr("transform(emb, x -> CAST(floor(x * scale) AS BIGINT))"))
+        .withColumn("mse", round(
+          expr("aggregate(zip_with(emb, q, (x, qi) -> (x - qi / scale) * (x - qi / scale)), 0D, (a, v) -> a + v)")
+            / size($"emb"), 6))
+        .select($"vec_id", $"scale", expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"), $"mse")
+        .orderBy($"vec_id")
+    },
+
+    // Trained IVF cells: spherical k-means (graft.ops.KMeans) replaces
+    // q54's seed-vector stand-ins with Lloyd-refined centroids, then
+    // reports the resulting cell population and coherence. Rows-only by
+    // design (iterative float optimization has no SQL-expressible oracle);
+    // the training invariants — monotone objective, total assignment,
+    // argmax-consistent cells — are pinned by KMeansSpec instead.
+    "q72_kmeans_cells" -> { (s, dir) =>
+      import s.implicits._
+      val e = embs(s, dir).select($"vec_id", $"emb")
+      val model = graft.ops.KMeans.fit(e, k = Cells, iters = 3)
+      graft.ops.KMeans.assign(e, model.centroids)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vectors"), round(avg($"cos"), 6).as("avg_cos"))
+        .select($"cell".cast("long").as("cell"), $"n_vectors", $"avg_cos")
+        .orderBy($"cell")
     }
   )
 
@@ -218,6 +259,23 @@ object SimilarityQueries {
     "q35_ann_topk" -> annTopkOracle,
     // The aggregate formulation must produce the identical result set.
     "q35b_ann_topk_agg" -> annTopkOracle,
+
+    // No zip in DuckDB lambdas → index the two lists via comprehension.
+    "q70_quantize_error" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, x -> abs(x))) AS max_abs FROM e),
+        |s AS (SELECT vec_id, emb, CAST(127.0 AS DOUBLE) / max_abs AS scale
+        |      FROM m WHERE max_abs > 0),
+        |q AS (SELECT vec_id, emb, scale,
+        |        list_transform(emb, x -> CAST(floor(x * scale) AS BIGINT)) AS qv FROM s),
+        |d AS (SELECT vec_id, scale, qv,
+        |        [(emb[i] - qv[i] / scale) * (emb[i] - qv[i] / scale) for i in range(1, len(emb) + 1)] AS err2,
+        |        len(emb) AS dim
+        |      FROM q)
+        |SELECT vec_id, scale, list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |       ROUND(list_sum(err2) / dim, 6) AS mse
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     // DuckDB 1.0 has no UNNEST ... WITH ORDINALITY; zip index via list
     // comprehension instead.

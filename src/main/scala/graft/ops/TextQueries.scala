@@ -191,6 +191,40 @@ object TextQueries {
         .withColumn("fp64", expr("aggregate(toks, 42L, (acc, t) -> xxhash64(acc, t))"))
         .select($"doc_id", $"fp64")
         .orderBy($"doc_id")
+    },
+
+    // Repetition signals (the Gopher-style quality gates that catch
+    // boilerplate and degenerate generations): per-document top-unigram
+    // share and distinct-bigram ratio. The unigram mode uses the
+    // word-count shape — two hash aggregates keyed by doc, never a
+    // per-row O(words²) scan, so long documents cost O(words) and skew
+    // lands on (doc_id, word) keys AQE can split. The bigram ratio is a
+    // pure per-row fold (array_distinct over an O(words) array) — no
+    // shuffle at all. The final join is doc_id-keyed and both sides are
+    // already doc-clustered.
+    "q69_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("w", split(lower($"text"), " "))
+      val uni = docs.select($"doc_id", explode($"w").as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_cnt"), sum($"c").as("n_words"),
+          count(lit(1)).as("n_distinct"))
+      // size<2 guard: sequence(0, -1) yields a DESCENDING [0, -1] in
+      // Spark, not an empty array (the q55 phantom-frame trap).
+      val bg = docs.select($"doc_id",
+        when(size($"w") < 2, lit(null).cast("double"))
+          .otherwise {
+            val b = expr("transform(sequence(0, size(w) - 2), " +
+              "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")
+            size(array_distinct(b)).cast("double") / size(b).cast("double")
+          }.as("bigram_distinct_ratio"))
+      uni.join(bg, "doc_id")
+        .select($"doc_id", $"n_words", $"n_distinct",
+          ($"top_cnt".cast("double") / $"n_words".cast("double")).as("top_word_share"),
+          $"bigram_distinct_ratio")
+        .orderBy($"doc_id")
     }
   )
 
@@ -276,6 +310,30 @@ object TextQueries {
         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
         |  FROM cnt)
         |SELECT source, rk, token, n FROM rk WHERE rk <= 5
-        |ORDER BY source, rk""".stripMargin
+        |ORDER BY source, rk""".stripMargin,
+
+    // Both shares are IEEE divisions of exact integers — bit-identical
+    // across engines, no rounding needed.
+    "q69_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS w FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, word, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM t) u GROUP BY doc_id, word),
+        |agg AS (
+        |  SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_words,
+        |         COUNT(*) AS n_distinct
+        |  FROM cnt GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) < 2 THEN NULL
+        |              ELSE [w[i] || ' ' || w[i + 1] for i in range(1, len(w))] END AS b
+        |  FROM t)
+        |SELECT a.doc_id, a.n_words, a.n_distinct,
+        |       CAST(a.top_cnt AS DOUBLE) / a.n_words AS top_word_share,
+        |       CASE WHEN b.b IS NULL THEN NULL
+        |            ELSE CAST(len(list_distinct(b.b)) AS DOUBLE) / len(b.b) END AS bigram_distinct_ratio
+        |FROM agg a JOIN bg b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }
