@@ -204,26 +204,39 @@ object TextQueries {
     // already doc-clustered.
     "q69_repetition" -> { (s, dir) =>
       import s.implicits._
-      val docs = t(s, dir, "documents")
-        .withColumn("w", split(lower($"text"), " "))
-      val uni = docs.select($"doc_id", explode($"w").as("word"))
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(max($"c").as("top_cnt"), sum($"c").as("n_words"),
-          count(lit(1)).as("n_distinct"))
+      // Entirely per-row: both metrics are functions of one document, so
+      // the scale-correct plan is a stateless projection — no explode, no
+      // (doc_id, word) shuffle, no join; a 100 TB corpus streams through
+      // map tasks untouched. The unigram mode is a sort-and-count-runs
+      // fold (O(n log n) in the document's own length — bounded by a
+      // single row by definition); the explode/word-count alternative
+      // ships every token of the corpus through an exchange to compute a
+      // per-document number.
       // size<2 guard: sequence(0, -1) yields a DESCENDING [0, -1] in
       // Spark, not an empty array (the q55 phantom-frame trap).
-      val bg = docs.select($"doc_id",
-        when(size($"w") < 2, lit(null).cast("double"))
-          .otherwise {
-            val b = expr("transform(sequence(0, size(w) - 2), " +
-              "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")
-            size(array_distinct(b)).cast("double") / size(b).cast("double")
-          }.as("bigram_distinct_ratio"))
-      uni.join(bg, "doc_id")
-        .select($"doc_id", $"n_words", $"n_distinct",
-          ($"top_cnt".cast("double") / $"n_words".cast("double")).as("top_word_share"),
-          $"bigram_distinct_ratio")
+      val bigramRatio = when(size($"w") < 2, lit(null).cast("double"))
+        .otherwise {
+          val b = expr("transform(sequence(0, size(w) - 2), " +
+            "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")
+          size(array_distinct(b)).cast("double") / size(b).cast("double")
+        }
+      // longest equal-run over the sorted words = max unigram count
+      val topCnt = expr(
+        "aggregate(array_sort(w), " +
+          "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
+          "(acc, x) -> named_struct(" +
+          "  'prev', x, " +
+          "  'run', IF(x <=> acc.prev, acc.run + 1L, 1L), " +
+          "  'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), " +
+          "acc -> acc.best)")
+      t(s, dir, "documents")
+        .withColumn("w", split(lower($"text"), " "))
+        .filter($"w".isNotNull)
+        .select($"doc_id",
+          size($"w").cast("long").as("n_words"),
+          size(array_distinct($"w")).cast("long").as("n_distinct"),
+          (topCnt.cast("double") / size($"w").cast("double")).as("top_word_share"),
+          bigramRatio.as("bigram_distinct_ratio"))
         .orderBy($"doc_id")
     }
   )
