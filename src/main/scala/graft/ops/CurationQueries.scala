@@ -70,6 +70,29 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // Bloom-accelerated decontamination — the same answer as q53 in the
+    // shape that survives a benchmark set too large to broadcast exactly:
+    // the corpus is pre-filtered map-side by a Bloom filter of the
+    // benchmark shingles (Spark's own codegen'd might_contain over
+    // xxhash64; no false negatives, so nothing real is lost), and only
+    // the survivors — true matches plus the fpp-rate noise — reach the
+    // exact verify join that removes false positives. At 10⁸ benchmark
+    // shingles the bitset is ~10× smaller than the exact string set.
+    // Bit-identical to q53 by construction, so it shares the oracle.
+    "q73_decontamination_bloom" -> { (s, dir) =>
+      import s.implicits._
+      val sh = DedupQueries.shingleRows(s, dir)
+      val benchSh = sh.filter($"doc_id" < 20).select($"shingle").distinct()
+      val bloom = graft.functions.BloomFunctions.build(
+        benchSh, $"shingle", expectedItems = 100000L, numBits = 1200000L)
+      sh.filter($"doc_id" >= 20)
+        .filter(graft.functions.BloomFunctions.mightContain(s, bloom, $"shingle"))
+        .join(broadcast(benchSh), "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+
     // Dedup retention policy — the step after clustering: keep exactly one
     // document per near-dup cluster, chosen by a quality criterion (longest
     // text, doc_id tiebreak). Composes the connected-components labels
@@ -235,6 +258,14 @@ object CurationQueries {
       |         unnest(list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])) AS shingle
       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t FROM documents) s)""".stripMargin
 
+  private lazy val decontaminationOracle: String =
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM sh JOIN bench USING (shingle)
+       |WHERE doc_id >= 20
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q51_top_docs_per_lang" ->
       """SELECT doc_id, lang, n_chars FROM (
@@ -251,13 +282,10 @@ object CurationQueries {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q53_decontamination" ->
-      s"""WITH $shingleCte,
-         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
-         |SELECT doc_id, COUNT(*) AS n_shared
-         |FROM sh JOIN bench USING (shingle)
-         |WHERE doc_id >= 20
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q53_decontamination" -> decontaminationOracle,
+    // The bloom variant's verify join removes every false positive, so
+    // the result — and therefore the oracle — is exactly q53's.
+    "q73_decontamination_bloom" -> decontaminationOracle,
 
     "q63_cluster_keep_best" ->
       s"""WITH RECURSIVE ${DedupQueries.clustersCteBody},
