@@ -28,22 +28,43 @@ object TextQueries {
   private def sqlHits(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
 
+  /** Adds n_tokens / avg_token_len / stop_ratio / quality to ANY frame
+    * with `text` and `n_chars` columns — the single definition of the
+    * quality formula, shared by q38/q68 and the streaming curation gate
+    * (graft.streaming.StreamingIngest.curationGate), so batch and stream
+    * provably score identically. Pure per-row columns: works unchanged on
+    * a streaming DataFrame. */
+  private[graft] def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", hits(col("text"), En).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.2)
+
+  /** Top-unigram share over a lowered word array `w` (longest equal-run
+    * fold over the sorted array — per-row, shuffle-free); shared by q69
+    * and the streaming curation gate. */
+  private[graft] def topWordShare: Column = {
+    val topCnt = expr(
+      "aggregate(array_sort(w), " +
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
+        "(acc, x) -> named_struct(" +
+        "  'prev', x, " +
+        "  'run', IF(x <=> acc.prev, acc.run + 1L, 1L), " +
+        "  'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), " +
+        "acc -> acc.best)")
+    topCnt.cast("double") / size(col("w")).cast("double")
+  }
+
   /** Per-document quality scores (q38's formula) with `source` retained —
     * shared by the q68 threshold filter. The score doubles are a fixed
     * sequence of IEEE ops over exact integers, so they hash-match DuckDB's
     * identically-expressed formula bit for bit. */
-  private[graft] def qualityScored(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents")
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
-      .withColumn("avg_token_len",
-        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
-      .withColumn("stop_ratio", hits($"text", En).cast("double") / $"n_tokens")
-      .withColumn("quality",
-        least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.5
-          + (lit(1.0) - $"stop_ratio") * 0.3
-          + least($"avg_token_len" / 8.0, lit(1.0)) * 0.2)
-  }
+  private[graft] def qualityScored(s: SparkSession, dir: String): DataFrame =
+    withQuality(t(s, dir, "documents"))
 
   /** SQL twin of [[qualityScored]] as a CTE body ending in
     * `scored(doc_id, source, n_tokens, avg_token_len, stop_ratio, quality)`. */
@@ -220,22 +241,13 @@ object TextQueries {
             "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")
           size(array_distinct(b)).cast("double") / size(b).cast("double")
         }
-      // longest equal-run over the sorted words = max unigram count
-      val topCnt = expr(
-        "aggregate(array_sort(w), " +
-          "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
-          "(acc, x) -> named_struct(" +
-          "  'prev', x, " +
-          "  'run', IF(x <=> acc.prev, acc.run + 1L, 1L), " +
-          "  'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), " +
-          "acc -> acc.best)")
       t(s, dir, "documents")
         .withColumn("w", split(lower($"text"), " "))
         .filter($"w".isNotNull)
         .select($"doc_id",
           size($"w").cast("long").as("n_words"),
           size(array_distinct($"w")).cast("long").as("n_distinct"),
-          (topCnt.cast("double") / size($"w").cast("double")).as("top_word_share"),
+          topWordShare.as("top_word_share"),
           bigramRatio.as("bigram_distinct_ratio"))
         .orderBy($"doc_id")
     }

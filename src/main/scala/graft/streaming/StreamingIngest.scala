@@ -102,6 +102,30 @@ object StreamingIngest {
       .join(fp, Seq("text_md5"), "left_anti")
   }
 
+  /**
+   * Stateless streaming curation gate — the quality + repetition filter
+   * applied to a document stream as it lands: rows below `minQuality`
+   * (q38/q68's formula) or above `maxTopWordShare` (q69's boilerplate
+   * signal) are dropped at the micro-batch map stage. The column
+   * definitions are SHARED with the batch queries
+   * (graft.ops.TextQueries.withQuality / topWordShare), so batch and
+   * stream provably score identically — StreamingSpec pins the
+   * equivalence. Pure per-row projections ⇒ no watermark, no state
+   * store; chain with `dropDuplicatesWithinWatermark` and
+   * [[dedupAgainstCorpus]] for the full arrival-time curation pipeline.
+   */
+  def curationGate(docs: DataFrame, minQuality: Double,
+                   maxTopWordShare: Double): DataFrame = {
+    val withChars =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars", length(col("text")).cast("long"))
+    graft.ops.TextQueries.withQuality(withChars)
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("top_word_share", graft.ops.TextQueries.topWordShare)
+      .filter(col("quality") >= minQuality && col("top_word_share") <= maxTopWordShare)
+      .drop("w")
+  }
+
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 

@@ -171,6 +171,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got === Seq(2L, 5L))
   }
 
+  test("streaming curation gate filters exactly like the batch formulas") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real fixture text so the thresholds actually bite both ways
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingIngest.curationGate(
+        ms.toDF().toDF("doc_id", "text"), minQuality = 0.8, maxTopWordShare = 0.12)
+      .select("doc_id", "quality", "top_word_share")
+      .writeStream.format("memory").queryName("curation_gate")
+      .outputMode("append").start()
+    ms.addData(docs.take(100): _*)
+    q.processAllAvailable()
+    ms.addData(docs.drop(100): _*) // gate is stateless: batching must not matter
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM curation_gate")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    q.stop()
+    val batch = StreamingIngest.curationGate(
+        docs.toDF("doc_id", "text"), minQuality = 0.8, maxTopWordShare = 0.12)
+      .select("doc_id", "quality", "top_word_share")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(streamed === batch)
+    // the gate genuinely filters (neither pass-all nor drop-all)
+    assert(batch.nonEmpty && batch.size < docs.size)
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
