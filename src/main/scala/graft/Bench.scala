@@ -41,6 +41,16 @@ object Bench {
     for (w <- Seq("q01_pricing_summary", "q31_neardup_jaccard", "q35b_ann_topk_agg"))
       try runToNoop(w) catch { case _: Throwable => () }
     def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    // Short display keys ("q01", "q35b") keep the stdout line inside the
+    // driver's tail window. Resolved BEFORE the timing loop so a future
+    // collision can't throw away a completed run: colliding names simply
+    // keep their full form (slightly longer line, never lost data).
+    val shortKey: Map[String, String] = {
+      val byId = SparkEntry.queries.keys.toSeq.groupBy(_.takeWhile(_ != '_'))
+      byId.flatMap { case (id, names) =>
+        if (names.size == 1) names.map(_ -> id) else names.map(n => n -> n)
+      }
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val samples = (1 to iters).map { _ =>
@@ -59,19 +69,16 @@ object Bench {
       if (samples.exists(_ < 0)) { failed += name; name -> -1.0 }
       else name -> ms(samples.sorted.apply(samples.size / 2))
     }.toMap
-    // Short keys ("q01", "q35b") keep the stdout line well inside the
-    // driver's 2000-char tail window: full names at 70 queries made the
-    // r04 line ~2.2KB and its head was truncated. The id prefix is unique
-    // by construction (registry names are "qNN[x]_description"); full
-    // names live in bench_detail.json.
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    require(results.keySet.map(shortKey).size == results.size,
-      "short query ids must stay unique")
+    // Full names at 70+ queries made the r04 line ~2.2KB and its head was
+    // truncated by the driver's 2000-char tail; short keys keep it ~1.2KB.
+    // Full names live in bench_detail.json.
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + shortKey(k) + "\":" + v }
       .mkString("{", ",", "}")
     val total = ms(results.values.filter(_ >= 0).sum)
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // failed uses the SAME keys as the queries map so consumers can
+    // cross-reference them, and so failure lists don't regrow the line.
+    val failedJson = failed.map(shortKey).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Worst relative spread across queries (max-min over median) as a single
     // scalar noise indicator; the per-query breakdown lives in the detail file.
     val spreads = runs.collect { case (n, s) if s.forall(_ >= 0) && s.size > 1 =>

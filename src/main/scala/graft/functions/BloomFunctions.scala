@@ -36,12 +36,32 @@ object BloomFunctions {
   }
 
   /** Distributed Bloom build over `xxhash64(col)`: only the final bitset
-    * (never the keys) reaches the driver. */
+    * (never the keys) reaches the driver.
+    *
+    * `BloomFilterAggregate` SILENTLY clamps its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4e6 / 6.7e7): a 10⁸-key filter sized per the class doc
+    * would quietly degrade to an 8 MB bitset with fpp ≈ 1 and the
+    * prefilter would stop pruning. Raise the caps for the build (and
+    * restore them after) so the caller gets the filter they asked for. */
   def build(df: DataFrame, col: Column, expectedItems: Long, numBits: Long): Array[Byte] = {
-    register(df.sparkSession)
-    df.select(call_function(AggName, xxhash64(col),
-        lit(expectedItems), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val spark = df.sparkSession
+    register(spark)
+    val caps = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val prev = caps.map { case (k, v) => (k, spark.conf.getOption(k), v) }
+    try {
+      prev.foreach { case (k, cur, want) =>
+        if (cur.forall(_.toLong < want)) spark.conf.set(k, want)
+      }
+      df.select(call_function(AggName, xxhash64(col),
+          lit(expectedItems), lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally prev.foreach {
+      case (k, Some(v), _) => spark.conf.set(k, v)
+      case (k, None, _) => spark.conf.unset(k)
+    }
   }
 
   /** Membership probe against a built filter. No false negatives; false

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
  * consume it per iteration (centroid update + objective); without the pin
  * the broadcast-join subtree would execute twice per round, and at
  * cluster scale a reliable checkpoint dir upgrades the pin for free.
+ *
+ * Determinism: for a FIXED partitioning the result is reproducible run to
+ * run. Across different partition counts the centroid means (distributed
+ * double sums) can differ in final ulps, which flips a cell assignment
+ * only if a vector's top-2 cosines tie within that noise — none do on the
+ * fixture (the round sweep measures local[2] ≡ local[8] bit-identical),
+ * but it is a probabilistic, not structural, guarantee; q72 is rows-only
+ * partly for this reason.
  */
 object KMeans {
 
@@ -64,11 +72,21 @@ object KMeans {
     for (_ <- 1 to iters) {
       val assigned = Pin(assign(e, centroids))
       trace += assigned.agg(avg(lit(1.0) - $"cos")).as[Double].head()
-      // Element-wise mean per cell — the q36 centroid shape. Empty cells
+      // Element-wise mean of the UNIT-NORMALIZED members per cell — the
+      // spherical-k-means update. Averaging raw vectors is only the
+      // cosine-objective minimizer when inputs happen to be unit-norm;
+      // with mixed magnitudes it over-weights long vectors and the
+      // objective can rise between iterations. Normalizing members makes
+      // the mean direction the argmax of Σ cos(member, centroid), so the
+      // monotone-objective gate in KMeansSpec holds for ANY input frame.
+      // Zero-norm vectors carry no direction and are excluded from the
+      // update (assign() already gives them NULL cosine). Empty cells
       // (possible when a seed attracts nothing) keep their old centroid
       // rather than vanish, so the model always has exactly k cells.
       val updated = assigned
-        .select($"cell", posexplode($"emb").as(Seq("pos", "v")))
+        .withColumn("nrm", expr("sqrt(aggregate(emb, 0D, (a, x) -> a + x * x))"))
+        .filter($"nrm" > 0.0)
+        .select($"cell", posexplode(expr("transform(emb, x -> x / nrm)")).as(Seq("pos", "v")))
         .groupBy($"cell", $"pos")
         .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
         .collect()

@@ -216,13 +216,7 @@ object TextQueries {
 
     // Repetition signals (the Gopher-style quality gates that catch
     // boilerplate and degenerate generations): per-document top-unigram
-    // share and distinct-bigram ratio. The unigram mode uses the
-    // word-count shape — two hash aggregates keyed by doc, never a
-    // per-row O(words²) scan, so long documents cost O(words) and skew
-    // lands on (doc_id, word) keys AQE can split. The bigram ratio is a
-    // pure per-row fold (array_distinct over an O(words) array) — no
-    // shuffle at all. The final join is doc_id-keyed and both sides are
-    // already doc-clustered.
+    // share and distinct-bigram ratio.
     "q69_repetition" -> { (s, dir) =>
       import s.implicits._
       // Entirely per-row: both metrics are functions of one document, so

@@ -49,8 +49,13 @@ final class JdbcSink(url: String, options: Map[String, String],
     ddlRunner.getOrElse(JdbcSink.driverManagerDdl(url, options))
 
   /** Idempotent create-first: the feed table and the job ledger
-    * (IF NOT EXISTS ≙ the reference's create_all, ua2sql.py:91). */
-  override def ensureTable(feed: FeedSpec): Unit = {
+    * (IF NOT EXISTS ≙ the reference's create_all, ua2sql.py:91).
+    * JVM-wide lock because PostgreSQL's IF NOT EXISTS is not
+    * concurrency-safe (concurrent creates race to a pg_type/pg_class
+    * duplicate-key error): Pipeline.runAll also serializes DDL before its
+    * parallel fan-out, but the lock protects every OTHER caller that
+    * reaches ensureTable concurrently — same pattern as Ledger.append. */
+  override def ensureTable(feed: FeedSpec): Unit = JdbcSink.ddlLock.synchronized {
     runDdl(PgDdl.jobLedgerSql)
     runDdl(PgDdl.createTableSql(feed))
   }
@@ -73,6 +78,9 @@ final class JdbcSink(url: String, options: Map[String, String],
 }
 
 object JdbcSink {
+  /** Serializes DDL across this JVM's sinks (see ensureTable). */
+  private[sink] val ddlLock = new Object
+
   /** One autocommitted statement per DDL string over a fresh connection. */
   def driverManagerDdl(url: String, options: Map[String, String]): String => Unit = sql => {
     val props = new java.util.Properties()

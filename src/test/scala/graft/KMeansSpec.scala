@@ -36,6 +36,19 @@ class KMeansSpec extends AnyFunSuite with SparkSuite {
     assert(cells.subsetOf(model.centroids.map(_._1).toSet))
   }
 
+  test("objective stays monotone on NON-unit-norm inputs (spherical update)") {
+    import spark.implicits._
+    // scale each vector by 1..7: mean-of-raw would over-weight the long
+    // ones and can raise the objective; the normalized update must not
+    val scaled = e.withColumn("emb",
+      expr("transform(emb, x -> x * (1 + vec_id % 7))"))
+    val m = KMeans.fit(scaled, k = 8, iters = 4)
+    m.objective.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"objective rose on scaled input: ${m.objective}")
+    }
+    assert(m.objective.last < m.objective.head)
+  }
+
   test("assignment is the argmax-cosine cell (driver-side cross-check)") {
     import spark.implicits._
     def cosine(a: Seq[Double], b: Seq[Double]): Double = {
