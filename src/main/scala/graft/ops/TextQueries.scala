@@ -244,6 +244,34 @@ object TextQueries {
           topWordShare.as("top_word_share"),
           bigramRatio.as("bigram_distinct_ratio"))
         .orderBy($"doc_id")
+    },
+
+    // Corpus heavy hitters (tokens above 2% of all tokens) via the
+    // sketch-candidates → exact-verify pattern (q73's shape, aggregate
+    // edition): pass 1 is one Misra–Gries aggregate whose per-task state
+    // is ≤ 256 counters regardless of vocabulary size — only those tiny
+    // buffers cross the shuffle, vs a full vocabulary-keyed exchange.
+    // The MG bound (every item above N/257 is a candidate, and 2% ≫
+    // 1/257) guarantees no true heavy hitter is missed; pass 2 exact-
+    // counts only the ≤ 256 candidates (map-side IN filter, 256-key agg)
+    // so the output is exact and deterministic — hence oracle-checked,
+    // not rows-only, despite the sketch in the middle.
+    "q74_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.FrequentItems.register(s)
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val sk = toks
+        .agg(graft.functions.FrequentItems.sketch($"token", 256).as("sk"))
+        .select($"sk.n".as("n"), $"sk.entries.item".as("items"))
+        .head()
+      val n = sk.getAs[Long]("n")
+      val candidates = sk.getAs[scala.collection.Seq[String]]("items")
+      toks.filter($"token".isin(candidates.toSeq: _*))
+        .groupBy($"token").agg(count(lit(1)).as("n_occurrences"))
+        .filter($"n_occurrences" > lit(n) * lit(0.02))
+        .withColumn("share", $"n_occurrences".cast("double") / lit(n).cast("double"))
+        .orderBy($"n_occurrences".desc, $"token")
     }
   )
 
@@ -353,6 +381,18 @@ object TextQueries {
         |       CASE WHEN b.b IS NULL THEN NULL
         |            ELSE CAST(len(list_distinct(b.b)) AS DOUBLE) / len(b.b) END AS bigram_distinct_ratio
         |FROM agg a JOIN bg b USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // The sketch stage only proposes candidates; the exact verify makes
+    // the output identical to this plain HAVING query.
+    "q74_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), ' ')) AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)
+        |SELECT token, c AS n_occurrences, CAST(c AS DOUBLE) / n AS share
+        |FROM cnt, tot
+        |WHERE c > n * 0.02
+        |ORDER BY n_occurrences DESC, token""".stripMargin
   )
 }
