@@ -350,6 +350,27 @@ object CoreQueries {
         .orderBy($"day", $"event_type")
     },
 
+    // Z-order locality audit: the z-curve over (customer, order-day)
+    // groups orders into coarse buckets that each span a SMALL rectangle
+    // of both dimensions — the property that makes footer min/max stats
+    // prune multi-dimensional predicates after a Layout.layoutBy rewrite
+    // (LayoutSpec measures the per-file effect; this query is the
+    // portable arithmetic face: pure integer shifts/masks, so it
+    // hash-matches the identically-expressed oracle).
+    "q75_zorder_locality" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("day",
+          datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date")).cast("long"))
+        .withColumn("z", Layout.zValue($"o_custkey", $"day", 16))
+        .withColumn("zbucket", shiftrightunsigned($"z", 18))
+        .groupBy($"zbucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"),
+          min($"day").as("min_day"), max($"day").as("max_day"))
+        .orderBy($"zbucket")
+    },
+
     // Skew-safe join, end to end: event_type has 5 values over the whole
     // fact table — the textbook hot-key shape. The salted join fans each
     // hot key across 8 tasks; salts are dropped before aggregation, so
@@ -770,6 +791,19 @@ object CoreQueries {
         |FROM days d CROSS JOIN types t
         |LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
         |ORDER BY d.day, t.event_type""".stripMargin,
+
+    "q75_zorder_locality" ->
+      s"""WITH d AS (
+         |  SELECT o_custkey,
+         |         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+         |  FROM orders),
+         |z AS (SELECT o_custkey, day,
+         |        ${Layout.zValueSql("o_custkey", "day", 16)} AS zv
+         |      FROM d)
+         |SELECT (zv >> 18) AS zbucket, COUNT(*) AS n_orders,
+         |       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+         |       MIN(day) AS min_day, MAX(day) AS max_day
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
 
     "q60_salted_type_join" ->
       s"""SELECT e.event_type, COUNT(*) AS n,

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The write-side z-order layout: correctness of the bit interleave and
+  * the measurable locality win it buys per written file. */
+class LayoutSpec extends AnyFunSuite with SparkSuite {
+
+  test("zValue interleaves bits (known values) and preserves order locality") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L), (7L, 7L))
+      .toDF("a", "b")
+      .select($"a", $"b", Layout.zValue($"a", $"b", 8).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows((0L, 0L)) === 0L)
+    assert(rows((1L, 0L)) === 1L)  // a on even bits
+    assert(rows((0L, 1L)) === 2L)  // b on odd bits
+    assert(rows((1L, 1L)) === 3L)
+    // 5=101, 3=011 → z = interleave: a bits at 0,2,4 → 1,0,1; b bits at 1,3,5 → 1,1,0
+    assert(rows((5L, 3L)) === (1L | (1L << 1) | (0L << 2) | (1L << 3) | (1L << 4) | (0L << 5)))
+    assert(rows((7L, 7L)) === 63L)
+  }
+
+  test("zValue matches its SQL twin on fixture data") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_custkey", ($"o_orderkey" % 1024L).as("k2"))
+    val viaColumn = d.select(Layout.zValue($"o_custkey", $"k2", 16).as("z"))
+      .agg(sum($"z")).head().getLong(0)
+    val viaSql = d.select(expr(Layout.zValueSql("o_custkey", "k2", 16)).as("z"))
+      .agg(sum($"z")).head().getLong(0)
+    assert(viaColumn === viaSql)
+  }
+
+  test("z-order layout shrinks per-file bounding boxes vs hash layout") {
+    import spark.implicits._
+    def area(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("f", input_file_name())
+        .groupBy($"f")
+        .agg(((max($"o_custkey") - min($"o_custkey") + 1) *
+              (max($"day") - min($"day") + 1)).as("area"))
+        .agg(avg($"area")).head().getDouble(0)
+
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("day",
+        datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date")).cast("long"))
+      .select($"o_custkey", $"day")
+    val base = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Layout.layoutBy(orders, "o_custkey", "day", bits = 16, partitions = 8)
+      .write.parquet(s"$base/zorder")
+    orders.repartition(8).write.parquet(s"$base/hash")
+
+    val zArea = area(spark.read.parquet(s"$base/zorder"))
+    val hashArea = area(spark.read.parquet(s"$base/hash"))
+    // hash layout: every file spans ~the whole (cust × day) rectangle;
+    // z-order files must cover a fraction of it
+    assert(zArea * 2 < hashArea,
+      s"z-order avg file area $zArea not better than hash $hashArea")
+  }
+}
