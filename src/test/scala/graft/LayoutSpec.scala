@@ -34,6 +34,25 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(viaColumn === viaSql)
   }
 
+  test("property: zValue round-trips — deinterleaving recovers (a, b)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(0L, (1L << 16) - 1), Gen.choose(0L, (1L << 16) - 1))
+    val prop = Prop.forAll(gen) { case (a, b) =>
+      val z = Seq((a, b)).toDF("a", "b")
+        .select(Layout.zValue($"a", $"b", 16).as("z"))
+        .head().getLong(0)
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 16) {
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      ra == a && rb == b
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
+
   test("z-order layout shrinks per-file bounding boxes vs hash layout") {
     import spark.implicits._
     def area(df: org.apache.spark.sql.DataFrame): Double =
