@@ -64,4 +64,28 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       .collect().head.getLong(0)
     assert(r === 1000)
   }
+
+  test("SQL face: every custom function family resolves through Views.sql") {
+    // cosine + topk (vectors), freq-items sketch (text), bloom agg +
+    // probe (membership) — all reachable from plain SQL.
+    val cos = graft.ops.Views.sql(spark, sf0001,
+      """SELECT graft_cosine(CAST(embedding AS ARRAY<DOUBLE>),
+        |                    CAST(embedding AS ARRAY<DOUBLE>)) AS c
+        |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+    val hh = graft.ops.Views.sql(spark, sf0001,
+      """SELECT sk.n, size(sk.entries) AS n_entries FROM (
+        |  SELECT graft_freq_items(token, 8) AS sk FROM (
+        |    SELECT explode(split(lower(text), ' ')) AS token FROM documents))""".stripMargin)
+      .collect().head
+    assert(hh.getLong(0) > 0 && hh.getInt(1) > 0 && hh.getInt(1) <= 8)
+    val bloomHit = graft.ops.Views.sql(spark, sf0001,
+      """SELECT graft_might_contain(
+        |         (SELECT graft_bloom_agg(xxhash64(l_returnflag),
+        |                                 CAST(100 AS BIGINT), CAST(4096 AS BIGINT)) FROM lineitem),
+        |         xxhash64('A')) AS hit""".stripMargin)
+      .collect().head.getBoolean(0)
+    assert(bloomHit)
+  }
 }
