@@ -93,6 +93,61 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // The whole curation pipeline as ONE Catalyst plan — quality gate
+    // (corpus-quartile threshold) → benchmark decontamination → exact
+    // dedup (keep lowest doc_id per content hash, among survivors) →
+    // mixture cap (per-source deterministic sampling) — with per-source
+    // counts after every stage, so the output is the funnel a curation
+    // run would log. Each stage reuses the exact column definitions its
+    // standalone query proved (q68/q53/q30/q66); composing them in one
+    // frame means Catalyst sees the whole dataflow: one documents scan
+    // feeds the quality/dedup/mixture spine, the shingle side reuses the
+    // pinned shingle frame, thresholds and rates ride broadcasts, and the
+    // only data-sized shuffles are the content-hash window and the
+    // per-source aggregates.
+    "q76_curation_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val train = TextQueries.withQuality(t(s, dir, "documents"))
+        .filter($"doc_id" >= 20)
+      val thr = train.agg(expr("percentile(quality, 0.25D)").as("q25"))
+      val s1 = train.crossJoin(broadcast(thr)).filter($"quality" >= $"q25")
+      val sh = DedupQueries.shingleRows(s, dir)
+      val benchSh = sh.filter($"doc_id" < 20).select($"shingle").distinct()
+      val contam = sh.filter($"doc_id" >= 20)
+        .join(broadcast(benchSh), "shingle")
+        .select($"doc_id").distinct()
+      val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"text")).orderBy($"doc_id")
+      val s3 = s2.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      val per = s3.groupBy($"source").agg(sum($"n_tokens").as("src_tokens"))
+      val tot = per.agg(sum($"src_tokens").as("total_tokens"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("keep_per_mille",
+          floor(least(lit(1.0),
+            lit(0.04) * $"total_tokens".cast("double") / $"src_tokens".cast("double"))
+            * 1000.0).cast("long"))
+        .select($"source", $"keep_per_mille")
+      val s4 = s3.join(broadcast(rates), "source")
+        .filter((($"doc_id" % 1048573L) * 2654435761L) % 1000L < $"keep_per_mille")
+      def cnt(df: DataFrame, name: String) =
+        df.groupBy($"source").agg(count(lit(1)).as(name))
+      cnt(train, "n_in")
+        .join(cnt(s1, "n_quality"), Seq("source"), "left")
+        .join(cnt(s2, "n_decontam"), Seq("source"), "left")
+        .join(cnt(s3, "n_dedup"), Seq("source"), "left")
+        .join(s4.groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("tokens_kept")),
+          Seq("source"), "left")
+        .select($"source", $"n_in",
+          coalesce($"n_quality", lit(0L)).as("n_quality"),
+          coalesce($"n_decontam", lit(0L)).as("n_decontam"),
+          coalesce($"n_dedup", lit(0L)).as("n_dedup"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"tokens_kept", lit(0L)).as("tokens_kept"))
+        .orderBy($"source")
+    },
+
     // Dedup retention policy — the step after clustering: keep exactly one
     // document per near-dup cluster, chosen by a quality criterion (longest
     // text, doc_id tiebreak). Composes the connected-components labels
@@ -286,6 +341,51 @@ object CurationQueries {
     // The bloom variant's verify join removes every false positive, so
     // the result — and therefore the oracle — is exactly q53's.
     "q73_decontamination_bloom" -> decontaminationOracle,
+
+    // Stage-by-stage composition of the q68/q53/q30/q66 oracle bodies.
+    "q76_curation_pipeline" ->
+      s"""WITH ${TextQueries.qualityCteBody},
+         |train AS (SELECT * FROM scored WHERE doc_id >= 20),
+         |thr AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM train),
+         |s1 AS (SELECT train.* FROM train, thr WHERE quality >= q25),
+         |$shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+         |           WHERE s.doc_id >= 20),
+         |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |md AS (SELECT doc_id, md5(text) AS m FROM documents),
+         |s3 AS (SELECT * FROM (
+         |    SELECT s2.*, ROW_NUMBER() OVER (PARTITION BY md.m ORDER BY s2.doc_id) AS rn
+         |    FROM s2 JOIN md USING (doc_id)) t WHERE rn = 1),
+         |per AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+         |        FROM s3 GROUP BY source),
+         |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM per),
+         |rates AS (SELECT source,
+         |            CAST(FLOOR(LEAST(1.0, 0.04 * CAST(total_tokens AS DOUBLE)
+         |                                    / CAST(src_tokens AS DOUBLE)) * 1000.0) AS BIGINT)
+         |              AS keep_per_mille
+         |          FROM per, tot),
+         |s4 AS (SELECT s3.* FROM s3 JOIN rates USING (source)
+         |       WHERE ((doc_id % 1048573) * 2654435761) % 1000 < keep_per_mille),
+         |agg_in AS (SELECT source, COUNT(*) AS n_in FROM train GROUP BY source),
+         |agg_q AS (SELECT source, COUNT(*) AS n_quality FROM s1 GROUP BY source),
+         |agg_d AS (SELECT source, COUNT(*) AS n_decontam FROM s2 GROUP BY source),
+         |agg_dd AS (SELECT source, COUNT(*) AS n_dedup FROM s3 GROUP BY source),
+         |agg_k AS (SELECT source, COUNT(*) AS n_kept,
+         |                 CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+         |          FROM s4 GROUP BY source)
+         |SELECT i.source, i.n_in,
+         |  COALESCE(q.n_quality, 0) AS n_quality,
+         |  COALESCE(d.n_decontam, 0) AS n_decontam,
+         |  COALESCE(dd.n_dedup, 0) AS n_dedup,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.tokens_kept, 0) AS tokens_kept
+         |FROM agg_in i
+         |LEFT JOIN agg_q q USING (source)
+         |LEFT JOIN agg_d d USING (source)
+         |LEFT JOIN agg_dd dd USING (source)
+         |LEFT JOIN agg_k k USING (source)
+         |ORDER BY i.source""".stripMargin,
 
     "q63_cluster_keep_best" ->
       s"""WITH RECURSIVE ${DedupQueries.clustersCteBody},
