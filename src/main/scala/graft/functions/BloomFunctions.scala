@@ -25,14 +25,24 @@ object BloomFunctions {
   val AggName = "graft_bloom_agg"
   val ContainsName = "graft_might_contain"
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration. Arity guards run in the
+    * builders (= at analysis time) so malformed SQL calls fail
+    * resolution with a message, not an index error. */
   def register(spark: SparkSession): Unit = {
+    def arity(name: String, n: Int, exprs: Seq[_]): Unit =
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name takes exactly $n arguments, got ${exprs.length}")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      AggName,
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+      AggName, exprs => {
+        arity(AggName, 3, exprs)
+        new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      ContainsName,
-      exprs => new BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      ContainsName, exprs => {
+        arity(ContainsName, 2, exprs)
+        new BloomFilterMightContain(exprs(0), exprs(1))
+      }, "built-in")
   }
 
   /** Distributed Bloom build over `xxhash64(col)`: only the final bitset

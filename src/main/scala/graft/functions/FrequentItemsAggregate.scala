@@ -129,10 +129,17 @@ object FrequentItems {
   val Name = "graft_freq_items"
 
   /** Idempotent per-session registration (same mechanism as
-    * [[VectorFunctions.register]]). */
+    * [[VectorFunctions.register]]). The arity guard runs in the builder —
+    * i.e. at analysis time — so `graft_freq_items(x)` fails resolution
+    * with a real message instead of an IndexOutOfBoundsException. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, exprs => FrequentItemsSketch(exprs(0), exprs(1)), "built-in")
+      Name, exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"$Name(item, capacity) takes exactly 2 arguments, got ${exprs.length}")
+        FrequentItemsSketch(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Column face: struct(n, entries[(item, count)]) (requires register). */
   def sketch(item: org.apache.spark.sql.Column, capacity: Int): org.apache.spark.sql.Column = {

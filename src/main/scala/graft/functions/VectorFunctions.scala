@@ -101,12 +101,22 @@ object VectorFunctions {
   val CosineName = "graft_cosine"
   val TopKName = "graft_topk"
 
-  /** Idempotent per-session registration; call before using `cosine`/`topk`. */
+  /** Idempotent per-session registration; call before using `cosine`/`topk`.
+    * Arity guards run in the builders (= at analysis time) so malformed
+    * SQL calls fail resolution with a message, not an index error. */
   def register(spark: SparkSession): Unit = {
+    def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name takes exactly $n arguments, got ${exprs.length}")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      CosineName, exprs => {
+        arity(CosineName, 2, exprs); CosineSimilarity(exprs(0), exprs(1))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      TopKName, exprs => TopKPairs(exprs(0), exprs(1), exprs(2)), "built-in")
+      TopKName, exprs => {
+        arity(TopKName, 3, exprs); TopKPairs(exprs(0), exprs(1), exprs(2))
+      }, "built-in")
   }
 
   /** Column-API face of [[CosineSimilarity]] (requires `register`). */

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.plans.GroupTopK
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -62,9 +62,8 @@ object CurationQueries {
     "q53_decontamination" -> { (s, dir) =>
       import s.implicits._
       val sh = DedupQueries.shingleRows(s, dir)
-      val benchSh = sh.filter($"doc_id" < 20).select($"shingle").distinct()
       sh.filter($"doc_id" >= 20)
-        .join(broadcast(benchSh), "shingle")
+        .join(broadcast(benchShingles(s, dir)), "shingle")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
@@ -82,7 +81,7 @@ object CurationQueries {
     "q73_decontamination_bloom" -> { (s, dir) =>
       import s.implicits._
       val sh = DedupQueries.shingleRows(s, dir)
-      val benchSh = sh.filter($"doc_id" < 20).select($"shingle").distinct()
+      val benchSh = benchShingles(s, dir)
       val bloom = graft.functions.BloomFunctions.build(
         benchSh, $"shingle", expectedItems = 100000L, numBits = 1200000L)
       sh.filter($"doc_id" >= 20)
@@ -107,29 +106,25 @@ object CurationQueries {
     // per-source aggregates.
     "q76_curation_pipeline" -> { (s, dir) =>
       import s.implicits._
-      val train = TextQueries.withQuality(t(s, dir, "documents"))
-        .filter($"doc_id" >= 20)
+      // Each funnel stage feeds BOTH the next stage and its own per-source
+      // count — without pinning, every one of the 5 count branches would
+      // re-execute the entire upstream spine (scan, scoring, percentile,
+      // anti-join, window): Catalyst reuses identical exchanges, not
+      // arbitrary shared subplans. Lazy pins keep query construction
+      // side-effect free while each stage still materializes exactly once
+      // at execution.
+      val train = Pin.lazily(TextQueries.withQuality(t(s, dir, "documents"))
+        .filter($"doc_id" >= 20))
       val thr = train.agg(expr("percentile(quality, 0.25D)").as("q25"))
-      val s1 = train.crossJoin(broadcast(thr)).filter($"quality" >= $"q25")
-      val sh = DedupQueries.shingleRows(s, dir)
-      val benchSh = sh.filter($"doc_id" < 20).select($"shingle").distinct()
-      val contam = sh.filter($"doc_id" >= 20)
-        .join(broadcast(benchSh), "shingle")
-        .select($"doc_id").distinct()
-      val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
+      val s1 = Pin.lazily(train.crossJoin(broadcast(thr)).filter($"quality" >= $"q25"))
+      val s2 = Pin.lazily(s1.join(contaminatedDocIds(s, dir), Seq("doc_id"), "left_anti"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5($"text")).orderBy($"doc_id")
-      val s3 = s2.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
-      val per = s3.groupBy($"source").agg(sum($"n_tokens").as("src_tokens"))
-      val tot = per.agg(sum($"src_tokens").as("total_tokens"))
-      val rates = per.crossJoin(broadcast(tot))
-        .withColumn("keep_per_mille",
-          floor(least(lit(1.0),
-            lit(0.04) * $"total_tokens".cast("double") / $"src_tokens".cast("double"))
-            * 1000.0).cast("long"))
-        .select($"source", $"keep_per_mille")
-      val s4 = s3.join(broadcast(rates), "source")
-        .filter((($"doc_id" % 1048573L) * 2654435761L) % 1000L < $"keep_per_mille")
+      val s3 = Pin.lazily(
+        s2.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"))
+      val per = s3.groupBy($"source").agg(sum($"n_tokens").as("n_tokens"))
+      val s4 = s3.join(broadcast(mixtureRates(per)), "source")
+        .filter(keepHash < $"keep_per_mille")
       def cnt(df: DataFrame, name: String) =
         df.groupBy($"source").agg(count(lit(1)).as(name))
       cnt(train, "n_in")
@@ -235,16 +230,8 @@ object CurationQueries {
         .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
       val per = docs.groupBy($"source")
         .agg(sum(coalesce($"ws_tokens", lit(0L))).as("n_tokens"))
-      val tot = per.agg(sum($"n_tokens").as("total_tokens"))
-      val rates = per.crossJoin(broadcast(tot))
-        .withColumn("keep_per_mille",
-          floor(least(lit(1.0),
-            lit(0.04) * $"total_tokens".cast("double") / $"n_tokens".cast("double"))
-            * 1000.0).cast("long"))
-        .select($"source", $"keep_per_mille")
-      docs.join(broadcast(rates), "source")
-        .withColumn("kept",
-          when((($"doc_id" % 1048573L) * 2654435761L) % 1000L < $"keep_per_mille", 1L).otherwise(0L))
+      docs.join(broadcast(mixtureRates(per)), "source")
+        .withColumn("kept", when(keepHash < $"keep_per_mille", 1L).otherwise(0L))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
           max($"keep_per_mille").as("keep_per_mille"))
@@ -312,6 +299,45 @@ object CurationQueries {
       |  SELECT doc_id,
       |         unnest(list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])) AS shingle
       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t FROM documents) s)""".stripMargin
+
+  /** The benchmark shingle set (doc_id < 20, distinct) — shared by
+    * q53/q73/q76 so the contamination definition has one home. */
+  private def benchShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupQueries.shingleRows(s, dir)
+      .filter($"doc_id" < 20).select($"shingle").distinct()
+  }
+
+  /** Training docs (doc_id ≥ 20) sharing ≥ 1 shingle with the benchmark. */
+  private def contaminatedDocIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupQueries.shingleRows(s, dir)
+      .filter($"doc_id" >= 20)
+      .join(broadcast(benchShingles(s, dir)), "shingle")
+      .select($"doc_id").distinct()
+  }
+
+  /** The deterministic per-row keep decision: Knuth multiplicative hash
+    * of doc_id, mod-prime-reduced first so the product stays in BIGINT
+    * range in BOTH engines (raw doc_id·2654435761 wraps in Spark but
+    * raises in DuckDB above ~3.4e9). One home for the constants —
+    * q66/q76 and their oracles must keep agreeing on them. */
+  private def keepHash: Column =
+    ((col("doc_id") % 1048573L) * 2654435761L) % 1000L
+
+  /** Per-source keep rate (per-mille) capping every source at 4% of the
+    * combined tokens: floor(least(1, 0.04·total/n)·1000). Input: per
+    * (source, n_tokens); the one-row total rides a broadcast. floor on
+    * bit-identical doubles is tie-free across engines, unlike round. */
+  private def mixtureRates(per: DataFrame): DataFrame = {
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("keep_per_mille",
+        floor(least(lit(1.0),
+          lit(0.04) * col("total_tokens").cast("double") / col("n_tokens").cast("double"))
+          * 1000.0).cast("long"))
+      .select(col("source"), col("keep_per_mille"))
+  }
 
   private lazy val decontaminationOracle: String =
     s"""WITH $shingleCte,

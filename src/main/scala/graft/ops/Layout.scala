@@ -21,32 +21,50 @@ object Layout {
 
   /** Morton z-value: interleaves the low `bits` bits of two NON-NEGATIVE
     * long columns (`a` on even bit positions, `b` on odd). 2·bits ≤ 63,
-    * so bits ≤ 31. Values beyond `bits` bits fold into the same top
-    * bucket — callers size `bits` to cover their domain. */
+    * so bits ≤ 31.
+    *
+    * Values ≥ 2^bits SATURATE to the all-ones cell on their axis rather
+    * than wrapping: a plain low-bits take would alias value v with
+    * v + 2^bits — scattering far-apart keys into the same file and
+    * silently destroying the locality this exists to provide (the q75
+    * oracle would compute the same wrap and never catch it). Saturation
+    * is order-preserving: in-range values keep full locality; the
+    * out-of-range tail degrades only at the cap. Size `bits` to cover
+    * the domain. */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val cap = (1L << bits) - 1
+    val ac = least(a, lit(cap))
+    val bc = least(b, lit(cap))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      val abit = shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
-      val bbit = shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val abit = shiftleft(shiftrightunsigned(ac, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftrightunsigned(bc, i).bitwiseAND(lit(1L)), 2 * i + 1)
       acc.bitwiseOR(abit).bitwiseOR(bbit)
     }
   }
 
-  /** The SQL twin of [[zValue]] (same shift/mask tree), for oracles and
-    * the SQL face. */
-  def zValueSql(a: String, b: String, bits: Int = 21): String =
+  /** The SQL twin of [[zValue]] (same saturate + shift/mask tree), for
+    * oracles and the SQL face. */
+  def zValueSql(a: String, b: String, bits: Int = 21): String = {
+    val cap = (1L << bits) - 1
+    val (ac, bc) = (s"LEAST($a, $cap)", s"LEAST($b, $cap)")
     (0 until bits).map(i =>
-      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      s"((($ac >> $i) & 1) << ${2 * i}) | ((($bc >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " | ", ")")
+  }
 
   /** Rewrites `df` into `partitions` files clustered by the z-curve over
     * (`a`, `b`): range-partition on z, sort within partitions, drop the
     * helper column (the projection preserves the sort, so the written
     * row groups keep tight min/max bounds on BOTH dimensions). */
   def layoutBy(df: DataFrame, a: String, b: String, bits: Int,
-               partitions: Int): DataFrame =
-    df.withColumn("_z", zValue(col(a), col(b), bits))
-      .repartitionByRange(partitions, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+               partitions: Int): DataFrame = {
+    val zCol = "_graft_zorder"
+    require(!df.columns.contains(zCol),
+      s"input already has a $zCol column — rename it before layoutBy")
+    df.withColumn(zCol, zValue(col(a), col(b), bits))
+      .repartitionByRange(partitions, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
+  }
 }

@@ -20,4 +20,13 @@ object Pin {
   def apply(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Lazy pin: the checkpoint materializes on FIRST use and is shared by
+    * every later branch — unlike apply(), nothing executes at plan-
+    * construction time. The right form inside `queries` lambdas, which
+    * must stay lazy: a frame consumed by N downstream branches executes
+    * its subtree once instead of N times. */
+  def lazily(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }

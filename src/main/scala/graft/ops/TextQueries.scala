@@ -261,16 +261,21 @@ object TextQueries {
       graft.functions.FrequentItems.register(s)
       val toks = t(s, dir, "documents")
         .select(explode(split(lower($"text"), " ")).as("token"))
-      val sk = toks
+      // One LAZY plan (no driver-side .head() — constructing the query
+      // must not execute it): the sketch's 1-row output explodes into the
+      // ≤ 256-row candidate frame with the exact total n carried on every
+      // row, which broadcasts into the verify join — the sketch subtree
+      // executes exactly once, inside the same job as the verify pass.
+      val cand = toks
         .agg(graft.functions.FrequentItems.sketch($"token", 256).as("sk"))
-        .select($"sk.n".as("n"), $"sk.entries.item".as("items"))
-        .head()
-      val n = sk.getAs[Long]("n")
-      val candidates = sk.getAs[scala.collection.Seq[String]]("items")
-      toks.filter($"token".isin(candidates.toSeq: _*))
-        .groupBy($"token").agg(count(lit(1)).as("n_occurrences"))
-        .filter($"n_occurrences" > lit(n) * lit(0.02))
-        .withColumn("share", $"n_occurrences".cast("double") / lit(n).cast("double"))
+        .select($"sk.n".as("n_total"), explode($"sk.entries.item").as("token"))
+      toks.join(broadcast(cand), "token")
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n_occurrences"), max($"n_total").as("n_total"))
+        .filter($"n_occurrences" > $"n_total" * lit(0.02))
+        .withColumn("share",
+          $"n_occurrences".cast("double") / $"n_total".cast("double"))
+        .select($"token", $"n_occurrences", $"share")
         .orderBy($"n_occurrences".desc, $"token")
     }
   )

@@ -34,6 +34,18 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(viaColumn === viaSql)
   }
 
+  test("out-of-range values saturate to the top cell, never alias in-range keys") {
+    import spark.implicits._
+    val z = Seq((1L, 0L), ((1L << 8) + 1L, 0L), ((1L << 20) + 5L, 3L), (255L, 3L))
+      .toDF("a", "b")
+      .select($"a", $"b", Layout.zValue($"a", $"b", 8).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // a low-bits wrap would map 257 onto key 1's cell; saturation must not
+    assert(z((257L, 0L)) !== z((1L, 0L)))
+    // everything past the cap lands in the axis's top cell
+    assert(z(((1L << 20) + 5L, 3L)) === z((255L, 3L)))
+  }
+
   test("property: zValue round-trips — deinterleaving recovers (a, b)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
