@@ -291,6 +291,55 @@ object CurationQueries {
         .groupBy($"source", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"ws_tokens").as("bin_tokens"))
         .orderBy($"source", $"bin")
+    },
+
+    // PII anonymization before a corpus leaves curation: pseudonymize the
+    // stable key (salted hash — joinable across tables, not reversible),
+    // mask the digit runs inside the display name (quasi-identifier), and
+    // generalize the numeric attribute to a coarse band (k-anonymity-style
+    // generalization). Pure per-row projection — zero shuffle, the
+    // anonymization runs wherever the row already lives; free-text
+    // redaction (emails/IPv4/phones) is the same shape via
+    // TextQueries.redactPii, regex-pinned in TextSpec.
+    "q77_pii_anonymize" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          md5(concat(lit("pepper::"), $"c_custkey".cast("string"))).as("pseudonym"),
+          regexp_replace($"c_name", "[0-9]", "#").as("name_masked"),
+          (floor($"c_acctbal".cast("double") / 1000.0) * 1000).cast("long").as("acctbal_band"),
+          $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // Temperature-based mixture reweighting (the multilingual-training
+    // standard: sample source i with p_i ∝ n_i^α, here α = 1/2 so the
+    // per-element transform is IEEE-exact sqrt in every engine). The only
+    // cross-row float arithmetic is the denominator Σ√n_i — float addition
+    // is non-associative, so it is computed as a LEFT FOLD OVER THE SORTED
+    // value list, making the sum bit-identical across engines, runs, and
+    // partitionings. Source count is tiny at any corpus size (the fold is
+    // over #sources values, not rows); everything upstream is one exact
+    // integer aggregate.
+    "q79_temperature_mixture" -> { (s, dir) =>
+      import s.implicits._
+      val per = t(s, dir, "documents")
+        .withColumn("ws_tokens", size(split($"text", " ")).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"ws_tokens", lit(0L))).as("n_tokens"))
+      val den = per.agg(
+        expr("aggregate(array_sort(collect_list(sqrt(cast(n_tokens as double)))), " +
+          "cast(0.0 as double), (a, x) -> a + x)").as("denom"),
+        sum($"n_tokens").as("total_tokens"))
+      per.crossJoin(broadcast(den))
+        .withColumn("token_share",
+          $"n_tokens".cast("double") / $"total_tokens".cast("double"))
+        .withColumn("weight", sqrt($"n_tokens".cast("double")) / $"denom")
+        .withColumn("boost", $"weight" / $"token_share")
+        .select($"source", $"n_docs", $"n_tokens", $"token_share", $"weight", $"boost")
+        .orderBy($"source")
     }
   )
 
@@ -490,6 +539,35 @@ object CurationQueries {
         |  FROM d)
         |SELECT source, CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS bin,
         |       COUNT(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS bin_tokens
-        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // Spark's regexp_replace replaces every match; DuckDB needs the 'g'
+    // flag for the same semantics.
+    "q77_pii_anonymize" ->
+      """SELECT c_custkey,
+        |  md5('pepper::' || CAST(c_custkey AS VARCHAR)) AS pseudonym,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // list_reduce folds f(f(x1,x2),x3)…; the Spark side folds
+    // ((0.0+x1)+x2)+x3 — identical by IEEE (0.0 + x = x for x ≥ 0), so
+    // the denominators are bit-equal.
+    "q79_temperature_mixture" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(COALESCE(CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT), 0)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |den AS (
+        |  SELECT list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))), (a, b) -> a + b) AS denom,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / denom AS weight,
+        |  (sqrt(CAST(n_tokens AS DOUBLE)) / denom)
+        |    / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS boost
+        |FROM per, den ORDER BY source""".stripMargin
   )
 }

@@ -255,8 +255,41 @@ object DedupQueries {
         .filter($"hamming" <= 3)
         .select($"doc_a", $"doc_b", $"hamming")
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Passage-level exact dedup: chunk each document into fixed-length
+    // word passages, hash each, and report passages that recur across
+    // distinct documents — the sub-document granularity (boilerplate
+    // headers, license blocks, templated paragraphs) that whole-document
+    // dedup (q30) cannot see. Chunking is a per-row array transform (no
+    // shuffle); the only corpus-wide movement is (passage_md5, doc_id)
+    // pairs into one hash aggregate, so at 100 TB the shuffle carries
+    // 16-byte digests — never the text itself.
+    "q78_passage_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val w = t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        // guard: sequence(0, n-1) needs n >= 1; shorter docs have no
+        // complete passage (the oracle applies the same predicate)
+        .filter(size($"ws") >= PassageLen)
+      val chunks = w.select($"doc_id",
+        explode(expr(
+          s"""transform(sequence(0, cast(floor(size(ws) / $PassageLen.0) - 1 as int)),
+             |  g -> md5(concat_ws(' ', slice(ws, g * $PassageLen + 1, $PassageLen))))""".stripMargin)).as("h"))
+      chunks.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+        .filter($"n_docs" > 1)
+        .select($"h".as("passage_md5"), $"n_docs", $"n_occurrences")
+        .orderBy($"passage_md5")
     }
   )
+
+  /** Words per passage for q78. 16 keeps a passage long enough that a
+    * cross-document match is real shared content, short enough that
+    * boilerplate shifted by a few leading words still aligns on some
+    * chunk boundary for most of its length. */
+  private val PassageLen = 16
 
   /** 64-bit SimHash per document. Explode tokens once, hash once, then 64
     * codegen'd signed-bit SUM aggregates (map-side combine); the signature
@@ -327,6 +360,20 @@ object DedupQueries {
     "q31_neardup_jaccard" -> jaccardOracle,
     // The LSH pipeline verifies candidates exactly, so at this threshold its
     // output must equal the exhaustive pair set (recall checked in tests).
-    "q32_dedup_minhash_lsh" -> jaccardOracle
+    "q32_dedup_minhash_lsh" -> jaccardOracle,
+    "q78_passage_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(ws[(g.g*16+1):(g.g*16+16)], ' ')) AS h
+        |  FROM w, LATERAL (
+        |    SELECT unnest(generate_series(0, CAST(FLOOR(len(ws)/16.0) - 1 AS INT))) AS g) g
+        |  WHERE len(ws) >= 16)
+        |SELECT h AS passage_md5, COUNT(DISTINCT doc_id) AS n_docs,
+        |       COUNT(*) AS n_occurrences
+        |FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY passage_md5""".stripMargin
   )
 }

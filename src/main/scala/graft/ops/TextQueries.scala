@@ -86,6 +86,24 @@ object TextQueries {
        |      + LEAST(avg_token_len / 8.0, 1.0) * 0.2 AS quality
        |  FROM qy)""".stripMargin
 
+  /** Free-text PII redaction: replace emails, IPv4 addresses, and
+    * phone-number-shaped digit runs with fixed tags, in that order (email
+    * first so its user part is not half-eaten by the phone pattern; IPv4
+    * before phone so dotted quads don't match as digit runs). Pure per-row
+    * regex work — codegen'd `RegExpReplace`, no shuffle, linear at any
+    * corpus size. Patterns are pinned by QueriesSpec on adversarial
+    * literals; q77 carries the structured-column face of the same
+    * operator. */
+  private[graft] def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "(?<!\\d)(?:\\+?\\d{1,3}[-. ])?(?:\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}(?!\\d)",
+      "<PHONE>")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: n-gram/stopword-hit heuristic with a deterministic

@@ -58,6 +58,27 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("redactPii scrubs emails, IPv4s, and phone shapes but not prose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("mail me at jane.doe+spam@example.co.uk today",
+       "mail me at <EMAIL> today"),
+      ("server 10.0.255.7 timed out, retry 192.168.1.1",
+       "server <IP> timed out, retry <IP>"),
+      ("call 555-867-5309 or +1 (212) 555-0199 now",
+       "call <PHONE> or <PHONE> now"),
+      ("a@b.io on 127.0.0.1 via 800-555-1212",
+       "<EMAIL> on <IP> via <PHONE>"),
+      // non-PII look-alikes must survive: version strings, years, ids
+      ("version 1.2.3 built in 2024, order 12345678",
+       "version 1.2.3 built in 2024, order 12345678"))
+    val got = cases.toDF("text", "want")
+      .select(graft.ops.TextQueries.redactPii(col("text")).as("got"), $"want")
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
