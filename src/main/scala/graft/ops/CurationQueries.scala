@@ -340,6 +340,24 @@ object CurationQueries {
         .withColumn("boost", $"weight" / $"token_share")
         .select($"source", $"n_docs", $"n_tokens", $"token_share", $"weight", $"boost")
         .orderBy($"source")
+    },
+
+    // Stratified deterministic sampling: k docs per source as the BOTTOM-k
+    // of a keyed hash — under a uniform hash this is exactly uniform
+    // sampling without replacement per stratum, yet reproducible across
+    // runs/engines/partitionings, and rerunning with k′ > k extends the
+    // sample without reshuffling membership (hash order is fixed). Rides
+    // the GroupTopK plan operator: each task reduces its slice to ≤ k rows
+    // per source map-side, so the shuffle carries (tasks × sources × k)
+    // rows — a reservoir-sampling aggregate with the reservoir's
+    // merge step done by the engine.
+    "q80_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      val keyed = t(s, dir, "documents")
+        .withColumn("skey", md5(concat($"doc_id".cast("string"), lit("::sample"))))
+        .select($"doc_id", $"source", $"skey")
+      GroupTopK(keyed, Seq($"source"), Seq($"skey".asc, $"doc_id".asc), 5)
+        .orderBy($"source", $"skey", $"doc_id")
     }
   )
 
@@ -568,6 +586,17 @@ object CurationQueries {
         |  sqrt(CAST(n_tokens AS DOUBLE)) / denom AS weight,
         |  (sqrt(CAST(n_tokens AS DOUBLE)) / denom)
         |    / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS boost
-        |FROM per, den ORDER BY source""".stripMargin
+        |FROM per, den ORDER BY source""".stripMargin,
+
+    "q80_stratified_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source,
+        |         md5(CAST(doc_id AS VARCHAR) || '::sample') AS skey
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                                   ORDER BY skey, doc_id) AS rn
+        |      FROM keyed)
+        |SELECT doc_id, source, skey FROM r WHERE rn <= 5
+        |ORDER BY source, skey, doc_id""".stripMargin
   )
 }

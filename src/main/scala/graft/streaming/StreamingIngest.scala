@@ -103,6 +103,34 @@ object StreamingIngest {
   }
 
   /**
+   * Watermarked stream-stream inner join — the streaming face of the
+   * batch as-of/attribution queries (q23/q25): purchases join to the
+   * clicks that preceded them within `within`, as BOTH sides arrive.
+   * Correctness at scale rests on the two things Spark needs to bound
+   * buffered state: a watermark on each side (how late either stream can
+   * be) and a time-range join condition (how long a click stays
+   * joinable). Together they let the state store evict a click once
+   * `click_ts + within` passes the purchase-side watermark — without the
+   * range bound the join would buffer every click forever. State is
+   * partitioned by the equi-join key, so it scales out with executors
+   * like any shuffle.
+   */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       userCol: String, tsCol: String,
+                       within: String = "30 minutes",
+                       watermark: String = DefaultWatermark): DataFrame = {
+    val c = clicks.select(col(userCol).as("user"), col(tsCol).as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col(userCol).as("p_user"), col(tsCol).as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("user"), col("click_ts"), col("purchase_ts"))
+  }
+
+  /**
    * Stateless streaming curation gate — the quality + repetition filter
    * applied to a document stream as it lands: rows below `minQuality`
    * (q38/q68's formula) or above `maxTopWordShare` (q69's boilerplate

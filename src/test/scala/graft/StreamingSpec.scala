@@ -171,6 +171,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got === Seq(2L, 5L))
   }
 
+  test("stream-stream join attributes purchases to clicks within the window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String)]
+    val purchases = MemoryStream[(java.sql.Timestamp, String)]
+    val joined = StreamingIngest.clickAttribution(
+      clicks.toDF().toDF("ts", "user_id"), purchases.toDF().toDF("ts", "user_id"),
+      "user_id", "ts", within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .option("checkpointLocation", tmp("graft-join-ckpt"))
+      .outputMode("append").start()
+    clicks.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "u1"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "u2"))
+    purchases.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "u1"),  // within 30m → match
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "u2"))  // 55m after → no match
+    q.processAllAvailable()
+    // the u2 click arriving AFTER its purchase was already seen still
+    // joins nothing (purchase outside the range), and a second u1
+    // purchase in a later batch still matches the buffered click
+    purchases.addData((java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "u1"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user, click_ts, purchase_ts FROM attrib").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString))
+      .sortBy(t => (t._1, t._3)).toSeq
+    q.stop()
+    assert(got === Seq(
+      ("u1", "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      ("u1", "2024-01-01 00:00:00.0", "2024-01-01 00:20:00.0")))
+  }
+
   test("streaming curation gate filters exactly like the batch formulas") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
