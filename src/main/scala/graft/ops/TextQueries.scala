@@ -295,6 +295,37 @@ object TextQueries {
           $"n_occurrences".cast("double") / $"n_total".cast("double"))
         .select($"token", $"n_occurrences", $"share")
         .orderBy($"n_occurrences".desc, $"token")
+    },
+
+    // Unigram language-model scoring (the CCNet-style perplexity filter):
+    // score each document by the mean surprise −ln p(token) under the
+    // corpus's own unigram distribution — high scores flag documents full
+    // of corpus-rare tokens (noise, other languages, mojibake), low
+    // scores flag degenerate/common-word soup. Two bounded shuffles: the
+    // token-count aggregate is VOCABULARY-sized (bounded — BPE vocabs are
+    // ~10⁵ regardless of corpus size, so AQE broadcasts it back), and the
+    // per-doc re-aggregate carries one double per token occurrence. The
+    // per-doc sum folds the per-token surprises IN POSITION ORDER (sorted
+    // struct fold), so the float sum is partition- and engine-invariant;
+    // the final mean is rounded to 1e-6 — log() may legitimately differ
+    // by 1 ulp between libm implementations, and ~1e-14 of accumulated
+    // ulp noise must not flip the comparison grain.
+    "q81_unigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+      val counts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum($"cnt").as("total"))
+      toks.join(counts, "tok").crossJoin(broadcast(tot))
+        .withColumn("logp", -log($"cnt".cast("double") / $"total".cast("double")))
+        .groupBy($"doc_id")
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
+            "cast(0.0 as double), (a, x) -> a + x.logp)").as("sum_lp"),
+          count(lit(1)).as("n_toks"))
+        .select($"doc_id", $"n_toks",
+          round($"sum_lp" / $"n_toks", 6).as("avg_neg_logprob"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -416,6 +447,27 @@ object TextQueries {
         |SELECT token, c AS n_occurrences, CAST(c AS DOUBLE) / n AS share
         |FROM cnt, tot
         |WHERE c > n * 0.02
-        |ORDER BY n_occurrences DESC, token""".stripMargin
+        |ORDER BY n_occurrences DESC, token""".stripMargin,
+
+    // `list(logp ORDER BY pos)` + list_reduce mirrors the Spark side's
+    // sorted-struct fold: both sum the per-token surprises in position
+    // order, so only libm's ≤1-ulp ln() differences remain — absorbed by
+    // the shared ROUND(…, 6).
+    "q81_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t
+        |        FROM documents) s,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+        |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+        |j AS (SELECT doc_id, pos,
+        |             -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |      FROM toks JOIN counts USING (tok), tot),
+        |per AS (SELECT doc_id, COUNT(*) AS n_toks,
+        |               list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS sum_lp
+        |        FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_toks, ROUND(sum_lp / n_toks, 6) AS avg_neg_logprob
+        |FROM per ORDER BY doc_id""".stripMargin
   )
 }
