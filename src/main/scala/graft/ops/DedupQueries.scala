@@ -68,6 +68,56 @@ object DedupQueries {
     rows.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
 
   /**
+   * (doc_a, doc_b, n_common, n_a, n_b) for every document pair sharing at
+   * least one shingle — the inverted-index pair spine under q31 (Jaccard),
+   * q83 (containment) and q84 (edit-distance verify).
+   *
+   * Join on the 64-bit shingle hash, not the string: ~4× less shuffle byte
+   * volume and cheaper key compares (an xxhash64 collision between distinct
+   * shingles of overlapping docs is ≈2⁻⁶⁴ per pair). df>1 pruning drops the
+   * ~90% of shingle rows that are unique to one document and can never
+   * produce a pair; Jaccard/containment denominators still use the
+   * UNFILTERED per-doc counts. Per-doc counts attach AFTER the pair
+   * aggregation: the pair set is tiny relative to the corpus, so AQE
+   * broadcasts it against the counts frame — broadcasting `counts` itself
+   * (one row per document) would be a corpus-sized broadcast at scale.
+   */
+  private[ops] def sharedPairCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = shingleRows(s, dir)
+    val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val hashed = rows.select($"doc_id", xxhash64($"shingle").as("shingle"))
+    val shared = hashed.groupBy($"shingle")
+      .agg(count(lit(1)).as("df")).filter($"df" > 1).select($"shingle")
+    val ex = hashed.join(shared, "shingle")
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.toDF("doc_a", "n_a"), "doc_a")
+      .join(counts.toDF("doc_b", "n_b"), "doc_b")
+  }
+
+  /** Banded MinHash sketch rows (doc_id, band, bkey) from hashed shingle
+    * rows — the LSH candidate-generation spine shared by q32 (full-corpus
+    * dedup) and q85 (incremental new-vs-index dedup). Signatures come from
+    * explode + 64 codegen'd MIN aggregates (map-side partial min, one
+    * shuffle by doc_id); each band key hashes RowsPerBand signature slots. */
+  private[ops] def minhashBands(hashed: DataFrame): DataFrame = {
+    val minCols = (1 to MinhashCount).map(i =>
+      min(hash(col("shingle"), lit(i))).as(s"h$i"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((1 to MinhashCount).map(i => col(s"h$i")): _*).as("sig"))
+    sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          j => struct(j.as("band"),
+            hash(slice(col("sig"), j * lit(RowsPerBand) + 1, lit(RowsPerBand))).as("bkey")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  /**
    * Banding chosen so the exact-Jaccard oracle equality is sound at the
    * 0.5 threshold: with 32 bands × 2 rows, P(band collision | j) =
    * 1 − (1 − j²)³², i.e. ≈ 0.9999 at j = 0.5 and ≥ 0.996 even two sigma
@@ -81,6 +131,21 @@ object DedupQueries {
   private val Bands = 32
   private val RowsPerBand = 2
   private val JaccardThreshold = 0.5
+
+  /** q83: min |A∩B|/min(|A|,|B|) to call a pair a containment duplicate.
+    * Containment ≥ Jaccard always, so 0.8 is a strictly tighter overlap
+    * claim than the 0.5 Jaccard gate on the shared-shingle count. */
+  private val ContainmentThreshold = 0.8
+
+  /** q84 prefilter: shared distinct 5-grams required before paying the
+    * O(len·len) Levenshtein verify for a candidate pair. */
+  private val MinCommonShingles = 5
+
+  /** q84: max edit distance as a fraction of the longer text. The fixture
+    * near-dups are single-word template edits (rel ≈ 0.008–0.03 measured),
+    * so 0.02 genuinely discriminates — it keeps the tight edits and drops
+    * the loose ones, unlike a threshold that admits every candidate. */
+  private val EditRelThreshold = 0.02
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -96,40 +161,60 @@ object DedupQueries {
 
     // Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
     // no cross join anywhere; candidate pairs exist only where a shingle
-    // is shared.
+    // is shared (see sharedPairCounts for the plan shape).
     "q31_neardup_jaccard" -> { (s, dir) =>
       import s.implicits._
-      // Join on the 64-bit shingle hash, not the string: ~4× less shuffle
-      // byte volume and cheaper key compares. A hash collision would need
-      // two distinct shingles in overlapping docs to share an xxhash64
-      // (≈ 2⁻⁶⁴ per pair — vanishing, and deterministic per dataset).
-      val rows = shingleRows(s, dir)
-      val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      // df>1 pruning: a shingle unique to one document can never produce a
-      // pair, yet 90% of shingle rows are df=1 on this corpus (measured at
-      // sf0.1; the fraction only grows with corpus diversity). Dropping
-      // them shrinks the self-join input ~10× without changing its output.
-      // Jaccard denominators still use the UNFILTERED per-doc counts. The
-      // df aggregate shares the pair-join's hash(shingle) partitioning, so
-      // exchange reuse makes it nearly free.
-      val hashed = rows.select($"doc_id", xxhash64($"shingle").as("shingle"))
-      val shared = hashed.groupBy($"shingle")
-        .agg(count(lit(1)).as("df")).filter($"df" > 1).select($"shingle")
-      val ex = hashed.join(shared, "shingle")
-      // Per-doc shingle counts attach AFTER the pair aggregation: the pair
-      // set is tiny relative to the corpus, so AQE broadcasts it against
-      // the counts frame — broadcasting `counts` itself (one row per
-      // document) would be a corpus-sized driver collect at scale.
-      ex.as("a").join(ex.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(counts.toDF("doc_a", "n_a"), "doc_a")
-        .join(counts.toDF("doc_b", "n_b"), "doc_b")
+      sharedPairCounts(s, dir)
         .withColumn("jaccard",
           $"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
         .filter($"jaccard" >= JaccardThreshold)
         .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Containment near-dup pairs: |A∩B| / min(|A|,|B|) — the asymmetric
+    // measure that catches subset/truncation duplicates (one document
+    // embedded in or prefixing another), which Jaccard under-scores: a
+    // short doc fully contained in a long one has containment 1.0 but
+    // Jaccard |A|/|B| — arbitrarily small. Same inverted-index spine as
+    // q31 (only the final scalar differs), so the scale shape is identical:
+    // cost is Σ df(s)² over shared shingles, never all-pairs. The ratio is
+    // one IEEE division of exact longs — bit-identical across engines, no
+    // rounding needed.
+    "q83_containment_neardup" -> { (s, dir) =>
+      import s.implicits._
+      sharedPairCounts(s, dir)
+        .withColumn("containment",
+          $"n_common".cast("double") / least($"n_a", $"n_b").cast("double"))
+        .filter($"containment" >= ContainmentThreshold)
+        .select($"doc_a", $"doc_b", $"n_common", $"containment")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Edit-distance-verified near-dup: candidate pairs from the inverted
+    // shingle index (≥ MinCommonShingles shared 5-grams — the cheap
+    // set-overlap prefilter), verified with exact character-level
+    // Levenshtein and kept when the distance is ≤ EditRelThreshold of the
+    // longer text. The expensive O(len²) verify runs ONLY on prefiltered
+    // candidates — at 100 TB the candidate stage is the same LSH/inverted
+    // index as q31/q32, and full text moves only for candidate pairs (a
+    // vanishing fraction of the corpus), never through the pair join
+    // itself. rel_dist is a single IEEE division of exact longs —
+    // bit-identical across engines unrounded.
+    "q84_edit_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val strong = sharedPairCounts(s, dir)
+        .filter($"n_common" >= MinCommonShingles)
+        .select($"doc_a", $"doc_b")
+      val txt = t(s, dir, "documents")
+        .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+      strong.join(txt.toDF("doc_a", "text_a", "len_a"), "doc_a")
+        .join(txt.toDF("doc_b", "text_b", "len_b"), "doc_b")
+        .withColumn("edit_dist", levenshtein($"text_a", $"text_b").cast("long"))
+        .withColumn("rel_dist",
+          $"edit_dist".cast("double") / greatest($"len_a", $"len_b").cast("double"))
+        .filter($"rel_dist" <= EditRelThreshold)
+        .select($"doc_a", $"doc_b", $"edit_dist", $"rel_dist")
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -150,15 +235,7 @@ object DedupQueries {
       // materialization, not two).
       val rows = shingleRows(s, dir)
       val ex = rows.select($"doc_id", xxhash64($"shingle").as("shingle"))
-      val minCols = (1 to MinhashCount).map(i => min(hash($"shingle", lit(i))).as(s"h$i"))
-      val sig = ex.groupBy($"doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select($"doc_id", array((1 to MinhashCount).map(i => col(s"h$i")): _*).as("sig"))
-      val bands = sig.select($"doc_id",
-          explode(transform(sequence(lit(0), lit(Bands - 1)),
-            j => struct(j.as("band"),
-              hash(slice($"sig", j * lit(RowsPerBand) + 1, lit(RowsPerBand))).as("bkey")))).as("b"))
-        .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey"))
+      val bands = minhashBands(ex)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -174,6 +251,41 @@ object DedupQueries {
         .filter($"jaccard" >= JaccardThreshold)
         .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Incremental new-vs-index LSH dedup — the shape a continuously fed
+    // corpus actually runs: an arriving batch (doc_id % 10 < 2 stands in
+    // for "this delivery") is checked against the already-indexed corpus
+    // (the rest) WITHOUT re-deduping the archive. Both sides band with the
+    // same MinHash family, but the join is strictly new × index (no
+    // index × index pairs ever form), so per increment the work is the new
+    // batch's shingling plus band-key collisions against a PRECOMPUTED
+    // band table — at 100 TB the index bands are a bucketed table written
+    // once and appended per batch, and each increment's cost scales with
+    // the batch, not the archive. Candidates are verified with exact
+    // Jaccard, so the output equals the exhaustive new×index pair set at
+    // the threshold (same banding-recall argument as q32).
+    "q85_incremental_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val rows = shingleRows(s, dir)
+      val ex = rows.select($"doc_id", xxhash64($"shingle").as("shingle"))
+      val bands = minhashBands(ex)
+      val isNew = col("doc_id") % 10 < 2
+      val cand = bands.filter(isNew).as("a")
+        .join(bands.filter(!isNew).as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
+        .distinct()
+      val sets = shingleSets(rows)
+      cand
+        .join(sets.toDF("new_id", "sh_a"), "new_id")
+        .join(sets.toDF("index_id", "sh_b"), "index_id")
+        .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("jaccard", $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
+        .filter($"jaccard" >= JaccardThreshold)
+        .select($"new_id", $"index_id", $"n_common", $"jaccard")
+        .orderBy($"new_id", $"index_id")
     },
 
     // Dedup clusters: connected components over the near-dup pair graph
@@ -352,8 +464,57 @@ object DedupQueries {
     s"""WITH RECURSIVE $clustersCteBody
        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
+  /** Distinct word-5-gram shingle sets per document — DuckDB twin of
+    * shingleRows∘shingleSets, shared by the new-pair-measure oracles. */
+  private val shingleSetCte =
+    """d AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t FROM documents) s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q47_dedup_clusters" -> clustersOracle,
+
+    "q83_containment_neardup" ->
+      s"""WITH $shingleSetCte,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / LEAST(len(a.sh), len(b.sh)) AS containment
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, n_common, containment FROM p
+         |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q84_edit_neardup" ->
+      s"""WITH $shingleSetCte,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) >= 5),
+         |ed AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+         |         CAST(levenshtein(x.text, y.text) AS DOUBLE)
+         |           / GREATEST(length(x.text), length(y.text)) AS rel_dist
+         |  FROM p JOIN documents x ON x.doc_id = p.doc_a
+         |         JOIN documents y ON y.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, edit_dist, rel_dist FROM ed
+         |WHERE rel_dist <= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exhaustive new×index Jaccard — the LSH path verifies candidates
+    // exactly and the banding recall argument (32×2 at τ=0.5) makes the
+    // pruned set equal the exhaustive one, exactly as for q32.
+    "q85_incremental_lsh" ->
+      s"""WITH $shingleSetCte,
+         |p AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM d a JOIN d b ON a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2)
+         |SELECT new_id, index_id, n_common, jaccard FROM p
+         |WHERE jaccard >= 0.5 ORDER BY new_id, index_id""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY text_md5""".stripMargin,

@@ -123,6 +123,12 @@ object SimilarityQueries {
   private val Cells = 16
   private val Probes = 6
 
+  /** q82: within-cell cosine at or above this marks a semantic duplicate.
+    * 0.40 sits just under the fixture's near-dup band (q34's 0.45), so the
+    * cell partition genuinely prunes — measured 11–19 drops at sf0.01/0.001
+    * versus thousands of within-cell candidate pairs. */
+  private val SemDedupThreshold = 0.40
+
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-vector array stats: built-in array_min/max + an L2 norm via a
     // sequential fold (matches list_dot_product's evaluation order).
@@ -213,6 +219,47 @@ object SimilarityQueries {
         .orderBy($"vec_id")
     },
 
+    // SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    // the embedding space into cells with a coarse quantizer, then look for
+    // near-duplicates ONLY within a cell — the approximation that makes
+    // embedding-level dedup tractable at corpus scale, since the all-pairs
+    // comparison (q34's fixture-only baseline) never forms: the pair join
+    // is an equi-join on cell id, and cross-cell pairs are deliberately
+    // out of scope (the method's documented recall trade). Cells here are
+    // the q54 deterministic seed quantizer (lowest vec_ids) so the whole
+    // operator — assignment included — is oracle-expressible; swapping in
+    // the q72 trained k-means centroids changes only the `cents` frame.
+    // Keep policy: a vector is dropped when a lower-id vector in its cell
+    // has cosine ≥ 0.4; dup_of records the lowest such keeper-candidate.
+    // At 100 TB: the inverted file is the bucketed table q54 describes,
+    // and each cell's pair search runs independently — per-cell work is
+    // |cell|², bounded by balanced cells (k scales with corpus), never n².
+    "q82_semdedup" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+      val cents = e.filter($"vec_id" < Cells)
+        .select($"vec_id".as("cent_id"), $"emb".as("c_emb"))
+      val cellScores = e.join(broadcast(cents), lit(true))
+        .withColumn("ccos", VectorFunctions.cosine($"emb", $"c_emb"))
+      // Pinned: three consumers (both pair-join sides + the final keep
+      // join) would otherwise each re-execute the assignment subtree.
+      val assigned = graft.plans.GroupTopK(cellScores,
+          Seq($"vec_id"), Seq($"ccos".desc, $"cent_id".asc), 1)
+        .select($"vec_id", $"cent_id".as("cell"), $"emb")
+        .transform(Pin(_))
+      val dup = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+        .withColumn("cos", VectorFunctions.cosine(col("a.emb"), col("b.emb")))
+        .filter($"cos" >= SemDedupThreshold)
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(min(col("b.vec_id")).as("dup_of"))
+      assigned.join(dup, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell".cast("long").as("cell"),
+          when($"dup_of".isNull, 1L).otherwise(0L).as("keep"), $"dup_of")
+        .orderBy($"vec_id")
+    },
+
     // Trained IVF cells: spherical k-means (graft.ops.KMeans) replaces
     // q54's seed-vector stand-ins with Lloyd-refined centroids, then
     // reports the resulting cell population and coherence. Rows-only by
@@ -259,6 +306,32 @@ object SimilarityQueries {
     "q35_ann_topk" -> annTopkOracle,
     // The aggregate formulation must produce the identical result set.
     "q35b_ann_topk_agg" -> annTopkOracle,
+
+    // Cell assignment (argmax cosine over the 16 seed centroids, ties to
+    // the lowest cent_id) is replayed exactly: the raw cosine doubles are
+    // bit-identical across engines (sequential-fold dot products, proven
+    // by q35's rank ordering), so the ROW_NUMBER pick matches GroupTopK's.
+    "q82_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id < $Cells),
+         |sc AS (SELECT e.vec_id, c.cent_id,
+         |         list_dot_product(e.emb, c.c_emb) /
+         |           (SQRT(list_dot_product(e.emb, e.emb)) * SQRT(list_dot_product(c.c_emb, c.c_emb))) AS ccos
+         |       FROM e, c),
+         |asg AS (SELECT vec_id, cent_id AS cell FROM (
+         |          SELECT vec_id, cent_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+         |          FROM sc) t WHERE rk = 1),
+         |m AS (SELECT e.vec_id, e.emb, asg.cell FROM e JOIN asg USING (vec_id)),
+         |dup AS (SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+         |        FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        WHERE list_dot_product(a.emb, b.emb) /
+         |                (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))) >= 0.4
+         |        GROUP BY a.vec_id)
+         |SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell,
+         |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |       d.dup_of
+         |FROM m LEFT JOIN dup d USING (vec_id) ORDER BY m.vec_id""".stripMargin,
 
     // No zip in DuckDB lambdas → index the two lists via comprehension.
     "q70_quantize_error" ->

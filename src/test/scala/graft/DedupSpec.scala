@@ -51,6 +51,78 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(truth.nonEmpty, "fixture should contain simhash near-duplicates")
   }
 
+  /** Brute-force word-5-gram shingle sets per doc, straight Scala. */
+  private def bruteShingles(): Map[Long, Set[String]] = {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1))
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1)
+        r.getLong(0) -> toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+      }.toMap
+  }
+
+  test("containment pairs equal the exhaustive containment computation") {
+    val sh = bruteShingles()
+    val truth = (for {
+      (ida, sa) <- sh.toSeq
+      (idb, sb) <- sh.toSeq if ida < idb
+      common = (sa intersect sb).size
+      cont = common.toDouble / math.min(sa.size, sb.size) if cont >= 0.8
+    } yield (ida, idb, common.toLong, cont)).toSet
+    val q83 = graft.ops.DedupQueries.queries("q83_containment_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(q83 === truth)
+    assert(truth.nonEmpty, "fixture should contain containment duplicates")
+  }
+
+  test("edit-distance near-dup pairs match an exhaustive Levenshtein check") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val sh = bruteShingles()
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = (for {
+      (ida, sa) <- sh.toSeq
+      (idb, sb) <- sh.toSeq if ida < idb && (sa intersect sb).size >= 5
+      e = lev(texts(ida), texts(idb))
+      rel = e.toDouble / math.max(texts(ida).length, texts(idb).length) if rel <= 0.02
+    } yield (ida, idb, e.toLong, rel)).toSet
+    val q84 = graft.ops.DedupQueries.queries("q84_edit_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(q84 === truth)
+    assert(truth.nonEmpty, "fixture should contain edit-distance near-duplicates")
+  }
+
+  test("incremental LSH equals the exact pair set restricted to new×index") {
+    // Exact pairs from the oracle-checked exhaustive query, reordered to
+    // (new, index); q85 must find exactly these — banding loses nothing.
+    val exact = DedupQueries.queries("q31_neardup_jaccard")(spark, sf0001)
+      .collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a % 10 < 2 && b % 10 >= 2) Some((a, b))
+        else if (b % 10 < 2 && a % 10 >= 2) Some((b, a))
+        else None
+      }.toSet
+    val inc = DedupQueries.queries("q85_incremental_lsh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === exact)
+    assert(inc.nonEmpty, "fixture should contain new-vs-index near-duplicates")
+    inc.foreach { case (n, i) => assert(n % 10 < 2 && i % 10 >= 2) }
+  }
+
   test("near-dup jaccard values are within (0, 1] and pairs are distinct") {
     val rows = DedupQueries.queries("q31_neardup_jaccard")(spark, sf0001).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))

@@ -42,6 +42,38 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("semdedup matches an exhaustive assignment + within-cell scan") {
+    // Sequential-fold cosine — the same evaluation order as the codegen'd
+    // expression, so the doubles (and thus every threshold/argmax decision)
+    // are bit-identical.
+    def bcos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cents = embs.filter(_._1 < 16)
+    def cellOf(v: Array[Double]): Long =
+      cents.map { case (cid, c) => (cid, bcos(v, c)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1 // ties → lowest cent_id
+    val cells = embs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val truth = embs.map { case (id, v) =>
+      val dupOf = embs.filter { case (o, w) =>
+        o < id && cells(o) == cells(id) && bcos(v, w) >= 0.40
+      }.map(_._1).minOption
+      (id, cells(id), if (dupOf.isEmpty) 1L else 0L, dupOf)
+    }.toSet
+    val q82 = graft.ops.SimilarityQueries.extraQueries("q82_semdedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(q82 === truth)
+    assert(truth.exists(_._3 == 0L), "fixture should contain semantic duplicates")
+  }
+
   test("TopKPairs keeps the k best with deterministic tie order") {
     VectorFunctions.register(spark)
     import spark.implicits._
