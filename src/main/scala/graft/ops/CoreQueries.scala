@@ -554,8 +554,62 @@ object CoreQueries {
       v.agg(count(lit(1)).as("n_view")).crossJoin(
           c.agg(count(lit(1)).as("n_view_click"))).crossJoin(
           p.agg(count(lit(1)).as("n_view_click_purchase")))
+    },
+
+    // As-of state reconstruction ("time travel" over an append-only event
+    // log): each user's latest event at a past cutoff instant — the state
+    // a system of record would have shown at that time. The cutoff
+    // predicate is on the raw ns column, so it pushes to the parquet scan
+    // (only files/row-groups up to the cutoff are read — with the
+    // date-partitioned layout of D4 that's partition pruning, the reason
+    // event warehouses partition by ingest date); after the prune it's
+    // q03's one window shuffle over the surviving slice, never the full
+    // log. n_events_asof rides the same window partition for free.
+    "q86_state_asof" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns".desc, $"event_id".desc)
+      events(s, dir)
+        .filter($"ts_ns" <= lit(AsOfCutoffNs))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_events_asof",
+          count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id".as("asof_event_id"),
+          $"event_type".as("asof_event_type"), $"value".as("asof_val"),
+          $"ms".as("asof_ts_ms"), $"n_events_asof")
+        .orderBy($"user_id")
+    },
+
+    // Join-key skew profile — the diagnostic that decides WHEN to salt
+    // (ops/Salting is the mechanism; this measures the need). Two-level
+    // aggregation: per-(type,key) counts first (map-side partial combine
+    // absorbs the hot key's rows — the skew being measured never skews
+    // this plan), then per-type distribution stats over the key counts —
+    // the second aggregate's input is one row per distinct key, ≪ rows.
+    // skew_ratio = hottest key's rows ÷ mean rows per key: the number you
+    // compare against the executor-task budget before a shuffle join at
+    // 100 TB (≳10 ⇒ salt or AQE skew-split).
+    "q87_key_skew_profile" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("per_key"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"per_key").as("n_rows"),
+          max($"per_key").as("max_key_rows"),
+          expr("percentile(per_key, array(0.5D, 0.99D))").as("ps"))
+        .select($"event_type", $"n_keys", $"n_rows", $"max_key_rows",
+          element_at($"ps", 1).as("p50_key_rows"),
+          element_at($"ps", 2).as("p99_key_rows"),
+          ($"max_key_rows".cast("double") /
+            ($"n_rows".cast("double") / $"n_keys".cast("double"))).as("skew_ratio"))
+        .orderBy($"event_type")
     }
   )
+
+  /** q86 cutoff: 2024-01-15T00:00:00Z in epoch nanos (events span Jan 2024;
+    * mid-range so the as-of slice is a real subset). */
+  private val AsOfCutoffNs = 1705276800L * 1000000000L
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -856,6 +910,28 @@ object CoreQueries {
         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q86_state_asof" ->
+      """SELECT user_id, event_id AS asof_event_id, event_type AS asof_event_type,
+        |  value AS asof_val, epoch_ms(ts) AS asof_ts_ms, n_events_asof
+        |FROM (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events_asof
+        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q87_key_skew_profile" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, COUNT(*) AS per_key
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, COUNT(*) AS n_keys,
+        |  CAST(SUM(per_key) AS BIGINT) AS n_rows,
+        |  MAX(per_key) AS max_key_rows,
+        |  quantile_cont(per_key, 0.5) AS p50_key_rows,
+        |  quantile_cont(per_key, 0.99) AS p99_key_rows,
+        |  CAST(MAX(per_key) AS DOUBLE)
+        |    / (CAST(SUM(per_key) AS DOUBLE) / COUNT(*)) AS skew_ratio
+        |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

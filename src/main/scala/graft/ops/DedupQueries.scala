@@ -352,20 +352,10 @@ object DedupQueries {
     // 64-bit token hash family is engine-specific, so no SQL oracle).
     "q33_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      val docs = simhashDocs(s, dir)
-      val chunks = docs.select($"doc_id", $"simhash",
-          explode(expr(
-            "transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(simhash, c * 16) & 65535) AS ckey))")).as("x"))
-        .select($"doc_id", $"simhash", $"x.chunk".as("chunk"), $"x.ckey".as("ckey"))
-      chunks.as("a").join(chunks.as("b"),
-          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-        .distinct()
-        .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
-        .filter($"hamming" <= 3)
-        .select($"doc_a", $"doc_b", $"hamming")
+      hammingPairs(simhashDocs(s, dir)
+          .select($"doc_id".as("id"), $"simhash".as("sig")),
+          nChunks = 4, maxDist = 3)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -402,6 +392,42 @@ object DedupQueries {
     * boilerplate shifted by a few leading words still aligns on some
     * chunk boundary for most of its length. */
   private val PassageLen = 16
+
+  /**
+   * Pigeonhole Hamming near-dup join over 64-bit signatures, shared by
+   * q33 (token SimHash) and q89 (byte-gram perceptual hash): split each
+   * signature into `nChunks` equal bit-chunks — any pair within Hamming
+   * distance nChunks−1 agrees exactly on at least one chunk — so
+   * candidate generation is an equi-join on (chunk, key), never a cross
+   * join; candidates are verified with bit_count(xor) ≤ maxDist.
+   * Completeness requires maxDist < nChunks. The chunk-width trade-off:
+   * more chunks tolerate larger distances but shorten keys (4 chunks →
+   * 16-bit keys; 8 chunks → 8-bit keys whose 256 buckets admit ~n²/256
+   * candidate pairs per chunk at corpus size n — the price of a
+   * Hamming-7 guarantee on a 64-bit sketch; at web scale you'd widen
+   * the sketch to 128 bits to keep 16-bit chunk keys instead).
+   * Input frame: (id, sig). Output: (id_a, id_b, hamming).
+   */
+  private[ops] def hammingPairs(sigs: DataFrame, nChunks: Int, maxDist: Int): DataFrame = {
+    require(64 % nChunks == 0, s"nChunks must divide 64: $nChunks")
+    require(maxDist < nChunks,
+      s"pigeonhole completeness needs maxDist < nChunks: $maxDist >= $nChunks")
+    val w = 64 / nChunks
+    val mask = (1L << w) - 1
+    val chunks = sigs.select(col("id"), col("sig"),
+        explode(expr(
+          s"transform(sequence(0, ${nChunks - 1}), c -> struct(c AS chunk, (shiftright(sig, c * $w) & $mask) AS ckey))")).as("x"))
+      .select(col("id"), col("sig"), col("x.chunk").as("chunk"), col("x.ckey").as("ckey"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .drop("sig_a", "sig_b")
+  }
 
   /** 64-bit SimHash per document. Explode tokens once, hash once, then 64
     * codegen'd signed-bit SUM aggregates (map-side combine); the signature

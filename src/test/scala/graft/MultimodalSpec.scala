@@ -71,4 +71,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       assert(r.getAs[Array[Byte]]("frame").length <= 64)
     }
   }
+
+  test("q89 phash pairs equal the exhaustive all-pairs Hamming<=5 set") {
+    // Ground truth: every signature pair, straight Hamming — if the
+    // 8-chunk pigeonhole join dropped even one true pair (it can't, for
+    // distances < 8), q89 would silently under-report.
+    val sigs = MultimodalQueries.phashDocs(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(sigs.length > 50, "fixture unexpectedly small")
+    val truth = (for {
+      (ida, sa) <- sigs
+      (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 5
+    } yield (ida, idb, h.toLong)).toSet
+    val got = SparkEntry.queries("q89_phash_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty, "fixture should contain payload near-duplicates")
+  }
+
+  test("phash separates near-dup payloads from unrelated ones") {
+    // The signature is only useful if unrelated payloads stay far apart:
+    // pin the median ALL-pairs distance well above the near-dup band so a
+    // regression toward degenerate signatures (everything close) fails.
+    val sigs = MultimodalQueries.phashDocs(spark, docs)
+      .collect().map(r => r.getLong(1))
+    val dists = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+    } yield java.lang.Long.bitCount(sigs(i) ^ sigs(j))).sorted
+    val median = dists(dists.length / 2)
+    assert(median >= 10, s"median all-pairs Hamming $median — signatures degenerate")
+  }
 }
