@@ -604,8 +604,99 @@ object CoreQueries {
           ($"max_key_rows".cast("double") /
             ($"n_rows".cast("double") / $"n_keys".cast("double"))).as("skew_ratio"))
         .orderBy($"event_type")
+    },
+
+    // ------------------------------------------------------------ binned interval join
+    // Unkeyed interval join: events within [t, t+10min) of EACH error
+    // event, across ALL users — the incident-correlation query. No shared
+    // key means no window trick (q25's RANGE frame needs a partition key),
+    // and Spark plans a raw non-equi join as BroadcastNestedLoopJoin —
+    // O(n·m), the cartesian trap. The scale path is BINNING: quantize time
+    // into interval-width bins, explode each interval to the (≤2) bins it
+    // overlaps, equi-join on the bin, then re-check the exact predicate.
+    // Each probe row lands in exactly one bin so no post-join dedup is
+    // needed, and the join is a plain hash/sort-merge equi-join that
+    // partitions by bin — at 100 TB it shuffles each side once, with the
+    // time dimension giving a naturally balanced key. PlanSpec asserts no
+    // NestedLoop/Cartesian survives in the physical plan.
+    "q90_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val W = IntervalJoinMs
+      val ev = events(s, dir)
+        .select($"event_id", $"user_id", $"ms", expr(s"ms div $W").as("bin"))
+      val errs = events(s, dir).filter($"event_type" === "error")
+        .select($"event_id".as("err_id"), $"ms".as("err_ms"))
+        // [err_ms, err_ms + W) spans bin(err_ms) and bin(err_ms + W - 1)
+        .withColumn("bin", explode(array_distinct(array(
+          expr(s"err_ms div $W"), expr(s"(err_ms + ${W - 1}) div $W")))))
+      errs.join(ev, errs("bin") === ev("bin") &&
+          $"ms" >= $"err_ms" && $"ms" < $"err_ms" + W)
+        .groupBy($"err_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"err_id")
+    },
+
+    // ------------------------------------------------------------ bucketed co-located join
+    // The write-once/join-many layout operator: orders ⋈ customer over
+    // co-bucketed tables — zero Exchange, zero Sort on either join side
+    // (see ops/Bucketing scaladoc; BucketingSpec pins the plan shape).
+    // Only the tiny per-segment aggregate shuffles.
+    "q91_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      Bucketing.colocatedOrdersCustomer(s, dir)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("total_price"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // ------------------------------------------------------------ mergeable sketch re-agg
+    // The pre-aggregated-cube pattern that makes 100 TB dashboards cheap:
+    // distinct-count sketches (Datasketches HLL) built once per (day,
+    // type) cell, then REAGGREGATED by union — a distinct count over any
+    // day range costs a merge of tiny sketches instead of a rescan of the
+    // raw log. count_distinct cannot do this (distinct sets don't
+    // re-aggregate); the sketch column is the operator. Rows-only: the
+    // estimates are engine-hash-specific; QueriesSpec bounds the error
+    // against exact q19 counts and pins merge-vs-direct consistency.
+    "q92_sketch_reagg" -> { (s, dir) =>
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          count(lit(1)).as("n"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"n").as("n_events"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .cast("long").as("approx_users"))
+        .orderBy($"event_type")
+    },
+
+    // ------------------------------------------------------------ SCD2 validity intervals
+    // Slowly-changing-dimension (type 2) derivation: turn an append-only
+    // event log into each key's STATE HISTORY — one row per (user, event)
+    // with [valid_from, valid_to) bounds, closed by the next event and
+    // open (NULL) for the current state. This is the temporal face of the
+    // warehouse: "what was each user's last event type ON any given day"
+    // becomes a point-in-interval lookup instead of a log scan (q86 is the
+    // single-instant special case). One window shuffle by user_id; lead()
+    // rides the same sort as the interval ordering — no second pass.
+    "q94_scd2_intervals" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      events(s, dir)
+        .select($"user_id", $"event_id", $"event_type", $"value",
+          $"ms".as("valid_from_ms"),
+          lead($"ms", 1).over(w).as("valid_to_ms"))
+        .withColumn("is_current", $"valid_to_ms".isNull)
+        .orderBy($"user_id", $"valid_from_ms", $"event_id")
     }
   )
+
+  /** q90 interval width: 10 minutes in epoch millis. */
+  private val IntervalJoinMs = 600000L
 
   /** q86 cutoff: 2024-01-15T00:00:00Z in epoch nanos (events span Jan 2024;
     * mid-range so the as-of slice is a real subset). */
@@ -932,6 +1023,33 @@ object CoreQueries {
         |  quantile_cont(per_key, 0.99) AS p99_key_rows,
         |  CAST(MAX(per_key) AS DOUBLE)
         |    / (CAST(SUM(per_key) AS DOUBLE) / COUNT(*)) AS skew_ratio
-        |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The oracle states the SEMANTICS (a plain non-equi interval join);
+    // the Spark side must reach the same rows through the bin equi-join.
+    "q90_interval_join" ->
+      """SELECT e1.event_id AS err_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e2.user_id) AS n_users
+        |FROM events e1 JOIN events e2
+        |  ON epoch_ms(e2.ts) >= epoch_ms(e1.ts)
+        | AND epoch_ms(e2.ts) < epoch_ms(e1.ts) + 600000
+        |WHERE e1.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q91_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q94_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  epoch_ms(ts) AS valid_from_ms,
+        |  LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_ms(ts), event_id) AS valid_to_ms,
+        |  LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_ms(ts), event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin
   )
 }

@@ -358,8 +358,36 @@ object CurationQueries {
         .select($"doc_id", $"source", $"skey")
       GroupTopK(keyed, Seq($"source"), Seq($"skey".asc, $"doc_id".asc), 5)
         .orderBy($"source", $"skey", $"doc_id")
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // keep the k rows with the largest u^(1/w) — equivalently the largest
+    // ln(u)/w — where u is a per-row uniform and w the sampling weight.
+    // The inclusion probability of each doc is proportional to its weight
+    // (here n_chars: longer docs carry more training signal per document
+    // overhead), which is how "sample 1% of the corpus by TOKENS, not by
+    // document count" is expressed. u is a deterministic integer-hash
+    // uniform (same arithmetic both engines, q66's mixing constant), so
+    // the sample is reproducible across runs, engines, and partitionings.
+    // Scale: priority is a per-row scalar computed at the scan; selection
+    // is orderBy+limit → TakeOrderedAndProject (per-partition heaps of k,
+    // no global sort) — the whole operator is one scan plus k rows moved.
+    "q93_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      val u = ((($"doc_id" % 1048573L) * 2654435761L) % 1000000007L + 1L)
+        .cast("double") / 1000000008.0
+      t(s, dir, "documents")
+        .filter($"n_chars" > 0)
+        .withColumn("priority", log(u) / $"n_chars")
+        .orderBy($"priority".desc, $"doc_id")
+        .limit(WeightedSampleK)
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id")
     }
   )
+
+  /** q93 sample size. */
+  private val WeightedSampleK = 50
 
   private val shingleCte =
     """sh AS (
@@ -597,6 +625,18 @@ object CurationQueries {
         |                                   ORDER BY skey, doc_id) AS rn
         |      FROM keyed)
         |SELECT doc_id, source, skey FROM r WHERE rn <= 5
-        |ORDER BY source, skey, doc_id""".stripMargin
+        |ORDER BY source, skey, doc_id""".stripMargin,
+
+    // The priority itself stays out of the output schema: ln() can differ
+    // by 1 ulp across libm builds, which is harmless to the top-k CUT but
+    // would flunk a bit-exact compare of the key column.
+    "q93_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((((doc_id % 1048573) * 2654435761) % 1000000007 + 1)
+        |         / 1000000008.0) / n_chars AS priority
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY priority DESC, doc_id LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin
   )
 }

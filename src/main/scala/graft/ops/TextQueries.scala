@@ -373,6 +373,41 @@ object TextQueries {
         .select($"doc_id", $"n_toks",
           round($"sum_lp" / $"n_toks", 6).as("avg_bigram_nll"))
         .orderBy($"doc_id")
+    },
+
+    // Per-source distinctive tokens by LIFT — the distribution-drift
+    // monitor a mixture pipeline runs per ingest batch: which tokens are
+    // over-represented in a source relative to the whole corpus
+    // (lift = p(token|source) / p(token) = (n_st·n) / (n_s·n_t)). A new
+    // crawl whose top-lift tokens suddenly change is the first sign of a
+    // template farm or an encoding bug upstream. Everything derives from
+    // ONE (source, token) count aggregate — the per-source and corpus
+    // marginals are rollups of it, so the corpus-wide token shuffle
+    // happens exactly once; the source marginal broadcasts (sources ≪
+    // tokens). min-count 5 suppresses one-off tokens whose lift is noise.
+    // GroupTopK bounds the rank shuffle to 3 scored tokens per source.
+    // The integer products stay exact in a LONG up to n·n_st < 2^63
+    // (~10^9 total tokens × 10^9 occurrences); past that, widen to the
+    // decimal path of ops/Tables before dividing.
+    "q95_source_lift" -> { (s, dir) =>
+      import s.implicits._
+      val st = t(s, dir, "documents")
+        .select($"source", explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"source", $"token").agg(count(lit(1)).as("n_st"))
+      val perTok = st.groupBy($"token").agg(sum($"n_st").as("n_t"))
+      val perSrc = st.groupBy($"source").agg(sum($"n_st").as("n_s"))
+      val total = st.agg(sum($"n_st").as("n"))
+      val scored = st.filter($"n_st" >= 5)
+        .join(perTok, "token")
+        .join(broadcast(perSrc), "source")
+        .crossJoin(broadcast(total))
+        .withColumn("lift",
+          round(($"n_st" * $"n").cast("double") / ($"n_s" * $"n_t").cast("double"), 6))
+      val w = Window.partitionBy($"source").orderBy($"lift".desc, $"token")
+      graft.plans.GroupTopK(scored, Seq($"source"), Seq($"lift".desc, $"token".asc), 3)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select($"source", $"rk", $"token", $"n_st", $"lift")
+        .orderBy($"source", $"rk")
     }
   )
 
@@ -550,6 +585,25 @@ object TextQueries {
         |               list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS sum_lp
         |        FROM j GROUP BY doc_id)
         |SELECT doc_id, n_toks, ROUND(sum_lp / n_toks, 6) AS avg_bigram_nll
-        |FROM per ORDER BY doc_id""".stripMargin
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q95_source_lift" ->
+      """WITH st AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, COUNT(*) AS n_st FROM st GROUP BY 1, 2),
+        |pt AS (SELECT token, CAST(SUM(n_st) AS BIGINT) AS n_t FROM c GROUP BY 1),
+        |ps AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_st) AS BIGINT) AS n FROM c),
+        |scored AS (
+        |  SELECT c.source, c.token, c.n_st,
+        |    ROUND(CAST(c.n_st * n AS DOUBLE) / CAST(n_s * n_t AS DOUBLE), 6) AS lift
+        |  FROM c JOIN pt USING (token) JOIN ps USING (source) CROSS JOIN tot
+        |  WHERE c.n_st >= 5),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                                   ORDER BY lift DESC, token) AS rk
+        |      FROM scored)
+        |SELECT source, rk, token, n_st, lift FROM r WHERE rk <= 3
+        |ORDER BY source, rk""".stripMargin
   )
 }

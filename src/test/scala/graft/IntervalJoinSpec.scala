@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the round-5 scale operators: the binned interval join (q90),
+  * the bucketed co-located join (q91), and mergeable-sketch re-aggregation
+  * (q92). Each asserts the SEMANTIC contract its oracle/rows-only status
+  * can't fully pin, plus the plan property that makes it a scale path. */
+class IntervalJoinSpec extends AnyFunSuite with SparkSuite {
+
+  test("q90 equals the naive non-equi interval join") {
+    import spark.implicits._
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"ms", $"event_type")
+    val errs = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"ms".as("err_ms"))
+    // ground truth: raw non-equi join (BroadcastNestedLoopJoin — the very
+    // plan q90's binning exists to avoid; fine at sf0.001)
+    val naive = errs.join(ev, $"ms" >= $"err_ms" && $"ms" < $"err_ms" + 600000L)
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val binned = SparkEntry.queries("q90_interval_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(binned === naive)
+    assert(binned.nonEmpty)
+  }
+
+  test("q90 plans as an equi-join on the bin — no nested-loop, no cartesian") {
+    val p = SparkEntry.queries("q90_interval_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"interval join fell back to an all-pairs plan:\n$p")
+  }
+
+  test("q91 joins co-bucketed tables without shuffling either side") {
+    // disable the size-based broadcast fallback so the property under test
+    // (bucket co-location) is what the plan shows, as it would at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = graft.ops.Bucketing.colocatedOrdersCustomer(spark, sf0001)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must read co-located buckets without exchange:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan did not use the bucket layout:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("q92 sketch estimates stay within HLL error of exact, and union is lossless") {
+    import spark.implicits._
+    val exact = graft.ops.Tables.events(spark, sf0001)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reagg = SparkEntry.queries("q92_sketch_reagg")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact.keySet === reagg.keySet)
+    exact.foreach { case (t, e) =>
+      val a = reagg(t)
+      // lgConfigK=14 → rsd ≈ 0.0104; 5 sigma of slack
+      assert(math.abs(a - e).toDouble / e <= 0.052, s"$t: exact=$e approx=$a")
+    }
+    // merging daily sketches must estimate the same as one direct sketch
+    // over the whole table (the property that makes the cube reusable)
+    val direct = graft.ops.Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reagg === direct)
+  }
+
+  test("q93 weighted sample tilts toward heavier documents") {
+    import spark.implicits._
+    val corpusMean = graft.ops.Tables.t(spark, sf0001, "documents")
+      .agg(avg($"n_chars")).head.getDouble(0)
+    val sample = SparkEntry.queries("q93_weighted_sample")(spark, sf0001)
+    val sampleMean = sample.agg(avg($"n_chars")).head.getDouble(0)
+    // inclusion probability ∝ n_chars, so the sample mean must sit above
+    // the corpus mean (deterministic: fixed hash seed, fixed fixture)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean ≤ corpus mean $corpusMean")
+  }
+
+  test("q95 lift identifies tokens concentrated in one source") {
+    val rows = SparkEntry.queries("q95_source_lift")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // lift is p(token|source)/p(token): every reported top token must be
+    // over-represented in its source (lift > 1 strictly)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("lift")) > 1.0, r.toString)
+    }
+  }
+}
