@@ -383,6 +383,63 @@ object CurationQueries {
         .limit(WeightedSampleK)
         .select($"doc_id", $"source", $"n_chars")
         .orderBy($"doc_id")
+    },
+
+    // Snapshot diff (CDC between two corpus versions): which documents
+    // were added, removed, or changed between snapshot A and snapshot B —
+    // the audit a data-versioned corpus runs before promoting a new drop.
+    // Content equality is compared on a digest computed AT THE SCAN, so
+    // the join shuffles (key, 32-byte hash) pairs, never document text;
+    // the diff itself is one full-outer equi-join on the key (with both
+    // snapshots bucket-laid-out on doc_id — q91's layout — even that
+    // exchange disappears). Snapshot B is derived deterministically here
+    // (drop ids ≡3, edit ids ≡4, add ids ≡5 shifted) so the oracle can
+    // state the same construction.
+    "q96_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val a = docs.select($"doc_id", md5($"text").as("h_a"))
+      val bBase = docs.filter($"doc_id" % 10 =!= 3)
+        .select($"doc_id", md5(when($"doc_id" % 10 === 4, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("h_b"))
+      val bAdded = docs.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"), md5($"text").as("h_b"))
+      val b = bBase.unionByName(bAdded)
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when($"h_a".isNull, "added")
+            .when($"h_b".isNull, "removed")
+            .when($"h_a" =!= $"h_b", "changed"))
+        .filter($"change".isNotNull)
+        .select($"doc_id", $"change")
+        .orderBy($"doc_id")
+    },
+
+    // Quality-signal calibration: heterogeneous per-document signals
+    // (q38's composite quality, raw token length) blended in PERCENTILE
+    // space, so a signal's arbitrary units can't dominate the mix — the
+    // standard trick for combining hand-built heuristics with model
+    // scores before thresholding a corpus. Each percentile comes from
+    // ops/GlobalRank's distributed two-pass rank (range shuffle + control-
+    // frame prefix sum) — NOT a single-partition Window.orderBy; two
+    // signals cost two range shuffles, each spread over all executors.
+    "q97_quality_calibration" -> { (s, dir) =>
+      import s.implicits._
+      val sc = TextQueries.qualityScored(s, dir)
+        .select($"doc_id", $"n_tokens", $"quality")
+      val r1 = GlobalRank.withGlobalRank(sc, Seq($"quality", $"doc_id"), "rk_q", "n1")
+      val r2 = GlobalRank.withGlobalRank(r1, Seq($"n_tokens", $"doc_id"), "rk_len", "n2")
+      val pq = GlobalRank.percentRankFromRank($"rk_q", $"n1")
+      val pl = GlobalRank.percentRankFromRank($"rk_len", $"n2")
+      // blend the RAW percentiles, round once: averaging already-rounded
+      // 6dp values lands exactly on .5 rounding midpoints (engines tie-
+      // break differently), while (rk0_q+rk0_len)/(2(n-1)) is never a
+      // 6-decimal midpoint for the n of any fixture
+      r2.select($"doc_id",
+          round(pq, 6).as("pct_quality"),
+          round(pl, 6).as("pct_length"),
+          round((pq + pl) / 2.0, 6).as("calibrated"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -637,6 +694,41 @@ object CurationQueries {
         |         / 1000000008.0) / n_chars AS priority
         |  FROM documents WHERE n_chars > 0
         |  ORDER BY priority DESC, doc_id LIMIT 50) t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q96_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 4 THEN text || ' v2' ELSE text END) AS h_b
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_b
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, h_a, h_b
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN h_a IS NULL THEN 'added'
+        |             WHEN h_b IS NULL THEN 'removed'
+        |             WHEN h_a <> h_b THEN 'changed' END AS change
+        |      FROM j)
+        |SELECT doc_id, change FROM c WHERE change IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q97_quality_calibration" ->
+      s"""WITH ${TextQueries.qualityCteBody},
+         |r AS (SELECT doc_id,
+         |        ROW_NUMBER() OVER (ORDER BY quality, doc_id) - 1 AS rk0_q,
+         |        ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk0_len,
+         |        COUNT(*) OVER () AS n
+         |      FROM scored),
+         |p AS (SELECT doc_id,
+         |        CAST(rk0_q AS DOUBLE) / (n - 1) AS raw_q,
+         |        CAST(rk0_len AS DOUBLE) / (n - 1) AS raw_len
+         |      FROM r)
+         |SELECT doc_id, ROUND(raw_q, 6) AS pct_quality,
+         |  ROUND(raw_len, 6) AS pct_length,
+         |  ROUND((raw_q + raw_len) / 2.0, 6) AS calibrated
+         |FROM p ORDER BY doc_id""".stripMargin
   )
 }
