@@ -692,6 +692,35 @@ object CoreQueries {
           lead($"ms", 1).over(w).as("valid_to_ms"))
         .withColumn("is_current", $"valid_to_ms".isNull)
         .orderBy($"user_id", $"valid_from_ms", $"event_id")
+    },
+
+    // ------------------------------------------------------------ time-series anomaly days
+    // Volume-anomaly detection over the daily event counts — the pipeline
+    // health monitor that catches a broken producer or a backfill storm
+    // before it poisons downstream aggregates. Two-level aggregate like
+    // q87: daily counts first (map-side combine absorbs raw rows), then
+    // per-type moments over the ~30-row daily frame. The z-score is
+    // computed from EXACT integer sums (n, Σx, Σx²) with one fixed IEEE
+    // expression — not stddev_samp, whose Welford-style accumulation
+    // order differs between engines and partitionings — so the doubles
+    // hash-match the oracle bit for bit (sqrt is IEEE-exact).
+    "q98_anomaly_days" -> { (s, dir) =>
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sx2"))
+      val nD = $"n".cast("double")
+      val mean = $"sx".cast("double") / nD
+      val sd = sqrt(($"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double") / nD)
+        / (nD - 1.0))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("z", round(($"x".cast("double") - mean) / sd, 6))
+        .select($"event_type", $"day", $"x".as("n_events"), $"z",
+          (abs($"z") > 2.0).as("is_anomaly"))
+        .orderBy($"event_type", $"day")
     }
   )
 
@@ -1050,6 +1079,26 @@ object CoreQueries {
         |  LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
         |                           ORDER BY epoch_ms(ts), event_id) IS NULL AS is_current
         |FROM events
-        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
+
+    "q98_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sx2
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.x AS n_events,
+        |  ROUND((CAST(d.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(sx2 AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) - 1.0)), 6) AS z,
+        |  abs(ROUND((CAST(d.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(sx2 AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) - 1.0)), 6)) > 2.0 AS is_anomaly
+        |FROM daily d JOIN st USING (event_type)
+        |ORDER BY event_type, day""".stripMargin
   )
 }

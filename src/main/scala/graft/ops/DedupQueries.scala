@@ -384,6 +384,28 @@ object DedupQueries {
         .filter($"n_docs" > 1)
         .select($"h".as("passage_md5"), $"n_docs", $"n_occurrences")
         .orderBy($"passage_md5")
+    },
+
+    // Dedup observability: per-source duplicate rate — the diagnostic
+    // that tells a curation pipeline WHICH ingest source is feeding it
+    // copies before any dedup policy runs (a mirror-heavy crawl shows up
+    // here as an outlier rate). Exact content identity (md5 over text),
+    // so the shuffle carries digests; the per-hash counts re-join the
+    // doc frame on the digest — one hash aggregate + one equi-join,
+    // then a per-source rollup. Rates are single divisions of exact
+    // counts (bit-identical cross-engine).
+    "q99_dup_rate_by_source" -> { (s, dir) =>
+      import s.implicits._
+      val h = t(s, dir, "documents")
+        .select($"source", $"doc_id", md5($"text").as("h"))
+      val byHash = h.groupBy($"h").agg(count(lit(1)).as("n_copies"))
+      h.join(byHash, "h")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_copies" > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .withColumn("dup_rate",
+          round($"n_dup_docs".cast("double") / $"n_docs".cast("double"), 6))
+        .orderBy($"source")
     }
   )
 
@@ -500,6 +522,16 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q47_dedup_clusters" -> clustersOracle,
+
+    "q99_dup_rate_by_source" ->
+      """WITH h AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+        |c AS (SELECT h, COUNT(*) AS n_copies FROM h GROUP BY h)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  ROUND(CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_rate
+        |FROM h JOIN c USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q83_containment_neardup" ->
       s"""WITH $shingleSetCte,
