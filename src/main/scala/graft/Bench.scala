@@ -52,7 +52,13 @@ object Bench {
       }
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+    // Optional name filter (local iteration / isolating one query's cost
+    // in a fresh JVM); the driver never sets it, so gate runs stay full.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, _) =>
       val samples = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { runToNoop(name); (System.nanoTime() - t0) / 1e9 }

