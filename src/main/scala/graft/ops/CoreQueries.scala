@@ -721,8 +721,56 @@ object CoreQueries {
         .select($"event_type", $"day", $"x".as("n_events"), $"z",
           (abs($"z") > 2.0).as("is_anomaly"))
         .orderBy($"event_type", $"day")
+    },
+
+    // ------------------------------------------------------------ event debouncing
+    // Retry/burst collapse: drop an event arriving within the cool-down
+    // of the PREVIOUS event of the same (user, type) — the log hygiene
+    // pass that keeps producer retries and double-clicks from inflating
+    // every downstream count. Sliding cool-down semantics (gap measured
+    // to the previous RAW event, so a long burst with sub-threshold gaps
+    // is suppressed after its first event — "quiet period" debounce, the
+    // common server-side form). One window shuffle by (user, type);
+    // the lag() rides the partition sort.
+    "q100_event_debounce" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ms", $"event_id")
+      events(s, dir)
+        .withColumn("prev_ms", lag($"ms", 1).over(w))
+        .filter($"prev_ms".isNull || $"ms" - $"prev_ms" >= DebounceMs)
+        .select($"event_id", $"user_id", $"event_type", $"ms")
+        .orderBy($"event_id")
+    },
+
+    // ------------------------------------------------------------ RFM segmentation
+    // Recency/frequency/monetary quintile segmentation over purchases —
+    // the canonical customer-analytics operator, here as the showcase for
+    // CHAINED distributed ranking: three quantile dimensions, three
+    // GlobalRank passes over the per-user frame (which is ≪ the event
+    // log — the heavy lifting is the one purchase aggregate), zero
+    // single-partition windows. Segment = concatenated quintiles; output
+    // is the segment census a campaign query would start from.
+    "q101_rfm_segments" -> { (s, dir) =>
+      import s.implicits._
+      val per = events(s, dir).filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(max($"ms").as("r"), count(lit(1)).as("f"), dsum($"value").as("m"))
+      val r1 = GlobalRank.withGlobalRank(per, Seq($"r", $"user_id"), "rk_r", "n1")
+      val r2 = GlobalRank.withGlobalRank(r1, Seq($"f", $"user_id"), "rk_f", "n2")
+      val r3 = GlobalRank.withGlobalRank(r2, Seq($"m", $"user_id"), "rk_m", "n3")
+      r3.select($"user_id",
+          GlobalRank.ntileFromRank($"rk_r", $"n1", 5).as("r_q"),
+          GlobalRank.ntileFromRank($"rk_f", $"n2", 5).as("f_q"),
+          GlobalRank.ntileFromRank($"rk_m", $"n3", 5).as("m_q"))
+        .groupBy($"r_q", $"f_q", $"m_q")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"r_q", $"f_q", $"m_q")
     }
   )
+
+  /** q100 cool-down: 5 minutes in epoch millis. */
+  private val DebounceMs = 300000L
 
   /** q90 interval width: 10 minutes in epoch millis. */
   private val IntervalJoinMs = 600000L
@@ -1099,6 +1147,29 @@ object CoreQueries {
         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
         |           / (CAST(n AS DOUBLE) - 1.0)), 6)) > 2.0 AS is_anomaly
         |FROM daily d JOIN st USING (event_type)
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q100_event_debounce" ->
+      """SELECT event_id, user_id, event_type, ms FROM (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events) t
+        |WHERE prev_ms IS NULL OR ms - prev_ms >= 300000
+        |ORDER BY event_id""".stripMargin,
+
+    "q101_rfm_segments" ->
+      s"""WITH per AS (
+         |  SELECT user_id, MAX(epoch_ms(ts)) AS r, COUNT(*) AS f,
+         |    ${sqlDsum("value")} AS m
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |q AS (
+         |  SELECT user_id,
+         |    CAST(NTILE(5) OVER (ORDER BY r, user_id) AS BIGINT) AS r_q,
+         |    CAST(NTILE(5) OVER (ORDER BY f, user_id) AS BIGINT) AS f_q,
+         |    CAST(NTILE(5) OVER (ORDER BY m, user_id) AS BIGINT) AS m_q
+         |  FROM per)
+         |SELECT r_q, f_q, m_q, COUNT(*) AS n_users
+         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -154,6 +154,34 @@ object StreamingIngest {
       .drop("w")
   }
 
+  /**
+   * Stateless streaming anomaly gate — q98's volume-anomaly detector at
+   * arrival time: each micro-batch's (key, window) counts are z-scored
+   * against a BROADCAST frame of historical per-key moments (n, Σx, Σx²
+   * from the batch warehouse — exactly the integer-moment form q98
+   * computes, so batch and stream score identically) and windows beyond
+   * `zLimit` are flagged. The stats frame is static per trigger ⇒ a
+   * stream-static broadcast join, no state store; refresh it by
+   * restarting the query or via foreachBatch re-read at the cadence the
+   * warehouse re-aggregates.
+   */
+  def anomalyGate(events: DataFrame, tsCol: String, keyCol: String,
+                  stats: DataFrame, windowLen: String,
+                  zLimit: Double): DataFrame = {
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val sd = sqrt((col("sx2").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0))
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("x"))
+      .join(broadcast(stats), keyCol)
+      .withColumn("z", (col("x").cast("double") - mean) / sd)
+      .filter(abs(col("z")) > zLimit)
+      .select(col(keyCol), col("window"), col("x").as("n_events"), col("z"))
+  }
+
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 

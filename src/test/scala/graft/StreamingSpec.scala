@@ -234,6 +234,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.nonEmpty && batch.size < docs.size)
   }
 
+  test("streaming anomaly gate flags windows beyond the z-limit against broadcast moments") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // historical moments: key "a" averages 2 events/min with sd 1
+    // (n=5, sx=10, sx2=24 -> mean 2, var (24-20)/4 = 1)
+    val stats = Seq(("a", 5L, 10L, 24L), ("b", 5L, 10L, 24L))
+      .toDF("k", "n", "sx", "sx2")
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingIngest.anomalyGate(
+        ms.toDF().toDF("ts", "k"), "ts", "k", stats, "1 minute", zLimit = 2.0)
+      .writeStream.format("memory").queryName("anomaly_gate")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // minute 00: 6 "a" events -> z = 4 (flagged); 2 "b" events -> z = 0
+    ms.addData((1 to 6).map(i => (t(f"2024-01-01 00:00:${i}%02d"), "a")) ++
+      Seq((t("2024-01-01 00:00:10"), "b"), (t("2024-01-01 00:00:20"), "b")): _*)
+    // advance the watermark past minute 00 so append mode emits it
+    ms.addData((t("2024-01-01 00:30:00"), "a"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT k, n_events, z FROM anomaly_gate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(got === Seq(("a", 6L, 4.0)))
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
