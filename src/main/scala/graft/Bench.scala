@@ -54,8 +54,15 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // Optional name filter (local iteration / isolating one query's cost
     // in a fresh JVM); the driver never sets it, so gate runs stay full.
+    // Unknown or empty names fail fast — a typo must not produce a clean
+    // zero-query run that reads as a (vacuous) success.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
+    }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, _) =>

@@ -28,12 +28,18 @@ object Bucketing {
   val Buckets = 8
 
   /** Writes `orders` and `customer` co-bucketed by customer key under a
-    * fresh temp warehouse path and returns the co-located equi-join.
-    * A fresh path per call keeps concurrent sessions (tests, Verify,
-    * Bench) from racing on one directory; the catalog entry is
-    * session-local and overwritten per call. */
+    * deterministic temp warehouse path and returns the co-located
+    * equi-join. The path derives from `dir` and every call OVERWRITES it,
+    * so repeated invocations (bench iterations, repeated Verify runs)
+    * reuse one layout directory instead of accumulating copies until the
+    * temp filesystem fills. Both the path and the saveAsTable names are
+    * catalog-wide state shared by all sessions on the SparkContext —
+    * callers in one process must run queries sequentially (the
+    * Verify/Bench/test contract); a real deployment points the layout at
+    * per-dataset warehouse storage, where write-once is the whole point. */
   def colocatedOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-bucketed-${Integer.toHexString(dir.hashCode)}").toString
     writeBucketed(t(s, dir, "orders"), "graft_b_orders", "o_custkey", root)
     writeBucketed(t(s, dir, "customer"), "graft_b_customer", "c_custkey", root)
     // merge hint: at fixture scale Catalyst would broadcast the customer

@@ -712,6 +712,13 @@ object CoreQueries {
       val stats = daily.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
           sum($"x" * $"x").as("sx2"))
+        // a type seen on one day (n-1 = 0) or with identical counts every
+        // day (variance 0) has no defined z — exclude it BEFORE the
+        // division (NaN would flag it: NaN > 2.0 is true in Spark) with
+        // an exact integer predicate the oracle states identically.
+        // n·Σx² fits a LONG up to ~3e9 daily events; past that, widen to
+        // the decimal path of ops/Tables.
+        .filter($"n" >= 2 && $"n" * $"sx2" - $"sx" * $"sx" > 0)
       val nD = $"n".cast("double")
       val mean = $"sx".cast("double") / nD
       val sd = sqrt(($"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double") / nD)
@@ -1136,7 +1143,10 @@ object CoreQueries {
         |st AS (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sx2
-        |  FROM daily GROUP BY 1)
+        |  FROM daily GROUP BY 1
+        |  HAVING COUNT(*) >= 2
+        |     AND COUNT(*) * CAST(SUM(x * x) AS BIGINT)
+        |         - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) > 0)
         |SELECT d.event_type, d.day, d.x AS n_events,
         |  ROUND((CAST(d.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
         |    / sqrt((CAST(sx2 AS DOUBLE)

@@ -172,12 +172,23 @@ object StreamingIngest {
     val mean = col("sx").cast("double") / nD
     val sd = sqrt((col("sx2").cast("double")
       - col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0))
+    // Keys whose history can't define a deviation are unscoreable and
+    // must not reach the division: n=1 makes sd = sqrt(0/0) = NaN, and in
+    // Spark NaN compares GREATER than any number, so an unguarded
+    // abs(z) > zLimit would flag every window of a single-sample key.
+    // Zero variance (sd = 0) with a deviating count IS an anomaly —
+    // scored as signed infinity, not NaN; an exactly-on-mean count is 0.
+    val scoreable = stats.filter(col("n") >= 2)
+    val xd = col("x").cast("double")
     events
       .withWatermark(tsCol, "10 minutes")
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("x"))
-      .join(broadcast(stats), keyCol)
-      .withColumn("z", (col("x").cast("double") - mean) / sd)
+      .join(broadcast(scoreable), keyCol)
+      .withColumn("z",
+        when(sd > 0, (xd - mean) / sd)
+          .when(xd === mean, lit(0.0))
+          .otherwise(signum(xd - mean) * lit(Double.PositiveInfinity)))
       .filter(abs(col("z")) > zLimit)
       .select(col(keyCol), col("window"), col("x").as("n_events"), col("z"))
   }

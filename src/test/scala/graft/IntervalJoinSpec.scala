@@ -90,10 +90,14 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSuite {
   test("q95 lift identifies tokens concentrated in one source") {
     val rows = SparkEntry.queries("q95_source_lift")(spark, sf0001).collect()
     assert(rows.nonEmpty)
-    // lift is p(token|source)/p(token): every reported top token must be
-    // over-represented in its source (lift > 1 strictly)
-    rows.foreach { r =>
-      assert(r.getDouble(r.fieldIndex("lift")) > 1.0, r.toString)
-    }
+    // The invariant Σ p(t)·lift(t) = 1 guarantees only that each source's
+    // TOP token reaches lift ≥ 1 (ranks 2-3 may sit below 1 for a source
+    // near the corpus distribution, and the n_st ≥ 5 floor can shave the
+    // maximum slightly) — so gate the per-source max, not every rank.
+    val maxBySource = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(r => r.getDouble(r.fieldIndex("lift"))).max }
+    maxBySource.foreach(m => assert(m >= 0.999999, s"max lift $m < 1"))
+    // and the signal is real somewhere: some token is strictly over-represented
+    assert(maxBySource.max > 1.0)
   }
 }

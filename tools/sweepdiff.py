@@ -6,14 +6,11 @@ this keeps the check robust to file-split order) and compares cell reprs.
 
 Usage: python3 tools/sweepdiff.py <dumpA> <dumpB>
 """
-import sys, os, glob
+import sys, os
 import pyarrow.parquet as pq
 
 
 def load(d):
-    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-    if not files:  # a query dir with part files
-        files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
     tbl = pq.read_table(d)
     cols = sorted(tbl.column_names)
     rows = [tuple(repr(tbl.column(c)[i].as_py()) for c in cols)
