@@ -193,6 +193,27 @@ object StreamingIngest {
       .select(col(keyCol), col("window"), col("x").as("n_events"), col("z"))
   }
 
+  /**
+   * Per-window trending top-k — the "what is spiking right now" query,
+   * shaped for `foreachBatch`: count keys per tumbling window inside the
+   * micro-batch, then keep each window's k heaviest through the custom
+   * GroupTopK plan operator (partial bounded heaps map-side, one exchange
+   * of ≤ tasks × windows × k rows — the same operator the batch queries
+   * q44/q51/q80 ride, executing unchanged inside a streaming batch).
+   * Per-batch semantics are deliberate: trend detection wants "top keys
+   * among THIS trigger's arrivals"; cross-batch totals are
+   * [[tumblingCounts]]'s job.
+   */
+  def trendingTopK(batch: DataFrame, tsCol: String, keyCol: String,
+                   windowLen: String, k: Int): DataFrame = {
+    val counts = batch
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.GroupTopK(counts, Seq(col("window")),
+        Seq(col("n").desc, col(keyCol).asc), k)
+      .select(col("window"), col(keyCol), col("n"))
+  }
+
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 

@@ -259,6 +259,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got === Seq(("a", 6L, 4.0)))
   }
 
+  test("trending top-k runs GroupTopK inside foreachBatch micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val q = ms.toDF().toDF("ts", "k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val top = StreamingIngest.trendingTopK(batch, "ts", "k", "1 minute", 2)
+        // the custom plan operator must actually be in the executed plan
+        assert(top.queryExecution.executedPlan.toString.contains("GroupTopK"))
+        seen.synchronized {
+          seen ++= top.collect().map(r =>
+            (r.getStruct(0).getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // minute 00: a×3, b×2, c×1 → top-2 = a, b
+    ms.addData(
+      (t("2024-01-01 00:00:01"), "a"), (t("2024-01-01 00:00:02"), "a"),
+      (t("2024-01-01 00:00:03"), "a"), (t("2024-01-01 00:00:04"), "b"),
+      (t("2024-01-01 00:00:05"), "b"), (t("2024-01-01 00:00:06"), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = seen.sortBy(x => (x._1, -x._3, x._2)).toSeq
+    assert(got === Seq(
+      ("2024-01-01 00:00:00.0", "a", 3L),
+      ("2024-01-01 00:00:00.0", "b", 2L)))
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
