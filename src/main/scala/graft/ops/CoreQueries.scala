@@ -773,6 +773,34 @@ object CoreQueries {
         .groupBy($"r_q", $"f_q", $"m_q")
         .agg(count(lit(1)).as("n_users"))
         .orderBy($"r_q", $"f_q", $"m_q")
+    },
+
+    // ------------------------------------------------------------ time-weighted average
+    // TWAP over irregular samples: each event's value holds until the
+    // next event (piecewise-constant), so the mean must weight by holding
+    // time — the unweighted avg over-counts bursts, which is exactly when
+    // values are least representative. One window shuffle by user for the
+    // gaps; the weighted sum folds the per-interval products in pinned
+    // (ms, event_id) order (q79/q88's ordered-fold idiom — a plain
+    // SUM of doubles is partitioning- and engine-order-dependent), and
+    // the denominator is exact integer millis. Users with one event have
+    // no holding interval and are excluded by construction.
+    "q102_twap" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val gaps = events(s, dir)
+        .select($"user_id", $"event_id", $"ms", $"value")
+        .withColumn("next_ms", lead($"ms", 1).over(w))
+        .filter($"next_ms".isNotNull)
+        .withColumn("wv", $"value" * ($"next_ms" - $"ms").cast("double"))
+      gaps.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          expr("aggregate(array_sort(collect_list(struct(ms, event_id, wv))), " +
+            "cast(0.0 as double), (a, x) -> a + x.wv)").as("sum_wv"),
+          (max($"next_ms") - min($"ms")).as("span_ms"))
+        .select($"user_id", $"n_intervals",
+          round($"sum_wv" / $"span_ms".cast("double"), 6).as("twap"))
+        .orderBy($"user_id")
     }
   )
 
@@ -1180,6 +1208,21 @@ object CoreQueries {
          |    CAST(NTILE(5) OVER (ORDER BY m, user_id) AS BIGINT) AS m_q
          |  FROM per)
          |SELECT r_q, f_q, m_q, COUNT(*) AS n_users
-         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q102_twap" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |    LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                             ORDER BY epoch_ms(ts), event_id) AS next_ms
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_id, ms, next_ms,
+        |    value * CAST(next_ms - ms AS DOUBLE) AS wv
+        |  FROM g WHERE next_ms IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  ROUND(list_reduce(list(wv ORDER BY ms, event_id), (a, b) -> a + b)
+        |    / CAST(MAX(next_ms) - MIN(ms) AS DOUBLE), 6) AS twap
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
