@@ -801,6 +801,35 @@ object CoreQueries {
         .select($"user_id", $"n_intervals",
           round($"sum_wv" / $"span_ms".cast("double"), 6).as("twap"))
         .orderBy($"user_id")
+    },
+
+    // ------------------------------------------------------------ referential audit
+    // Constraint validation across the star schema — the data-quality
+    // contract a warehouse asserts before anything downstream trusts a
+    // drop: orphaned foreign keys (anti-joins), childless parents, and a
+    // value-consistency probe (orders whose lineitem revenue is under
+    // half the order total — the "partial delivery" signal). Each check
+    // is one anti/outer join on its key plus a count; at 100 TB each is
+    // a digest-sized shuffle (keys only), and with fact tables bucketed
+    // on their keys (q91's layout) the joins are exchange-free. One
+    // summary row out — the shape a pipeline gate consumes.
+    "q103_referential_audit" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice")
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val c = t(s, dir, "customer").select($"c_custkey")
+      val orphanItems = li.join(o, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n")).select($"n".as("orphan_lineitems"))
+      val childless = o.join(li, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n")).select($"n".as("childless_orders"))
+      val orphanOrders = o.join(c, $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n")).select($"n".as("orphan_orders"))
+      val lowRevenue = li.groupBy($"l_orderkey")
+        .agg(dsum($"l_extendedprice").as("item_rev"))
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .filter($"item_rev" < $"o_totalprice" * 0.5)
+        .agg(count(lit(1)).as("n")).select($"n".as("low_revenue_orders"))
+      orphanItems.crossJoin(childless).crossJoin(orphanOrders).crossJoin(lowRevenue)
     }
   )
 
@@ -1223,6 +1252,23 @@ object CoreQueries {
         |SELECT user_id, COUNT(*) AS n_intervals,
         |  ROUND(list_reduce(list(wv ORDER BY ms, event_id), (a, b) -> a + b)
         |    / CAST(MAX(next_ms) - MIN(ms) AS DOUBLE), 6) AS twap
-        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q103_referential_audit" ->
+      s"""SELECT
+         |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+         |     ON l.l_orderkey = o.o_orderkey
+         |   WHERE o.o_orderkey IS NULL) AS orphan_lineitems,
+         |  (SELECT COUNT(*) FROM orders o LEFT JOIN lineitem l
+         |     ON l.l_orderkey = o.o_orderkey
+         |   WHERE l.l_orderkey IS NULL) AS childless_orders,
+         |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+         |     ON o.o_custkey = c.c_custkey
+         |   WHERE c.c_custkey IS NULL) AS orphan_orders,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT l_orderkey, ${sqlDsum("l_extendedprice")} AS item_rev
+         |     FROM lineitem GROUP BY l_orderkey) r
+         |   JOIN orders ON l_orderkey = o_orderkey
+         |   WHERE item_rev < o_totalprice * 0.5) AS low_revenue_orders""".stripMargin
   )
 }
