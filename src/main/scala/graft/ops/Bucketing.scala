@@ -28,18 +28,21 @@ object Bucketing {
   val Buckets = 8
 
   /** Writes `orders` and `customer` co-bucketed by customer key under a
-    * deterministic temp warehouse path and returns the co-located
-    * equi-join. The path derives from `dir` and every call OVERWRITES it,
-    * so repeated invocations (bench iterations, repeated Verify runs)
-    * reuse one layout directory instead of accumulating copies until the
-    * temp filesystem fills. Both the path and the saveAsTable names are
-    * catalog-wide state shared by all sessions on the SparkContext —
+    * per-process temp warehouse path and returns the co-located
+    * equi-join. The path derives from (`dir`, pid): stable WITHIN a
+    * process, so repeated invocations (bench iterations, repeated Verify
+    * runs) overwrite one layout directory instead of accumulating copies
+    * — and distinct ACROSS processes, so a concurrent test/Verify/Bench
+    * pair can't Overwrite-delete each other's bucket files mid-read (at
+    * most one small layout dir leaks per process lifetime). The
+    * saveAsTable names are still catalog-wide within the process —
     * callers in one process must run queries sequentially (the
     * Verify/Bench/test contract); a real deployment points the layout at
     * per-dataset warehouse storage, where write-once is the whole point. */
   def colocatedOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-bucketed-${Integer.toHexString(dir.hashCode)}").toString
+      s"graft-bucketed-${Integer.toHexString(dir.hashCode)}-$pid").toString
     writeBucketed(t(s, dir, "orders"), "graft_b_orders", "o_custkey", root)
     writeBucketed(t(s, dir, "customer"), "graft_b_customer", "c_custkey", root)
     // merge hint: at fixture scale Catalyst would broadcast the customer

@@ -798,6 +798,10 @@ object CoreQueries {
           expr("aggregate(array_sort(collect_list(struct(ms, event_id, wv))), " +
             "cast(0.0 as double), (a, x) -> a + x.wv)").as("sum_wv"),
           (max($"next_ms") - min($"ms")).as("span_ms"))
+        // a user whose events all land in one millisecond has no holding
+        // time: 0/0 is NULL in Spark but NaN in DuckDB — exclude, like
+        // single-event users (exact integer predicate, same both engines)
+        .filter($"span_ms" > 0)
         .select($"user_id", $"n_intervals",
           round($"sum_wv" / $"span_ms".cast("double"), 6).as("twap"))
         .orderBy($"user_id")
@@ -815,21 +819,28 @@ object CoreQueries {
     // summary row out — the shape a pipeline gate consumes.
     "q103_referential_audit" -> { (s, dir) =>
       import s.implicits._
-      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice")
+      // ONE lineitem aggregate full-outer-joined to orders serves three
+      // of the four checks from a single pass over each fact table —
+      // separate anti-joins would re-scan lineitem per check, which at
+      // warehouse scale is the audit's whole cost. Only the (tiny)
+      // customer anti-join reads orders a second time.
+      val liAgg = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("item_rev"))
       val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      val c = t(s, dir, "customer").select($"c_custkey")
-      val orphanItems = li.join(o, $"l_orderkey" === $"o_orderkey", "left_anti")
-        .agg(count(lit(1)).as("n")).select($"n".as("orphan_lineitems"))
-      val childless = o.join(li, $"l_orderkey" === $"o_orderkey", "left_anti")
-        .agg(count(lit(1)).as("n")).select($"n".as("childless_orders"))
-      val orphanOrders = o.join(c, $"o_custkey" === $"c_custkey", "left_anti")
-        .agg(count(lit(1)).as("n")).select($"n".as("orphan_orders"))
-      val lowRevenue = li.groupBy($"l_orderkey")
-        .agg(dsum($"l_extendedprice").as("item_rev"))
-        .join(o, $"l_orderkey" === $"o_orderkey")
-        .filter($"item_rev" < $"o_totalprice" * 0.5)
-        .agg(count(lit(1)).as("n")).select($"n".as("low_revenue_orders"))
-      orphanItems.crossJoin(childless).crossJoin(orphanOrders).crossJoin(lowRevenue)
+      val joined = liAgg.join(o, $"l_orderkey" === $"o_orderkey", "full_outer")
+      val main = joined.agg(
+        sum(when($"o_orderkey".isNull, $"n_items").otherwise(0L)).as("orphan_lineitems"),
+        sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("childless_orders"),
+        sum(when($"l_orderkey".isNotNull && $"o_orderkey".isNotNull &&
+          $"item_rev" < $"o_totalprice" * 0.5, 1L).otherwise(0L)).as("low_revenue_orders"))
+      val orphanOrders = o
+        .join(t(s, dir, "customer").select($"c_custkey"),
+          $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      main.crossJoin(orphanOrders)
+        .select($"orphan_lineitems", $"childless_orders",
+          $"orphan_orders", $"low_revenue_orders")
     }
   )
 
@@ -1252,7 +1263,9 @@ object CoreQueries {
         |SELECT user_id, COUNT(*) AS n_intervals,
         |  ROUND(list_reduce(list(wv ORDER BY ms, event_id), (a, b) -> a + b)
         |    / CAST(MAX(next_ms) - MIN(ms) AS DOUBLE), 6) AS twap
-        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM iv GROUP BY user_id
+        |HAVING MAX(next_ms) - MIN(ms) > 0
+        |ORDER BY user_id""".stripMargin,
 
     "q103_referential_audit" ->
       s"""SELECT

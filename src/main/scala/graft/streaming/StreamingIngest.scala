@@ -178,7 +178,13 @@ object StreamingIngest {
     // abs(z) > zLimit would flag every window of a single-sample key.
     // Zero variance (sd = 0) with a deviating count IS an anomaly —
     // scored as signed infinity, not NaN; an exactly-on-mean count is 0.
+    // The variance branch tests the EXACT integer moments (n·Σx² − (Σx)²,
+    // q98's predicate), not `sd > 0`: with Σx near 2^26.5 the floating
+    // subtraction can cancel to a tiny negative, sqrt gives NaN, and
+    // NaN > 0 is TRUE in Spark — the integer form cannot misclassify.
     val scoreable = stats.filter(col("n") >= 2)
+    val hasVariance =
+      col("n") * col("sx2") - col("sx") * col("sx") > 0
     val xd = col("x").cast("double")
     events
       .withWatermark(tsCol, "10 minutes")
@@ -186,7 +192,7 @@ object StreamingIngest {
       .agg(count(lit(1)).as("x"))
       .join(broadcast(scoreable), keyCol)
       .withColumn("z",
-        when(sd > 0, (xd - mean) / sd)
+        when(hasVariance, (xd - mean) / sd)
           .when(xd === mean, lit(0.0))
           .otherwise(signum(xd - mean) * lit(Double.PositiveInfinity)))
       .filter(abs(col("z")) > zLimit)

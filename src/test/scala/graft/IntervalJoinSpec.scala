@@ -90,14 +90,16 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSuite {
   test("q95 lift identifies tokens concentrated in one source") {
     val rows = SparkEntry.queries("q95_source_lift")(spark, sf0001).collect()
     assert(rows.nonEmpty)
-    // The invariant Σ p(t)·lift(t) = 1 guarantees only that each source's
-    // TOP token reaches lift ≥ 1 (ranks 2-3 may sit below 1 for a source
-    // near the corpus distribution, and the n_st ≥ 5 floor can shave the
-    // maximum slightly) — so gate the per-source max, not every rank.
+    // The invariant Σ p(t)·lift(t) = 1 guarantees each source's top
+    // UNFILTERED token reaches lift ≥ 1; the n_st ≥ 5 floor means the
+    // REPORTED max can in principle sit lower (if a source's lifted
+    // tokens are all rare), so the per-source bound below is a
+    // fixture-pinned regression gate, not a mathematical invariant —
+    // on these fixtures every source's common tokens carry the lift.
     val maxBySource = rows.groupBy(_.getString(0))
       .map { case (_, rs) => rs.map(r => r.getDouble(r.fieldIndex("lift"))).max }
     maxBySource.foreach(m => assert(m >= 0.999999, s"max lift $m < 1"))
-    // and the signal is real somewhere: some token is strictly over-represented
+    // invariant-backed part: some token somewhere is strictly over-represented
     assert(maxBySource.max > 1.0)
   }
 }
