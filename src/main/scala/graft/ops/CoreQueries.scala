@@ -841,6 +841,59 @@ object CoreQueries {
       main.crossJoin(orphanOrders)
         .select($"orphan_lineitems", $"childless_orders",
           $"orphan_orders", $"low_revenue_orders")
+    },
+
+    // ------------------------------------------------------------ transition matrix
+    // First-order behavioral model: P(next event type | current type)
+    // from each user's event sequence — the Markov matrix that powers
+    // next-action prediction, bot detection (improbable transition
+    // chains), and funnel-less conversion analysis. One window shuffle by
+    // user for the successor pairing; the matrix itself is a tiny
+    // (types × types) aggregate with map-side combine, and the per-row
+    // probability is an exact division of counts (bit-identical
+    // cross-engine). The user partition bound means sequences never
+    // interleave across users.
+    "q104_type_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val pairs = events(s, dir)
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+      pairs.join(broadcast(fromTotals), "from_type")
+        .select($"from_type", $"to_type", $"n",
+          round($"n".cast("double") / $"n_from".cast("double"), 6).as("p"))
+        .orderBy($"from_type", $"to_type")
+    },
+
+    // ------------------------------------------------------------ time-to-convert
+    // Conversion latency distribution: how long from a user's FIRST view
+    // to their FIRST subsequent purchase, bucketed on a log2 scale — the
+    // timing layer q57's funnel counts lack (medians and long tails drive
+    // attribution windows and retargeting budgets). Two conditional
+    // min-aggregates joined on user (tiny per-user frames, q57's shape),
+    // then a log2 bucket per converter: integer floor(log2(minutes+1)),
+    // exact both engines.
+    "q105_time_to_convert" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select($"user_id", $"event_type", $"ms")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ms").as("mv"))
+      val p = ev.filter($"event_type" === "purchase").join(v, "user_id")
+        .filter($"ms" > $"mv")
+        .groupBy($"user_id").agg(min($"ms").as("mp"))
+      v.join(p, "user_id")
+        // integer division, not `/`: Spark's Column `/` is double division
+        // and its long cast TRUNCATES where DuckDB's cast ROUNDS — `div`
+        // and `//` both floor, identically
+        .withColumn("mins", expr("(mp - mv) div 60000"))
+        .withColumn("bucket", floor(log2($"mins".cast("double") + 1.0)).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_users"),
+          min($"mins").as("min_mins"), max($"mins").as("max_mins"))
+        .orderBy($"bucket")
     }
   )
 
@@ -1266,6 +1319,37 @@ object CoreQueries {
         |FROM iv GROUP BY user_id
         |HAVING MAX(next_ms) - MIN(ms) > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q104_type_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_ms(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN ft USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q105_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS mv
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS mp
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > v.mv
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT v.user_id, (mp - mv) // 60000 AS mins
+        |  FROM v JOIN p ON v.user_id = p.user_id)
+        |SELECT CAST(FLOOR(log2(CAST(mins AS DOUBLE) + 1.0)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_users, MIN(mins) AS min_mins, MAX(mins) AS max_mins
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q103_referential_audit" ->
       s"""SELECT
