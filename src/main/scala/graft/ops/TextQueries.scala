@@ -339,27 +339,37 @@ object TextQueries {
     // is vocabulary-bounded (~10⁵ rows at any corpus size — broadcasts),
     // but the BIGRAM table grows with the corpus and can NOT broadcast —
     // it meets the token stream in a shuffle hash join on the (prev,tok)
-    // key. At 100 TB the bigram table is the thing you prune (keep
-    // count ≥ floor, let interpolation absorb the tail) — the join shape
-    // stays the same. λ = 0.75/0.25 are exactly representable doubles and
-    // both engines evaluate the identical expression tree on identical
-    // counts, so only ln()'s ≤1-ulp wobble remains — absorbed by the
-    // position-ordered fold + shared round(…, 6), exactly as in q81.
+    // key. The token stream is therefore joined exactly TWICE: once
+    // against broadcast-size `uni` (the unigram term every row needs) and
+    // once against the enriched bigram table — `c_prev` is attached to
+    // the bigram table AT BIGRAM GRANULARITY (bi ⋈ uni on prev, a
+    // corpus-scale×broadcast join), not by a third token-stream-wide
+    // join. The (doc_id,pos,tok,prev) frame is pinned so the document
+    // scan + lag window execute once and feed uni, bi, and the scoring
+    // stream from the materialized blocks. At 100 TB the bigram table is
+    // the thing you prune (keep count ≥ floor, let interpolation absorb
+    // the tail) — the join shape stays the same. λ = 0.75/0.25 are
+    // exactly representable doubles and both engines evaluate the
+    // identical expression tree on identical counts, so only ln()'s
+    // ≤1-ulp wobble remains — absorbed by the position-ordered fold +
+    // shared round(…, 6), exactly as in q81.
     "q88_bigram_logprob" -> { (s, dir) =>
       import s.implicits._
-      val toks = t(s, dir, "documents")
-        .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
-      val wprev = toks.withColumn("prev",
-        lag($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
-      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c_w"))
+      val wprev = Pin.lazily(
+        t(s, dir, "documents")
+          .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("prev",
+            lag($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos"))))
+      val uni = wprev.groupBy($"tok").agg(count(lit(1)).as("c_w"))
       val tot = uni.agg(sum($"c_w").as("total"))
       val bi = wprev.filter($"prev".isNotNull)
         .groupBy($"prev", $"tok").agg(count(lit(1)).as("c_bi"))
+      // c_prev lands on the bigram table (|bi| rows), never on the stream.
+      val biE = bi.join(uni.toDF("prev", "c_prev"), Seq("prev"))
       val pu = $"c_w".cast("double") / $"total".cast("double")
       wprev
         .join(uni, "tok")
-        .join(uni.toDF("prev", "c_prev"), Seq("prev"), "left")
-        .join(bi, Seq("prev", "tok"), "left")
+        .join(biE, Seq("prev", "tok"), "left")
         .crossJoin(broadcast(tot))
         .withColumn("logp", when($"prev".isNull, -log(pu))
           .otherwise(-log(
