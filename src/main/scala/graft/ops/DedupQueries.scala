@@ -353,7 +353,7 @@ object DedupQueries {
     "q33_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
       hammingPairs(simhashDocs(s, dir)
-          .select($"doc_id".as("id"), $"simhash".as("sig")),
+          .select($"doc_id".as("id"), array($"simhash").as("sig")),
           nChunks = 4, maxDist = 3)
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
         .orderBy($"doc_a", $"doc_b")
@@ -430,15 +430,33 @@ object DedupQueries {
    * the sketch to 128 bits to keep 16-bit chunk keys instead).
    * Input frame: (id, sig). Output: (id_a, id_b, hamming).
    */
-  private[ops] def hammingPairs(sigs: DataFrame, nChunks: Int, maxDist: Int): DataFrame = {
-    require(64 % nChunks == 0, s"nChunks must divide 64: $nChunks")
+  /** Pigeonhole candidate join over a MULTI-WORD signature: `sigs` is
+    * (id, sig: array<bigint>) with `nWords` 64-bit words, word 1 = bits
+    * [0,64). The signature splits into `nChunks` equal key chunks across
+    * ALL nWords·64 bits — two signatures within Hamming `maxDist` <
+    * nChunks must agree on ≥1 whole chunk, so the equi-join on
+    * (chunk, ckey) is complete. The chunk-key WIDTH is the scale dial:
+    * candidate volume per chunk is ~n²/2^width, so wider signatures buy
+    * wider keys at the same completeness bound (128-bit/8 chunks →
+    * 16-bit keys → 65 536 buckets; a 64-bit sketch at the same bound
+    * would be stuck with 8-bit keys and 256× the candidates). */
+  private[ops] def hammingPairs(sigs: DataFrame, nChunks: Int, maxDist: Int,
+                                nWords: Int = 1): DataFrame = {
+    val totalBits = nWords * 64
+    require(totalBits % nChunks == 0, s"nChunks must divide $totalBits: $nChunks")
     require(maxDist < nChunks,
       s"pigeonhole completeness needs maxDist < nChunks: $maxDist >= $nChunks")
-    val w = 64 / nChunks
-    val mask = (1L << w) - 1
-    val chunks = sigs.select(col("id"), col("sig"),
-        explode(expr(
-          s"transform(sequence(0, ${nChunks - 1}), c -> struct(c AS chunk, (shiftright(sig, c * $w) & $mask) AS ckey))")).as("x"))
+    val w = totalBits / nChunks
+    require(w <= 64 && 64 % w == 0, s"chunk width $w must divide a 64-bit word")
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    // Chunk c reads bits [c·w, (c+1)·w) — entirely inside word (c·w)/64
+    // because w divides 64, so one shift+mask per chunk, no straddling.
+    val chunkExpr = (0 until nChunks).map { c =>
+      val word = (c * w) / 64 + 1 // element_at is 1-based
+      val off = (c * w) % 64
+      s"struct($c AS chunk, (shiftright(element_at(sig, $word), $off) & $mask) AS ckey)"
+    }.mkString("array(", ", ", ")")
+    val chunks = sigs.select(col("id"), col("sig"), explode(expr(chunkExpr)).as("x"))
       .select(col("id"), col("sig"), col("x.chunk").as("chunk"), col("x.ckey").as("ckey"))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
@@ -446,7 +464,10 @@ object DedupQueries {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-      .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")).cast("long"))
+      .withColumn("hamming",
+        (1 to nWords)
+          .map(i => bit_count(expr(s"element_at(sig_a, $i) ^ element_at(sig_b, $i)")))
+          .reduce(_ + _).cast("long"))
       .filter(col("hamming") <= maxDist)
       .drop("sig_a", "sig_b")
   }

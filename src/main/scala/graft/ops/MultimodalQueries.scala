@@ -117,46 +117,47 @@ object MultimodalQueries {
       .select(col("doc_id"), col("frame_idx"), col("frame"))
 
   /**
-   * 64-bit perceptual-hash-style signature per payload: SimHash over the
-   * payload's byte 4-grams. Byte n-grams are SHIFT-INVARIANT — an edit
-   * perturbs only the grams overlapping it, so near-identical payloads
-   * land within a few Hamming bits while unrelated payloads sit near 32
-   * (measured on the fixture: true near-dup pairs at Hamming 0–4, random
-   * pairs ≥ 9, median 20) — which is what fixed-block hashing can't do
-   * (one early edit shifts every later block). A REAL image pHash would
-   * hash decoded DCT features instead of raw bytes — that swap lives in
-   * decodeBatch like every other codec concern; the sketch/join shape
-   * here is unchanged by it.
+   * 128-bit perceptual-hash-style signature per payload, as TWO 64-bit
+   * words (`array<bigint>`, word 1 = bits [0,64)): SimHash over the
+   * payload's byte 4-grams under two hash families (the second word's
+   * gram hash is the XXH64 re-hash of the first — the splitmix pattern
+   * for deriving k functions from one). Byte n-grams are
+   * SHIFT-INVARIANT — an edit perturbs only the grams overlapping it, so
+   * near-identical payloads land within a few Hamming bits per word
+   * while unrelated payloads sit near 64 of 128 — which is what
+   * fixed-block hashing can't do (one early edit shifts every later
+   * block). 128 bits exist for the CANDIDATE JOIN, not for precision:
+   * at the Hamming≤7 pigeonhole bound, a 64-bit sketch forces 8-bit
+   * chunk keys (256 buckets → ~n²/256 candidate pairs per chunk at
+   * corpus size n); two words keep chunk keys 16-bit at the same bound
+   * (65 536 buckets), shrinking the candidate set 256×. A REAL image
+   * pHash would hash decoded DCT features instead of raw bytes — that
+   * swap lives in decodeBatch like every other codec concern; the
+   * sketch/join shape here is unchanged by it.
    *
-   * Plan shape: gram explode + xxhash64 are per-row; the 64 signed-bit
-   * SUM aggregates combine map-side, so the only shuffle carries one
-   * 64-column partial row per (task × doc) — never the payload bytes.
+   * Plan shape: the whole signature is ONE native codegen'd expression
+   * ([[graft.functions.PHash128]]) — a map-only projection, no gram
+   * explode, no shuffle, no aggregate state. The n_bytes ≥ 4 filter
+   * keeps the old contract: a payload with no complete gram has no
+   * signature (and would otherwise emit the all-zero signature, pairing
+   * every empty payload with every other at Hamming 0).
    */
   private[graft] def phashDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val grams = withBinaryPayload(docs)
-      // guard: docs shorter than 4 bytes have no gram; sequence(1, 0)
-      // would yield [1, 0] (default step -1), not an empty array
-      .withColumn("i", explode(
-        when($"meta.n_bytes" >= 4, sequence(lit(1), $"meta.n_bytes".cast("int") - 3))
-          .otherwise(array().cast("array<int>"))))
-      .select($"doc_id", xxhash64(expr("substring(payload, i, 4)")).as("h"))
-    val bitCols = (0 until 64).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b"))
-    grams.groupBy($"doc_id")
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select($"doc_id",
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("phash"))
+    graft.functions.PHashFunctions.register(s)
+    withBinaryPayload(docs)
+      .filter($"meta.n_bytes" >= 4)
+      .select($"doc_id", graft.functions.PHashFunctions.phash128($"payload").as("phash"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Perceptual-hash near-dup pairs over the BINARY payload column — the
-    // multimodal twin of q33: signature from phashDocs above, candidates
-    // via the shared 8-chunk pigeonhole (guarantees no miss up to
-    // Hamming 7 > the 5 threshold), exact bit_count verify. Rows-only:
-    // the xxhash64 gram family is engine-specific, so no SQL oracle —
+    // multimodal twin of q33: 128-bit signature from phashDocs above,
+    // candidates via the shared 8-chunk pigeonhole over both words
+    // (16-bit chunk keys; completeness guaranteed up to Hamming 7 = the
+    // threshold), exact two-word bit_count verify. Rows-only: the
+    // xxhash64 gram family is engine-specific, so no SQL oracle —
     // MultimodalSpec pins the output against an exhaustive all-pairs
     // Hamming scan at fixture scale instead.
     "q89_phash_neardup" -> { (s, dir) =>
@@ -164,7 +165,7 @@ object MultimodalQueries {
       DedupQueries.hammingPairs(
           phashDocs(s, t(s, dir, "documents"))
             .select($"doc_id".as("id"), $"phash".as("sig")),
-          nChunks = 8, maxDist = 5)
+          nChunks = 8, maxDist = 7, nWords = 2)
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
         .orderBy($"doc_a", $"doc_b")
     },

@@ -72,17 +72,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("q89 phash pairs equal the exhaustive all-pairs Hamming<=5 set") {
-    // Ground truth: every signature pair, straight Hamming — if the
-    // 8-chunk pigeonhole join dropped even one true pair (it can't, for
-    // distances < 8), q89 would silently under-report.
+  private def hamming128(a: Seq[Long], b: Seq[Long]): Int =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+
+  test("q89 phash pairs equal the exhaustive all-pairs Hamming<=7 set") {
+    // Ground truth: every 128-bit signature pair, straight Hamming — if
+    // the 8-chunk pigeonhole join dropped even one true pair (it can't,
+    // for distances < 8), q89 would silently under-report.
     val sigs = MultimodalQueries.phashDocs(spark, docs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
     assert(sigs.length > 50, "fixture unexpectedly small")
     val truth = (for {
       (ida, sa) <- sigs
       (idb, sb) <- sigs if ida < idb
-      h = java.lang.Long.bitCount(sa ^ sb) if h <= 5
+      h = hamming128(sa, sb) if h <= 7
     } yield (ida, idb, h.toLong)).toSet
     val got = SparkEntry.queries("q89_phash_neardup")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -95,11 +98,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     // pin the median ALL-pairs distance well above the near-dup band so a
     // regression toward degenerate signatures (everything close) fails.
     val sigs = MultimodalQueries.phashDocs(spark, docs)
-      .collect().map(r => r.getLong(1))
+      .collect().map(r => r.getSeq[Long](1))
     val dists = (for {
       i <- sigs.indices; j <- (i + 1) until sigs.length
-    } yield java.lang.Long.bitCount(sigs(i) ^ sigs(j))).sorted
+    } yield hamming128(sigs(i), sigs(j))).sorted
     val median = dists(dists.length / 2)
-    assert(median >= 10, s"median all-pairs Hamming $median — signatures degenerate")
+    assert(median >= 20, s"median all-pairs Hamming $median — signatures degenerate")
+    val nearBand = dists.count(_ <= 7)
+    assert(nearBand > 0, "near-dup band empty at Hamming<=7 — threshold too tight for the 128-bit sketch")
   }
 }

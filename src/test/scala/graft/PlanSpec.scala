@@ -87,5 +87,10 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
         |         xxhash64('A')) AS hit""".stripMargin)
       .collect().head.getBoolean(0)
     assert(bloomHit)
+    val ph = graft.ops.Views.sql(spark, sf0001,
+      """SELECT graft_phash128(CAST(text AS BINARY)) AS sig
+        |FROM documents WHERE length(text) >= 4 ORDER BY doc_id LIMIT 1""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(ph.length === 2 && ph.exists(_ != 0L))
   }
 }
