@@ -894,6 +894,46 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_users"),
           min($"mins").as("min_mins"), max($"mins").as("max_mins"))
         .orderBy($"bucket")
+    },
+
+    // Typed JSON shredding — the from_json(schema)/json_tuple face of the
+    // reference's JSONB columns (custom_params/receipt, ua2sql.py:68,85),
+    // completing the JSON family beyond q16's path-extraction: each event
+    // re-serializes to a NESTED JSON document (to_json over a two-level
+    // struct), then shreds back both ways Spark offers — from_json with
+    // an explicit StructType (typed access: long, string, double, and a
+    // nested struct hop) and json_tuple (the multi-path string extractor,
+    // one parse for N paths). Pure per-row projection: no shuffle, stays
+    // inside whole-stage codegen at any corpus size. The oracle reads the
+    // ORIGINAL typed columns, so the hash compare asserts the serialize→
+    // shred round trip is LOSSLESS for every row — long identity, string
+    // identity, and double shortest-repr round-trip — which is exactly
+    // the property a pipeline relies on when it parks typed data in a
+    // JSON column.
+    "q106_json_shred" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("uid", LongType),
+        StructField("ev", StructType(Seq(
+          StructField("t", StringType), StructField("v", DoubleType)))),
+        StructField("k", LongType)))
+      events(s, dir)
+        .select($"event_id",
+          to_json(struct(
+            $"user_id".as("uid"),
+            struct($"event_type".as("t"), $"value".as("v")).as("ev"),
+            get_json_object($"props", "$.k").cast("long").as("k"))).as("j"))
+        .select($"event_id", from_json($"j", schema).as("d"),
+          json_tuple($"j", "uid", "k").as(Seq("uid_s", "k_s")))
+        .select($"event_id",
+          $"d.uid".as("uid"),
+          $"d.ev.t".as("t"),
+          $"d.ev.v".as("v"),
+          $"d.k".as("k_struct"),
+          $"uid_s".cast("long").as("uid_tup"),
+          $"k_s".cast("long").as("k_tup"))
+        .orderBy($"event_id")
     }
   )
 
@@ -1366,6 +1406,17 @@ object CoreQueries {
          |     SELECT l_orderkey, ${sqlDsum("l_extendedprice")} AS item_rev
          |     FROM lineitem GROUP BY l_orderkey) r
          |   JOIN orders ON l_orderkey = o_orderkey
-         |   WHERE item_rev < o_totalprice * 0.5) AS low_revenue_orders""".stripMargin
+         |   WHERE item_rev < o_totalprice * 0.5) AS low_revenue_orders""".stripMargin,
+
+    // The oracle reads the ORIGINAL typed columns: the hash compare then
+    // asserts Spark's to_json → from_json/json_tuple round trip returned
+    // exactly the values that went in (longs and strings identically,
+    // doubles via shortest-repr round-trip).
+    "q106_json_shred" ->
+      """SELECT event_id, user_id AS uid, event_type AS t, "value" AS v,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+        |  user_id AS uid_tup,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tup
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
