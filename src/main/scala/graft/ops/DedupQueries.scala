@@ -348,8 +348,11 @@ object DedupQueries {
     },
 
     // SimHash near-dup pairs (Hamming ≤ 3) — candidates via the 16-bit
-    // chunk pigeonhole, verified with bit_count(xor). Rows-only (the
-    // 64-bit token hash family is engine-specific, so no SQL oracle).
+    // chunk pigeonhole, verified with bit_count(xor). Fully
+    // oracle-checked: the md5-derived token-hash family (simhashDocs) is
+    // reproducible in DuckDB, whose oracle recomputes every signature
+    // and takes the EXHAUSTIVE all-pairs Hamming ≤ 3 set — so the hash
+    // compare also re-proves pigeonhole completeness on every run.
     "q33_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
       hammingPairs(simhashDocs(s, dir)
@@ -476,15 +479,25 @@ object DedupQueries {
     * codegen'd signed-bit SUM aggregates (map-side combine); the signature
     * assembles from the 64 aggregate columns — all inside whole-stage
     * codegen. Exposed so DedupSpec can exhaustively verify the pigeonhole
-    * candidate generation against all-pairs Hamming distances. */
+    * candidate generation against all-pairs Hamming distances.
+    *
+    * The token-hash family is DELIBERATELY md5-derived (bit b = bit b%4
+    * of hex digit b/4 of md5(tok)) rather than the engine's xxhash64:
+    * both engines compute identical md5 hex, so the ENTIRE signature —
+    * and therefore q33's pair set — is reproducible in ANSI SQL and
+    * carries a full DuckDB oracle instead of a rows-only gate. Same
+    * distribution quality (md5 bits are uniform), same plan shape; the
+    * only cost is md5 vs xxhash64 per token, paid once per corpus. */
   private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ex = t(s, dir, "documents")
       .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
-      .withColumn("h", xxhash64($"tok"))
+      .withColumn("h", md5($"tok"))
+    val withDigits = ex.select(($"doc_id" +: (0 until 16).map(i =>
+      conv(substring($"h", i + 1, 1), 16, 10).cast("int").as(s"d$i"))): _*)
     val bitCols = (0 until 64).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b"))
-    ex.groupBy($"doc_id")
+      sum(when(expr(s"(shiftright(d${b / 4}, ${b % 4}) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b"))
+    withDigits.groupBy($"doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
       .select($"doc_id",
         (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
@@ -543,6 +556,46 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q47_dedup_clusters" -> clustersOracle,
+
+    // Recomputes every md5-derived SimHash signature from scratch and
+    // takes the EXHAUSTIVE all-pairs set — the oracle is strictly
+    // stronger than the Spark plan (no pigeonhole), so a hash match also
+    // re-proves candidate completeness. Bit 63's power is spelled as the
+    // min-long expression because DuckDB range-checks 1<<63.
+    "q33_simhash_pairs" -> {
+      val digits = (0 until 16)
+        .map(i => s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i")
+        .mkString(",\n        |    ")
+      val cnts = (0 until 64)
+        .map(b => s"SUM(CASE WHEN (d${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(",\n        |    ")
+      val pack = (0 until 64)
+        .map { b =>
+          val pow = if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
+          s"(CASE WHEN c$b > 0 THEN $pow ELSE 0 END)"
+        }
+        .mkString(" +\n        |    ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id,
+        |    $digits
+        |  FROM (SELECT doc_id, md5(tok) AS h FROM tok)),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    $cnts
+        |  FROM dg GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $pack AS sh
+        |  FROM cnt)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q99_dup_rate_by_source" ->
       """WITH h AS (SELECT source, doc_id, md5(text) AS h FROM documents),

@@ -221,15 +221,21 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
-    // 64-bit rolling fingerprint: xxhash64 chained over tokens (order-
-    // sensitive, unlike a bag-of-tokens hash). Engine-specific hash family
-    // → rows-only; pinned by unit tests.
+    // Rolling (chained) fingerprint: a left fold of md5 over the token
+    // stream — ORDER-sensitive, unlike the bag-of-tokens hash (q40):
+    // swapping two tokens changes the fingerprint, and a pipeline can
+    // extend it incrementally (fold the new tokens onto the stored
+    // fingerprint) without re-reading the prefix. The hash family is
+    // md5-chaining specifically so BOTH engines can compute it —
+    // DuckDB's list_reduce over a prepended seed is the identical fold —
+    // which upgrades this from rows-only to a full hash-match oracle.
+    // Per-row HOF: no shuffle, scales as a projection.
     "q41_rolling_fingerprint" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "documents")
         .withColumn("toks", split(lower($"text"), " "))
-        .withColumn("fp64", expr("aggregate(toks, 42L, (acc, t) -> xxhash64(acc, t))"))
-        .select($"doc_id", $"fp64")
+        .withColumn("fp", expr("aggregate(toks, '42', (acc, t) -> md5(concat(acc, '|', t)))"))
+        .select($"doc_id", $"fp")
         .orderBy($"doc_id")
     },
 
@@ -461,6 +467,15 @@ object TextQueries {
 
     "q40_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+
+    // The identical md5 left fold (list_reduce has no init parameter, so
+    // the seed is prepended — folding starts with md5('42'|tok1), which
+    // is exactly Spark's aggregate(toks, '42', ...) first step).
+    "q41_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend('42', regexp_split_to_array(lower(text), ' ')),
+        |              (acc, t) -> md5(concat(acc, '|', t))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB's regexp_replace is first-match-only without the 'g' flag.
     "q62_text_clean" ->
