@@ -856,11 +856,15 @@ object CoreQueries {
     "q104_type_transitions" -> { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
-      val pairs = events(s, dir)
+      // Pinned before branching: fromTotals and the probe side both
+      // consume `pairs`, and exchange reuse is not guaranteed after
+      // optimization — without the pin the event-log window could
+      // execute twice. The pin materializes ≤ types² rows.
+      val pairs = graft.ops.Pin.lazily(events(s, dir)
         .withColumn("next_type", lead($"event_type", 1).over(w))
         .filter($"next_type".isNotNull)
         .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n")))
       val fromTotals = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
       pairs.join(broadcast(fromTotals), "from_type")
         .select($"from_type", $"to_type", $"n",

@@ -381,9 +381,16 @@ object CurationQueries {
       import s.implicits._
       val u = ((($"doc_id" % 1048573L) * 2654435761L) % 1000000007L + 1L)
         .cast("double") / 1000000008.0
+      // The cut key is QUANTIZED (12 decimals, both engines): ln() may
+      // differ by 1 ulp across libm builds, and two near-equal raw
+      // priorities straddling the k-boundary could otherwise select
+      // different rows per engine. After rounding, a 1-ulp wobble is
+      // ~1e-19 against a 5e-13 grain, and priorities that collapse to
+      // the same grain cut identically everywhere via the doc_id
+      // tie-break.
       t(s, dir, "documents")
         .filter($"n_chars" > 0)
-        .withColumn("priority", log(u) / $"n_chars")
+        .withColumn("priority", round(log(u) / $"n_chars", 12))
         .orderBy($"priority".desc, $"doc_id")
         .limit(WeightedSampleK)
         .select($"doc_id", $"source", $"n_chars")
@@ -686,14 +693,15 @@ object CurationQueries {
         |SELECT doc_id, source, skey FROM r WHERE rn <= 5
         |ORDER BY source, skey, doc_id""".stripMargin,
 
-    // The priority itself stays out of the output schema: ln() can differ
-    // by 1 ulp across libm builds, which is harmless to the top-k CUT but
-    // would flunk a bit-exact compare of the key column.
+    // The priority itself stays out of the output schema, and the cut
+    // key is quantized to 12 decimals exactly as in the Spark plan: a
+    // 1-ulp ln() difference across libm builds can then no longer move
+    // the k-boundary (equal-grain ties break on doc_id identically).
     "q93_weighted_sample" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
-        |    ln((((doc_id % 1048573) * 2654435761) % 1000000007 + 1)
-        |         / 1000000008.0) / n_chars AS priority
+        |    ROUND(ln((((doc_id % 1048573) * 2654435761) % 1000000007 + 1)
+        |         / 1000000008.0) / n_chars, 12) AS priority
         |  FROM documents WHERE n_chars > 0
         |  ORDER BY priority DESC, doc_id LIMIT 50) t
         |ORDER BY doc_id""".stripMargin,

@@ -407,9 +407,14 @@ object TextQueries {
     // decimal path of ops/Tables before dividing.
     "q95_source_lift" -> { (s, dir) =>
       import s.implicits._
-      val st = t(s, dir, "documents")
+      // Pinned before branching: perTok/perSrc/total/scored all derive
+      // from `st`, and exchange reuse is not guaranteed — without the
+      // pin the corpus-wide token explode + count could execute four
+      // times. The pin materializes the (source, token) table, which is
+      // sources × vocabulary bounded.
+      val st = Pin.lazily(t(s, dir, "documents")
         .select($"source", explode(split(lower($"text"), " ")).as("token"))
-        .groupBy($"source", $"token").agg(count(lit(1)).as("n_st"))
+        .groupBy($"source", $"token").agg(count(lit(1)).as("n_st")))
       val perTok = st.groupBy($"token").agg(sum($"n_st").as("n_t"))
       val perSrc = st.groupBy($"source").agg(sum($"n_st").as("n_s"))
       val total = st.agg(sum($"n_st").as("n"))

@@ -170,8 +170,14 @@ object StreamingIngest {
                   zLimit: Double): DataFrame = {
     val nD = col("n").cast("double")
     val mean = col("sx").cast("double") / nD
-    val sd = sqrt((col("sx2").cast("double")
-      - col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0))
+    // sd from the EXACT integer moments: Var = (n·Σx² − (Σx)²)/(n(n−1)).
+    // The numerator is computed in integer arithmetic BEFORE the double
+    // cast, so when the hasVariance branch below selected this
+    // expression, the radicand is a positive-integer quotient — the
+    // float subtraction that could cancel to ≤0 (and make sd 0 or NaN,
+    // with NaN passing abs(z) > zLimit) never happens.
+    val sd = sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+      / (col("n") * (col("n") - 1)).cast("double"))
     // Keys whose history can't define a deviation are unscoreable and
     // must not reach the division: n=1 makes sd = sqrt(0/0) = NaN, and in
     // Spark NaN compares GREATER than any number, so an unguarded
@@ -179,9 +185,8 @@ object StreamingIngest {
     // Zero variance (sd = 0) with a deviating count IS an anomaly —
     // scored as signed infinity, not NaN; an exactly-on-mean count is 0.
     // The variance branch tests the EXACT integer moments (n·Σx² − (Σx)²,
-    // q98's predicate), not `sd > 0`: with Σx near 2^26.5 the floating
-    // subtraction can cancel to a tiny negative, sqrt gives NaN, and
-    // NaN > 0 is TRUE in Spark — the integer form cannot misclassify.
+    // q98's predicate), not `sd > 0` — the same integer form sd's
+    // radicand numerator uses, so branch and value cannot disagree.
     val scoreable = stats.filter(col("n") >= 2)
     val hasVariance =
       col("n") * col("sx2") - col("sx") * col("sx") > 0

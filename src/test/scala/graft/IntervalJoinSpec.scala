@@ -36,7 +36,11 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSuite {
 
   test("q91 joins co-bucketed tables without shuffling either side") {
     // disable the size-based broadcast fallback so the property under test
-    // (bucket co-location) is what the plan shows, as it would at scale
+    // (bucket co-location) is what the plan shows, as it would at scale —
+    // restoring the PRE-TEST values afterwards, not hard-coded defaults,
+    // so a different suite-level config can't silently leak out of here
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -47,8 +51,8 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSuite {
         s"bucketed join must read co-located buckets without exchange:\n$p")
       assert(p.contains("Bucketed: true"), s"scan did not use the bucket layout:\n$p")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     }
   }
 
