@@ -23,15 +23,21 @@ object Main {
 
   /**
    * Builds the DB sink for a DB-configured run (reference step 2: rows
-   * into PostgreSQL, ua2sql.py:88–91, 209–246). The default is the real
-   * JDBC sink with the reference's 1000-row insert batching
-   * (ua2sql.py:238–246); a `var` so offline tests (no PostgreSQL driver
-   * jar ships in this environment) can substitute a recording sink and
-   * still drive the full CLI path.
+   * into PostgreSQL, ua2sql.py:88–91, 209–246). Auto-detects the driver:
+   * when a JDBC driver accepting the configured URL is on the classpath
+   * (drivers self-register via ServiceLoader) the live JDBC sink with the
+   * reference's 1000-row insert batching (ua2sql.py:238–246) is selected;
+   * otherwise a loud dry-run sink, so an offline deployment (this
+   * environment ships no PostgreSQL jar) degrades safely — rows still land
+   * in the parquet warehouse — and the live path lights up the moment a
+   * driver jar is added, with no config change. A `var` so tests can
+   * substitute a recording sink and still drive the full CLI path.
    */
   private[graft] var jdbcSinkFactory: DbConfig => graft.sink.BatchSink = db =>
-    new graft.sink.JdbcSink(db.jdbcUrl,
-      Map("user" -> db.user, "password" -> db.password), batchSize = 1000)
+    if (graft.sink.JdbcSink.driverAvailable(db.jdbcUrl))
+      new graft.sink.JdbcSink(db.jdbcUrl,
+        Map("user" -> db.user, "password" -> db.password), batchSize = 1000)
+    else new graft.sink.DryRunSink(db.jdbcUrl)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <config.json> [--job-id <id>]")

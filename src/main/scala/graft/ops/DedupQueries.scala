@@ -67,6 +67,61 @@ object DedupQueries {
   private def shingleSets(rows: DataFrame): DataFrame =
     rows.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
 
+  /** Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS fingerprinter): hash word k-grams, then keep the minimum hash
+    * of every w-hash window. Guarantee: any shared token run of at least
+    * w + k − 1 tokens contributes at least one IDENTICAL fingerprint to
+    * both documents, while storing only ~2/(w+1) of the gram hashes. */
+  private val WinnowK = 4
+  private val WinnowW = 5
+
+  /** Distinct winnowing fingerprints per document, one row per
+    * (doc_id, fp).
+    *
+    * Same plan shape as [[shingleRows]] and for the same measured reason:
+    * a typed mapPartitions compiles the whole gram→md5→window-min chain to
+    * JVM code, where the equivalent `transform`/`slice`/`array_min`
+    * higher-order lambdas evaluate interpreted (~36 µs per element — whole
+    * seconds at sf0.1 just to fingerprint). Per-row work only, NO shuffle:
+    * the emitted rows ARE the inverted-index entries the pair join needs.
+    *
+    * The hash is md5 hex of the space-joined gram (lowercase UTF-8), and
+    * the window minimum is the lexicographic min of those hex strings —
+    * both chosen because DuckDB computes the identical value, so the
+    * DuckDB oracle can rebuild every fingerprint from scratch. */
+  private[ops] def winnowRows(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(t(s, dir, "documents"))
+
+  /** Core fingerprinter over any frame with (doc_id, text) — split out so
+    * DedupSpec can drive it on handcrafted token runs (the w+k−1
+    * shared-run guarantee) as well as the fixture. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), split(lower(col("text")), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(32)
+          b.foreach(x => sb.append(Character.forDigit((x >> 4) & 0xf, 16))
+            .append(Character.forDigit(x & 0xf, 16)))
+          sb.toString
+        }
+        it.flatMap { case (id, toks) =>
+          val grams = toks.iterator.sliding(WinnowK).withPartial(false).map { g =>
+            md.reset(); hex(md.digest(g.mkString(" ").getBytes("UTF-8")))
+          }.toArray
+          if (grams.length < WinnowW) Iterator.empty
+          else grams.sliding(WinnowW).map(_.min).toSeq.distinct
+            .iterator.map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
   /**
    * (doc_a, doc_b, n_common, n_a, n_b) for every document pair sharing at
    * least one shingle — the inverted-index pair spine under q31 (Jaccard),
@@ -157,6 +212,35 @@ object DedupQueries {
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .select(md5($"text").as("text_md5"), $"keep_id", $"n_copies")
         .orderBy($"text_md5")
+    },
+
+    // Winnowing (MOSS) fingerprint near-dup pairs: per-row fingerprinting
+    // (winnowRows, zero shuffle), then the same inverted-index spine as
+    // q31 — but over winnowed fingerprints, ~2/(w+1) the index size of a
+    // full shingle index for the same shared-run guarantee (any common
+    // token run ≥ w+k−1 = 8 tokens is caught). The df ∈ [2, 20] prune is
+    // standard MOSS practice (boilerplate fingerprints carry no signal)
+    // and bounds the pair fan-out at df² ≤ 400 rows per fingerprint, so
+    // join cost is Σ df² over a capped df — never all-pairs. Shuffles
+    // carry only (32-char digest, doc_id) rows, never document text.
+    "q107_winnow_fingerprint_pairs" -> { (s, dir) =>
+      import s.implicits._
+      // Pinned: branched three ways (df filter + both join sides); the
+      // branches differ after optimization so Catalyst cannot reuse one
+      // exchange across them (same rationale as shingleRows).
+      val inv = Pin(winnowRows(s, dir))
+      val keep = inv.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2 && $"df" <= 20)
+        .select($"fp")
+      val pruned = inv.join(keep, Seq("fp"))
+      val l = pruned.select($"fp", $"doc_id".as("doc_a"))
+      val r = pruned.select($"fp", $"doc_id".as("doc_b"))
+      l.join(r, Seq("fp"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"doc_a", $"doc_b")
     },
 
     // Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
@@ -556,6 +640,34 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q47_dedup_clusters" -> clustersOracle,
+
+    // Rebuilds every winnowing fingerprint from scratch (k-gram md5 →
+    // w-window list_min → list_distinct), so a hash match re-proves the
+    // typed mapPartitions fingerprinter — gram construction, digest, and
+    // window-min selection — not just the pair join. The len(w) >= 8
+    // guard is the SQL face of `grams.length < WinnowW → empty` (for
+    // k=4, #grams = len(w) − 3, so < 5 grams ⇔ < 8 tokens).
+    "q107_winnow_fingerprint_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(w) - 4 + 1),
+        |      i -> md5(array_to_string(w[i+1:i+4], ' '))) AS hs
+        |  FROM tok WHERE len(w) >= 8),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(hs) - 5 + 1),
+        |      j -> list_min(hs[j+1:j+5]))) AS fps
+        |  FROM g),
+        |inv AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |freq AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+        |pruned AS (SELECT i.doc_id, i.fp FROM inv i JOIN freq f ON i.fp = f.fp)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Recomputes every md5-derived SimHash signature from scratch and
     // takes the EXHAUSTIVE all-pairs set — the oracle is strictly

@@ -151,6 +151,64 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    // Gopher-style quality-rule battery (Rae et al. 2021 §A1.1): the
+    // standard pre-training document filter as ONE per-row projection —
+    // word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    // alphabetic-word fraction, stopword floor, and the repetition rule
+    // (fraction of characters in the most frequent word 2-gram). Every
+    // rule is a codegen'd regex/size column except the 2-gram rule, which
+    // is a per-row fold over the sorted bigram array (q69's house
+    // pattern — longest-equal-run, extended to also carry the argmax gram
+    // with a (count, gram) tie order both engines reproduce). No shuffle
+    // anywhere: at 100 TB this is a pure map stage, and `keep` lands
+    // pushdown-ready next to the doc key. All shares are IEEE divisions
+    // of exact integers — bit-identical in DuckDB, no rounding needed.
+    "q109_gopher_rules" -> { (s, dir) =>
+      import s.implicits._
+      val top2 = expr(
+        "aggregate(array_sort(bg), " +
+          "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'bestn', 0L, 'bestg', CAST(NULL AS STRING)), " +
+          "(acc, x) -> named_struct(" +
+          "  'prev', x, " +
+          "  'run', IF(x <=> acc.prev, acc.run + 1L, 1L), " +
+          "  'bestn', GREATEST(acc.bestn, IF(x <=> acc.prev, acc.run + 1L, 1L)), " +
+          "  'bestg', CASE WHEN IF(x <=> acc.prev, acc.run + 1L, 1L) > acc.bestn THEN x " +
+          "                WHEN IF(x <=> acc.prev, acc.run + 1L, 1L) = acc.bestn " +
+          "                     AND (acc.bestg IS NULL OR x > acc.bestg) THEN x " +
+          "                ELSE acc.bestg END), " +
+          "acc -> named_struct('n', acc.bestn, 'g', acc.bestg))")
+      t(s, dir, "documents")
+        .withColumn("w", split(lower($"text"), " "))
+        .withColumn("n_words", size($"w").cast("long"))
+        .withColumn("mean_word_len",
+          ($"n_chars" - ($"n_words" - 1)).cast("double") / $"n_words")
+        .withColumn("n_stop", hits($"text", En).cast("long"))
+        .withColumn("alpha_frac",
+          size(expr("filter(w, x -> x rlike '[a-z]')")).cast("double") / $"n_words")
+        .withColumn("symbol_ratio",
+          (size(regexp_extract_all($"text", lit("(#|\\.\\.\\.)"), lit(1))))
+            .cast("double") / $"n_words")
+        .withColumn("bg", when($"n_words" >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+          .otherwise(array().cast("array<string>")))
+        .withColumn("t2", top2)
+        .withColumn("top2_char_frac",
+          when($"n_words" >= 2,
+            ($"t2.n" * length($"t2.g")).cast("double") / $"n_chars").otherwise(0.0))
+        .withColumn("r_words", $"n_words" >= 50 && $"n_words" <= 100000)
+        .withColumn("r_mean_len", $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
+        .withColumn("r_alpha", $"alpha_frac" > 0.8)
+        .withColumn("r_stop", $"n_stop" >= 2)
+        .withColumn("r_symbol", $"symbol_ratio" < 0.1)
+        .withColumn("r_rep", $"top2_char_frac" < 0.2)
+        .withColumn("keep",
+          $"r_words" && $"r_mean_len" && $"r_alpha" && $"r_stop" && $"r_symbol" && $"r_rep")
+        .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop", $"alpha_frac",
+          $"symbol_ratio", $"top2_char_frac", $"r_words", $"r_mean_len", $"r_alpha",
+          $"r_stop", $"r_symbol", $"r_rep", $"keep")
+        .orderBy($"doc_id")
+    },
+
     // Vocabulary analytics: top-5 tokens per source — token explode (the
     // scan-heavy shape), one grouped count, then the custom GroupTopK
     // operator (partial heaps cut the per-source rank's shuffle+sort to
@@ -433,6 +491,51 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Recomputes every rule from scratch, including the 2-gram argmax via
+    // an explicit count + (n DESC, g DESC) rank — the window form of the
+    // Spark side's per-row fold, so a hash match proves the fold's
+    // tie-order too. All shares are IEEE divisions of exact integers.
+    "q109_gopher_rules" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, n_chars, text, regexp_split_to_array(lower(text), ' ') AS w
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, n_chars, w,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+         |    CAST(${sqlHits(En)} AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+         |    CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS DOUBLE) / len(w) AS symbol_ratio
+         |  FROM tok),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+         |           i -> array_to_string(w[i+1:i+2], ' '))) AS g
+         |  FROM tok WHERE len(w) >= 2),
+         |cnt AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+         |t2 AS (
+         |  SELECT doc_id, g, n FROM (
+         |    SELECT doc_id, g, n,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g DESC) AS rk
+         |    FROM cnt) WHERE rk = 1),
+         |fr AS (
+         |  SELECT b.doc_id, b.n_words, b.mean_word_len, b.n_stop, b.alpha_frac,
+         |    b.symbol_ratio,
+         |    COALESCE(CAST(t.n * len(t.g) AS DOUBLE) / b.n_chars, 0.0) AS top2_char_frac
+         |  FROM base b LEFT JOIN t2 t USING (doc_id))
+         |SELECT doc_id, n_words, mean_word_len, n_stop, alpha_frac, symbol_ratio,
+         |  top2_char_frac,
+         |  n_words BETWEEN 50 AND 100000 AS r_words,
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+         |  alpha_frac > 0.8 AS r_alpha,
+         |  n_stop >= 2 AS r_stop,
+         |  symbol_ratio < 0.1 AS r_symbol,
+         |  top2_char_frac < 0.2 AS r_rep,
+         |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND alpha_frac > 0.8 AND n_stop >= 2 AND symbol_ratio < 0.1
+         |    AND top2_char_frac < 0.2 AS keep
+         |FROM fr ORDER BY doc_id""".stripMargin,
+
     "q37_lang_id" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang,

@@ -81,6 +81,16 @@ object JdbcSink {
   /** Serializes DDL across this JVM's sinks (see ensureTable). */
   private[sink] val ddlLock = new Object
 
+  /** True when a registered JDBC driver accepts `url`. Drivers on the
+    * classpath self-register through the ServiceLoader manifest, so this
+    * lights up automatically the moment a postgresql (or any other) driver
+    * jar is added to the deployment — no config change needed. URL-based
+    * (DriverManager.getDriver) rather than Class.forName on a hard-coded
+    * driver class so non-PG JDBC URLs are detected too. */
+  def driverAvailable(url: String): Boolean =
+    try { java.sql.DriverManager.getDriver(url); true }
+    catch { case _: java.sql.SQLException => false }
+
   /** One autocommitted statement per DDL string over a fresh connection. */
   def driverManagerDdl(url: String, options: Map[String, String]): String => Unit = sql => {
     val props = new java.util.Properties()
@@ -91,6 +101,34 @@ object JdbcSink {
       try st.execute(sql) finally st.close()
     } finally conn.close()
   }
+}
+
+/**
+ * Fallback DB sink selected when no JDBC driver accepting the configured
+ * URL is on the classpath (this offline environment ships none). The
+ * parquet warehouse — the engine's primary store — still receives every
+ * row; this sink records the DB statements it WOULD have run and warns
+ * once, so a run with a db config degrades loudly-but-safely instead of
+ * crashing in DriverManager mid-pipeline. The moment a driver jar is
+ * present, [[graft.Main.jdbcSinkFactory]] selects the live [[JdbcSink]]
+ * instead (MainSpec pins the selection both ways).
+ */
+final class DryRunSink(url: String) extends BatchSink {
+  /** Statements the live sink would have executed, for observability and
+    * tests; bounded because ensureTable/appendJob are once-per-feed. */
+  val statements = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  private def note(s: String): Unit = {
+    statements.add(s)
+    System.err.println(s"[graft] DRY-RUN db sink (no JDBC driver for $url): $s")
+  }
+  override def ensureTable(feed: FeedSpec): Unit = {
+    note(PgDdl.jobLedgerSql.linesIterator.next() + " ...")
+    note(PgDdl.createTableSql(feed).linesIterator.next() + " ...")
+  }
+  override def appendJob(jobId: String, jobType: String): Unit =
+    note(s"INSERT JobId jobId=$jobId jobType=$jobType")
+  override def write(df: DataFrame, table: String): Unit =
+    note(s"APPEND ${df.schema.fields.length}-column batch INTO $table")
 }
 
 /**

@@ -132,4 +132,45 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       assert(j >= 0.5 && j <= 1.0)
     }
   }
+
+  /** Plain-Scala winnowing reimplementation — the test-side oracle for the
+    * typed mapPartitions fingerprinter (k=4 grams, md5 hex, w=5 window
+    * lexicographic min, per-doc distinct). */
+  private def winnowRef(text: String): Set[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = text.toLowerCase.split(" ", -1).iterator.sliding(4).withPartial(false)
+      .map(g => md.digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).toSeq
+    if (grams.length < 5) Set.empty
+    else grams.sliding(5).map(_.min).toSet
+  }
+
+  test("winnowing fingerprints match an independent per-doc recomputation (exhaustive)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = DedupQueries.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    val expect = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> winnowRef(r.getString(1))).toMap
+      .filter(_._2.nonEmpty)
+    assert(got === expect)
+    assert(expect.values.map(_.size).sum > 0)
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens yields a common fingerprint") {
+    import spark.implicits._
+    // 8 shared tokens (= w+k-1 for k=4, w=5) embedded in disjoint contexts;
+    // doc 3 shares nothing with anyone.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"aa bb cc dd ee ff gg hh $shared ii jj kk ll mm nn oo pp"),
+      (2L, s"qq rr ss tt uu vv ww xx $shared yy zz a1 b2 c3 d4 e5 f6"),
+      (3L, "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 r0 r1 r2 r3 r4 r5 r6 r7 r8 r9")
+    ).toDF("doc_id", "text")
+    val fps = DedupQueries.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "a shared 8-token run must contribute at least one identical fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert((fps(2L) intersect fps(3L)).isEmpty)
+  }
 }

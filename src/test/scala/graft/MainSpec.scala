@@ -94,10 +94,43 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(s"$staging/graft-warehouse").count() === 5)
   }
 
-  test("the default DB sink is JDBC with the reference's 1000-row batching") {
-    val s = Main.jdbcSinkFactory(graft.ingest.DbConfig("h", "d", "u", "p"))
-    val jdbc = s.asInstanceOf[graft.sink.JdbcSink]
-    assert(jdbc.batchSize === 1000) // ua2sql.py:238-246
+  test("driver auto-detection selects the live JDBC sink iff a driver accepts the URL") {
+    val db = graft.ingest.DbConfig("h", "d", "u", "p")
+    // This environment ships no PostgreSQL jar, so detection must choose the
+    // dry-run fallback (rows still reach the parquet warehouse; DB leg logs).
+    assert(!graft.sink.JdbcSink.driverAvailable(db.jdbcUrl))
+    val offline = Main.jdbcSinkFactory(db)
+    assert(offline.isInstanceOf[graft.sink.DryRunSink])
+    // Register a driver that accepts jdbc:postgresql: URLs — the situation
+    // after a driver jar is dropped on the classpath (ServiceLoader
+    // self-registration) — and the SAME factory must flip to the live sink
+    // with the reference's 1000-row batching (ua2sql.py:238-246).
+    val fake = new java.sql.Driver {
+      override def acceptsURL(url: String): Boolean = url.startsWith("jdbc:postgresql:")
+      override def connect(url: String, info: java.util.Properties): java.sql.Connection = null
+      override def getMajorVersion: Int = 0
+      override def getMinorVersion: Int = 0
+      override def getPropertyInfo(u: String, i: java.util.Properties): Array[java.sql.DriverPropertyInfo] = Array.empty
+      override def jdbcCompliant(): Boolean = false
+      override def getParentLogger: java.util.logging.Logger =
+        throw new java.sql.SQLFeatureNotSupportedException()
+    }
+    java.sql.DriverManager.registerDriver(fake)
+    try {
+      assert(graft.sink.JdbcSink.driverAvailable(db.jdbcUrl))
+      val live = Main.jdbcSinkFactory(db).asInstanceOf[graft.sink.JdbcSink]
+      assert(live.batchSize === 1000) // ua2sql.py:238-246
+    } finally java.sql.DriverManager.deregisterDriver(fake)
+  }
+
+  test("the dry-run sink records the statements the live sink would run") {
+    val s = new graft.sink.DryRunSink("jdbc:postgresql://h/d")
+    graft.model.Schemas.feeds.headOption.foreach(s.ensureTable)
+    s.appendJob("job-1", "appStart")
+    import scala.jdk.CollectionConverters._
+    val recorded = s.statements.asScala.toList
+    assert(recorded.exists(_.contains("CREATE TABLE")))
+    assert(recorded.exists(_.contains("job-1")))
   }
 
   test("main without staged feeds fails with a clear message") {
