@@ -938,6 +938,38 @@ object CoreQueries {
           $"uid_s".cast("long").as("uid_tup"),
           $"k_s".cast("long").as("k_tup"))
         .orderBy($"event_id")
+    },
+
+    // ------------------------------------------------------------ session paths
+    // Behavioral path analysis: the frequency of every within-session
+    // event-type TRIGRAM — the product-analytics staple ("view > click >
+    // purchase happened 214 times across 87 users") and the empirical
+    // transition structure one step deeper than q104's pairwise matrix.
+    // Scale shape: q15's sessionization window plus two leads over
+    // (user_id, sess_seq) cost ONE exchange total — HashPartitioning on
+    // user_id already CLUSTERS the finer (user_id, sess_seq) key, so
+    // Catalyst inserts only a local re-sort between the two windows, no
+    // second shuffle. The final aggregate's key space is bounded by
+    // |event_types|³ (125 here; tiny at any corpus size), so the path
+    // counts collapse map-side before one trivial exchange.
+    "q108_session_paths" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val sord = Window.partitionBy($"user_id", $"sess_seq").orderBy($"ms", $"event_id")
+      events(s, dir)
+        .withColumn("prev_ms", lag($"ms", 1).over(ord))
+        .withColumn("new_sess",
+          when($"prev_ms".isNull || $"ms" - $"prev_ms" >= SessionGapMs, 1L).otherwise(0L))
+        .withColumn("sess_seq",
+          sum($"new_sess").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t2", lead($"event_type", 1).over(sord))
+        .withColumn("t3", lead($"event_type", 2).over(sord))
+        // a non-null 3rd step implies a non-null 2nd (same session order)
+        .filter($"t3".isNotNull)
+        .select(concat_ws(" > ", $"event_type", $"t2", $"t3").as("path"), $"user_id")
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .orderBy($"n".desc, $"path")
     }
   )
 
@@ -1421,6 +1453,32 @@ object CoreQueries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
         |  user_id AS uid_tup,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tup
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // q15's sessionization CTE verbatim, then two LEADs over the session
+    // window and a string path — || of non-null strings equals Spark's
+    // concat_ws under the t3 IS NOT NULL filter (which implies t2, being
+    // an earlier offset in the same session order, is also non-null).
+    "q108_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, event_type, ms,
+        |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id,
+        |    event_type || ' > ' || LEAD(event_type, 1) OVER w
+        |               || ' > ' || LEAD(event_type, 2) OVER w AS path,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM x
+        |  WINDOW w AS (PARTITION BY user_id, sess_seq ORDER BY ms, event_id))
+        |SELECT path, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM p WHERE t3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path""".stripMargin
   )
 }

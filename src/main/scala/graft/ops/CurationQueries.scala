@@ -452,6 +452,31 @@ object CurationQueries {
           round(pl, 6).as("pct_length"),
           round((pq + pl) / 2.0, 6).as("calibrated"))
         .orderBy($"doc_id")
+    },
+
+    // Per-document contamination FRACTION — the graded companion to q53's
+    // binary verdict: what share of each training document's distinct
+    // 5-gram shingles appear anywhere in the benchmark set. Thresholding
+    // this (e.g. drop > 0.05, audit 0.01–0.05) is how real
+    // decontamination runs separate verbatim benchmark copies from
+    // incidental phrase overlap, and the fraction is the number the
+    // audit log keeps. Same scale spine as q53/q73: the ONE pinned
+    // distinct (doc_id, shingle) frame feeds the per-doc denominator, the
+    // broadcast benchmark set, and the hit join — per-doc counts shuffle
+    // 16-byte-hashable shingle keys, never text, and the left join keeps
+    // clean documents (fraction 0) in the output so the audit is total.
+    "q112_contamination_frac" -> { (s, dir) =>
+      import s.implicits._
+      val sh = DedupQueries.shingleRows(s, dir)
+      val train = sh.filter($"doc_id" >= 20)
+      val per = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = train.join(broadcast(benchShingles(sh)), "shingle")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+      per.join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_contaminated"))
+        .withColumn("contam_frac",
+          round($"n_contaminated".cast("double") / $"n_shingles".cast("double"), 6))
+        .orderBy($"doc_id")
     }
   )
 
@@ -739,6 +764,22 @@ object CurationQueries {
          |SELECT doc_id, ROUND(raw_q, 6) AS pct_quality,
          |  ROUND(raw_len, 6) AS pct_length,
          |  ROUND((raw_q + raw_len) / 2.0, 6) AS calibrated
-         |FROM p ORDER BY doc_id""".stripMargin
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Same shingle CTE as q53 (distinct per doc by construction); the
+    // LEFT JOIN + COALESCE keeps clean documents at fraction 0, and the
+    // division is one IEEE divide of exact integers on both engines.
+    "q112_contamination_frac" ->
+      s"""WITH $shingleCte,
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+         |hits AS (SELECT t.doc_id, COUNT(*) AS n_contaminated
+         |         FROM tr t JOIN bench USING (shingle) GROUP BY t.doc_id)
+         |SELECT p.doc_id, p.n_shingles,
+         |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+         |        / CAST(p.n_shingles AS DOUBLE), 6) AS contam_frac
+         |FROM per p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id""".stripMargin
   )
 }

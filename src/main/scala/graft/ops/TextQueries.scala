@@ -487,6 +487,85 @@ object TextQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .select($"source", $"rk", $"token", $"n_st", $"lift")
         .orderBy($"source", $"rk")
+    },
+
+    // Count–min point-frequency estimates for the corpus's exact top-10
+    // tokens, next to their true counts — the "how often did THIS item
+    // occur" sketch (functions/CountMinAggregate) that completes the
+    // mergeable-summary family. The whole 4×256 grid is ONE aggregate row
+    // (fixed ~8 KB state per task regardless of vocabulary; only those
+    // buffers cross the shuffle), exploded to 1024 (seed, bucket, c)
+    // cells that BROADCAST into the probe lookup — the estimate join
+    // touches 10×4 cells, never the token stream. Oracle-checked, not
+    // rows-only: the grid is a pure function of the input multiset
+    // (merge = elementwise add, any merge tree), and the row-hash family
+    // is the SQL-expressible md5 recipe of q33/q41 — Spark's conv(md5)
+    // face here, DuckDB's hex-digit Horner in the oracle, and the JVM
+    // updater all compute the identical buckets. The one pinned `toks`
+    // frame feeds both the exact probe counts and the sketch.
+    "q110_countmin_freq" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.CountMin.register(s)
+      val toks = Pin.lazily(t(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("tok")))
+      val probe = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy($"exact_n".desc, $"tok").limit(10)
+      val cells = toks
+        .agg(graft.functions.CountMin.sketch($"tok", 4, 256).as("sk"))
+        .select(posexplode($"sk.cells").as(Seq("idx", "c")))
+        .select(($"idx" / lit(256)).cast("int").as("seed"),
+          ($"idx" % 256).cast("int").as("bucket"), $"c")
+      val seeds = s.range(0, 4).select($"id".cast("int").as("seed"))
+      probe.crossJoin(broadcast(seeds))
+        .withColumn("bucket",
+          (conv(substring(md5(concat($"seed".cast("string"), lit(":"), $"tok")), 1, 8),
+            16, 10).cast("long") % 256).cast("int"))
+        .join(broadcast(cells), Seq("seed", "bucket"))
+        .groupBy($"tok", $"exact_n")
+        .agg(min($"c").as("cms_est"))
+        .orderBy($"exact_n".desc, $"tok")
+    },
+
+    // Adjacent-token collocations by pointwise mutual information —
+    // pmi = ln(p(x,y) / (p(x)·p(y))) with the bigram probability over the
+    // bigram total and unigram probabilities over the token total. The
+    // corpus-drift companion to q95's lift: lift finds tokens that mark a
+    // SOURCE; PMI finds token PAIRS that glue together corpus-wide
+    // (templates, boilerplate collocations) — rising PMI mass is the
+    // early sign of template-farm contamination. Same scale skeleton as
+    // q88: everything reduces to the bigram-granularity count table
+    // (corpus-bounded, shuffle-joined); the unigram marginals attach AT
+    // THAT granularity — the token stream itself is never joined. The
+    // c_bi ≥ 5 floor kills one-off pairs whose PMI is pure noise (and is
+    // what a 100 TB run would push map-side). All counts go through
+    // DOUBLE before multiplying (products of three corpus-scale counts
+    // overflow BIGINT long before they lose double precision — the
+    // opposite trade from q95's in-LONG products, chosen deliberately
+    // here); both engines evaluate the identical expression tree, so only
+    // ln's ≤1-ulp wobble remains, absorbed by round(…, 6).
+    "q111_pmi_bigrams" -> { (s, dir) =>
+      import s.implicits._
+      // Pinned before branching: uni / totals / bi all derive from the
+      // same token+prev frame (q88's pin rationale).
+      val wprev = Pin.lazily(
+        t(s, dir, "documents")
+          .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("prev",
+            lag($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos"))))
+      val uni = wprev.groupBy($"tok").agg(count(lit(1)).as("c_w"))
+      val totals = wprev.agg(count(lit(1)).as("n_tok"),
+        sum(when($"prev".isNotNull, 1L).otherwise(0L)).as("n_bi"))
+      val bi = wprev.filter($"prev".isNotNull)
+        .groupBy($"prev", $"tok").agg(count(lit(1)).as("c_bi"))
+      bi.filter($"c_bi" >= 5)
+        .join(uni.toDF("prev", "c_prev"), "prev")
+        .join(uni.toDF("tok", "c_tok"), "tok")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log(
+          ($"c_bi".cast("double") * $"n_tok".cast("double") * $"n_tok".cast("double")) /
+            ($"n_bi".cast("double") * $"c_prev".cast("double") * $"c_tok".cast("double"))), 6))
+        .select($"prev", $"tok", $"c_bi", $"pmi")
+        .orderBy($"prev", $"tok")
     }
   )
 
@@ -737,6 +816,70 @@ object TextQueries {
         |                                   ORDER BY lift DESC, token) AS rk
         |      FROM scored)
         |SELECT source, rk, token, n_st, lift FROM r WHERE rk <= 3
-        |ORDER BY source, rk""".stripMargin
+        |ORDER BY source, rk""".stripMargin,
+
+    // Rebuilds the identical 4×256 grid from scratch: same md5 row-hash
+    // family as the JVM updater (first 8 hex chars as an integer, mod
+    // width), expressed as a hex-digit Horner chain — the q33/q41 recipe.
+    // A hash match therefore proves the TypedImperativeAggregate's
+    // update/merge/serialize path end-to-end, not just the estimates.
+    "q110_countmin_freq" -> {
+      // ((((d0)·16 + d1)·16 + d2)… for the first 8 hex digits of hx.
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+        |th AS (
+        |  SELECT t.tok, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || t.tok) AS hx
+        |  FROM tok t CROSS JOIN seeds s),
+        |cell AS (
+        |  SELECT seed, $horner % 256 AS bucket, COUNT(*) AS c
+        |  FROM th GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok
+        |  ORDER BY exact_n DESC, tok LIMIT 10),
+        |ph AS (
+        |  SELECT p.tok, p.exact_n, s.seed,
+        |         md5(CAST(s.seed AS VARCHAR) || ':' || p.tok) AS hx
+        |  FROM probe p CROSS JOIN seeds s),
+        |pb AS (SELECT tok, exact_n, seed, $horner % 256 AS bucket FROM ph)
+        |SELECT pb.tok, pb.exact_n, CAST(MIN(cell.c) AS BIGINT) AS cms_est
+        |FROM pb JOIN cell USING (seed, bucket)
+        |GROUP BY pb.tok, pb.exact_n
+        |ORDER BY exact_n DESC, tok""".stripMargin
+    },
+
+    // Identical expression tree to the Spark side: each count cast to
+    // DOUBLE before the left-assoc products, one division, ln, ROUND —
+    // only ln's ulp wobble remains, absorbed by the shared ROUND(…, 6).
+    "q111_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t
+        |        FROM documents) s,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+        |wprev AS (
+        |  SELECT doc_id, pos, tok,
+        |         LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM toks),
+        |uni AS (SELECT tok, COUNT(*) AS c_w FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_tok,
+        |         CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi
+        |  FROM wprev),
+        |bi AS (SELECT prev, tok, COUNT(*) AS c_bi
+        |       FROM wprev WHERE prev IS NOT NULL GROUP BY prev, tok)
+        |SELECT b.prev, b.tok, b.c_bi,
+        |  ROUND(ln((CAST(b.c_bi AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)) /
+        |           (CAST(n_bi AS DOUBLE) * CAST(p.c_w AS DOUBLE) * CAST(u.c_w AS DOUBLE))), 6) AS pmi
+        |FROM bi b
+        |JOIN uni p ON p.tok = b.prev
+        |JOIN uni u ON u.tok = b.tok
+        |CROSS JOIN tot
+        |WHERE b.c_bi >= 5
+        |ORDER BY b.prev, b.tok""".stripMargin
   )
 }

@@ -18,12 +18,13 @@ object Views {
     * ts_ns/ms/ts columns from [[Tables.events]]. The custom function
     * families register alongside so SQL-face users get the full surface:
     * graft_cosine/graft_topk, graft_bloom_agg/graft_might_contain,
-    * graft_freq_items, and graft_phash128. */
+    * graft_freq_items, graft_countmin, and graft_phash128. */
   def register(spark: SparkSession, dir: String): Unit = {
     graft.plans.GroupTopK.install(spark)
     graft.functions.VectorFunctions.register(spark)
     graft.functions.BloomFunctions.register(spark)
     graft.functions.FrequentItems.register(spark)
+    graft.functions.CountMin.register(spark)
     graft.functions.PHashFunctions.register(spark)
     tables.foreach { name =>
       val df = if (name == "events") Tables.events(spark, dir)

@@ -80,11 +80,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
         |    SELECT explode(split(lower(text), ' ')) AS token FROM documents))""".stripMargin)
       .collect().head
     assert(hh.getLong(0) > 0 && hh.getInt(1) > 0 && hh.getInt(1) <= 8)
+    // probe a COLUMN, not a string literal: a folded negative long literal
+    // hits janino's cast-vs-subtraction ambiguity inside Spark's own
+    // BloomFilterMightContain codegen ("(Long)-83…L" → compile error →
+    // interpreted fallback). Real probes are columns (q73), so the test
+    // should exercise — and keep clean — the codegen'd path.
     val bloomHit = graft.ops.Views.sql(spark, sf0001,
       """SELECT graft_might_contain(
         |         (SELECT graft_bloom_agg(xxhash64(l_returnflag),
         |                                 CAST(100 AS BIGINT), CAST(4096 AS BIGINT)) FROM lineitem),
-        |         xxhash64('A')) AS hit""".stripMargin)
+        |         xxhash64(l_returnflag)) AS hit
+        |FROM lineitem LIMIT 1""".stripMargin)
       .collect().head.getBoolean(0)
     assert(bloomHit)
     val ph = graft.ops.Views.sql(spark, sf0001,
@@ -92,5 +98,11 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
         |FROM documents WHERE length(text) >= 4 ORDER BY doc_id LIMIT 1""".stripMargin)
       .collect().head.getSeq[Long](0)
     assert(ph.length === 2 && ph.exists(_ != 0L))
+    val cms = graft.ops.Views.sql(spark, sf0001,
+      """SELECT sk.n, size(sk.cells) AS n_cells FROM (
+        |  SELECT graft_countmin(token, 4, 256) AS sk FROM (
+        |    SELECT explode(split(lower(text), ' ')) AS token FROM documents))""".stripMargin)
+      .collect().head
+    assert(cms.getLong(0) > 0 && cms.getInt(1) === 1024)
   }
 }
