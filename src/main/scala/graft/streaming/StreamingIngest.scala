@@ -225,6 +225,55 @@ object StreamingIngest {
       .select(col("window"), col(keyCol), col("n"))
   }
 
+  /**
+   * Cross-batch count–min accumulator for `foreachBatch` — the streaming
+   * face of q110. Each micro-batch reduces distributedly to ONE grid row
+   * (the same TypedImperativeAggregate the batch query uses); the driver
+   * adds grids elementwise, so the running frequency state is depth×width
+   * longs REGARDLESS of stream length — no per-key state store, no
+   * growth. Because merge is elementwise addition, the accumulated grid
+   * is bit-identical to a single batch sketch over the concatenated
+   * stream (pinned by StreamingSpec), which is the property that makes
+   * estimates stable under any micro-batch slicing. The ~8 KB driver
+   * state is control-plane data, same class as KMeans' k centroid rows.
+   * Point queries (`estimate`) answer "how often has THIS key occurred so
+   * far" with the classic CM guarantee: never under, over by ≤ 2N/width
+   * w.h.p. — the gate a streaming curation run uses to cap runaway keys
+   * (hot boilerplate, stuck clients) without tracking every key ever seen.
+   */
+  final class StreamingCountMin(depth: Int, width: Int) extends Serializable {
+    private val grid = new Array[Long](depth * width)
+    private var total = 0L
+
+    /** Fold one micro-batch's keys in (runs one distributed aggregate). */
+    def update(batch: DataFrame, keyCol: String): Unit = {
+      graft.functions.CountMin.register(batch.sparkSession)
+      val row = batch
+        .agg(graft.functions.CountMin.sketch(col(keyCol), depth, width).as("sk"))
+        .select(col("sk.n"), col("sk.cells")).head()
+      total += row.getLong(0)
+      val cells = row.getSeq[Long](1)
+      var i = 0
+      while (i < grid.length) { grid(i) += cells(i); i += 1 }
+    }
+
+    def n: Long = total
+
+    def estimate(key: String): Long = {
+      var best = Long.MaxValue
+      var d = 0
+      while (d < depth) {
+        val c = grid(d * width + graft.functions.CountMin.bucket(d, key, width))
+        if (c < best) best = c
+        d += 1
+      }
+      if (best == Long.MaxValue) 0L else best
+    }
+
+    /** The raw grid (row-major), for parity checks against a batch sketch. */
+    def cells: Seq[Long] = grid.toSeq
+  }
+
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 

@@ -290,6 +290,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       ("2024-01-01 00:00:00.0", "b", 2L)))
   }
 
+  test("cross-batch count-min accumulator equals the one-shot batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val cms = new StreamingIngest.StreamingCountMin(4, 64)
+    val q = ms.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        cms.update(batch, "k")
+        ()
+      }
+      .start()
+    // three deliberately uneven micro-batches; any slicing must yield the
+    // same grid because merge is elementwise addition
+    val all = Seq.tabulate(60)(i => s"k${i % 7}")
+    ms.addData(all.take(5): _*); q.processAllAvailable()
+    ms.addData(all.slice(5, 41): _*); q.processAllAvailable()
+    ms.addData(all.drop(41): _*); q.processAllAvailable()
+    q.stop()
+    assert(cms.n === 60L)
+    graft.functions.CountMin.register(spark)
+    val direct = all.toDF("k")
+      .agg(graft.functions.CountMin.sketch($"k", 4, 64).as("sk"))
+      .select($"sk.cells").head().getSeq[Long](0)
+    assert(cms.cells === direct, "accumulated grid differs from one-shot sketch")
+    val exact = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (k, t) =>
+      assert(cms.estimate(k) >= t, s"$k undercounted")
+    }
+    assert(cms.estimate("never-seen-key") <= 60L)
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
