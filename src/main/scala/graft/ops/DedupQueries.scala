@@ -493,6 +493,45 @@ object DedupQueries {
         .withColumn("dup_rate",
           round($"n_dup_docs".cast("double") / $"n_docs".cast("double"), 6))
         .orderBy($"source")
+    },
+
+    // Boilerplate stripping (the CCNet move): q78 FINDS recurring
+    // passages; this query applies the edit — every passage occurring in
+    // ≥ 2 distinct documents is struck from every document carrying it,
+    // and the output is the per-document audit (how many words survive).
+    // Templated headers/footers/license blocks are exactly the content
+    // whole-document dedup can't touch because the surrounding text
+    // differs. Scale shape: chunking is the same per-row transform as
+    // q78 (no shuffle; the exchange carries 16-byte digests); the
+    // (doc, passage) counts pin once and feed BOTH the boilerplate vote
+    // and the per-doc removal sum; the boilerplate set broadcasts (at a
+    // corpus where it outgrows the broadcast budget, prefilter with the
+    // q73 Bloom pattern — no false negatives, verify join unchanged).
+    // Short docs (< 16 words) have zero complete passages and pass
+    // through untouched — the left join keeps them in the audit.
+    "q113_boilerplate_strip" -> { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id", size($"ws").cast("long").as("n_words"), $"ws")
+      // guard: sequence(0, -1) is DESCENDING in Spark (q55 trap), so docs
+      // without one complete passage must not reach the transform
+      val chunks = base.filter($"n_words" >= PassageLen).select($"doc_id",
+        explode(expr(
+          s"""transform(sequence(0, cast(floor(size(ws) / $PassageLen.0) - 1 as int)),
+             |  g -> md5(concat_ws(' ', slice(ws, g * $PassageLen + 1, $PassageLen))))""".stripMargin)).as("h"))
+      val pc = Pin.lazily(
+        chunks.groupBy($"doc_id", $"h").agg(count(lit(1)).as("c")))
+      val boiler = pc.groupBy($"h").agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" >= 2).select($"h")
+      val per = pc.join(broadcast(boiler), "h")
+        .groupBy($"doc_id").agg(sum($"c").as("n_boiler"))
+      base.select($"doc_id", $"n_words",
+          expr(s"n_words div $PassageLen").as("n_passages"))
+        .join(per, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_boiler"))
+        .withColumn("n_tokens_kept", $"n_words" - $"n_boiler" * PassageLen)
+        .orderBy($"doc_id")
     }
   )
 
@@ -779,6 +818,30 @@ object DedupQueries {
         |SELECT h AS passage_md5, COUNT(DISTINCT doc_id) AS n_docs,
         |       COUNT(*) AS n_occurrences
         |FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
-        |ORDER BY passage_md5""".stripMargin
+        |ORDER BY passage_md5""".stripMargin,
+
+    // q78's chunk CTE verbatim; pc is per-(doc, passage) so the boiler
+    // vote's COUNT(*) is a distinct-doc count by construction. All
+    // outputs are exact integer arithmetic.
+    "q113_boilerplate_strip" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws FROM w),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(ws[(g.g*16+1):(g.g*16+16)], ' ')) AS h
+        |  FROM w, LATERAL (
+        |    SELECT unnest(generate_series(0, CAST(FLOOR(len(ws)/16.0) - 1 AS INT))) AS g) g
+        |  WHERE len(ws) >= 16),
+        |pc AS (SELECT doc_id, h, COUNT(*) AS c FROM chunks GROUP BY 1, 2),
+        |boiler AS (SELECT h FROM pc GROUP BY h HAVING COUNT(*) >= 2),
+        |per AS (SELECT pc.doc_id, CAST(SUM(c) AS BIGINT) AS n_boiler
+        |        FROM pc JOIN boiler USING (h) GROUP BY 1)
+        |SELECT b.doc_id, b.n_words,
+        |  b.n_words // 16 AS n_passages,
+        |  CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  b.n_words - COALESCE(p.n_boiler, 0) * 16 AS n_tokens_kept
+        |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""".stripMargin
   )
 }
