@@ -940,6 +940,34 @@ object CoreQueries {
         .orderBy($"event_id")
     },
 
+    // ------------------------------------------------------------ robust outliers
+    // Median-absolute-deviation outlier counts per event type — the
+    // ROBUST companion to q98's z-scores: a mean/stddev gate is dragged
+    // by the very outliers it hunts (one 10⁶× value inflates σ until
+    // nothing else is anomalous), while median/MAD have a 50% breakdown
+    // point. Two grouped EXACT percentile passes (q26's operator and its
+    // per-group sorted-buffer caveat — at 100 TB swap approx_percentile
+    // into the same shape); each 5-row stats frame broadcasts back, so
+    // the flag itself is a stateless projection over one events scan per
+    // pass. Both engines evaluate the identical interpolation and
+    // |v − med| > 3·MAD trees on identical doubles (the q26 precedent),
+    // so the raw unrounded medians hash-match.
+    "q114_mad_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs($"value" - $"med"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), max($"med").as("med"), max($"mad").as("mad"),
+          sum(when($"adev" > lit(3.0) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy($"event_type")
+    },
+
     // ------------------------------------------------------------ session paths
     // Behavioral path analysis: the frequency of every within-session
     // event-type TRIGRAM — the product-analytics staple ("view > click >
@@ -1454,6 +1482,23 @@ object CoreQueries {
         |  user_id AS uid_tup,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tup
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Same interpolation (quantile_cont ≡ Spark's percentile) and the
+    // identical |v − med| > 3·MAD expression tree; MAX carries the
+    // per-group constants through the final rollup on both sides.
+    "q114_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n, MAX(d.med) AS med, MAX(ma.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > 3 * ma.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad ma USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     // q15's sessionization CTE verbatim, then two LEADs over the session
     // window and a string path — || of non-null strings equals Spark's
