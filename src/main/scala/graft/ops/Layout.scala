@@ -67,4 +67,30 @@ object Layout {
       .sortWithinPartitions(zCol)
       .drop(zCol)
   }
+
+  /**
+   * Globally-sorted shard export — the training-data write path: `shards`
+   * output files whose KEY RANGES DO NOT OVERLAP, each internally sorted.
+   * A consumer can then stream shard 0, shard 1, … and see one totally
+   * ordered corpus without any merge step, and a range predicate prunes
+   * whole shards from parquet footer min/max alone (the 1-D counterpart
+   * of the z-order layout above).
+   *
+   * This is deliberately NOT `orderBy.write`: a global sort plans the
+   * same rangepartitioning exchange, but spelling it repartitionByRange +
+   * sortWithinPartitions states the contract (per-shard order + disjoint
+   * ranges) without ever implying a single-partition collect. One range
+   * exchange total — the sampled range boundaries spread the sort over
+   * all executors; skewed key distributions get proportionally sized
+   * ranges from the sampler for free. Determinism note: range boundaries
+   * come from reservoir SAMPLING, so shard MEMBERSHIP at the boundaries
+   * can vary run to run while the sort order itself never does — exact
+   * reproducible shard membership needs the GlobalRank path (q45's
+   * two-pass rank ÷ shards), at the cost of a second exchange.
+   */
+  def sortedShards(df: DataFrame, sortCols: Seq[String], shards: Int): DataFrame = {
+    require(sortCols.nonEmpty && shards >= 1)
+    df.repartitionByRange(shards, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+  }
 }

@@ -90,4 +90,34 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(zArea * 2 < hashArea,
       s"z-order avg file area $zArea not better than hash $hashArea")
   }
+
+  test("sorted shards: disjoint key ranges per file, sorted within, nothing lost") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val base = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Layout.sortedShards(orders, Seq("o_orderkey"), shards = 6)
+      .write.parquet(s"$base/sorted")
+    val back = spark.read.parquet(s"$base/sorted")
+    assert(back.count() === orders.count())
+    // per-file [min, max] ranges must not overlap — the whole point of the
+    // range layout: a key predicate prunes entire shards from footer stats
+    val ranges = back.withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(min($"o_orderkey").as("lo"), max($"o_orderkey").as("hi"))
+      .orderBy($"lo")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"shard ranges overlap: hi $hi1 > next lo $lo2")
+      case _ => ()
+    }
+    // rows are sorted inside each shard file
+    val unsorted = back.withColumn("f", input_file_name())
+      .withColumn("prev", lag($"o_orderkey", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"f")
+          .orderBy(monotonically_increasing_id())))
+      .filter($"prev".isNotNull && $"prev" > $"o_orderkey")
+    assert(unsorted.count() === 0L, "rows out of order within a shard file")
+  }
 }
