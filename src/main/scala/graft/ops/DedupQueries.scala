@@ -532,6 +532,41 @@ object DedupQueries {
         .na.fill(0L, Seq("n_boiler"))
         .withColumn("n_tokens_kept", $"n_words" - $"n_boiler" * PassageLen)
         .orderBy($"doc_id")
+    },
+
+    // Source-pair content overlap matrix — provenance observability one
+    // level above q99's per-source dup rate: which INGEST SOURCES share
+    // content (mirror sites, syndication networks, template farms), as
+    // shared distinct shingles + shingle-Jaccard per source pair. The
+    // matrix is what tells a pipeline operator that two crawls should be
+    // deduped against each other FIRST (or one dropped outright) before
+    // any doc-level pass. Scale: the frame collapses to SOURCE-granularity
+    // distinct shingles before the self-join, so the join's per-key fanout
+    // is bounded by |sources|² (tiny) — unlike the doc-level q31 spine,
+    // no df pruning is needed; the marginal sizes broadcast.
+    "q115_source_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val ss = Pin.lazily(t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"source", split(lower($"text"), " ").as("toks"))
+        .as[(String, Seq[String])]
+        .flatMap { case (src, toks) =>
+          toks.iterator.sliding(ShingleK).withPartial(false)
+            .map(w => (src, w.mkString(" ")))
+        }
+        .toDF("source", "shingle").distinct())
+      val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+      val shared = ss.toDF("src_a", "shingle")
+        .join(ss.toDF("src_b", "shingle"), "shingle")
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.toDF("src_a", "n_a")), "src_a")
+        .join(broadcast(sizes.toDF("src_b", "n_b")), "src_b")
+        .withColumn("jaccard", round($"n_shared".cast("double") /
+          ($"n_a" + $"n_b" - $"n_shared").cast("double"), 6))
+        .select($"src_a", $"src_b", $"n_shared", $"jaccard")
+        .orderBy($"src_a", $"src_b")
     }
   )
 
@@ -842,6 +877,30 @@ object DedupQueries {
         |  b.n_words // 16 AS n_passages,
         |  CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
         |  b.n_words - COALESCE(p.n_boiler, 0) * 16 AS n_tokens_kept
-        |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""".stripMargin
+        |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    // Source-granularity distinct shingle sets (the q53 shingle CTE with
+    // source in place of doc_id, re-distinct'd across documents), then a
+    // self-join bounded by |sources|² and exact-integer Jaccard.
+    "q115_source_overlap" ->
+      """WITH u AS (
+        |  SELECT source,
+        |         unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+        |                               for i in range(1, len(t) - 3)])) AS shingle
+        |  FROM (SELECT source, regexp_split_to_array(lower(text), ' ') AS t
+        |        FROM documents) s),
+        |sh AS (SELECT DISTINCT source, shingle FROM u),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT s.src_a, s.src_b, s.n_shared,
+        |  ROUND(CAST(s.n_shared AS DOUBLE)
+        |        / CAST(na.n + nb.n - s.n_shared AS DOUBLE), 6) AS jaccard
+        |FROM shared s
+        |JOIN sizes na ON na.source = s.src_a
+        |JOIN sizes nb ON nb.source = s.src_b
+        |ORDER BY s.src_a, s.src_b""".stripMargin
   )
 }
