@@ -940,6 +940,33 @@ object CoreQueries {
         .orderBy($"event_id")
     },
 
+    // ------------------------------------------------------------ EWMA baseline
+    // Exponentially weighted moving average of daily volumes per type —
+    // the recursive-state time-series primitive (ewma_t = α·x_t +
+    // (1−α)·ewma_{t−1}, seeded with x_0) that q98/q114's batch gates
+    // lack: an EWMA baseline adapts to drift, so "3× above EWMA" keeps
+    // meaning after a corpus doubles. The raw scan collapses map-side to
+    // a (type, day) frame; the fold then runs per type over ~days
+    // elements of CONTROL data — the higher-order lambda is interpreted,
+    // which is exactly why the fold is placed above the aggregate (days
+    // per type), never on the event stream. The fold order is pinned by
+    // array_sort, both engines execute the identical multiply-add chain
+    // left-to-right (α = 0.25 is an exact dyadic), so the result is
+    // bit-identical pre-ROUND.
+    "q116_ewma_daily" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), collect_list(struct($"day", $"n")).as("dn"))
+        .withColumn("vs", expr("transform(array_sort(dn), s -> cast(s.n as double))"))
+        .select($"event_type", $"n_days",
+          round(expr("aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), " +
+            "(a, x) -> 0.25D * x + 0.75D * a)"), 6).as("ewma"))
+        .orderBy($"event_type")
+    },
+
     // ------------------------------------------------------------ robust outliers
     // Median-absolute-deviation outlier counts per event type — the
     // ROBUST companion to q98's z-scores: a mean/stddev gate is dragged
@@ -1482,6 +1509,20 @@ object CoreQueries {
         |  user_id AS uid_tup,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tup
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // DuckDB's list_reduce seeds with the FIRST element — exactly the
+    // ewma_0 = x_0 convention — so the Spark side folds slice(2…) with
+    // element_at(vs, 1) as the seed: identical chains, identical order.
+    "q116_ewma_daily" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, COUNT(*) AS n_days,
+        |             list(CAST(n AS DOUBLE) ORDER BY day) AS vs
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  ROUND(list_reduce(vs, (a, x) -> 0.25 * x + 0.75 * a), 6) AS ewma
+        |FROM l ORDER BY event_type""".stripMargin,
 
     // Same interpolation (quantile_cont ≡ Spark's percentile) and the
     // identical |v − med| > 3·MAD expression tree; MAX carries the
