@@ -294,10 +294,16 @@ object DedupQueries {
         .select($"doc_id", $"text", length($"text").cast("long").as("len"))
       strong.join(txt.toDF("doc_a", "text_a", "len_a"), "doc_a")
         .join(txt.toDF("doc_b", "text_b", "len_b"), "doc_b")
-        .withColumn("edit_dist", levenshtein($"text_a", $"text_b").cast("long"))
+        // bounded DP: rel ≤ τ ⟺ edit ≤ ⌊τ·maxlen⌋ for integer edit, so the
+        // threshold form (−1 past the band) admits exactly the same pairs
+        // while capping the per-pair cost at O(k·n) instead of O(n·m) —
+        // the far-apart candidates that dominate verify cost exit early
+        .withColumn("k",
+          floor(lit(EditRelThreshold) * greatest($"len_a", $"len_b").cast("double")).cast("int"))
+        .withColumn("edit_dist", expr("levenshtein(text_a, text_b, k)").cast("long"))
+        .filter($"edit_dist" >= 0)
         .withColumn("rel_dist",
           $"edit_dist".cast("double") / greatest($"len_a", $"len_b").cast("double"))
-        .filter($"rel_dist" <= EditRelThreshold)
         .select($"doc_a", $"doc_b", $"edit_dist", $"rel_dist")
         .orderBy($"doc_a", $"doc_b")
     },
