@@ -477,6 +477,56 @@ object CurationQueries {
         .withColumn("contam_frac",
           round($"n_contaminated".cast("double") / $"n_shingles".cast("double"), 6))
         .orderBy($"doc_id")
+    },
+
+    // Token-BUDGET mixture sampling — the admission policy real data
+    // mixes run: each source contributes documents, in a deterministic
+    // hash order, until its token budget (here 20% of the source's own
+    // whitespace tokens) is crossed; the crossing document is admitted so
+    // the budget is always reached. Hash-order admission makes the sample
+    // uniform-without-replacement per source, reproducible across
+    // engines/runs/partitionings, and EXTENSIBLE: raising a budget later
+    // admits strictly more documents without reshuffling membership
+    // (q80's bottom-k argument, budgeted in tokens instead of doc count).
+    //
+    // Scale shape: the cumulative token sum is a GLOBAL per-source prefix
+    // sum, which a naive Window.partitionBy(source) serializes into one
+    // task per source — the classic 100 TB bottleneck when sources are
+    // few and huge. Instead, GlobalRank's two-pass trick applied to sums:
+    // bucket every doc by the first byte of its admission hash (256
+    // buckets, ordered consistently with the full hash), aggregate
+    // per-bucket token subtotals into a sources×256-row CONTROL frame,
+    // prefix-sum the offsets there (control-plane window, ≤256 rows per
+    // source), broadcast the offsets back, and run the data-row window
+    // per (source, bucket) — 256-way parallel within every source, and
+    // bit-identical to the single-window result because the bucket key is
+    // a prefix of the in-bucket sort key.
+    "q117_token_budget_sample" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .withColumn("toks",
+          coalesce(size(split($"text", " ")).cast("long"), lit(0L)))
+        .withColumn("h", md5(concat($"doc_id".cast("string"), lit(":tb"))))
+        .withColumn("bkt", substring($"h", 1, 2))
+      val perBucket = d.groupBy($"source", $"bkt").agg(sum($"toks").as("bt"))
+      // The budget is a rollup of the same control frame — the corpus is
+      // scanned for control data once, not once per statistic.
+      val budget = perBucket.groupBy($"source")
+        .agg(ceil(sum($"bt") * lit(0.2)).cast("long").as("budget"))
+      val offsets = perBucket
+        .withColumn("offset",
+          coalesce(sum($"bt").over(
+            w.partitionBy($"source").orderBy($"bkt")
+              .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+        .select($"source", $"bkt", $"offset")
+      val inBucket = w.partitionBy($"source", $"bkt").orderBy($"h", $"doc_id")
+      d.join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("cum", sum($"toks").over(inBucket) + $"offset")
+        .join(broadcast(budget), "source")
+        .filter($"cum" - $"toks" < $"budget")
+        .select($"source", $"doc_id", $"toks", $"cum", $"budget")
+        .orderBy($"source", $"cum", $"doc_id")
     }
   )
 
@@ -780,6 +830,27 @@ object CurationQueries {
          |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |  ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
          |        / CAST(p.n_shingles AS DOUBLE), 6) AS contam_frac
-         |FROM per p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id""".stripMargin
+         |FROM per p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // Single-window formulation: DuckDB runs one per-source cumulative
+    // sum in admission-hash order; a hash match proves the bucketed
+    // two-pass prefix sum (offsets + in-bucket windows) reconstructs the
+    // exact same global cumulative — the whole point of the plan shape.
+    "q117_token_budget_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(COALESCE(len(regexp_split_to_array(text, ' ')), 0) AS BIGINT) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR) || ':tb') AS h
+        |  FROM documents),
+        |b AS (SELECT source, CAST(CEIL(SUM(toks) * 0.2) AS BIGINT) AS budget
+        |      FROM d GROUP BY source),
+        |c AS (SELECT source, doc_id, toks,
+        |        CAST(SUM(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT c.source, c.doc_id, c.toks, c.cum, b.budget
+        |FROM c JOIN b USING (source)
+        |WHERE c.cum - c.toks < b.budget
+        |ORDER BY c.source, c.cum, c.doc_id""".stripMargin
   )
 }

@@ -573,6 +573,32 @@ object DedupQueries {
           ($"n_a" + $"n_b" - $"n_shared").cast("double"), 6))
         .select($"src_a", $"src_b", $"n_shared", $"jaccard")
         .orderBy($"src_a", $"src_b")
+    },
+
+    // Per-document shingle NOVELTY — the growth-curve observability a
+    // corpus builder tracks batch over batch: what fraction of each
+    // document's distinct 5-gram shingles was never seen in any EARLIER
+    // document (doc_id is ingest order). A falling novelty curve is the
+    // signal that a crawl has started re-fetching known content and the
+    // marginal value of more ingestion is collapsing (the scaling-law
+    // dedup argument); per-source aggregation of this number prices each
+    // source's marginal contribution. Scale: rides the ONE pinned
+    // (doc_id, shingle) spine; first-occurrence is a shingle-granularity
+    // MIN aggregate, joined back at shingle granularity (16-byte-hashable
+    // keys, never text), then collapsed per document — two bounded
+    // shuffles, no pair join anywhere. Documents shorter than the shingle
+    // width have no shingles and no row (the oracle states the same).
+    "q118_shingle_novelty" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleRows(s, dir)
+      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_seen_before"))
+        .withColumn("novelty",
+          round(lit(1.0) - $"n_seen_before".cast("double") / $"n_shingles".cast("double"), 6))
+        .orderBy($"doc_id")
     }
   )
 
@@ -907,6 +933,27 @@ object DedupQueries {
         |FROM shared s
         |JOIN sizes na ON na.source = s.src_a
         |JOIN sizes nb ON nb.source = s.src_b
-        |ORDER BY s.src_a, s.src_b""".stripMargin
+        |ORDER BY s.src_a, s.src_b""".stripMargin,
+
+    // Rebuilds the distinct (doc_id, shingle) spine and takes
+    // first-occurrence as a plain MIN — the single-node statement of the
+    // same two-aggregate plan. The WHERE text IS NOT NULL guard and the
+    // "no shingles → no row" behavior mirror shingleRows exactly.
+    "q118_shingle_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+        |                               for i in range(1, len(t) - 3)])) AS shingle
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL) s),
+        |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+        |SELECT s.doc_id,
+        |  COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seen_before,
+        |  ROUND(1.0 - CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+        |                    AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sh s JOIN f USING (shingle)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 }

@@ -173,4 +173,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert((fps(1L) intersect fps(3L)).isEmpty)
     assert((fps(2L) intersect fps(3L)).isEmpty)
   }
+
+  test("shingle novelty matches an exhaustive first-seen recomputation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)
+        .iterator.sliding(5).withPartial(false).map(_.mkString(" ")).toSet)
+      .sortBy(_._1)
+    var seen = Set.empty[String]
+    val want = docs.flatMap { case (id, sh) =>
+      val out = if (sh.isEmpty) None else {
+        val rep = sh.count(seen.contains)
+        Some(id -> (sh.size.toLong, rep.toLong,
+          BigDecimal(1.0 - rep.toDouble / sh.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      seen ++= sh
+      out
+    }.toMap
+    val got = DedupQueries.queries("q118_shingle_novelty")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === want)
+    assert(want.values.exists(_._2 > 0L),
+      "fixture should contain at least one repeated shingle")
+  }
 }

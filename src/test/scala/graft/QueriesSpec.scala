@@ -79,6 +79,37 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     got.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("q117 bucketed prefix sum equals the single-window cumulative and fills every budget") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q117_token_budget_sample")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // naive re-statement: ONE window per source over the full hash order
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("toks", coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":tb"))))
+    val budget = d.groupBy(col("source"))
+      .agg(ceil(sum(col("toks")) * lit(0.2)).cast("long").as("budget"))
+    val want = d
+      .withColumn("cum", sum(col("toks")).over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .join(budget, "source")
+      .filter(col("cum") - col("toks") < col("budget"))
+      .select(col("source"), col("doc_id"), col("toks"), col("cum"), col("budget"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === want)
+    // every source's admitted set reaches its budget, and dropping its
+    // last admission would fall below it (minimal covering prefix)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val b = rows.head._5
+      val last = rows.maxBy(_._4)
+      assert(last._4 >= b, s"$src: budget unfilled")
+      assert(last._4 - last._3 < b, s"$src: last admission not needed")
+    }
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
