@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /**
  * Shared helpers for the query surface.
@@ -28,16 +28,29 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
  */
 object Tables {
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /**
+   * Fixture timestamps are naive (no isAdjustedToUTC flag), which Spark ≥3.4
+   * reads as TIMESTAMP_NTZ — a type unix_micros/unix_millis reject. The
+   * whole query surface (and the DuckDB oracle, which treats the same bytes
+   * as plain TIMESTAMP) assumes UTC wall-clock instants, so normalize every
+   * NTZ column to TimestampType here: under the UTC session zone the cast is
+   * instant-preserving and byte-identical to the pre-3.4 read path.
+   */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   /**
-   * The events fixture carries a nanosecond-precision parquet timestamp,
-   * which Spark reads only as a raw long (spark.sql.legacy.parquet
-   * .nanosAsLong=true — set in Verify/Bench/tests). Normalize once here:
-   *   ts_ns — exact nanos (total ordering identical to DuckDB's ns ts),
+   * The events fixture's timestamp precision has varied across driver
+   * regenerations (ns in earlier rounds — readable only as a raw long under
+   * spark.sql.legacy.parquet.nanosAsLong=true — µs naive today). Normalize
+   * once here so every query sees the same three columns regardless:
+   *   ts_ns — exact nanos (total ordering identical to DuckDB's ts order),
    *   ms    — epoch millis (what oracle SQL sees via epoch_ms(ts)),
-   *   ts    — µs-truncated TimestampType for calendar functions.
+   *   ts    — TimestampType for calendar functions.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
