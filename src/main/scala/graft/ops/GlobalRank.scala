@@ -86,6 +86,69 @@ object GlobalRank {
   }
 
   /**
+   * [[withGlobalRank]] plus an INCLUSIVE running sum of `value` (a LONG
+   * column — integer prefix sums are exact and order-independent, so the
+   * result is deterministic under any partitioning) over the same total
+   * order: `prefixCol` = Σ value over rows ranked ≤ this row, `totalCol` =
+   * the grand total. The distributed-cumsum shape behind coverage curves
+   * (vocab coverage, token budgets, Lorenz/Gini style analyses).
+   *
+   * Same two-pass skeleton as the rank: the control-plane frame additionally
+   * carries each partition's value sum, whose prefix over ≤`partitions` rows
+   * broadcasts back as the partition's base offset. The within-partition
+   * running sum is a window PARTITIONED by `_gr_pid` — never unpartitioned;
+   * each window group is one range partition of the input, so group size is
+   * bounded by the range partitioner's balance, not by n. (Catalyst inserts
+   * one hash exchange on `_gr_pid` for that window — acceptable: the frame
+   * this runs on is an aggregate, e.g. vocabulary-bounded token counts,
+   * already orders of magnitude smaller than the corpus.)
+   */
+  def withGlobalPrefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      rankCol: String,
+      nCol: String,
+      prefixCol: String,
+      totalCol: String,
+      partitions: Int = 32): DataFrame = {
+    val tagged = df
+      .withColumn("_gp_v", value.cast("long"))
+      .repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_gr_mid", monotonically_increasing_id())
+      .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33))
+      .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit(LocalIdxMask)) + lit(1L))
+      .drop("_gr_mid")
+      .transform(Pin(_))
+
+    val counts = tagged.groupBy(col("_gr_pid"))
+      .agg(max(col("_gr_lrn")).as("_gr_cnt"), sum(col("_gp_v")).as("_gp_psum"))
+    val wPrefix = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(wPrefix), lit(0L)))
+      .withColumn("_gr_n", sum(col("_gr_cnt")).over(wAll))
+      .withColumn("_gp_voff", coalesce(sum(col("_gp_psum")).over(wPrefix), lit(0L)))
+      .withColumn("_gp_vtot", sum(col("_gp_psum")).over(wAll))
+      .select(col("_gr_pid"), col("_gr_off"), col("_gr_n"), col("_gp_voff"), col("_gp_vtot"))
+
+    // Running sum within each former range partition; local rank is already
+    // a unique total order inside a pid, so the frame is unambiguous.
+    val wLocal = Window.partitionBy(col("_gr_pid")).orderBy(col("_gr_lrn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .join(broadcast(offsets), "_gr_pid")
+      .withColumn(rankCol, col("_gr_lrn") + col("_gr_off"))
+      .withColumn(nCol, col("_gr_n"))
+      .withColumn(prefixCol, sum(col("_gp_v")).over(wLocal) + col("_gp_voff"))
+      .withColumn(totalCol, col("_gp_vtot"))
+      .drop("_gr_pid", "_gr_lrn", "_gr_off", "_gr_n", "_gp_v", "_gp_voff", "_gp_vtot")
+  }
+
+  /**
    * Exact long floor-division. Subtracting the modulo first makes the
    * numerator an exact multiple, so the double division (Spark's `/` on
    * longs) has an integer true quotient and IEEE rounds it exactly — naive

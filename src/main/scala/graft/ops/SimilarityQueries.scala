@@ -275,8 +275,110 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vectors"), round(avg($"cos"), 6).as("avg_cos"))
         .select($"cell".cast("long").as("cell"), $"n_vectors", $"avg_cos")
         .orderBy($"cell")
+    },
+
+    // Signed-random-projection (hyperplane) LSH — the third pruning family
+    // next to MinHash banding (token sets, q32) and IVF cells (trained
+    // partitions, q54): SrpBits sign bits of fixed pseudo-random
+    // projections, banded so only same-band-signature pairs ever join.
+    // Collision probability per bit is 1 − θ/π (Goemans–Williamson), so
+    // close pairs collide in some band with high probability while the
+    // n² pair space never materializes — candidates are an equi-join on
+    // (band, signature), then exact-cosine verification prunes to the
+    // reported pairs. At corpus scale: widen to 64–256 bits and more
+    // bands (recall/cost dial); the plan shape — project, band, equi-join,
+    // verify — is unchanged. Hyperplanes are md5-derived (srpUnit), so the
+    // ENTIRE pipeline — projections, sign bits, band packing, candidate
+    // set, verification — is replayed by the DuckDB oracle and
+    // hash-checked; fixture-scale recall is pinned in VectorSpec.
+    "q121_srp_lsh" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir).select($"vec_id", $"emb")
+      // Per-bit sign of ⟨emb, H_b⟩. zip_with+aggregate is the same
+      // sequential left fold as CosineSimilarity's loop and DuckDB's
+      // list_dot_product, so the sign decision is bit-identical across
+      // engines even at the boundary.
+      val bitCols = (0 until SrpBits).map { b =>
+        val h = typedLit(srpPlane(b))
+        (aggregate(zip_with($"emb", h, (x, hh) => x * hh),
+          lit(0.0), (acc, x) => acc + x) >= 0).cast("int").as(s"bit$b")
+      }
+      val bands = (0 until SrpBits / SrpBandBits).map { j =>
+        struct(lit(j).as("band"),
+          (0 until SrpBandBits)
+            .map(i => col(s"bit${j * SrpBandBits + i}") * lit(1 << (SrpBandBits - 1 - i)))
+            .reduce(_ + _).as("bv"))
+      }
+      val sig = Pin.lazily(
+        e.select($"vec_id" +: bitCols: _*)
+          .select($"vec_id", explode(array(bands: _*)).as("bd"))
+          .select($"vec_id", $"bd.band".as("band"), $"bd.bv".as("bv")))
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .agg(count(lit(1)).as("n_bands"))
+      cand
+        .join(e.select($"vec_id".as("vec_a"), $"emb".as("emb_a")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"emb".as("emb_b")), "vec_b")
+        .withColumn("cos", VectorFunctions.cosine($"emb_a", $"emb_b"))
+        .filter($"cos" >= SrpThreshold)
+        .select($"vec_a", $"vec_b", $"n_bands", round($"cos", 6).as("cos_sim"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+
+    // Train/val embedding leakage — decontamination's semantic face: q53/q73
+    // catch verbatim n-gram overlap, this catches near-duplicate MEANING
+    // (a paraphrased eval question still poisons the split). Split rule is
+    // q52's md5-first-hex-digit family on vec_id (c,d → val; ≤b → train;
+    // e,f → test, excluded). The val side is a small fixed fraction (2/16),
+    // so it broadcasts — the q35 pattern: corpus side scans partition-
+    // parallel, never shuffles; per-val argmax rides GroupTopK k=1.
+    "q123_embed_leakage" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+        .withColumn("h", substring(md5($"vec_id".cast("string")), 1, 1))
+      val train = e.filter($"h" <= "9" || $"h" === "a" || $"h" === "b")
+        .select($"vec_id".as("train_id"), $"emb".as("t_emb"))
+      val valSide = e.filter($"h" === "c" || $"h" === "d")
+        .select($"vec_id".as("val_id"), $"emb".as("v_emb"))
+      val scored = train.join(broadcast(valSide), lit(true))
+        .withColumn("cos", VectorFunctions.cosine($"t_emb", $"v_emb"))
+      graft.plans.GroupTopK(scored, Seq($"val_id"),
+          Seq($"cos".desc, $"train_id".asc), 1)
+        .select($"val_id".as("vec_id"), $"train_id".as("nearest_train_id"),
+          round($"cos", 6).as("cos_sim"),
+          ($"cos" >= SemDedupThreshold).as("leaked"))
+        .orderBy($"vec_id")
     }
   )
+
+  // SRP-LSH geometry: SrpBits sign bits in bands of SrpBandBits. 16 bits /
+  // 4-bit bands is the fixture setting (the regime note on q54 applies:
+  // neighbors at cos 0.3–0.5 make banding recall modest here — measured in
+  // VectorSpec); production corpora scale bits and bands, not the plan.
+  private val SrpBits = 16
+  private val SrpBandBits = 4
+  private val SrpThreshold = NearDupThreshold
+
+  /** Hyperplane component H[b][d]: md5("srp<b>:<d>") → first 8 hex chars →
+    * uniform in [−1, 1). v/2³¹ and the −1 shift are exact dyadic steps, so
+    * DuckDB's digit-wise reconstruction of the same md5 hex yields the
+    * identical double. (A reproducible hash family, not an RNG — same
+    * rationale as q33's md5-derived simhash.) */
+  private[graft] def srpUnit(b: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"srp$b:$d".getBytes("UTF-8"))
+      .map(x => f"${x & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) / 2147483648.0 - 1.0
+  }
+
+  private[graft] def srpPlane(b: Int): Seq[Double] =
+    (0 until EmbDim).map(d => srpUnit(b, d))
+
+  private val EmbDim = 64
 
   private def cosExpr(a: String, b: String): String =
     s"list_dot_product($a.emb, $b.emb) / " +
@@ -365,6 +467,72 @@ object SimilarityQueries {
         |FROM (SELECT label,
         |        unnest([{'pos': i - 1, 'v': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
         |      FROM embeddings) t
-        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    // Reconstructs every hyperplane from md5 hex digit-wise (v is an exact
+    // BIGINT, v/2³¹ − 1 exact dyadic steps — identical doubles to Scala's
+    // srpUnit), replays projections with list_dot_product (the same
+    // sequential fold as the Spark HOF — q34/q35 precedent), and takes the
+    // banded candidate set exhaustively. A hash match therefore re-proves
+    // signature, banding, and verification end-to-end on every run.
+    "q121_srp_lsh" -> {
+      val v = (0 until 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * (1::BIGINT << ${4 * (7 - i)})")
+        .mkString(" +\n        |        ")
+      s"""WITH hd AS (
+         |  SELECT b, d,
+         |    md5('srp' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+         |  FROM range(0, 16) t1(b), range(0, 64) t2(d)),
+         |hu AS (
+         |  SELECT b, d,
+         |    CAST($v AS DOUBLE) / 2147483648.0 - 1.0 AS u
+         |  FROM hd),
+         |hp AS (SELECT b, list(u ORDER BY d) AS hv FROM hu GROUP BY b),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, b,
+         |    CASE WHEN list_dot_product(emb, hv) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN hp),
+         |bands AS (
+         |  SELECT vec_id, b // 4 AS band,
+         |    CAST(SUM(bit * (1 << (3 - (b % 4)))) AS BIGINT) AS bv
+         |  FROM bits GROUP BY vec_id, b // 4),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id)
+         |SELECT c.vec_a, c.vec_b, c.n_bands, ROUND(${cosExpr("a", "b")}, 6) AS cos_sim
+         |FROM cand c
+         |JOIN e a ON a.vec_id = c.vec_a
+         |JOIN e b ON b.vec_id = c.vec_b
+         |WHERE ${cosExpr("a", "b")} >= $SrpThreshold
+         |ORDER BY c.vec_a, c.vec_b""".stripMargin
+    },
+
+    // Norm factors in the same order as CosineSimilarity's loop
+    // (sqrt(t·t)·sqrt(v·v)); the ROW_NUMBER tiebreak replays GroupTopK's
+    // (cos DESC, train_id) order.
+    "q123_embed_leakage" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS h
+         |  FROM embeddings),
+         |tr AS (SELECT vec_id AS train_id, emb AS t_emb FROM e
+         |       WHERE h <= '9' OR h = 'a' OR h = 'b'),
+         |v AS (SELECT vec_id AS val_id, emb AS v_emb FROM e
+         |      WHERE h = 'c' OR h = 'd'),
+         |sc AS (
+         |  SELECT val_id, train_id,
+         |    list_dot_product(t_emb, v_emb) /
+         |      (SQRT(list_dot_product(t_emb, t_emb)) * SQRT(list_dot_product(v_emb, v_emb))) AS cos
+         |  FROM tr CROSS JOIN v),
+         |rk AS (
+         |  SELECT val_id, train_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY val_id ORDER BY cos DESC, train_id) AS r
+         |  FROM sc)
+         |SELECT val_id AS vec_id, train_id AS nearest_train_id,
+         |  ROUND(cos, 6) AS cos_sim, cos >= $SemDedupThreshold AS leaked
+         |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -566,6 +566,105 @@ object TextQueries {
             ($"n_bi".cast("double") * $"c_prev".cast("double") * $"c_tok".cast("double"))), 6))
         .select($"prev", $"tok", $"c_bi", $"pmi")
         .orderBy($"prev", $"tok")
+    },
+
+    // Vocabulary coverage curve — the tokenizer-design question "how many
+    // vocab entries cover 50/75/90/95/99% of corpus tokens?". Token counts
+    // are a vocabulary-bounded aggregate; the ordered cumulative sum over
+    // them rides GlobalRank.withGlobalPrefixSum (two-pass range shuffle,
+    // exact LONG prefix sums, no unpartitioned window — the naive
+    // `SUM OVER (ORDER BY …)` with no partition key sorts the whole
+    // vocabulary in one task). Coverage fractions are divisions of exact
+    // longs — bit-identical across engines, no rounding needed.
+    "q119_vocab_coverage" -> { (s, dir) =>
+      import s.implicits._
+      val counts = t(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val ranked = GlobalRank.withGlobalPrefixSum(counts,
+        Seq($"cnt".desc, $"tok".asc), $"cnt", "rk", "n_vocab", "cum", "total")
+      val th = Seq(0.5, 0.75, 0.9, 0.95, 0.99).toDF("threshold")
+      // θ·total is evaluated in double on BOTH sides (0.9/0.95/0.99 are not
+      // dyadic, but the product is the same IEEE double in each engine).
+      ranked.crossJoin(broadcast(th))
+        .filter($"cum".cast("double") >= $"threshold" * $"total".cast("double"))
+        .groupBy($"threshold")
+        .agg(
+          min($"rk").as("vocab_size"),
+          max($"n_vocab").as("n_vocab"),
+          (min_by($"cum", $"rk").cast("double") / max($"total").cast("double"))
+            .as("covered_frac"))
+        .orderBy($"threshold")
+    },
+
+    // Per-source distribution drift: cross-entropy and KL divergence of each
+    // source's unigram distribution against the whole-corpus distribution —
+    // the mixture-health metric a curation run tracks (a source whose KL
+    // explodes is feeding the model a different language than the rest).
+    // Observed-only algebra: corpus vocabulary ⊇ source vocabulary, so every
+    // p_src>0 term has p_corpus>0 and no smoothing is needed; both sums run
+    // over the (source, tok) aggregate — |S|·|V| rows, far below token scale.
+    // Shuffle budget: one token-stream agg to (source,tok), a vocab-scale
+    // join onto corpus counts, a broadcast of per-source totals. Double sums
+    // + one final round(6) absorb partial-agg order noise (~1e-13 ≪ grain).
+    "q120_source_kl" -> { (s, dir) =>
+      import s.implicits._
+      val st = Pin.lazily(t(s, dir, "documents")
+        .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st")))
+      val srcTot = st.groupBy($"source")
+        .agg(sum($"c_st").as("n_s"), count(lit(1)).as("vocab_s"))
+      val tokTot = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
+      val total = srcTot.agg(sum($"n_s").as("n_tot"))
+      st.join(tokTot, "tok")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(total))
+        .withColumn("p_s", $"c_st".cast("double") / $"n_s".cast("double"))
+        .withColumn("kl_term", $"p_s" * log(
+          ($"c_st".cast("double") * $"n_tot".cast("double")) /
+            ($"n_s".cast("double") * $"c_t".cast("double"))))
+        .withColumn("ce_term", -$"p_s" * log(
+          $"c_t".cast("double") / $"n_tot".cast("double")))
+        .groupBy($"source")
+        .agg(
+          max($"n_s").as("n_toks"),
+          max($"vocab_s").as("vocab_size"),
+          round(sum($"ce_term"), 6).as("ce_nats"),
+          round(sum($"kl_term"), 6).as("kl_nats"))
+        .orderBy($"source")
+    },
+
+    // Zipf law fit per source: OLS slope/intercept of ln(freq) on ln(rank)
+    // over each source's top-200 tokens. Natural text sits near slope −1;
+    // a source that deviates hard (templated/generated content repeats a
+    // tiny vocabulary) is a curation smell. Top-200-per-source rides the
+    // custom GroupTopK operator (bounded heaps, partial+final); the
+    // in-group rank window then runs over ≤200 rows per source. Raw sums
+    // combine before the single round(6) (round-then-combine ties break
+    // differently across engines — q97 lesson).
+    "q122_zipf_slope" -> { (s, dir) =>
+      import s.implicits._
+      val st = t(s, dir, "documents")
+        .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+      val top = graft.plans.GroupTopK(st, Seq($"source"),
+        Seq($"cnt".desc, $"tok".asc), 200)
+      val xy = top
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"source").orderBy($"cnt".desc, $"tok".asc)))
+        .withColumn("x", log($"rk".cast("double")))
+        .withColumn("y", log($"cnt".cast("double")))
+      xy.groupBy($"source")
+        .agg(count(lit(1)).as("n_terms"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .filter($"n_terms" >= 2)
+        .withColumn("nd", $"n_terms".cast("double"))
+        .withColumn("slope",
+          ($"nd" * $"sxy" - $"sx" * $"sy") / ($"nd" * $"sxx" - $"sx" * $"sx"))
+        .select($"source", $"n_terms",
+          round($"slope", 6).as("zipf_slope"),
+          round(($"sy" - $"slope" * $"sx") / $"nd", 6).as("zipf_intercept"))
+        .orderBy($"source")
     }
   )
 
@@ -880,6 +979,73 @@ object TextQueries {
         |JOIN uni u ON u.tok = b.tok
         |CROSS JOIN tot
         |WHERE b.c_bi >= 5
-        |ORDER BY b.prev, b.tok""".stripMargin
+        |ORDER BY b.prev, b.tok""".stripMargin,
+
+    // The window cumsum here is the single-task form GlobalRank exists to
+    // avoid — fine for the oracle (DuckDB, one node, vocab-sized input), and
+    // a hash match proves the distributed prefix sums exactly. All coverage
+    // arithmetic is divisions/products of exact longs evaluated identically.
+    "q119_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |r AS (
+        |  SELECT tok, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk,
+        |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+        |    COUNT(*) OVER () AS n_vocab
+        |  FROM cnt),
+        |th AS (SELECT unnest([0.5, 0.75, 0.9, 0.95, 0.99]::DOUBLE[]) AS threshold)
+        |SELECT threshold, MIN(rk) AS vocab_size, MAX(n_vocab) AS n_vocab,
+        |  CAST(ARG_MIN(cum, rk) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS covered_frac
+        |FROM r CROSS JOIN th
+        |WHERE CAST(cum AS DOUBLE) >= threshold * CAST(total AS DOUBLE)
+        |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    // Same observed-only algebra as the Spark plan: p_src computed first,
+    // then multiplied into the identically-shaped ln argument — so both
+    // engines evaluate the same expression tree and the double sums differ
+    // only by partial-agg order (≪ the round(6) grain).
+    "q120_source_kl" ->
+      """WITH st AS (
+        |  SELECT source, tok, COUNT(*) AS c_st
+        |  FROM (SELECT source, unnest(regexp_split_to_array(lower(text), ' ')) AS tok
+        |        FROM documents) GROUP BY source, tok),
+        |s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s, COUNT(*) AS vocab_s
+        |      FROM st GROUP BY source),
+        |tt AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+        |n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM s)
+        |SELECT st.source, MAX(s.n_s) AS n_toks, MAX(s.vocab_s) AS vocab_size,
+        |  ROUND(SUM(-(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+        |            ln(CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE))), 6) AS ce_nats,
+        |  ROUND(SUM((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+        |            ln((CAST(c_st AS DOUBLE) * CAST(n_tot AS DOUBLE)) /
+        |               (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE)))), 6) AS kl_nats
+        |FROM st JOIN tt USING (tok) JOIN s USING (source) CROSS JOIN n
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
+    // ROW_NUMBER + rk<=200 replays GroupTopK's (cnt DESC, tok) cut exactly;
+    // slope/intercept combine RAW sums and round once at the end.
+    "q122_zipf_slope" ->
+      """WITH st AS (
+        |  SELECT source, tok, COUNT(*) AS cnt
+        |  FROM (SELECT source, unnest(regexp_split_to_array(lower(text), ' ')) AS tok
+        |        FROM documents) GROUP BY source, tok),
+        |r AS (SELECT source, tok, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+        |      FROM st),
+        |xy AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |       FROM r WHERE rk <= 200),
+        |a AS (SELECT source, COUNT(*) AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |      FROM xy GROUP BY source),
+        |b AS (SELECT source, n_terms, CAST(n_terms AS DOUBLE) AS nd, sx, sy,
+        |        (CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope
+        |      FROM a WHERE n_terms >= 2)
+        |SELECT source, n_terms, ROUND(slope, 6) AS zipf_slope,
+        |  ROUND((sy - slope * sx) / nd, 6) AS zipf_intercept
+        |FROM b ORDER BY source""".stripMargin
   )
 }

@@ -39,6 +39,27 @@ class GlobalRankSpec extends AnyFunSuite with SparkSuite {
     assert(diff === 0)
   }
 
+  test("withGlobalPrefixSum equals the unpartitioned running-sum window") {
+    import spark.implicits._
+    val w = Window.orderBy($"v", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (parts <- Seq(1, 3, 4, 7)) {
+      val df = fixture(97).withColumn("wt", ($"id" % 5) + 1)
+      val expected = df
+        .withColumn("cum_w", sum($"wt").over(w))
+        .select($"id", $"cum_w")
+      val got = GlobalRank.withGlobalPrefixSum(df, Seq($"v", $"id"), $"wt",
+        "rk", "n_total", "cum", "total", partitions = parts)
+      val diff = got.join(expected, "id").filter($"cum" =!= $"cum_w").count()
+      assert(diff === 0, s"prefix-sum mismatch at partitions=$parts")
+      // total is the grand sum on every row; final rank's cum == total
+      val totals = got.select($"total").distinct().as[Long].collect()
+      val grand = df.agg(sum($"wt")).as[Long].head()
+      assert(totals.toSeq === Seq(grand))
+      assert(got.filter($"rk" === $"n_total").select($"cum").as[Long].head() === grand)
+    }
+  }
+
   test("ntileFromRank matches SQL NTILE for every n in 1..40 (k=10)") {
     import spark.implicits._
     for (n <- Seq(1, 3, 9, 10, 11, 19, 20, 21, 26, 37, 40)) {

@@ -110,6 +110,42 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q119 coverage curve is well-formed (monotone, bounded, exact at 100%)") {
+    val rows = SparkEntry.queries("q119_vocab_coverage")(spark, sf0001)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(0.5, 0.75, 0.9, 0.95, 0.99))
+    // vocab_size nondecreasing in threshold, ≤ total vocab; the covered
+    // fraction at the cut is ≥ its threshold (minimal covering prefix)
+    rows.sliding(2).foreach { case Array((_, v1, _, _), (_, v2, _, _)) =>
+      assert(v1 <= v2)
+    }
+    rows.foreach { case (th, vs, nv, frac) =>
+      assert(vs >= 1L && vs <= nv)
+      assert(frac >= th && frac <= 1.0)
+    }
+  }
+
+  test("q120 KL is nonnegative and zero only for a source matching the corpus") {
+    val rows = SparkEntry.queries("q120_source_kl")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kl = r.getDouble(4)
+      // Gibbs: KL ≥ 0 up to the output rounding grain
+      assert(kl >= -1e-6, s"${r.getString(0)}: negative KL $kl")
+      // cross-entropy ≥ source entropy ⇒ ce ≥ ce − kl ≥ 0
+      assert(r.getDouble(3) >= kl - 1e-6)
+    }
+  }
+
+  test("q122 Zipf slopes are negative on natural-ish fixture text") {
+    val rows = SparkEntry.queries("q122_zipf_slope")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L)
+      assert(r.getDouble(2) < 0.0, s"${r.getString(0)}: non-negative Zipf slope")
+    }
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {

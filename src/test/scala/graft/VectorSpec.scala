@@ -119,6 +119,63 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.4, f"IVF recall collapsed: $recall%.3f")
   }
 
+  test("SRP-LSH pairs are a subset of the exact near-dup set; recall recorded") {
+    val exact = graft.ops.SimilarityQueries.queries("q34_cosine_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = graft.ops.SimilarityQueries.extraQueries("q121_srp_lsh")(spark, sf0001)
+      .collect()
+    // soundness: every reported pair is a true near-dup (cos re-verified
+    // exactly, so the banding can only lose pairs, never invent them)
+    val pairs = srp.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(exact), s"SRP reported non-near-dup pairs: ${pairs -- exact}")
+    srp.foreach { r =>
+      assert(r.getDouble(3) >= 0.45 - 1e-9)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 4L) // collisions in 1..nBands
+    }
+    val recall = if (exact.isEmpty) 1.0 else pairs.size.toDouble / exact.size
+    info(f"SRP-LSH recall vs exact near-dup: $recall%.3f (16 bits, 4 bands)")
+    // Same weak-similarity regime note as IVF: threshold pairs sit at
+    // cos≈0.45 where per-bit agreement is only ~0.65, so fixture recall is
+    // modest by design; the floor catches a collapse to near-empty output.
+    assert(recall >= 0.25, f"SRP recall collapsed: $recall%.3f")
+  }
+
+  test("SRP signatures: hyperplane family is deterministic and in [-1,1)") {
+    val u1 = graft.ops.SimilarityQueries.srpUnit(3, 17)
+    val u2 = graft.ops.SimilarityQueries.srpUnit(3, 17)
+    assert(u1 === u2)
+    for (b <- 0 until 16; d <- 0 until 64) {
+      val u = graft.ops.SimilarityQueries.srpUnit(b, d)
+      assert(u >= -1.0 && u < 1.0, s"srpUnit($b,$d)=$u out of range")
+    }
+    // distinct (b,d) seeds give distinct components (md5 behaves)
+    val vals = for (b <- 0 until 16; d <- 0 until 64) yield
+      graft.ops.SimilarityQueries.srpUnit(b, d)
+    assert(vals.distinct.size === vals.size)
+  }
+
+  test("embed leakage: one row per val vector, nearest is from train") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .withColumn("h", substring(md5($"vec_id".cast("string")), 1, 1))
+    val valIds = e.filter($"h" === "c" || $"h" === "d")
+      .select($"vec_id").as[Long].collect().toSet
+    val trainIds = e.filter($"h" <= "9" || $"h" === "a" || $"h" === "b")
+      .select($"vec_id").as[Long].collect().toSet
+    val out = graft.ops.SimilarityQueries.extraQueries("q123_embed_leakage")(spark, sf0001)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet === valIds, "every val vector gets exactly one verdict")
+    assert(out.length === valIds.size)
+    out.foreach { r =>
+      assert(trainIds.contains(r.getLong(1)), s"nearest ${r.getLong(1)} not in train")
+      // leaked flag consistent with the reported (rounded) similarity
+      val cos = r.getDouble(2)
+      val leaked = r.getBoolean(3)
+      if (cos >= 0.400001) assert(leaked)
+      if (cos < 0.399999) assert(!leaked)
+    }
+  }
+
   test("mismatched vector dimensions yield null, not a prefix similarity") {
     VectorFunctions.register(spark)
     import spark.implicits._
