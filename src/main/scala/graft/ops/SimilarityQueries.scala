@@ -409,6 +409,47 @@ object SimilarityQueries {
     // The aggregate formulation must produce the identical result set.
     "q35b_ann_topk_agg" -> annTopkOracle,
 
+    // Every stage of the IVF pipeline is deterministic (seed centroids,
+    // argmax cell with ties to the lowest cent_id, top-Probes probe list,
+    // exact re-rank) and every cosine is the bit-identical sequential
+    // fold (q34/q35/q82 precedent) — so the inverted file, the probe set,
+    // and the final ranking all replay exactly in SQL. Full oracle since
+    // round 7 (previously rows-only with a recall gate, which VectorSpec
+    // still keeps: recall is a property of the GEOMETRY, the oracle
+    // proves the IMPLEMENTATION).
+    "q54_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id < $Cells),
+         |asg AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.emb, c.c_emb) /
+         |          (SQRT(list_dot_product(e.emb, e.emb)) * SQRT(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS rk
+         |    FROM e, c) t WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < $NumQueries),
+         |pr AS (
+         |  SELECT query_id, q_emb, cent_id AS cell FROM (
+         |    SELECT q.query_id, q.q_emb, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(q.q_emb, c.c_emb) /
+         |          (SQRT(list_dot_product(q.q_emb, q.q_emb)) * SQRT(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS pk
+         |    FROM q, c) t WHERE pk <= $Probes),
+         |cand AS (
+         |  SELECT pr.query_id, e.vec_id,
+         |    list_dot_product(e.emb, pr.q_emb) /
+         |      (SQRT(list_dot_product(e.emb, e.emb)) * SQRT(list_dot_product(pr.q_emb, pr.q_emb))) AS cos
+         |  FROM asg JOIN pr ON asg.cell = pr.cell
+         |  JOIN e ON e.vec_id = asg.vec_id
+         |  WHERE asg.vec_id <> pr.query_id)
+         |SELECT query_id, rk, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim
+         |FROM (SELECT query_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |      FROM cand) t
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+
     // Cell assignment (argmax cosine over the 16 seed centroids, ties to
     // the lowest cent_id) is replayed exactly: the raw cosine doubles are
     // bit-identical across engines (sequential-fold dot products, proven

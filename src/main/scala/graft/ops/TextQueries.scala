@@ -665,8 +665,74 @@ object TextQueries {
           round($"slope", 6).as("zipf_slope"),
           round(($"sy" - $"slope" * $"sx") / $"nd", 6).as("zipf_intercept"))
         .orderBy($"source")
+    },
+
+    // BM25 ranked retrieval — the relevance-search face of the corpus: a
+    // fixed batch of term queries scored with Okapi BM25 (Lucene idf,
+    // k1=1.2, b=0.75) and ranked top-10 per query. Plan shape is the
+    // inverted-index join: postings (tok, doc, tf) meet the BROADCAST
+    // query-term list first, so only postings of query terms survive into
+    // the per-doc stage — at 100 TB the postings table is bucketed by
+    // token and the broadcast probe touches only matching buckets; the
+    // document stream itself is aggregated once and never re-joined.
+    // Float parity: per-term contributions are selected into FIXED slots
+    // (sum(when(idx=i)) has ≤1 row per slot — selection, not float
+    // accumulation) and added in explicit left-to-right order, so the
+    // score is the identical expression tree in both engines and ties
+    // break on doc_id identically.
+    "q124_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Pin.lazily(t(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("tok")))
+      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val post = toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+      val dfr = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val qterms = Bm25Queries
+        .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (tk, i) => (qid, tk, i) } }
+        .toDF("query_id", "tok", "term_idx")
+      val scored = post
+        .join(broadcast(qterms), "tok")
+        .join(dfr, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .withColumn("idf", log(
+          ($"n_docs".cast("double") - $"df".cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("contrib",
+          $"idf" * ($"tf".cast("double") * lit(Bm25K1 + 1.0)) /
+            ($"tf".cast("double") +
+              lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * $"dl".cast("double") / $"avgdl")))
+      val perDoc = scored.groupBy($"query_id", $"doc_id")
+        .agg(
+          sum(when($"term_idx" === 0, $"contrib")).as("c0"),
+          sum(when($"term_idx" === 1, $"contrib")).as("c1"),
+          sum(when($"term_idx" === 2, $"contrib")).as("c2"))
+        .withColumn("score",
+          coalesce($"c0", lit(0.0)) + coalesce($"c1", lit(0.0)) + coalesce($"c2", lit(0.0)))
+      val wr = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+      graft.plans.GroupTopK(perDoc, Seq($"query_id"),
+          Seq($"score".desc, $"doc_id".asc), Bm25TopK)
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .select($"query_id".cast("long").as("query_id"), $"rk", $"doc_id",
+          round($"score", 6).as("score"))
+        .orderBy($"query_id", $"rk")
     }
   )
+
+  // BM25 geometry: Okapi defaults; the query batch is part of the operator
+  // contract (retrieval always has a query side — here a fixed broadcast
+  // batch over the fixture vocabulary, incl. the rare discriminative "dup").
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 10
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join"),
+    1 -> Seq("window", "agg"),
+    2 -> Seq("stream", "batch", "dup"),
+    3 -> Seq("sort", "merge", "join"),
+    4 -> Seq("vector", "scan"))
 
   val oracles: Map[String, String] = Map(
 
@@ -1046,6 +1112,48 @@ object TextQueries {
         |      FROM a WHERE n_terms >= 2)
         |SELECT source, n_terms, ROUND(slope, 6) AS zipf_slope,
         |  ROUND((sy - slope * sx) / nd, 6) AS zipf_intercept
-        |FROM b ORDER BY source""".stripMargin
+        |FROM b ORDER BY source""".stripMargin,
+
+    // The contribution expression is written as the IDENTICAL tree (same
+    // literals, same association) as the Spark plan; the fixed-slot CASE
+    // sums select single rows, and the three-way addition is explicit
+    // left-to-right, so scores are bit-identical and the ROW_NUMBER cut
+    // replays GroupTopK's (score DESC, doc_id) order exactly.
+    "q124_bm25_topk" -> {
+      val values = Bm25Queries.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (tk, i) => s"($qid, '$tk', $i)" }
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |post AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tok GROUP BY tok, doc_id),
+         |dfr AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |qt(query_id, tok, term_idx) AS (VALUES $values),
+         |sc AS (
+         |  SELECT qt.query_id, post.doc_id, qt.term_idx,
+         |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |       (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf AS DOUBLE) * (${Bm25K1 + 1.0}))
+         |    / (CAST(tf AS DOUBLE) + $Bm25K1 *
+         |       (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) /
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+         |  FROM post JOIN qt USING (tok) JOIN dfr USING (tok)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (
+         |  SELECT query_id, doc_id,
+         |    COALESCE(SUM(CASE WHEN term_idx = 0 THEN contrib END), 0.0)
+         |    + COALESCE(SUM(CASE WHEN term_idx = 1 THEN contrib END), 0.0)
+         |    + COALESCE(SUM(CASE WHEN term_idx = 2 THEN contrib END), 0.0) AS score
+         |  FROM sc GROUP BY query_id, doc_id),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM pd)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id,
+         |  ROUND(score, 6) AS score
+         |FROM rk WHERE rk <= $Bm25TopK ORDER BY query_id, rk""".stripMargin
+    }
   )
 }

@@ -146,6 +146,33 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q124 BM25 rankings are well-formed and term-sensitive") {
+    val rows = SparkEntry.queries("q124_bm25_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // ranks 1..k per query with nonincreasing scores
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rs.length).toSeq, s"query $qid ranks")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 >= b._4, s"query $qid: score increases with rank")
+      }
+      assert(rs.forall(_._4 > 0.0))
+    }
+    // the rare discriminative term dominates: every top doc for the
+    // "stream batch dup" query must actually contain one of its terms,
+    // and the #1 doc must contain "dup" (idf of a 25-df term towers over
+    // the ~400-df terms)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lower
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", lower($"text").as("t")).as[(Long, String)]
+      .collect().toMap
+    val q2 = rows.filter(_._1 === 2L).sortBy(_._2)
+    assert(q2.nonEmpty)
+    val toks1 = texts(q2.head._3).split(" ").toSet
+    assert(toks1.contains("dup"), "BM25 #1 for the dup query lacks 'dup'")
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
