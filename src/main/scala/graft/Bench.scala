@@ -83,10 +83,15 @@ object Bench {
       else name -> ms(samples.sorted.apply(samples.size / 2))
     }.toMap
     // Full names at 70+ queries made the r04 line ~2.2KB and its head was
-    // truncated by the driver's 2000-char tail; short keys keep it ~1.2KB.
-    // Full names live in bench_detail.json.
+    // truncated by the driver's 2000-char tail; short keys keep it compact.
+    // At 126 queries, per-query values render at centisecond precision
+    // (±5 ms display error, well under box noise) to stay inside the
+    // window; millisecond detail lives in bench_detail.json.
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + shortKey(k) + "\":" + v }
+      .map { case (k, v) =>
+        val disp = if (v < 0) "-1" else f"$v%.2f"
+        s"\"" + shortKey(k) + "\":" + disp
+      }
       .mkString("{", ",", "}")
     val total = ms(results.values.filter(_ >= 0).sum)
     // failed uses the SAME keys as the queries map so consumers can
