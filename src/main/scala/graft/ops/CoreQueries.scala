@@ -1025,6 +1025,35 @@ object CoreQueries {
         .groupBy($"path")
         .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
         .orderBy($"n".desc, $"path")
+    },
+
+    // Mergeable sample quantiles — the percentile-dashboard primitive that
+    // actually distributes: a deterministic bottom-k-by-hash sample per
+    // group (k=256 via GroupTopK's bounded heaps) is a MERGEABLE sketch —
+    // bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), pinned in
+    // QueriesSpec — so per-partition/per-day sketches union into exact
+    // whole-corpus sketches without rescanning (q92's HLL argument, for
+    // quantiles). Estimates are order statistics of the sample: exact
+    // selection, no interpolation, so unlike approx_percentile (q58,
+    // engine-specific sketch ⇒ rows-only) this replays bit-for-bit in
+    // DuckDB and carries a FULL oracle. Sample error is the standard
+    // ±O(1/√k) quantile bound; k dials precision vs state.
+    "q125_sample_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+        .filter($"value".isNotNull)
+        .select($"event_type", $"event_id", $"value")
+        .withColumn("h", md5(concat($"event_id".cast("string"), lit(":qs"))))
+      val samp = graft.plans.GroupTopK(ev, Seq($"event_type"),
+        Seq($"h".asc, $"event_id".asc), 256)
+      samp.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_sample"),
+          sort_array(collect_list($"value")).as("vs"))
+        .select($"event_type", $"n_sample",
+          expr("element_at(vs, cast(ceil(0.5 * n_sample) as int))").as("p50"),
+          expr("element_at(vs, cast(ceil(0.9 * n_sample) as int))").as("p90"),
+          expr("element_at(vs, cast(ceil(0.99 * n_sample) as int))").as("p99"))
+        .orderBy($"event_type")
     }
   )
 
@@ -1565,6 +1594,29 @@ object CoreQueries {
         |  WINDOW w AS (PARTITION BY user_id, sess_seq ORDER BY ms, event_id))
         |SELECT path, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM p WHERE t3 IS NOT NULL
-        |GROUP BY path ORDER BY n DESC, path""".stripMargin
+        |GROUP BY path ORDER BY n DESC, path""".stripMargin,
+
+    // Replays the bottom-256-by-md5 sample with ROW_NUMBER and selects the
+    // same 1-based order statistics; ceil(q·n) is the identical IEEE
+    // product/ceil on both sides, so the selected elements — raw data
+    // doubles, no arithmetic — hash-match exactly.
+    "q125_sample_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |         md5(CAST(event_id AS VARCHAR) || ':qs') AS h
+        |  FROM events WHERE value IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS r
+        |  FROM ev),
+        |samp AS (
+        |  SELECT event_type, COUNT(*) AS n_sample,
+        |         list(value ORDER BY value) AS vs
+        |  FROM rk WHERE r <= 256 GROUP BY event_type)
+        |SELECT event_type, n_sample,
+        |  vs[CAST(ceil(CAST(0.5 AS DOUBLE) * n_sample) AS INT)] AS p50,
+        |  vs[CAST(ceil(CAST(0.9 AS DOUBLE) * n_sample) AS INT)] AS p90,
+        |  vs[CAST(ceil(CAST(0.99 AS DOUBLE) * n_sample) AS INT)] AS p99
+        |FROM samp ORDER BY event_type""".stripMargin
   )
 }

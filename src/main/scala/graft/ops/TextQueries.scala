@@ -718,6 +718,40 @@ object TextQueries {
         .select($"query_id".cast("long").as("query_id"), $"rk", $"doc_id",
           round($"score", 6).as("score"))
         .orderBy($"query_id", $"rk")
+    },
+
+    // Token-mass concentration: the Lorenz curve (cumulative token share at
+    // each decile of documents, shortest-first) plus the Gini coefficient —
+    // the audit that says whether a handful of giant documents carry the
+    // corpus (skews mixture weights, packing bins, and dedup cost alike).
+    // Second rider on withGlobalPrefixSum: ranks/prefixes are exact LONGs;
+    // the sum-of-prefixes B aggregates in DECIMAL(38,0) (exact and
+    // order-independent where a double sum would wobble and a LONG sum
+    // overflows at n·T ≈ 2⁶³ — decimal holds to 10³⁸); only the final
+    // Gini division leaves integers, and round(6) absorbs the ≤1-ulp
+    // decimal→double cast difference between engines. Decile rows are
+    // selected by an EQUI-join on the precomputed target rank (10-row
+    // broadcast), not a nested-loop scan.
+    "q126_token_gini" -> { (s, dir) =>
+      import s.implicits._
+      val dl = t(s, dir, "documents")
+        .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("dl"))
+      val ranked = Pin.lazily(GlobalRank.withGlobalPrefixSum(dl,
+        Seq($"dl".asc, $"doc_id".asc), $"dl", "rk", "n", "cum", "total"))
+      val stats = ranked.agg(max($"n").as("n"), max($"total").as("t"),
+        sum($"cum".cast("decimal(38,0)")).as("b"))
+      val gini = stats.withColumn("gini",
+        round(lit(1.0) - (lit(2) * $"b" - $"t").cast("double") /
+          ($"n".cast("double") * $"t".cast("double")), 6))
+      val targets = (1 to 10).toDF("decile")
+        .crossJoin(broadcast(gini))
+        .select($"decile".cast("long").as("decile"),
+          expr("(decile * n) div 10").as("rk_t"), $"t", $"gini")
+      ranked.join(broadcast(targets), $"rk" === $"rk_t")
+        .select($"decile", $"rk".as("rank_at"), $"cum".as("cum_tokens"),
+          ($"cum".cast("double") / $"t".cast("double")).as("cum_share"),
+          $"gini")
+        .orderBy($"decile")
     }
   )
 
@@ -1154,6 +1188,35 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id,
          |  ROUND(score, 6) AS score
          |FROM rk WHERE rk <= $Bm25TopK ORDER BY query_id, rk""".stripMargin
-    }
+    },
+
+    // Single-window replay of the distributed prefix frame; B sums to
+    // HUGEINT (DuckDB's exact 128-bit), mirroring the Spark side's
+    // DECIMAL(38,0) — both cast to double only inside the final rounded
+    // Gini expression.
+    "q126_token_gini" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, dl,
+        |    ROW_NUMBER() OVER (ORDER BY dl, doc_id) AS rk,
+        |    CAST(SUM(dl) OVER (ORDER BY dl, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(dl) OVER () AS BIGINT) AS t,
+        |    COUNT(*) OVER () AS n
+        |  FROM dl),
+        |st AS (SELECT MAX(n) AS n, MAX(t) AS t, SUM(cum) AS b FROM r),
+        |g AS (SELECT n, t,
+        |        ROUND(CAST(1.0 AS DOUBLE) - CAST(2 * b - t AS DOUBLE) /
+        |              (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini
+        |      FROM st),
+        |dec AS (SELECT unnest(generate_series(1, 10)) AS decile),
+        |tg AS (SELECT CAST(decile AS BIGINT) AS decile,
+        |         (decile * n) // 10 AS rk_t, t, gini
+        |       FROM dec CROSS JOIN g)
+        |SELECT tg.decile, r.rk AS rank_at, r.cum AS cum_tokens,
+        |  CAST(r.cum AS DOUBLE) / CAST(tg.t AS DOUBLE) AS cum_share, tg.gini
+        |FROM r JOIN tg ON r.rk = tg.rk_t ORDER BY tg.decile""".stripMargin
   )
 }

@@ -173,6 +173,57 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(toks1.contains("dup"), "BM25 #1 for the dup query lacks 'dup'")
   }
 
+  test("q125 bottom-k sample sketch is mergeable and tracks exact percentiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("h", md5(concat($"event_id".cast("string"), lit(":qs"))))
+    // Mergeability: bottom-k over the union == bottom-k of the two halves'
+    // bottom-ks merged — the property that lets per-partition sketches
+    // union without rescanning.
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.GroupTopK(df, Seq($"event_type"), Seq($"h".asc, $"event_id".asc), 256)
+        .select($"event_type", $"event_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = ev.filter($"event_id" % 2 === 0)
+    val b = ev.filter($"event_id" % 2 =!= 0)
+    val ka = graft.plans.GroupTopK(a, Seq($"event_type"), Seq($"h".asc, $"event_id".asc), 256)
+    val kb = graft.plans.GroupTopK(b, Seq($"event_type"), Seq($"h".asc, $"event_id".asc), 256)
+    assert(keys(ka.union(kb)) === keys(ev), "bottom-k sketch not mergeable")
+    // Estimates land near the exact quantiles (±0.1 of CDF at k=256).
+    val est = SparkEntry.queries("q125_sample_quantiles")(spark, sf0001)
+      .collect().map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("e50"), expr("percentile(value, 0.9)").as("e90"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for ((t, (e50, e90, lo, hi)) <- exact) {
+      val (p50, p90) = est(t)
+      val span = hi - lo
+      assert(math.abs(p50 - e50) <= 0.15 * span, s"$t p50 off: $p50 vs $e50")
+      assert(math.abs(p90 - e90) <= 0.15 * span, s"$t p90 off: $p90 vs $e90")
+    }
+  }
+
+  test("q126 Lorenz curve is monotone, ends at 1.0, with Gini in [0,1)") {
+    val rows = SparkEntry.queries("q126_token_gini")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 && a._2 <= b._2, "Lorenz curve not monotone")
+    }
+    assert(rows.last._4 === 1.0, "decile 10 must cover all token mass")
+    val gini = rows.map(_._5).distinct
+    assert(gini.size === 1)
+    assert(gini.head >= 0.0 && gini.head < 1.0)
+    // Lorenz curve of a concentration-free corpus is the diagonal; real
+    // text is above-zero Gini — and every decile's share must be ≤ its
+    // population fraction (curve under the diagonal)
+    rows.foreach { case (d, _, _, share, _) => assert(share <= d / 10.0 + 1e-9) }
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
