@@ -274,6 +274,61 @@ object StreamingIngest {
     def cells: Seq[Long] = grid.toSeq
   }
 
+  /**
+   * Cross-batch mergeable quantile sketch — q125's bottom-k-by-hash sample
+   * maintained incrementally over micro-batches in `foreachBatch`. Each
+   * update runs ONE distributed GroupTopK over the arriving batch (bounded
+   * heaps; only k rows per group per task cross the wire), and the driver
+   * retains groups × k (priority, id, value) entries — control-plane
+   * state, same footprint class as the count-min grid above. Bottom-k by
+   * a deterministic hash is a MERGEABLE sketch: bottom-k(A ∪ B) =
+   * bottom-k(bottom-k(A) ∪ bottom-k(B)), so the accumulated state after
+   * ANY micro-batch slicing equals the one-shot batch sketch of the whole
+   * stream (StreamingSpec pins this), and quantile reads are therefore
+   * replay-consistent. Estimates are q125's order statistics: exact
+   * selection over the retained sample, ±O(1/√k) CDF error.
+   */
+  final class StreamingBottomK(k: Int) extends Serializable {
+    private var state = Map.empty[String, Vector[(String, Long, Double)]]
+
+    /** Fold one micro-batch (group, id, value) in. */
+    def update(batch: DataFrame, groupCol: String, idCol: String, valueCol: String): Unit = {
+      val hashed = batch.select(
+          col(groupCol).cast("string").as("g"),
+          col(idCol).cast("long").as("id"),
+          col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .withColumn("h", md5(concat(col("id").cast("string"), lit(":qs"))))
+      val top = graft.plans.GroupTopK(hashed,
+          Seq(col("g")), Seq(col("h").asc, col("id").asc), k)
+        .select("g", "h", "id", "v").collect()
+      val incoming = top
+        .map(r => (r.getString(0), (r.getString(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).toVector }
+      state = (state.keySet ++ incoming.keySet).iterator.map { g =>
+        // distinct guards idempotent replay of an already-folded batch
+        // (foreachBatch is at-least-once); (h, id) is the unique priority.
+        val merged = (state.getOrElse(g, Vector.empty) ++ incoming.getOrElse(g, Vector.empty))
+          .distinct.sortBy(t => (t._1, t._2)).take(k)
+        g -> merged
+      }.toMap
+    }
+
+    def groups: Set[String] = state.keySet
+    def sampleSize(g: String): Int = state.getOrElse(g, Vector.empty).size
+
+    /** Retained (priority, id) set — for merge-parity checks. */
+    def retained(g: String): Vector[(String, Long)] =
+      state.getOrElse(g, Vector.empty).map(t => (t._1, t._2))
+
+    /** q125's estimator: 1-based order statistic at ceil(q·n). */
+    def quantile(g: String, q: Double): Option[Double] = {
+      val vs = state.getOrElse(g, Vector.empty).map(_._3).sorted
+      if (vs.isEmpty) None
+      else Some(vs(math.ceil(q * vs.size).toInt - 1))
+    }
+  }
+
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 

@@ -321,6 +321,40 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(cms.estimate("never-seen-key") <= 60L)
   }
 
+  test("streaming bottom-k quantile sketch: any batch slicing equals the one-shot sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val sk = new StreamingIngest.StreamingBottomK(32)
+    val q = ms.toDF().toDF("g", "id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sk.update(batch, "g", "id", "v")
+        ()
+      }
+      .start()
+    // two groups, 200 rows, deliberately uneven batch slicing
+    val all = Seq.tabulate(200)(i => (s"t${i % 2}", i.toLong, (i * 37 % 101).toDouble))
+    ms.addData(all.take(13): _*); q.processAllAvailable()
+    ms.addData(all.slice(13, 150): _*); q.processAllAvailable()
+    ms.addData(all.drop(150): _*); q.processAllAvailable()
+    q.stop()
+    // one-shot reference: the same bottom-32 sketch over the whole data
+    val oneShot = new StreamingIngest.StreamingBottomK(32)
+    oneShot.update(all.toDF("g", "id", "v"), "g", "id", "v")
+    assert(sk.groups === oneShot.groups)
+    for (g <- sk.groups) {
+      assert(sk.retained(g) === oneShot.retained(g),
+        s"$g: accumulated sample differs from one-shot sketch")
+      for (p <- Seq(0.5, 0.9, 0.99))
+        assert(sk.quantile(g, p) === oneShot.quantile(g, p))
+      assert(sk.sampleSize(g) === 32)
+    }
+    // idempotent replay: re-folding a batch must not change the state
+    val before = sk.groups.map(g => g -> sk.retained(g)).toMap
+    sk.update(all.take(13).toDF("g", "id", "v"), "g", "id", "v")
+    assert(sk.groups.map(g => g -> sk.retained(g)).toMap === before)
+  }
+
   test("streaming parquet sink lands Hive-partitioned output with a checkpoint") {
     val out = tmp("graft-stream-out")
     val stream = StreamingIngest.streamFeed(spark, Schemas.feed("appStart"),
