@@ -22,8 +22,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries ns-precision timestamps; Spark reads them
-      // only as raw longs (normalized in graft.ops.Tables.events).
+      // Fixture timestamp encodings drift across driver regenerations
+      // (ns-as-long in early rounds, naive µs/NTZ today); Tables.t/events
+      // normalize either form, and this conf keeps the ns form readable.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()

@@ -42,6 +42,17 @@ class FixtureSchemaSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("embeddings are fixed-width dim-64 vectors (SRP hyperplane contract)") {
+    // q121's hyperplane family (SimilarityQueries.srpPlane) and the IVF/
+    // cosine fixtures assume dim 64. A regenerated fixture with a new
+    // width must fail HERE, not as silent nulls from a zip_with length
+    // mismatch (the round-6 NTZ lesson, applied to the vector column).
+    val dims = Tables.t(spark, sf0001, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq === Seq(64),
+      s"embedding dims ${dims.mkString(",")} != 64 — update SimilarityQueries.EmbDim and its oracles")
+  }
+
   test("Tables.events exposes ts/ts_ns/ms with consistent instants") {
     val ev = Tables.events(spark, sf0001)
     assert(ev.schema("ts").dataType == TimestampType)
