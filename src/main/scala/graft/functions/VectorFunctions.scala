@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /**
  * Cosine similarity as a native Catalyst expression with whole-stage
@@ -96,10 +96,119 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Signed-random-projection signature as ONE native codegen pass: all
+ * `planes.length` sign bits of ⟨emb, H_b⟩ packed into an int (bit b at
+ * position bits−1−b, so band j of width w is `(sig >> (bits−w·(j+1))) & (2^w−1)`).
+ *
+ * Why an Expression and not higher-order functions: Catalyst's lambda HOFs
+ * (`zip_with`/`aggregate`) evaluate interpreted — 16 lambda folds per row
+ * stay outside whole-stage codegen, which is exactly the per-row hot path
+ * an SRP sweep of a 100 TB corpus lives in. This compiles to a nested
+ * primitive loop in the generated stage (the q121 operator's analog of
+ * CosineSimilarity above).
+ *
+ * Each per-plane dot product accumulates sequentially over the element
+ * index — the same left fold as CosineSimilarity and DuckDB's
+ * list_dot_product — so sign decisions are bit-identical across engines
+ * and the banded pair set replays exactly in the q121 oracle.
+ *
+ * Planes are a constructor constant (Seq for structural equality in plan
+ * canonicalization), shipped into generated code via addReferenceObj.
+ */
+case class SrpSignature(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${VectorFunctions.SrpName} expects array<double> input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true // dimension mismatch → null
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = planeArr(0).length
+    if (x.numElements() != dim) return null
+    var sig = 0
+    var b = 0
+    while (b < planeArr.length) {
+      val p = planeArr(b)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) { dot += x.getDouble(d) * p(d); d += 1 }
+      if (dot >= 0.0) sig |= 1 << (planeArr.length - 1 - b)
+      b += 1
+    }
+    java.lang.Integer.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("srpPlanes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val p = ctx.freshName("p")
+      s"""
+         |if ($a.numElements() != $planesRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $sig = 0;
+         |  for (int $b = 0; $b < $planesRef.length; $b++) {
+         |    final double[] $p = $planesRef[$b];
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $p.length; $d++) {
+         |      $dot += $a.getDouble($d) * $p[$d];
+         |    }
+         |    if ($dot >= 0.0) { $sig |= 1 << ($planesRef.length - 1 - $b); }
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   val CosineName = "graft_cosine"
   val TopKName = "graft_topk"
+  val SrpName = "graft_srp_sig"
+
+  /** Default SRP geometry: 16 sign bits over dim-64 embeddings (the
+    * fixture contract, pinned in FixtureSchemaSpec). */
+  val SrpBits = 16
+  val SrpDim = 64
+
+  /** Hyperplane component H[b][d]: md5("srp<b>:<d>") → first 8 hex chars →
+    * uniform in [−1, 1). v/2³¹ and the −1 shift are exact dyadic steps, so
+    * DuckDB's digit-wise reconstruction of the same md5 hex yields the
+    * identical double. (A reproducible hash family, not an RNG — same
+    * rationale as the md5-derived simhash in DedupQueries.) */
+  def srpUnit(b: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"srp$b:$d".getBytes("UTF-8"))
+      .map(x => f"${x & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) / 2147483648.0 - 1.0
+  }
+
+  /** The default plane family for [[SrpSignature]]. */
+  lazy val srpPlanes: Seq[Seq[Double]] =
+    (0 until SrpBits).map(b => (0 until SrpDim).map(d => srpUnit(b, d)))
 
   /** Idempotent per-session registration; call before using `cosine`/`topk`.
     * Arity guards run in the builders (= at analysis time) so malformed
@@ -117,6 +226,10 @@ object VectorFunctions {
       TopKName, exprs => {
         arity(TopKName, 3, exprs); TopKPairs(exprs(0), exprs(1), exprs(2))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SrpName, exprs => {
+        arity(SrpName, 1, exprs); SrpSignature(exprs(0), srpPlanes)
+      }, "built-in")
   }
 
   /** Column-API face of [[CosineSimilarity]] (requires `register`). */
@@ -126,4 +239,8 @@ object VectorFunctions {
     * best-first (requires `register`). */
   def topk(score: Column, id: Column, k: Int): Column =
     call_function(TopKName, score, id, org.apache.spark.sql.functions.lit(k))
+
+  /** Column-API face of [[SrpSignature]] over the default plane family
+    * (requires `register`). */
+  def srpSig(emb: Column): Column = call_function(SrpName, emb)
 }

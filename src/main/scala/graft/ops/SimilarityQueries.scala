@@ -295,23 +295,19 @@ object SimilarityQueries {
       import s.implicits._
       VectorFunctions.register(s)
       val e = embs(s, dir).select($"vec_id", $"emb")
-      // Per-bit sign of ⟨emb, H_b⟩. zip_with+aggregate is the same
+      // All 16 sign bits of ⟨emb, H_b⟩ in ONE native codegen pass
+      // (functions.SrpSignature): each per-plane dot is the same
       // sequential left fold as CosineSimilarity's loop and DuckDB's
-      // list_dot_product, so the sign decision is bit-identical across
-      // engines even at the boundary.
-      val bitCols = (0 until SrpBits).map { b =>
-        val h = typedLit(srpPlane(b))
-        (aggregate(zip_with($"emb", h, (x, hh) => x * hh),
-          lit(0.0), (acc, x) => acc + x) >= 0).cast("int").as(s"bit$b")
-      }
+      // list_dot_product, so sign decisions are bit-identical across
+      // engines even at the boundary. Band values are pure bit
+      // arithmetic on the packed signature.
       val bands = (0 until SrpBits / SrpBandBits).map { j =>
         struct(lit(j).as("band"),
-          (0 until SrpBandBits)
-            .map(i => col(s"bit${j * SrpBandBits + i}") * lit(1 << (SrpBandBits - 1 - i)))
-            .reduce(_ + _).as("bv"))
+          shiftright($"sig", SrpBits - SrpBandBits * (j + 1))
+            .bitwiseAND(lit((1 << SrpBandBits) - 1)).as("bv"))
       }
       val sig = Pin.lazily(
-        e.select($"vec_id" +: bitCols: _*)
+        e.withColumn("sig", VectorFunctions.srpSig($"emb"))
           .select($"vec_id", explode(array(bands: _*)).as("bd"))
           .select($"vec_id", $"bd.band".as("band"), $"bd.bv".as("bv")))
       val cand = sig.as("a").join(sig.as("b"),
@@ -363,22 +359,11 @@ object SimilarityQueries {
   private val SrpBandBits = 4
   private val SrpThreshold = NearDupThreshold
 
-  /** Hyperplane component H[b][d]: md5("srp<b>:<d>") → first 8 hex chars →
-    * uniform in [−1, 1). v/2³¹ and the −1 shift are exact dyadic steps, so
-    * DuckDB's digit-wise reconstruction of the same md5 hex yields the
-    * identical double. (A reproducible hash family, not an RNG — same
-    * rationale as q33's md5-derived simhash.) */
-  private[graft] def srpUnit(b: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"srp$b:$d".getBytes("UTF-8"))
-      .map(x => f"${x & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16) / 2147483648.0 - 1.0
-  }
-
-  private[graft] def srpPlane(b: Int): Seq[Double] =
-    (0 until EmbDim).map(d => srpUnit(b, d))
-
-  private val EmbDim = 64
+  /** The md5-derived hyperplane family lives with the [[SrpSignature]]
+    * expression (functions.VectorFunctions.srpUnit/srpPlanes); forwarded
+    * here for the specs that probe the family directly. */
+  private[graft] def srpUnit(b: Int, d: Int): Double =
+    VectorFunctions.srpUnit(b, d)
 
   private def cosExpr(a: String, b: String): String =
     s"list_dot_product($a.emb, $b.emb) / " +

@@ -140,6 +140,31 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.25, f"SRP recall collapsed: $recall%.3f")
   }
 
+  test("SrpSignature expression equals the higher-order-function formulation bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{srpPlanes, SrpBits}
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    // independent reference: interpreted zip_with/aggregate folds per bit
+    val bitCols = (0 until SrpBits).map { b =>
+      val h = typedLit(srpPlanes(b))
+      (aggregate(zip_with($"emb", h, (x, hh) => x * hh),
+        lit(0.0), (acc, x) => acc + x) >= 0).cast("int") * lit(1 << (SrpBits - 1 - b))
+    }
+    val want = e.select($"vec_id", bitCols.reduce(_ + _).as("sig_ref"))
+    val got = e.select($"vec_id", VectorFunctions.srpSig($"emb").as("sig"))
+    val diff = got.join(want, "vec_id").filter($"sig" =!= $"sig_ref").count()
+    assert(diff === 0, "native signature diverges from the HOF fold")
+    // signatures span [0, 2^16); mismatched dimension → null, not garbage
+    val range = got.agg(min($"sig"), max($"sig")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < (1 << SrpBits))
+    val bad = Seq(Seq(1.0, 2.0)).toDF("emb")
+      .select(VectorFunctions.srpSig($"emb").as("sig")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("SRP signatures: hyperplane family is deterministic and in [-1,1)") {
     val u1 = graft.ops.SimilarityQueries.srpUnit(3, 17)
     val u2 = graft.ops.SimilarityQueries.srpUnit(3, 17)
