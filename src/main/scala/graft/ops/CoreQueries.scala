@@ -1054,6 +1054,28 @@ object CoreQueries {
           expr("element_at(vs, cast(ceil(0.9 * n_sample) as int))").as("p90"),
           expr("element_at(vs, cast(ceil(0.99 * n_sample) as int))").as("p99"))
         .orderBy($"event_type")
+    },
+
+    // Spark's NATIVE session_window in batch mode — the declarative twin of
+    // q15's lag/gap-island sessionization (and of the streaming session
+    // windows in StreamingIngest): one groupBy(user, session_window(ts,
+    // gap)) plans a single shuffle on user with per-key interval merging,
+    // no window function at all. Semantics pinned by the oracle: events
+    // merge while ts − prev_ts < gap STRICTLY (the [ts, ts+gap) interval
+    // is half-open), session end = last ts + gap. The fixture's timestamps
+    // are genuine microseconds, so identity and bounds compare at
+    // epoch-µs — an ms truncation would misplace boundary events.
+    "q127_session_window_batch" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_types"))
+        .select($"user_id",
+          unix_micros($"w.start").as("session_start_us"),
+          unix_micros($"w.end").as("session_end_us"),
+          $"n_events", $"n_types")
+        .orderBy($"user_id", $"session_start_us")
     }
   )
 
@@ -1617,6 +1639,32 @@ object CoreQueries {
         |  vs[CAST(ceil(CAST(0.5 AS DOUBLE) * n_sample) AS INT)] AS p50,
         |  vs[CAST(ceil(CAST(0.9 AS DOUBLE) * n_sample) AS INT)] AS p90,
         |  vs[CAST(ceil(CAST(0.99 AS DOUBLE) * n_sample) AS INT)] AS p99
-        |FROM samp ORDER BY event_type""".stripMargin
+        |FROM samp ORDER BY event_type""".stripMargin,
+
+    // Gap-island replay of session_window's merge rule at µs precision:
+    // a row opens a new session iff us − prev_us ≥ gap (strict-< merge,
+    // half-open [ts, ts+gap) interval); end = last ts + gap. A hash match
+    // therefore pins Spark's native session semantics, not just counts.
+    "q127_session_window_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |flag AS (
+        |  SELECT user_id, event_type, us,
+        |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+        |              >= 1800000000 OR
+        |         LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM flag)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |  MAX(us) + 1800000000 AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start_us""".stripMargin
   )
 }
