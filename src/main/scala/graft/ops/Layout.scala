@@ -93,4 +93,55 @@ object Layout {
     df.repartitionByRange(shards, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
   }
+
+  /**
+   * Small-file compaction — the maintenance op every incremental ingest
+   * eventually needs: micro-batch and per-job writes (FeedIngest's
+   * jobId dirs, streaming sinks) accumulate files far below the
+   * 128 MB-class size parquet scans want, and at warehouse scale the
+   * driver's file-listing and per-file task overhead come to dominate
+   * reads long before data volume does. Rewrites a parquet directory to
+   * ⌈rows / targetRowsPerFile⌉ files — `coalesce` when merging down
+   * (narrow, no shuffle: it only fuses read-splits) and `repartition`
+   * when splitting up (coalesce cannot increase partitions; the split
+   * direction right-sizes oversized files at the cost of one
+   * round-robin shuffle) — and swaps the result in with
+   * two atomic directory renames, so a concurrent reader sees either
+   * the old layout or the new one, never a half-written mix. Returns
+   * (filesBefore, filesAfter). Row content is unchanged — compaction is
+   * layout-only, LayoutSpec pins both. On a real warehouse the same
+   * swap is a transactional table-format commit; the two-rename dance
+   * is its filesystem-level statement.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetRowsPerFile: Long): (Int, Int) = {
+    require(targetRowsPerFile > 0)
+    def parquetFiles(p: java.nio.file.Path): Int = {
+      val s = java.nio.file.Files.list(p)
+      try s.filter(f => f.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val root = java.nio.file.Paths.get(dir)
+    val before = parquetFiles(root)
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = root.resolveSibling(root.getFileName.toString + ".compact-tmp")
+    val bak = root.resolveSibling(root.getFileName.toString + ".compact-bak")
+    val scanParts = df.rdd.getNumPartitions
+    val sized =
+      if (files < scanParts) df.coalesce(files)
+      else if (files > scanParts) df.repartition(files)
+      else df
+    sized.write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.move(root, bak, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try java.nio.file.Files.move(tmp, root, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      // restore the original layout rather than leaving no directory
+      java.nio.file.Files.move(bak, root, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      throw e
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    (before, parquetFiles(root))
+  }
 }

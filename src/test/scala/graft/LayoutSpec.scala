@@ -120,4 +120,33 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       .filter($"prev".isNotNull && $"prev" > $"o_orderkey")
     assert(unsorted.count() === 0L, "rows out of order within a shard file")
   }
+
+  test("compaction merges small files, preserves content exactly, and cleans up") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val base = java.nio.file.Files.createTempDirectory("graft-compact")
+    val dir = s"$base/frag"
+    // simulate incremental-ingest fragmentation: 16 small files
+    orders.repartition(16).write.parquet(dir)
+    val wanted = orders.orderBy($"o_orderkey").collect().toSeq
+    val n = orders.count()
+    val (before, after) = Layout.compact(spark, dir, targetRowsPerFile = n)
+    assert(before === 16)
+    assert(after === 1, s"expected a single compacted file, got $after")
+    // content is bit-identical, layout-only change
+    val back = spark.read.parquet(dir).orderBy($"o_orderkey").collect().toSeq
+    assert(back === wanted, "compaction changed row content")
+    // no scratch dirs left behind
+    val leftovers = java.nio.file.Files.list(base)
+    try {
+      val names = leftovers.map[String](_.getFileName.toString)
+        .toArray.map(_.toString).toSet
+      assert(names === Set("frag"), s"scratch dirs leaked: $names")
+    } finally leftovers.close()
+    // a smaller target yields multiple files, ceil-divided
+    val (_, after2) = Layout.compact(spark, dir, targetRowsPerFile = (n / 3) + 1)
+    assert(after2 === 3)
+    assert(spark.read.parquet(dir).count() === n)
+  }
 }
