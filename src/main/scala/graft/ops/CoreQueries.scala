@@ -1076,6 +1076,59 @@ object CoreQueries {
           unix_micros($"w.end").as("session_end_us"),
           $"n_events", $"n_types")
         .orderBy($"user_id", $"session_start_us")
+    },
+
+    // Rolling 7-day active users + DAU/MAU-style stickiness. DISTINCT over
+    // a sliding window has no window-function form (count distinct is not
+    // frame-able); the distributed shape is trailing-window attribution:
+    // dedup to the (user, day) grain first — the ONLY corpus-scale
+    // aggregate — then each active day contributes to exactly 7 anchor
+    // days, so the explode multiplies the small user×day frame, never the
+    // event stream, and one hash aggregate per anchor day finishes it.
+    // Stickiness is a division of exact counts — bit-identical, unrounded.
+    "q128_rolling_active" -> { (s, dir) =>
+      import s.implicits._
+      val ud = Pin.lazily(events(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct())
+      val bounds = ud.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val mau = ud
+        .select($"user_id", $"day", explode(sequence(lit(0), lit(6))).as("i"))
+        .select($"user_id", expr("date_add(day, i)").as("wday"))
+        .crossJoin(broadcast(bounds))
+        .filter($"wday".between($"d0", $"d1"))
+        .groupBy($"wday").agg(countDistinct($"user_id").as("active7"))
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      mau.join(dau, $"wday" === $"day", "left")
+        .select($"wday".as("day"),
+          coalesce($"dau", lit(0L)).as("dau"), $"active7",
+          (coalesce($"dau", lit(0L)).cast("double") / $"active7".cast("double"))
+            .as("stickiness"))
+        .orderBy($"day")
+    },
+
+    // Growth accounting — every day's actives split into new (first-ever
+    // activity), retained (seen within the trailing 7 days), and
+    // resurrected (returning after a gap > 7 days): the
+    // new/retained/resurrected ledger product analytics runs on the
+    // reference's appStart/custom schema. One window over the deduped
+    // user×day frame (per-user state is O(active days), not events);
+    // per-day census is a bounded hash aggregate.
+    "q129_growth_accounting" -> { (s, dir) =>
+      import s.implicits._
+      val ud = events(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      ud.withColumn("prev", lag($"day", 1).over(w))
+        .withColumn("cls",
+          when($"prev".isNull, "new")
+            .when(datediff($"day", $"prev") > 7, "resurrected")
+            .otherwise("retained"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("dau"),
+          sum(when($"cls" === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when($"cls" === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when($"cls" === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+        .orderBy($"day")
     }
   )
 
@@ -1665,6 +1718,42 @@ object CoreQueries {
         |  COUNT(*) AS n_events,
         |  COUNT(DISTINCT event_type) AS n_types
         |FROM sess GROUP BY user_id, sess_id
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // Same trailing-window attribution: each (user, active day) feeds 7
+    // anchor days; counts are exact integers and stickiness an unrounded
+    // exact-int division.
+    "q128_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+        |w AS (
+        |  SELECT user_id, day + CAST(i AS INT) AS wday
+        |  FROM ud, range(0, 7) t(i)),
+        |mau AS (
+        |  SELECT wday, COUNT(DISTINCT user_id) AS active7
+        |  FROM w, b WHERE wday BETWEEN d0 AND d1 GROUP BY wday),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+        |SELECT mau.wday AS day, COALESCE(dau.dau, 0) AS dau, mau.active7,
+        |  CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(mau.active7 AS DOUBLE) AS stickiness
+        |FROM mau LEFT JOIN dau ON dau.day = mau.wday
+        |ORDER BY day""".stripMargin,
+
+    "q129_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (
+        |  SELECT day,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev, day) > 7 THEN 'resurrected'
+        |         ELSE 'retained' END AS cls
+        |  FROM (SELECT user_id, day,
+        |          LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |        FROM ud))
+        |SELECT day, COUNT(*) AS dau,
+        |  CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |FROM f GROUP BY day ORDER BY day""".stripMargin
   )
 }
