@@ -89,7 +89,10 @@ object Bench {
     // window; millisecond detail lives in bench_detail.json.
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
-        val disp = if (v < 0) "-1" else f"$v%.2f"
+        // Locale.ROOT: the f-interpolator honors the default locale, and a
+        // comma-decimal locale would corrupt the JSON line.
+        val disp = if (v < 0) "-1"
+          else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         s"\"" + shortKey(k) + "\":" + disp
       }
       .mkString("{", ",", "}")

@@ -139,6 +139,11 @@ case class SrpSignature(child: Expression, planes: Seq[Seq[Double]])
     val x = a.asInstanceOf[ArrayData]
     val dim = planeArr(0).length
     if (x.numElements() != dim) return null
+    // A null ELEMENT nulls the whole signature — matching the zip_with/
+    // aggregate formulation this expression is pinned against (null
+    // propagates through the fold), not a silent read-as-0.0.
+    var d0 = 0
+    while (d0 < dim) { if (x.isNullAt(d0)) return null; d0 += 1 }
     var sig = 0
     var b = 0
     while (b < planeArr.length) {
@@ -160,20 +165,30 @@ case class SrpSignature(child: Expression, planes: Seq[Seq[Double]])
       val d = ctx.freshName("d")
       val dot = ctx.freshName("dot")
       val p = ctx.freshName("p")
+      val dn = ctx.freshName("dn")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |if ($a.numElements() != $planesRef[0].length) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $sig = 0;
-         |  for (int $b = 0; $b < $planesRef.length; $b++) {
-         |    final double[] $p = $planesRef[$b];
-         |    double $dot = 0.0;
-         |    for (int $d = 0; $d < $p.length; $d++) {
-         |      $dot += $a.getDouble($d) * $p[$d];
-         |    }
-         |    if ($dot >= 0.0) { $sig |= 1 << ($planesRef.length - 1 - $b); }
+         |  boolean $hasNull = false;
+         |  for (int $dn = 0; $dn < $a.numElements(); $dn++) {
+         |    if ($a.isNullAt($dn)) { $hasNull = true; break; }
          |  }
-         |  ${ev.value} = $sig;
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    int $sig = 0;
+         |    for (int $b = 0; $b < $planesRef.length; $b++) {
+         |      final double[] $p = $planesRef[$b];
+         |      double $dot = 0.0;
+         |      for (int $d = 0; $d < $p.length; $d++) {
+         |        $dot += $a.getDouble($d) * $p[$d];
+         |      }
+         |      if ($dot >= 0.0) { $sig |= 1 << ($planesRef.length - 1 - $b); }
+         |    }
+         |    ${ev.value} = $sig;
+         |  }
          |}
        """.stripMargin
     })

@@ -44,6 +44,29 @@ object GlobalRank {
   private val LocalIdxMask = (1L << 33) - 1
 
   /**
+   * Shared first pass: range-layout `df` over `order`, derive
+   * (_gr_pid, _gr_lrn) from `monotonically_increasing_id`'s bit layout,
+   * and PIN the result — two downstream jobs must agree on the range
+   * partitioning, and `RangePartitioner` re-samples boundaries per
+   * planned RDD (reliable checkpoint when a dir is configured — see Pin).
+   */
+  private def tagByRange(df: DataFrame, order: Seq[Column], partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_gr_mid", monotonically_increasing_id())
+      .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33))
+      .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit(LocalIdxMask)) + lit(1L))
+      .drop("_gr_mid")
+      .transform(Pin(_))
+
+  // Control-plane windows: ordered over ≤`partitions` one-row-per-partition
+  // rows — the only unpartitioned windows in any GlobalRank plan.
+  private val wPrefix = Window.orderBy(col("_gr_pid"))
+    .rowsBetween(Window.unboundedPreceding, -1)
+  private val wAll = Window.orderBy(col("_gr_pid"))
+    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+  /**
    * Adds `rankCol` (1-based global row number over `order`) and `nCol`
    * (total row count) to `df`. `order` must be a unique total order.
    */
@@ -53,26 +76,11 @@ object GlobalRank {
       rankCol: String,
       nCol: String,
       partitions: Int = 32): DataFrame = {
-    val tagged = df
-      .repartitionByRange(partitions, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("_gr_mid", monotonically_increasing_id())
-      .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33))
-      .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit(LocalIdxMask)) + lit(1L))
-      .drop("_gr_mid")
-      // Pin the range partitioning: two downstream jobs must agree on it
-      // (reliable checkpoint when a dir is configured — see Pin).
-      .transform(Pin(_))
-
-    // Control-plane frame: one row per partition. max(local rank) == count
-    // because local ranks are consecutive from 1 within a partition.
+    val tagged = tagByRange(df, order, partitions)
+    // One row per partition. max(local rank) == count because local ranks
+    // are consecutive from 1 within a partition.
     val counts = tagged.groupBy(col("_gr_pid"))
       .agg(max(col("_gr_lrn")).as("_gr_cnt"))
-    // The only unpartitioned window in the plan — over ≤`partitions` rows.
-    val wPrefix = Window.orderBy(col("_gr_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("_gr_pid"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = counts
       .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(wPrefix), lit(0L)))
       .withColumn("_gr_n", sum(col("_gr_cnt")).over(wAll))
@@ -112,22 +120,9 @@ object GlobalRank {
       prefixCol: String,
       totalCol: String,
       partitions: Int = 32): DataFrame = {
-    val tagged = df
-      .withColumn("_gp_v", value.cast("long"))
-      .repartitionByRange(partitions, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("_gr_mid", monotonically_increasing_id())
-      .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33))
-      .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit(LocalIdxMask)) + lit(1L))
-      .drop("_gr_mid")
-      .transform(Pin(_))
-
+    val tagged = tagByRange(df.withColumn("_gp_v", value.cast("long")), order, partitions)
     val counts = tagged.groupBy(col("_gr_pid"))
       .agg(max(col("_gr_lrn")).as("_gr_cnt"), sum(col("_gp_v")).as("_gp_psum"))
-    val wPrefix = Window.orderBy(col("_gr_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("_gr_pid"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = counts
       .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(wPrefix), lit(0L)))
       .withColumn("_gr_n", sum(col("_gr_cnt")).over(wAll))

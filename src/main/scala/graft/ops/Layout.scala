@@ -106,39 +106,66 @@ object Layout {
    * when splitting up (coalesce cannot increase partitions; the split
    * direction right-sizes oversized files at the cost of one
    * round-robin shuffle) — and swaps the result in with
-   * two atomic directory renames, so a concurrent reader sees either
-   * the old layout or the new one, never a half-written mix. Returns
+   * two atomic directory renames. Each rename is individually atomic, so
+   * a reader never observes a half-written directory; there IS a brief
+   * window between the two renames where the root is absent, and a crash
+   * there strands the data in `.compact-bak` — which the next invocation
+   * detects and restores (stale scratch dirs from any crashed attempt are
+   * likewise recovered or discarded up front, so a failed run never wedges
+   * the directory). A real warehouse closes the no-root window with a
+   * transactional table-format commit; the two-rename dance plus recovery
+   * is its filesystem-level approximation. LEAF directories only: a
+   * Hive-partitioned root is rejected (an unpartitioned rewrite would
+   * flatten it) — compact each leaf partition instead. Returns
    * (filesBefore, filesAfter). Row content is unchanged — compaction is
-   * layout-only, LayoutSpec pins both. On a real warehouse the same
-   * swap is a transactional table-format commit; the two-rename dance
-   * is its filesystem-level statement.
+   * layout-only, LayoutSpec pins both.
    */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetRowsPerFile: Long): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(targetRowsPerFile > 0)
     def parquetFiles(p: java.nio.file.Path): Int = {
-      val s = java.nio.file.Files.list(p)
+      val s = Files.list(p)
       try s.filter(f => f.toString.endsWith(".parquet")).count().toInt
       finally s.close()
     }
-    val root = java.nio.file.Paths.get(dir)
+    val root = Paths.get(dir)
+    val tmp = root.resolveSibling(root.getFileName.toString + ".compact-tmp")
+    val bak = root.resolveSibling(root.getFileName.toString + ".compact-bak")
+    // Crash recovery from a previous attempt: a stale tmp is an unfinished
+    // WRITE (safe to discard); a stale bak with the root present is an
+    // unfinished CLEANUP (safe to discard); a bak WITHOUT a root means the
+    // previous run died between the two renames — restore it first.
+    if (Files.exists(bak) && !Files.exists(root))
+      Files.move(bak, root, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(tmp)) org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    if (Files.exists(bak)) org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    // Leaf directories only: a Hive-partitioned root (partition subdirs)
+    // would be silently flattened by an unpartitioned rewrite, destroying
+    // the partition-pruning layout — compact each leaf instead.
+    val sub = Files.list(root)
+    val hasSubdirs = try sub.anyMatch(p => Files.isDirectory(p)) finally sub.close()
+    require(!hasSubdirs,
+      s"$dir contains subdirectories (partitioned layout?) — compact each leaf partition directory")
     val before = parquetFiles(root)
     val df = spark.read.parquet(dir)
     val n = df.count()
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val tmp = root.resolveSibling(root.getFileName.toString + ".compact-tmp")
-    val bak = root.resolveSibling(root.getFileName.toString + ".compact-bak")
     val scanParts = df.rdd.getNumPartitions
     val sized =
       if (files < scanParts) df.coalesce(files)
       else if (files > scanParts) df.repartition(files)
       else df
-    sized.write.mode("overwrite").parquet(tmp.toString)
-    java.nio.file.Files.move(root, bak, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    try java.nio.file.Files.move(tmp, root, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try sized.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable =>
+      // don't leak a half-written scratch dir
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); throw e
+    }
+    Files.move(root, bak, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
     catch { case e: Throwable =>
       // restore the original layout rather than leaving no directory
-      java.nio.file.Files.move(bak, root, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.move(bak, root, StandardCopyOption.ATOMIC_MOVE)
       throw e
     }
     org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)

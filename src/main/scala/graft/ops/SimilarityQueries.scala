@@ -351,11 +351,14 @@ object SimilarityQueries {
     }
   )
 
-  // SRP-LSH geometry: SrpBits sign bits in bands of SrpBandBits. 16 bits /
-  // 4-bit bands is the fixture setting (the regime note on q54 applies:
-  // neighbors at cos 0.3–0.5 make banding recall modest here — measured in
-  // VectorSpec); production corpora scale bits and bands, not the plan.
-  private val SrpBits = 16
+  // SRP-LSH geometry: signature width comes from the expression that
+  // computes it (VectorFunctions.SrpBits — a single source of truth, so
+  // widening the family there cannot desynchronize the band extraction
+  // here); bands of SrpBandBits. 16 bits / 4-bit bands is the fixture
+  // setting (the regime note on q54 applies: neighbors at cos 0.3–0.5
+  // make banding recall modest here — measured in VectorSpec); production
+  // corpora scale bits and bands, not the plan.
+  private def SrpBits = VectorFunctions.SrpBits
   private val SrpBandBits = 4
   private val SrpThreshold = NearDupThreshold
 
@@ -508,7 +511,7 @@ object SimilarityQueries {
       s"""WITH hd AS (
          |  SELECT b, d,
          |    md5('srp' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
-         |  FROM range(0, 16) t1(b), range(0, 64) t2(d)),
+         |  FROM range(0, ${VectorFunctions.SrpBits}) t1(b), range(0, ${VectorFunctions.SrpDim}) t2(d)),
          |hu AS (
          |  SELECT b, d,
          |    CAST($v AS DOUBLE) / 2147483648.0 - 1.0 AS u
@@ -520,9 +523,9 @@ object SimilarityQueries {
          |    CASE WHEN list_dot_product(emb, hv) >= 0 THEN 1 ELSE 0 END AS bit
          |  FROM e CROSS JOIN hp),
          |bands AS (
-         |  SELECT vec_id, b // 4 AS band,
-         |    CAST(SUM(bit * (1 << (3 - (b % 4)))) AS BIGINT) AS bv
-         |  FROM bits GROUP BY vec_id, b // 4),
+         |  SELECT vec_id, b // $SrpBandBits AS band,
+         |    CAST(SUM(bit * (1 << ($SrpBandBits - 1 - (b % $SrpBandBits)))) AS BIGINT) AS bv
+         |  FROM bits GROUP BY vec_id, b // $SrpBandBits),
          |cand AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS n_bands
          |  FROM bands a JOIN bands b

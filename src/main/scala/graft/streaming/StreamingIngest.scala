@@ -321,11 +321,14 @@ object StreamingIngest {
     def retained(g: String): Vector[(String, Long)] =
       state.getOrElse(g, Vector.empty).map(t => (t._1, t._2))
 
-    /** q125's estimator: 1-based order statistic at ceil(q·n). */
+    /** q125's estimator: 1-based order statistic at ceil(q·n), q ∈ (0, 1]
+      * (q small enough that ceil(q·n) = 0 would index before the first
+      * order statistic — reject rather than underflow). */
     def quantile(g: String, q: Double): Option[Double] = {
+      require(q > 0.0 && q <= 1.0, s"quantile q must be in (0, 1], got $q")
       val vs = state.getOrElse(g, Vector.empty).map(_._3).sorted
       if (vs.isEmpty) None
-      else Some(vs(math.ceil(q * vs.size).toInt - 1))
+      else Some(vs(math.max(1, math.ceil(q * vs.size).toInt) - 1))
     }
   }
 

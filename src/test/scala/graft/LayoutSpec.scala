@@ -149,4 +149,30 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(after2 === 3)
     assert(spark.read.parquet(dir).count() === n)
   }
+
+  test("compaction rejects partitioned roots and recovers from a crashed swap") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority")
+    val base = java.nio.file.Files.createTempDirectory("graft-compact2")
+    // Hive-partitioned layout must be refused, not silently flattened
+    val part = s"$base/part"
+    orders.write.partitionBy("o_orderpriority").parquet(part)
+    val err = intercept[IllegalArgumentException] {
+      Layout.compact(spark, part, targetRowsPerFile = 1000)
+    }
+    assert(err.getMessage.contains("leaf"))
+    // crash between the two renames: root gone, data stranded in .compact-bak
+    val dir = s"$base/leaf"
+    orders.drop("o_orderpriority").repartition(4).write.parquet(dir)
+    val n = orders.count()
+    val root = java.nio.file.Paths.get(dir)
+    val bak = root.resolveSibling("leaf.compact-bak")
+    java.nio.file.Files.move(root, bak)
+    val (before, after) = Layout.compact(spark, dir, targetRowsPerFile = n)
+    assert(before === 4, "stranded backup not restored before compacting")
+    assert(after === 1)
+    assert(spark.read.parquet(dir).count() === n)
+    assert(!java.nio.file.Files.exists(bak))
+  }
 }
