@@ -38,7 +38,7 @@ object DedupQueries {
     * distinct (doc_id, shingle) rows. */
   private val ShingleK = 5
 
-  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
       // NULL text must contribute zero shingles (as the SQL formulations
@@ -137,7 +137,7 @@ object DedupQueries {
    * broadcasts it against the counts frame — broadcasting `counts` itself
    * (one row per document) would be a corpus-sized broadcast at scale.
    */
-  private[ops] def sharedPairCounts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sharedPairCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = shingleRows(s, dir)
     val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -151,6 +151,27 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_common"))
       .join(counts.toDF("doc_a", "n_a"), "doc_a")
       .join(counts.toDF("doc_b", "n_b"), "doc_b")
+  }
+
+  /** Prefix-filtered candidate pairs (doc_a, doc_b) from distinct
+    * (doc_id, shingle) rows — the q131 candidate rule, split out so
+    * DedupSpec can measure its pruning against the full df>1 spine. The
+    * per-document canonical order and prefix cut share ONE partitioned
+    * shuffle+sort by doc_id (both window specs are identical), and the df
+    * attach reuses the inverted index's own groupBy-by-shingle shuffle. */
+  private[graft] def prefixFilterCandidates(rows: DataFrame): DataFrame = {
+    val hashed = rows.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val dfs = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val pref = hashed.join(dfs, "h")
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df").asc, col("h").asc)))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("rn") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"))
+    pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Banded MinHash sketch rows (doc_id, band, bkey) from hashed shingle
@@ -251,6 +272,44 @@ object DedupQueries {
       sharedPairCounts(s, dir)
         .withColumn("jaccard",
           $"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
+        .filter($"jaccard" >= JaccardThreshold)
+        .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Prefix-filtering exact Jaccard join (the PPJoin/AllPairs candidate
+    // rule — Bayardo et al. WWW'07, Xiao et al. WWW'08) — a third pruning
+    // family beside the full inverted index (q31) and MinHash banding
+    // (q32), and unlike banding it is EXACT by construction rather than
+    // probabilistic-with-a-recall-argument. Order every document's
+    // shingles by one GLOBAL canonical order (ascending document
+    // frequency, ties by hash — rarest first) and index only the first
+    // p = n − ⌈τ·n⌉ + 1 of its n shingles. Soundness: J(a,b) ≥ τ forces
+    // |A∩B| ≥ τ/(1+τ)·(n_a+n_b) ≥ τ·min(n_a,n_b), while disjoint prefixes
+    // cap the overlap at min(n_a−p_a, n_b−p_b) = min(⌈τn_a⌉, ⌈τn_b⌉) − 1
+    // < τ·min(n_a,n_b) — contradiction, so every qualifying pair collides
+    // on at least one PREFIX shingle. Why it beats the q31 spine at scale:
+    // the pair join's cost is Σ df² over INDEXED entries, and the prefix
+    // rule both (a) drops a ~τ fraction of each document's entries outright and
+    // (b) keeps exactly the RAREST shingles, so the quadratic term
+    // concentrates where df is smallest — the hot boilerplate shingles
+    // that dominate q31's Σ df² never enter the index at all (DedupSpec
+    // measures the candidate-pair reduction on the fixture). Verification
+    // is the same exact array_intersect join as q32, so the output EQUALS
+    // q31's and shares its DuckDB oracle. Both window functions below ride
+    // ONE partitioned shuffle+sort by doc_id (same spec), and the df
+    // attach is the inverted index's own groupBy — no new shuffle family.
+    "q131_prefix_filter_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      val rows = shingleRows(s, dir)
+      val cand = prefixFilterCandidates(rows)
+      val sets = shingleSets(rows)
+      cand
+        .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+        .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+        .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("jaccard", $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
         .filter($"jaccard" >= JaccardThreshold)
         .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
         .orderBy($"doc_a", $"doc_b")
@@ -872,6 +931,9 @@ object DedupQueries {
     // The LSH pipeline verifies candidates exactly, so at this threshold its
     // output must equal the exhaustive pair set (recall checked in tests).
     "q32_dedup_minhash_lsh" -> jaccardOracle,
+    // Same thresholded pair set by theorem (prefix filtering is exact), so
+    // the same oracle — three independent Spark plans, one SQL truth.
+    "q131_prefix_filter_jaccard" -> jaccardOracle,
     "q78_passage_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(text, ' ') AS ws

@@ -15,6 +15,26 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
   }
 
+  test("prefix filtering equals the exact pair set and prunes the candidate join") {
+    // Exactness (the PPJoin theorem, not a recall argument): the prefix
+    // rule may not drop ANY qualifying pair, and verification removes the
+    // rest — so q131 must equal q31 row for row.
+    val exact = DedupQueries.queries("q31_neardup_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pf = DedupQueries.queries("q131_prefix_filter_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pf === exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    // Pruning power: the candidate set the verifier pays for must be
+    // strictly smaller than the full df>1 inverted-index spine's pair set
+    // (q31 verifies every shared-shingle pair; q131 only prefix collisions).
+    val spine = DedupQueries.sharedPairCounts(spark, sf0001).count()
+    val cand = DedupQueries.prefixFilterCandidates(
+      DedupQueries.shingleRows(spark, sf0001)).count()
+    assert(cand < spine, s"prefix candidates ($cand) should prune the spine ($spine)")
+    assert(cand >= exact.size.toLong)
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
     val grouped = DedupQueries.queries("q30_dedup_exact")(spark, sf0001)
