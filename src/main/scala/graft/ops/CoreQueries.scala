@@ -580,6 +580,45 @@ object CoreQueries {
         .orderBy($"user_id")
     },
 
+    // Incremental state maintenance (the MERGE/upsert shape): the state
+    // table as of T0 (q86's latest-per-key + count) is ADVANCED to T1 by
+    // applying only the (T0, T1] increment — latest-wins per key for the
+    // row-valued columns, additive merge for the count — through one full
+    // outer join, and the result must EQUAL a from-scratch recompute at T1
+    // (that recompute is the DuckDB oracle, so the equivalence is the
+    // correctness gate, not a claim). This is the operator that makes a
+    // 100 TB event warehouse cheap to keep current: per batch it pays
+    // (a) one window sort over the INCREMENT only (delta ≪ archive — the
+    // T0-side state is read as a table, never re-derived), and (b) a join
+    // whose left side is the state table — bucketed by key on disk (q91's
+    // layout family), the join is co-located with zero Exchange, so batch
+    // cost scales with |delta| + |touched keys|, independent of the
+    // archive depth. Deletes slot in as tombstone rows (latest-wins
+    // already handles them; the fixture log has none to show).
+    "q132_incremental_state_merge" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns".desc, $"event_id".desc)
+      def latestWithCount(df: DataFrame) = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type", $"value", $"ms", $"n")
+      val ev = events(s, dir)
+      // The T0 state table (in production: read back from its bucketed
+      // layout; here derived once — still only ≤T0 rows enter the window).
+      val base = latestWithCount(ev.filter($"ts_ns" <= lit(AsOfCutoffNs)))
+      val delta = latestWithCount(
+        ev.filter($"ts_ns" > lit(AsOfCutoffNs) && $"ts_ns" <= lit(AsOfCutoff2Ns)))
+      base.as("b").join(delta.as("d"), Seq("user_id"), "full_outer")
+        .select($"user_id",
+          coalesce($"d.event_id", $"b.event_id").as("last_event_id"),
+          coalesce($"d.event_type", $"b.event_type").as("last_event_type"),
+          coalesce($"d.value", $"b.value").as("last_val"),
+          coalesce($"d.ms", $"b.ms").as("last_ts_ms"),
+          (coalesce($"b.n", lit(0L)) + coalesce($"d.n", lit(0L))).as("n_events"))
+        .orderBy($"user_id")
+    },
+
     // Join-key skew profile — the diagnostic that decides WHEN to salt
     // (ops/Salting is the mechanism; this measures the need). Two-level
     // aggregation: per-(type,key) counts first (map-side partial combine
@@ -1142,6 +1181,10 @@ object CoreQueries {
     * mid-range so the as-of slice is a real subset). */
   private val AsOfCutoffNs = 1705276800L * 1000000000L
 
+  /** q132's T1 (2024-02-01T00:00:00Z) — the increment applied on top of
+    * the [[AsOfCutoffNs]] state is (T0, T1]. */
+  private val AsOfCutoff2Ns = 1706745600L * 1000000000L
+
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1450,6 +1493,18 @@ object CoreQueries {
         |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
         |        COUNT(*) OVER (PARTITION BY user_id) AS n_events_asof
         |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The oracle is the FROM-SCRATCH recompute at T1; the Spark side must
+    // reach the same table through the base ⊕ increment merge — the
+    // incremental-view-maintenance equivalence IS the check.
+    "q132_incremental_state_merge" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_val, epoch_ms(ts) AS last_ts_ms, n_events
+        |FROM (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |      FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00') t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q87_key_skew_profile" ->
