@@ -198,11 +198,135 @@ case class SrpSignature(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/**
+ * Product-quantization encoder as ONE native codegen pass: split the input
+ * vector into `M = codebooks.length` contiguous subspaces of
+ * `dsub = codebooks(m)(k).length` dims and emit, per subspace, the index of
+ * the squared-L2-nearest codeword (ties → lowest index) — the M-byte code
+ * that stands in for the full vector in asymmetric-distance search (q130).
+ *
+ * Same rationale as [[SrpSignature]]: the encode is the per-row hot path of
+ * a corpus-wide sweep (M·K·dsub = 1024 multiply-adds per row at the default
+ * 8×16×8 geometry), and HOF lambdas would run it interpreted. Codebooks are
+ * a constructor constant (Seq-of-Seq for structural equality under plan
+ * canonicalization), shipped into the generated code via addReferenceObj.
+ */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  private def dim: Int = codebooks.length * codebooks.head.head.length
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${VectorFunctions.PqEncodeName} expects array<double> input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true // dimension mismatch / null element → null
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    var d0 = 0
+    while (d0 < dim) { if (x.isNullAt(d0)) return null; d0 += 1 }
+    val m = cbArr.length
+    val dsub = cbArr(0)(0).length
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = cbArr(mi)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < cb.length) {
+        val cw = cb(k)
+        var dist = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = x.getDouble(mi * dsub + d) - cw(d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = k }
+        k += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dimV = ctx.freshName("dim")
+      val dn = ctx.freshName("dn")
+      val hasNull = ctx.freshName("hasNull")
+      val codes = ctx.freshName("codes")
+      val mi = ctx.freshName("mi")
+      val dsub = ctx.freshName("dsub")
+      val cb = ctx.freshName("cb")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val k = ctx.freshName("k")
+      val cw = ctx.freshName("cw")
+      val dist = ctx.freshName("dist")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      s"""
+         |final int $dsub = $cbRef[0][0].length;
+         |final int $dimV = $cbRef.length * $dsub;
+         |if ($a.numElements() != $dimV) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hasNull = false;
+         |  for (int $dn = 0; $dn < $dimV; $dn++) {
+         |    if ($a.isNullAt($dn)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    final int[] $codes = new int[$cbRef.length];
+         |    for (int $mi = 0; $mi < $cbRef.length; $mi++) {
+         |      final double[][] $cb = $cbRef[$mi];
+         |      int $best = 0;
+         |      double $bestD = Double.POSITIVE_INFINITY;
+         |      for (int $k = 0; $k < $cb.length; $k++) {
+         |        final double[] $cw = $cb[$k];
+         |        double $dist = 0.0;
+         |        for (int $d = 0; $d < $dsub; $d++) {
+         |          final double $diff = $a.getDouble($mi * $dsub + $d) - $cw[$d];
+         |          $dist += $diff * $diff;
+         |        }
+         |        if ($dist < $bestD) { $bestD = $dist; $best = $k; }
+         |      }
+         |      $codes[$mi] = $best;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   val CosineName = "graft_cosine"
   val TopKName = "graft_topk"
   val SrpName = "graft_srp_sig"
+  val PqEncodeName = "graft_pq_encode"
 
   /** Default SRP geometry: 16 sign bits over dim-64 embeddings (the
     * fixture contract, pinned in FixtureSchemaSpec). */
@@ -258,4 +382,21 @@ object VectorFunctions {
   /** Column-API face of [[SrpSignature]] over the default plane family
     * (requires `register`). */
   def srpSig(emb: Column): Column = call_function(SrpName, emb)
+
+  /** Column-API face of [[PqEncode]]. Codebooks are TRAINED per corpus
+    * (ops/Pq), so unlike the fixed-family functions above this registers
+    * the function with the given codebooks captured at call time —
+    * createOrReplace semantics make the last registration win within a
+    * session, which is exactly the trained-model-scoped lifetime wanted. */
+  def pqEncode(spark: SparkSession, emb: Column,
+               codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PqEncodeName, exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"$PqEncodeName takes exactly 1 argument, got ${exprs.length}")
+        PqEncode(exprs(0), codebooks)
+      }, "built-in")
+    call_function(PqEncodeName, emb)
+  }
 }

@@ -123,6 +123,13 @@ object SimilarityQueries {
   private val Cells = 16
   private val Probes = 6
 
+  /** q130 PQ geometry: 16 subspaces of 4 dims (finer than the classic 8×8
+    * split — at this fixture's weak-similarity margins the extra subspace
+    * resolution is worth the 16- vs 8-byte code) and a 50-deep ADC
+    * shortlist ahead of the exact re-rank. */
+  private val PqM = 16
+  private val PqShortlist = 50
+
   /** q82: within-cell cosine at or above this marks a semantic duplicate.
     * 0.40 sits just under the fixture's near-dup band (q34's 0.45), so the
     * cell partition genuinely prunes — measured 11–19 drops at sf0.01/0.001
@@ -275,6 +282,71 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vectors"), round(avg($"cos"), 6).as("avg_cos"))
         .select($"cell".cast("long").as("cell"), $"n_vectors", $"avg_cos")
         .orderBy($"cell")
+    },
+
+    // Product-quantization ANN (asymmetric distance + exact re-rank —
+    // Jégou et al. 2011, the IVF-ADC shape) — the memory-side scale path
+    // that composes with IVF's scan pruning: each corpus vector is
+    // replaced by M=16 codebook indices (16 bytes vs 256 for the raw
+    // floats), trained by ops/Pq (one codegen'd encode pass + one bounded
+    // aggregate per Lloyd iteration). The shortlist phase never touches
+    // raw corpus vectors: the query batch's EXACT per-(subspace, codeword)
+    // distance tables (Q·M·K = 2560 rows — control-plane data, broadcast)
+    // join the exploded codes, Σ over subspaces approximates ‖q−x‖², and
+    // GroupTopK keeps the best PqShortlist per query. Only those
+    // Q·PqShortlist rows re-join the raw vectors for an exact cosine
+    // re-rank — the phase split that makes a 100 TB corpus searchable: the
+    // full scan reads 16-byte codes, full-precision floats are fetched for
+    // 50 rows per query. Vectors are unit-normalized first so approx-L2
+    // ranks like cosine (‖a−b‖² = 2−2cos); recall vs the exact q35 answer
+    // is measured in VectorSpec. Rows-only by design (iterative float
+    // training, like q72).
+    "q130_ann_pq" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+        .withColumn("nrm", sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")))
+        .filter($"nrm" > 0.0)
+        .select($"vec_id", expr("transform(emb, x -> x / nrm)").as("emb"))
+        .transform(Pin.lazily(_)) // training iterations + encode + re-rank reuse it
+      val model = Pq.fit(e, iters = 3, m = PqM)
+      val codes = e.select($"vec_id",
+        graft.functions.VectorFunctions.pqEncode(s, $"emb", model.codebooks).as("codes"))
+      // Exact distance tables for the Q query vectors (collected: Q rows of
+      // control data, same policy as the k-means centroids).
+      val dsub = model.codebooks.head.head.length
+      val qvecs = e.filter($"vec_id" < NumQueries).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("emb").toIndexedSeq)
+      val dtab = qvecs.flatMap { case (qid, q) =>
+        model.codebooks.zipWithIndex.flatMap { case (sub, m) =>
+          sub.zipWithIndex.map { case (cw, k) =>
+            val d = cw.zipWithIndex.map { case (c, i) =>
+              val diff = q(m * dsub + i) - c; diff * diff
+            }.sum
+            (qid, m, k, d)
+          }
+        }
+      }.toSeq.toDF("query_id", "m", "k", "qd")
+      val adist = codes
+        .select($"vec_id", posexplode($"codes").as(Seq("m", "k")))
+        .join(broadcast(dtab), Seq("m", "k"))
+        .filter($"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id")
+        .agg(sum($"qd").as("adist"))
+      val shortlist = graft.plans.GroupTopK(adist, Seq($"query_id"),
+        Seq($"adist".asc, $"vec_id".asc), PqShortlist)
+      val qframe = broadcast(qvecs.toSeq.toDF("query_id", "q_emb"))
+      val reranked = shortlist
+        .join(e, "vec_id") // Q·PqShortlist rows fetch full precision
+        .join(qframe, "query_id")
+        .withColumn("cos", VectorFunctions.cosine($"emb", $"q_emb"))
+      graft.plans.GroupTopK(reranked, Seq($"query_id"),
+          Seq($"cos".desc, $"vec_id".asc), TopK)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)))
+        .select($"query_id", $"rk".cast("long").as("rk"),
+          $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos_sim"))
+        .orderBy($"query_id", $"rk")
     },
 
     // Signed-random-projection (hyperplane) LSH — the third pruning family

@@ -119,6 +119,69 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.4, f"IVF recall collapsed: $recall%.3f")
   }
 
+  test("PqEncode expression equals an interpreted argmin recomputation (exhaustive)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val model = graft.ops.Pq.fit(e, iters = 1)
+    val cb = model.codebooks.map(_.map(_.toArray).toArray).toArray
+    val dsub = cb(0)(0).length
+    val got = e.select($"vec_id", VectorFunctions.pqEncode(spark, $"emb", model.codebooks).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    raw.foreach { case (id, emb) =>
+      val want = cb.indices.map { m =>
+        val dists = cb(m).map { cw =>
+          var s = 0.0; var d = 0
+          while (d < dsub) { val df = emb(m * dsub + d) - cw(d); s += df * df; d += 1 }
+          s
+        }
+        dists.indexOf(dists.min) // first minimum = lowest-index tie-break
+      }
+      assert(got(id) === want, s"codes diverge for vec $id")
+    }
+    // mismatched dimension → null, not a prefix encoding
+    val bad = Seq(Seq(1.0, 2.0)).toDF("emb")
+      .select(VectorFunctions.pqEncode(spark, $"emb", model.codebooks).as("c")).head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("PQ training objective is monotone non-increasing (Lloyd invariant)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val model = graft.ops.Pq.fit(e, iters = 3)
+    val obj = model.objective
+    assert(obj.length === 3)
+    obj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"objective rose: $obj")
+    }
+    assert(obj.forall(_ >= 0.0))
+  }
+
+  test("PQ ANN is well-formed and recall vs exact top-k is recorded") {
+    val exact = graft.ops.SimilarityQueries.queries("q35_ann_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = graft.ops.SimilarityQueries.extraQueries("q130_ann_pq")(spark, sf0001)
+      .collect()
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    pq.foreach(r => assert(r.getLong(2) !== r.getLong(0)))
+    // re-ranked scores are exact cosines
+    pq.foreach(r => assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9))
+    val hits = pq.map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
+    val recall = hits.toDouble / exact.size
+    info(f"PQ recall@5 vs exact: $recall%.3f (M=16, K=16, shortlist=50)")
+    // The ADC shortlist bounds what the exact re-rank can recover:
+    // recall@5 here is P(true top-5 inside the 50-deep code-distance
+    // shortlist). The floor catches a collapse to near-random neighbors
+    // (random would land ~50/n), not a quantization-quality claim.
+    assert(recall >= 0.7, f"PQ recall collapsed: $recall%.3f (measured 0.96 at fixture)")
+  }
+
   test("SRP-LSH pairs are a subset of the exact near-dup set; recall recorded") {
     val exact = graft.ops.SimilarityQueries.queries("q34_cosine_neardup")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
