@@ -619,6 +619,34 @@ object CoreQueries {
         .orderBy($"user_id")
     },
 
+    // Equi-depth (decile) histogram of `value` per event type — the
+    // statistics builder under cost-based optimizers and drift monitors
+    // (equal-POPULATION bins resolve the long tail that equal-WIDTH bins
+    // collapse into one bucket). Deliberately NOT an ntile window: per-type
+    // NTILE sorts each type's entire row population in one task at scale
+    // (few types ⇒ giant partitions — the q45 problem). Instead the bin
+    // EDGES come from one exact-percentile hash aggregate (distributed,
+    // map-side partials), rounded once to pin cross-engine interpolation
+    // ulps, and rows bin themselves through a broadcast join + nine
+    // codegen'd comparisons — scan-shaped work, no shuffle of the fact
+    // rows beyond the final (type, bin) aggregate.
+    "q134_equidepth_histogram" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).filter($"value".isNotNull)
+        .select($"event_type", $"value")
+      val qs = (1 to 9).map(_ / 10.0)
+      val edges = ev.groupBy($"event_type")
+        .agg(expr(s"percentile(value, array(${qs.mkString(", ")}))").as("es"))
+        .select($"event_type" +: (0 until 9).map(i =>
+          round(element_at($"es", i + 1), 6).as(s"e$i")): _*)
+      ev.join(broadcast(edges), "event_type")
+        .withColumn("bin", (0 until 9).map(i =>
+            when($"value" >= col(s"e$i"), 1L).otherwise(0L)).reduce(_ + _))
+        .groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
+        .orderBy($"event_type", $"bin")
+    },
+
     // Join-key skew profile — the diagnostic that decides WHEN to salt
     // (ops/Salting is the mechanism; this measures the need). Two-level
     // aggregation: per-(type,key) counts first (map-side partial combine
@@ -1506,6 +1534,19 @@ object CoreQueries {
         |        COUNT(*) OVER (PARTITION BY user_id) AS n_events
         |      FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00') t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q134_equidepth_histogram" -> {
+      val edgeCols = (1 to 9).map(i =>
+        s"ROUND(quantile_cont(value, 0.$i), 6) AS e${i - 1}").mkString(", ")
+      val binExpr = (0 until 9).map(i =>
+        s"(CASE WHEN value >= e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |ed AS (SELECT event_type, $edgeCols FROM e GROUP BY event_type)
+         |SELECT e.event_type, CAST($binExpr AS BIGINT) AS bin,
+         |  COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+         |FROM e JOIN ed USING (event_type)
+         |GROUP BY e.event_type, bin ORDER BY e.event_type, bin""".stripMargin
+    },
 
     "q87_key_skew_profile" ->
       """WITH per AS (

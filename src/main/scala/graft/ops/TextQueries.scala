@@ -752,6 +752,32 @@ object TextQueries {
           ($"cum".cast("double") / $"t".cast("double")).as("cum_share"),
           $"gini")
         .orderBy($"decile")
+    },
+
+    // Character-level Shannon entropy per document — the quality signal
+    // that catches what token-level rules (q38/q109) cannot: minified
+    // blobs, base64/hex dumps and key-mash gibberish score HIGH (near
+    // log2(alphabet)), while stuck-key/template repetition scores LOW, so
+    // curation gates on both tails. Two hash aggregates, both with
+    // map-side partial combine: per-(doc, char) counts (≤ alphabet-size
+    // rows per doc cross the shuffle — the exploded chars themselves
+    // combine within each map task), then the per-doc entropy fold
+    // H = log2(n) − Σ nc·log2(nc) / n over EXACT integer counts; one
+    // round(6) absorbs the ~1e-15 double-sum order noise. No windows, no
+    // joins — the shape survives any corpus size that hash-aggregates.
+    "q133_char_entropy" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter($"text".isNotNull && length($"text") > 0)
+        .select($"doc_id", explode(split(lower($"text"), "")).as("ch"))
+        .filter($"ch" =!= "") // a final empty split artifact must not count
+        .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("nc"))
+        .groupBy($"doc_id")
+        .agg(sum($"nc").as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+          round(log2(sum($"nc")) -
+            sum($"nc".cast("double") * log2($"nc")) / sum($"nc"), 6)
+            .as("entropy_bits"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -769,6 +795,20 @@ object TextQueries {
     4 -> Seq("vector", "scan"))
 
   val oracles: Map[String, String] = Map(
+
+    // Chars via regexp_extract_all('[\s\S]') — RE2's any-char including
+    // newlines, matching Spark's empty-pattern split code-unit-for-unit
+    // on this fixture's single-plane text.
+    "q133_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\s\S]')) AS ch
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS nc FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  COUNT(*) AS n_distinct_chars,
+        |  ROUND(log2(SUM(nc)) - SUM(CAST(nc AS DOUBLE) * log2(nc)) / SUM(nc), 6)
+        |    AS entropy_bits
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Recomputes every rule from scratch, including the 2-gram argmax via
     // an explicit count + (n DESC, g DESC) rank — the window form of the
