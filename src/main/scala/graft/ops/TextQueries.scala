@@ -778,8 +778,81 @@ object TextQueries {
             sum($"nc".cast("double") * log2($"nc")) / sum($"nc"), 6)
             .as("entropy_bits"))
         .orderBy($"doc_id")
+    },
+
+    // BPE merge induction — TRAINING a tokenizer on the corpus, not just
+    // counting with one (the q39/q119 side). The scale trick is the
+    // classic industrial one: BPE never iterates over the corpus — it
+    // iterates over the WORD HISTOGRAM. One corpus-wide hash aggregate
+    // reduces 100 TB of text to a Zipf-bounded (word, count) frame, and
+    // every Lloyd-like round after that is (a) an adjacent-pair count
+    // over that frame weighted by word frequency (hash agg, map-side
+    // combine), (b) ONE argmax row collected (control data), (c) a typed
+    // map applying the merge leftmost-first — per-round cost is histogram-
+    // sized, independent of corpus size. Deterministic by construction:
+    // ties break (count desc, left asc, right asc), no RNG. Rows-only
+    // (an argmax-iterate has no SQL-expressible oracle); QueriesSpec replays
+    // the whole training against an independent in-memory reference BPE.
+    "q135_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val words0 = t(s, dir, "documents").filter($"text".isNotNull)
+        .select(explode(split(lower($"text"), " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+        .as[(String, Long)]
+        .map { case (w, c) => (w.map(_.toString) :+ "</w>", c) }
+        .toDF("syms", "wc")
+      var words = Pin(words0)
+      val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+      var r = 0
+      var exhausted = false
+      while (r < BpeRounds && !exhausted) {
+        // Adjacent pairs (overlapping, per position — the classic
+        // get_stats) over the histogram; the HOF lambda runs interpreted
+        // but only across vocabulary rows, not corpus rows.
+        val best = words
+          .select($"wc", explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), " +
+              "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))")).as("p"))
+          .groupBy($"p.l".as("l"), $"p.r".as("r"))
+          .agg(sum($"wc").as("cnt"))
+          .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, rr, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r + 1L, l, rr, cnt))
+          words = Pin(words.as[(Seq[String], Long)]
+            .map { case (syms, c) => (bpeMergeOnce(syms, l, rr), c) }
+            .toDF("syms", "wc"))
+          r += 1
+        }
+      }
+      merges.toSeq.toDF("rank", "left", "right", "pair_count")
+        .select($"rank", $"left", $"right",
+          concat($"left", $"right").as("merged"), $"pair_count")
+        .orderBy($"rank")
     }
   )
+
+  /** One BPE merge pass: replace adjacent (l, r) with l+r, leftmost-first,
+    * skipping past each merge (so "aaa" under (a,a) → ["aa","a"]) — the
+    * reference algorithm's replace rule. Shared by q135's typed map;
+    * QueriesSpec replays training against an independent implementation. */
+  private[graft] def bpeMergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** q135: number of merge rounds trained. */
+  private val BpeRounds = 10
 
   // BM25 geometry: Okapi defaults; the query batch is part of the operator
   // contract (retrieval always has a query side — here a fixed broadcast

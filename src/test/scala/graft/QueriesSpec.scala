@@ -26,6 +26,50 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(SparkEntry.queries.size === moduleSizes, "query name collision between modules")
   }
 
+  test("BPE merges equal an independent in-memory reference trainer (exhaustive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Independent reference: collect the word histogram and run classic
+    // BPE (position-wise pair counts incl. overlaps; leftmost-first
+    // non-overlapping replace; ties count desc then pair lexicographic).
+    val hist = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)].collect()
+    var words: Seq[(Vector[String], Long)] =
+      hist.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }.toSeq
+    val want = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to 10) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, rr), cnt) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        want += ((r.toLong, l, rr, cnt))
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toVector, c)
+        }
+      }
+    }
+    val got = graft.ops.TextQueries.queries("q135_bpe_merges")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq === want.toList, "trained merges diverge from reference BPE")
+    assert(got.length === 10, "fixture should sustain 10 merge rounds")
+  }
+
   test("approx percentiles track the exact ones within sketch tolerance") {
     def byType(name: String) =
       SparkEntry.queries(name)(spark, sf0001).collect()
