@@ -647,6 +647,49 @@ object CoreQueries {
         .orderBy($"event_type", $"bin")
     },
 
+    // Population-stability-index drift per event type — the ML-ops monitor
+    // that says whether a feature's DISTRIBUTION moved between a reference
+    // window (< T0) and the current one (≥ T0), not just its volume
+    // (q98/q116's axis). Reference deciles via q134's machinery: one exact
+    // -percentile aggregate over the reference slice (ts predicate pushes
+    // to the scan — with a date-partitioned layout both windows prune),
+    // edges rounded once and broadcast; each slice bins itself with nine
+    // codegen'd comparisons; then PSI = Σ (q̂ᵢ−p̂ᵢ)·ln(q̂ᵢ/p̂ᵢ) over
+    // Laplace-smoothed shares (nᵢ+1)/(N+10) — smoothing stated identically
+    // in the oracle, so empty current bins stay finite AND cross-engine
+    // identical. Everything after the scans is 10-rows-per-type control
+    // data; the industry ≥0.2 "investigate" flag rides along.
+    "q136_psi_drift" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).filter($"value".isNotNull)
+        .select($"event_type", $"value", $"ts_ns")
+      val ref = ev.filter($"ts_ns" < lit(AsOfCutoffNs))
+      val cur = ev.filter($"ts_ns" >= lit(AsOfCutoffNs))
+      val qs = (1 to 9).map(_ / 10.0)
+      val edges = ref.groupBy($"event_type")
+        .agg(expr(s"percentile(value, array(${qs.mkString(", ")}))").as("es"))
+        .select($"event_type" +: (0 until 9).map(i =>
+          round(element_at($"es", i + 1), 6).as(s"e$i")): _*)
+      def binned(df: DataFrame, n: String) = df.join(broadcast(edges), "event_type")
+        .withColumn("bin", (0 until 9).map(i =>
+            when($"value" >= col(s"e$i"), 1L).otherwise(0L)).reduce(_ + _))
+        .groupBy($"event_type", $"bin").agg(count(lit(1)).as(n))
+      val both = binned(ref, "n_ref").join(binned(cur, "n_cur"),
+        Seq("event_type", "bin"), "full_outer")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+      val tot = both.groupBy($"event_type")
+        .agg(sum($"n_ref").as("tr"), sum($"n_cur").as("tc"))
+      val p = ($"n_ref" + 1).cast("double") / ($"tr" + 10).cast("double")
+      val q = ($"n_cur" + 1).cast("double") / ($"tc" + 10).cast("double")
+      both.join(tot, "event_type")
+        .withColumn("term", (q - p) * log(q / p))
+        .groupBy($"event_type")
+        .agg(max($"tr").as("n_ref"), max($"tc").as("n_cur"),
+          round(sum($"term"), 6).as("psi"))
+        .withColumn("investigate", ($"psi" >= 0.2).cast("int").cast("long"))
+        .orderBy($"event_type")
+    },
+
     // Join-key skew profile — the diagnostic that decides WHEN to salt
     // (ops/Salting is the mechanism; this measures the need). Two-level
     // aggregation: per-(type,key) counts first (map-side partial combine
@@ -1546,6 +1589,37 @@ object CoreQueries {
          |  COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
          |FROM e JOIN ed USING (event_type)
          |GROUP BY e.event_type, bin ORDER BY e.event_type, bin""".stripMargin
+    },
+
+    "q136_psi_drift" -> {
+      val edgeCols = (1 to 9).map(i =>
+        s"ROUND(quantile_cont(value, 0.$i), 6) AS e${i - 1}").mkString(", ")
+      val binExpr = (0 until 9).map(i =>
+        s"(CASE WHEN value >= e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val ph = "(n_cur + 1.0) / (tc + 10.0)" // q-hat (smoothed current share)
+      val qh = "(n_ref + 1.0) / (tr + 10.0)" // p-hat (smoothed reference share)
+      s"""WITH e AS (SELECT event_type, value, ts FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT * FROM e WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+         |c AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+         |ed AS (SELECT event_type, $edgeCols FROM r GROUP BY event_type),
+         |rb AS (SELECT r.event_type, CAST($binExpr AS BIGINT) AS bin, COUNT(*) AS n_ref
+         |       FROM r JOIN ed USING (event_type) GROUP BY r.event_type, bin),
+         |cb AS (SELECT c.event_type, CAST($binExpr AS BIGINT) AS bin, COUNT(*) AS n_cur
+         |       FROM c JOIN ed USING (event_type) GROUP BY c.event_type, bin),
+         |b AS (SELECT COALESCE(rb.event_type, cb.event_type) AS event_type,
+         |             COALESCE(rb.bin, cb.bin) AS bin,
+         |             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |      FROM rb FULL OUTER JOIN cb
+         |        ON rb.event_type = cb.event_type AND rb.bin = cb.bin),
+         |t AS (SELECT event_type, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+         |      FROM b GROUP BY event_type),
+         |s AS (SELECT b.event_type,
+         |        CAST(MAX(tr) AS BIGINT) AS n_ref, CAST(MAX(tc) AS BIGINT) AS n_cur,
+         |        ROUND(SUM(($ph - $qh) * ln(($ph) / ($qh))), 6) AS psi
+         |      FROM b JOIN t USING (event_type) GROUP BY b.event_type)
+         |SELECT event_type, n_ref, n_cur, psi,
+         |  CAST(CASE WHEN psi >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS investigate
+         |FROM s ORDER BY event_type""".stripMargin
     },
 
     "q87_key_skew_profile" ->

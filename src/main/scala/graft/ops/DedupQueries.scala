@@ -38,13 +38,20 @@ object DedupQueries {
     * distinct (doc_id, shingle) rows. */
   private val ShingleK = 5
 
-  private[graft] def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(t(s, dir, "documents"))
+
+  /** Core shingler over any frame with (doc_id, text) — split out so the
+    * streaming LSH gate can shingle an arriving micro-batch with the
+    * exact family the batch dedup operators use. */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, dir, "documents")
+    docs
       // NULL text must contribute zero shingles (as the SQL formulations
       // do), not a null token array that would NPE inside the flatMap.
       .filter($"text".isNotNull)
-      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id".cast("long"), split(lower($"text"), " ").as("toks"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, toks) =>
         toks.iterator.sliding(ShingleK).withPartial(false)
@@ -174,24 +181,34 @@ object DedupQueries {
       .distinct()
   }
 
-  /** Banded MinHash sketch rows (doc_id, band, bkey) from hashed shingle
-    * rows — the LSH candidate-generation spine shared by q32 (full-corpus
-    * dedup) and q85 (incremental new-vs-index dedup). Signatures come from
-    * explode + 64 codegen'd MIN aggregates (map-side partial min, one
-    * shuffle by doc_id); each band key hashes RowsPerBand signature slots. */
-  private[ops] def minhashBands(hashed: DataFrame): DataFrame = {
+  /** MinHash signatures (doc_id, sig: array of [[MinhashCount]] ints)
+    * from hashed shingle rows: explode + 64 codegen'd MIN aggregates
+    * (map-side partial min, one shuffle by doc_id). Split from the
+    * banding so the streaming gate can persist the signature column as
+    * its compact verify structure. */
+  private[graft] def minhashSignatures(hashed: DataFrame): DataFrame = {
     val minCols = (1 to MinhashCount).map(i =>
       min(hash(col("shingle"), lit(i))).as(s"h$i"))
-    val sig = hashed.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((1 to MinhashCount).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Band rows (doc_id, band, bkey) from a signature frame; each band key
+    * hashes [[RowsPerBand]] signature slots. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
           j => struct(j.as("band"),
             hash(slice(col("sig"), j * lit(RowsPerBand) + 1, lit(RowsPerBand))).as("bkey")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-  }
+
+  /** Banded MinHash sketch rows (doc_id, band, bkey) from hashed shingle
+    * rows — the LSH candidate-generation spine shared by q32 (full-corpus
+    * dedup) and q85 (incremental new-vs-index dedup). */
+  private[ops] def minhashBands(hashed: DataFrame): DataFrame =
+    bandsOf(minhashSignatures(hashed))
 
   /**
    * Banding chosen so the exact-Jaccard oracle equality is sound at the

@@ -103,6 +103,65 @@ object StreamingIngest {
   }
 
   /**
+   * Incremental NEAR-dup gate with a persistent LSH index — the streaming
+   * operating mode of q85, for use inside `foreachBatch`: each arriving
+   * document batch is shingled, MinHash-signed and banded with the SAME
+   * family as the batch dedup operators (graft.ops.DedupQueries helpers),
+   * its band rows join the parquet band index (strictly new×index — the
+   * archive is never re-deduped), band-collision candidates are verified
+   * by estimated Jaccard (fraction of agreeing signature slots — the
+   * 64-int signature is the persisted verify structure, so the index
+   * stores ~288 bytes/doc and NO text), and only the surviving documents'
+   * bands + signatures are appended to the index. State lives where
+   * cross-batch state belongs at scale: parquet tables keyed by
+   * (band, bkey) — bucketed at warehouse scale — not in the streaming
+   * state store, so index size never pressures checkpoint state and a
+   * re-run of the same batch is idempotent BY CONSTRUCTION only after
+   * its append lands; callers needing exactly-once wrap the append in
+   * the foreachBatch (batchId, commit-log) pattern used by
+   * [[sinkToParquet]].
+   *
+   * Returns the accepted subset of `docs` (schema preserved).
+   */
+  def lshNearDupGate(docs: DataFrame, indexRoot: String,
+                     estJaccardThreshold: Double = 0.5): DataFrame = {
+    import graft.ops.{DedupQueries, Pin}
+    val spark = docs.sparkSession
+    val rows = DedupQueries.shingleRowsOf(docs)
+    val hashed = rows.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sigs = Pin(DedupQueries.minhashSignatures(hashed))
+    val bands = DedupQueries.bandsOf(sigs)
+    val bandsPath = s"$indexRoot/bands"
+    val sigsPath = s"$indexRoot/sigs"
+    def readOr(path: String, empty: => DataFrame): DataFrame = {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath)) spark.read.parquet(path) else empty
+    }
+    val idxBands = readOr(bandsPath, bands.limit(0))
+      .toDF("i_doc", "band", "bkey")
+    val idxSigs = readOr(sigsPath, sigs.limit(0)).toDF("i_doc", "i_sig")
+    val cand = bands.join(idxBands, Seq("band", "bkey"))
+      .select(col("doc_id"), col("i_doc")).distinct()
+    // Verify on signatures only (the candidate set is band-pruned, so the
+    // interpreted slot-compare fold touches few rows).
+    val dropIds = cand
+      .join(sigs, "doc_id").join(idxSigs, "i_doc")
+      .withColumn("est",
+        expr("aggregate(zip_with(sig, i_sig, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
+          .cast("double") / size(col("sig")))
+      .filter(col("est") >= estJaccardThreshold)
+      .select(col("doc_id")).distinct()
+    val kept = Pin(docs.join(dropIds, Seq("doc_id"), "left_anti"))
+    val keptIds = kept.select(col("doc_id"))
+    bands.join(keptIds, Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(bandsPath)
+    sigs.join(keptIds, Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(sigsPath)
+    kept
+  }
+
+  /**
    * Watermarked stream-stream inner join — the streaming face of the
    * batch as-of/attribution queries (q23/q25): purchases join to the
    * clicks that preceded them within `within`, as BOTH sides arrive.

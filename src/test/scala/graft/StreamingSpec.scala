@@ -171,6 +171,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got === Seq(2L, 5L))
   }
 
+  test("LSH near-dup gate drops against the persistent index across batches") {
+    import spark.implicits._
+    val root = tmp("lshgate")
+    val base = "the quick brown fox jumps over the lazy sleeping dog " +
+      "again and again every single night without fail apparently"
+    val other = "completely different words forming a second independent " +
+      "document body with no shared five gram runs at all"
+    val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val g1 = StreamingIngest.lshNearDupGate(b1, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(g1 === Array(1L, 2L), "empty index must pass everything")
+    // batch 2: an exact replay under a new id, a last-word edit (shingle
+    // Jaccard 17/19 of doc 1 — well over the 0.5 gate), and a novel doc.
+    val b2 = Seq(
+      (10L, base),
+      (11L, base.dropRight("apparently".length) + "allegedly"),
+      (12L, "entirely novel content sentence with nothing in common " +
+        "with anything the index has stored so far tonight")).toDF("doc_id", "text")
+    val g2 = StreamingIngest.lshNearDupGate(b2, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(g2 === Array(12L), s"expected only the novel doc, got ${g2.toSeq}")
+    // replaying batch 1 verbatim now hits the index: nothing passes
+    val g3 = StreamingIngest.lshNearDupGate(b1, root)
+      .select("doc_id").collect()
+    assert(g3.isEmpty, "replayed content must be rejected by the index")
+    // the persisted index holds exactly the accepted docs' signatures
+    val idx = spark.read.parquet(s"$root/sigs").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(idx === Array(1L, 2L, 12L))
+  }
+
   test("stream-stream join attributes purchases to clicks within the window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
