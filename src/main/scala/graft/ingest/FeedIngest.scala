@@ -49,6 +49,32 @@ object FeedIngest {
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .json(path)
 
+  /**
+   * Schema-evolution-tolerant scan over warehouse epochs whose parquet
+   * schemas drifted (columns added/retired between backfills — the fate
+   * of every long-lived feed): each epoch is read AS IT IS, the epochs
+   * align by column NAME (`unionByName(allowMissingColumns = true)` —
+   * absent columns become NULL, exactly the lossy-projection semantics
+   * the wire scan applies per-row). The target projection runs PER EPOCH,
+   * before the union: extras dropped, declared types via cast, stated
+   * order — so epochs whose physical type drifted (int id → string id)
+   * still align, which a bare unionByName would reject as incompatible.
+   * Deliberately NOT `mergeSchema=true` on a single read: merge unions
+   * the FOOTER schemas of every file — a driver-side footer sweep that
+   * costs minutes at 100 TB and widens the scan to every column that
+   * ever existed; per-epoch reads keep column pruning per epoch and make
+   * the target projection explicit and testable.
+   */
+  def readEvolved(spark: SparkSession, paths: Seq[String],
+                  target: org.apache.spark.sql.types.StructType): DataFrame =
+    paths.map { p =>
+      val df = spark.read.parquet(p)
+      df.select(target.fields.toIndexedSeq.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+    }.reduce(_.union(_))
+
   /** Epoch-ms wire columns → UTC timestamps (ua2sql.py:232–233). */
   def normalize(df: DataFrame, paritySeconds: Boolean = false): DataFrame =
     FeedSpec.epochMillisColumns.foldLeft(df) { (d, c) =>

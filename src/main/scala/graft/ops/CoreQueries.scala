@@ -690,6 +690,28 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Per-type daily-volume linear trend — the direction detector next to
+    // q98 (spike days), q116 (adaptive baseline) and q136 (distribution
+    // drift): ordinary least squares of daily count on epoch day, through
+    // the ANSI regression AGGREGATES (regr_slope/intercept/r2) so the fit
+    // is one pass with map-side partial moments — no per-type sort, no
+    // window, no collect. The regression runs over per-(type, day) counts
+    // (control-plane cardinality: types × days), which the first hash
+    // aggregate reduces from the event stream; at 100 TB that first
+    // aggregate is the only operator that sees data volume.
+    "q137_daily_trend" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type", unix_date(to_date($"ts")).as("d"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(expr("regr_slope(y, d)"), 6).as("slope"),
+          round(expr("regr_intercept(y, d)"), 6).as("intercept"),
+          round(expr("regr_r2(y, d)"), 6).as("r2"))
+        .orderBy($"event_type")
+    },
+
     // Join-key skew profile — the diagnostic that decides WHEN to salt
     // (ops/Salting is the mechanism; this measures the need). Two-level
     // aggregation: per-(type,key) counts first (map-side partial combine
@@ -1621,6 +1643,16 @@ object CoreQueries {
          |  CAST(CASE WHEN psi >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS investigate
          |FROM s ORDER BY event_type""".stripMargin
     },
+
+    "q137_daily_trend" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS d, COUNT(*) AS y
+        |  FROM events GROUP BY event_type, d)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  ROUND(regr_slope(y, d), 6) AS slope,
+        |  ROUND(regr_intercept(y, d), 6) AS intercept,
+        |  ROUND(regr_r2(y, d), 6) AS r2
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q87_key_skew_profile" ->
       """WITH per AS (

@@ -23,6 +23,30 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(df.count() === 3)
   }
 
+  test("readEvolved aligns drifted parquet epochs by name and pins the target schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("evolved").toString
+    // epoch 1: original layout (no `score` yet); epoch 2 added `score`,
+    // retired `legacy_flag`, and widened id to string at the source
+    Seq((1L, "a", true), (2L, "b", false))
+      .toDF("id", "name", "legacy_flag").write.parquet(s"$root/epoch1")
+    Seq(("3", "c", 0.5), ("4", "d", 0.9))
+      .toDF("id", "name", "score").write.parquet(s"$root/epoch2")
+    val target = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val got = FeedIngest.readEvolved(spark,
+      Seq(s"$root/epoch1", s"$root/epoch2"), target)
+    assert(got.schema === target, s"schema not pinned: ${got.schema}")
+    val rows = got.collect().map(r =>
+      (r.getString(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows === Array(
+      ("1", "a", None), ("2", "b", None),            // missing score → NULL, id cast
+      ("3", "c", Some(0.5)), ("4", "d", Some(0.9)))) // legacy_flag dropped
+  }
+
   test("epoch-ms keeps millisecond fidelity by default (ts=...207179 → .179)") {
     val df = FeedIngest.ingest(spark, appStart, feedPath("appStart/job1"))
     val u1 = df.filter(col("userid") === "u1")
