@@ -712,6 +712,46 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Data-contract runner (the Great-Expectations/dbt-test face): eight
+    // declared rules — null, uniqueness, range, enum-membership, time-
+    // window, sign, cap, JSON-validity — evaluated in ONE scan as
+    // conditional aggregates (map-side partial combine; the only non-
+    // trivial term is the COUNT DISTINCT under the uniqueness rule, one
+    // extra exchange of event_id hashes), then unpivoted to a row-per-rule
+    // report via stack. The cap rule (value ≤ 100) is deliberately
+    // violated by the fixture so the report exercises the failing path —
+    // a contract runner that has only ever printed PASS is untested. At
+    // 100 TB this is the nightly gate you run BEFORE publishing a
+    // partition: one scan, KBs of output, no shuffle of data rows.
+    "q138_data_contract" -> { (s, dir) =>
+      import s.implicits._
+      val allowed = Seq("click", "view", "purchase", "error", "signup")
+      val startNs = 1704067200L * 1000000000L // 2024-01-01
+      val endNs = 1706745600L * 1000000000L   // 2024-02-01
+      val agg = events(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(when($"event_id".isNull, 1L).otherwise(0L)).as("v_id_null"),
+        (count(lit(1)) - count_distinct($"event_id")).as("v_id_dup"),
+        sum(when($"user_id".isNull || $"user_id" < 0, 1L).otherwise(0L)).as("v_uid"),
+        sum(when($"event_type".isNull ||
+          !$"event_type".isin(allowed: _*), 1L).otherwise(0L)).as("v_enum"),
+        sum(when($"ts_ns" < startNs || $"ts_ns" >= endNs, 1L).otherwise(0L)).as("v_ts"),
+        sum(when($"value".isNotNull && $"value" <= 0.0, 1L).otherwise(0L)).as("v_vpos"),
+        sum(when($"value".isNotNull && $"value" > 100.0, 1L).otherwise(0L)).as("v_vcap"),
+        sum(when($"props".isNotNull &&
+          get_json_object($"props", "$.k").isNull, 1L).otherwise(0L)).as("v_json"))
+      agg.select($"n", expr(
+          "stack(8, " +
+            "'event_id_not_null', v_id_null, 'event_id_unique', v_id_dup, " +
+            "'user_id_valid', v_uid, 'event_type_enum', v_enum, " +
+            "'ts_in_window', v_ts, 'value_positive', v_vpos, " +
+            "'value_le_100', v_vcap, 'props_json_parses', v_json) " +
+            "AS (rule, n_violations)"))
+        .select($"rule", $"n".as("n_checked"), $"n_violations",
+          when($"n_violations" === 0, 1L).otherwise(0L).as("pass"))
+        .orderBy($"rule")
+    },
+
     // Join-key skew profile — the diagnostic that decides WHEN to salt
     // (ops/Salting is the mechanism; this measures the need). Two-level
     // aggregation: per-(type,key) counts first (map-side partial combine
@@ -1653,6 +1693,33 @@ object CoreQueries {
         |  ROUND(regr_intercept(y, d), 6) AS intercept,
         |  ROUND(regr_r2(y, d), 6) AS r2
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q138_data_contract" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  COUNT(*) FILTER (event_id IS NULL) AS v_id_null,
+        |  COUNT(*) - COUNT(DISTINCT event_id) AS v_id_dup,
+        |  COUNT(*) FILTER (user_id IS NULL OR user_id < 0) AS v_uid,
+        |  COUNT(*) FILTER (event_type IS NULL OR event_type NOT IN
+        |    ('click', 'view', 'purchase', 'error', 'signup')) AS v_enum,
+        |  COUNT(*) FILTER (ts < TIMESTAMP '2024-01-01 00:00:00'
+        |    OR ts >= TIMESTAMP '2024-02-01 00:00:00') AS v_ts,
+        |  COUNT(*) FILTER (value IS NOT NULL AND value <= 0) AS v_vpos,
+        |  COUNT(*) FILTER (value IS NOT NULL AND value > 100) AS v_vcap,
+        |  COUNT(*) FILTER (props IS NOT NULL
+        |    AND json_extract_string(props, '$.k') IS NULL) AS v_json
+        |  FROM events),
+        |r AS (
+        |  SELECT 'event_id_not_null' AS rule, n, v_id_null AS v FROM a
+        |  UNION ALL SELECT 'event_id_unique', n, v_id_dup FROM a
+        |  UNION ALL SELECT 'user_id_valid', n, v_uid FROM a
+        |  UNION ALL SELECT 'event_type_enum', n, v_enum FROM a
+        |  UNION ALL SELECT 'ts_in_window', n, v_ts FROM a
+        |  UNION ALL SELECT 'value_positive', n, v_vpos FROM a
+        |  UNION ALL SELECT 'value_le_100', n, v_vcap FROM a
+        |  UNION ALL SELECT 'props_json_parses', n, v_json FROM a)
+        |SELECT rule, n AS n_checked, CAST(v AS BIGINT) AS n_violations,
+        |  CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r ORDER BY rule""".stripMargin,
 
     "q87_key_skew_profile" ->
       """WITH per AS (
