@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -559,17 +559,21 @@ object CoreQueries {
     // As-of state reconstruction ("time travel" over an append-only event
     // log): each user's latest event at a past cutoff instant — the state
     // a system of record would have shown at that time. The cutoff
-    // predicate is on the raw ns column, so it pushes to the parquet scan
-    // (only files/row-groups up to the cutoff are read — with the
-    // date-partitioned layout of D4 that's partition pruning, the reason
-    // event warehouses partition by ingest date); after the prune it's
-    // q03's one window shuffle over the surviving slice, never the full
-    // log. n_events_asof rides the same window partition for free.
+    // predicate is on the TIMESTAMP column with a timestamp literal, the
+    // one form that reaches the parquet scan (PushedFilters shows the
+    // LessThanOrEqual even through the NTZ→TZ cast — Catalyst unwraps the
+    // cast under the UTC session zone; a predicate on the DERIVED ts_ns
+    // column does NOT push, measured). Only files/row-groups up to the
+    // cutoff are read — with the date-partitioned layout of D4 that's
+    // partition pruning, the reason event warehouses partition by ingest
+    // date. After the prune it's q03's one window shuffle over the
+    // surviving slice, never the full log. n_events_asof rides the same
+    // window partition for free.
     "q86_state_asof" -> { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts_ns".desc, $"event_id".desc)
       events(s, dir)
-        .filter($"ts_ns" <= lit(AsOfCutoffNs))
+        .filter($"ts" <= tsCut(AsOfCutoff))
         .withColumn("rn", row_number().over(w))
         .withColumn("n_events_asof",
           count(lit(1)).over(Window.partitionBy($"user_id")))
@@ -606,9 +610,9 @@ object CoreQueries {
       val ev = events(s, dir)
       // The T0 state table (in production: read back from its bucketed
       // layout; here derived once — still only ≤T0 rows enter the window).
-      val base = latestWithCount(ev.filter($"ts_ns" <= lit(AsOfCutoffNs)))
+      val base = latestWithCount(ev.filter($"ts" <= tsCut(AsOfCutoff)))
       val delta = latestWithCount(
-        ev.filter($"ts_ns" > lit(AsOfCutoffNs) && $"ts_ns" <= lit(AsOfCutoff2Ns)))
+        ev.filter($"ts" > tsCut(AsOfCutoff) && $"ts" <= tsCut(AsOfCutoff2)))
       base.as("b").join(delta.as("d"), Seq("user_id"), "full_outer")
         .select($"user_id",
           coalesce($"d.event_id", $"b.event_id").as("last_event_id"),
@@ -662,9 +666,9 @@ object CoreQueries {
     "q136_psi_drift" -> { (s, dir) =>
       import s.implicits._
       val ev = events(s, dir).filter($"value".isNotNull)
-        .select($"event_type", $"value", $"ts_ns")
-      val ref = ev.filter($"ts_ns" < lit(AsOfCutoffNs))
-      val cur = ev.filter($"ts_ns" >= lit(AsOfCutoffNs))
+        .select($"event_type", $"value", $"ts")
+      val ref = ev.filter($"ts" < tsCut(AsOfCutoff))
+      val cur = ev.filter($"ts" >= tsCut(AsOfCutoff))
       val qs = (1 to 9).map(_ / 10.0)
       val edges = ref.groupBy($"event_type")
         .agg(expr(s"percentile(value, array(${qs.mkString(", ")}))").as("es"))
@@ -1314,9 +1318,16 @@ object CoreQueries {
     * mid-range so the as-of slice is a real subset). */
   private val AsOfCutoffNs = 1705276800L * 1000000000L
 
-  /** q132's T1 (2024-02-01T00:00:00Z) — the increment applied on top of
-    * the [[AsOfCutoffNs]] state is (T0, T1]. */
-  private val AsOfCutoff2Ns = 1706745600L * 1000000000L
+  /** Cutoff instants as UTC timestamp strings — filtered via [[tsCut]] on
+    * the TIMESTAMP column (the pushdown-capable predicate form; a
+    * predicate on the derived ts_ns column never reaches the scan).
+    * T0 = [[AsOfCutoffNs]]'s instant; T1 bounds q132's increment. */
+  private val AsOfCutoff = "2024-01-15 00:00:00"
+  private val AsOfCutoff2 = "2024-02-01 00:00:00"
+
+  /** Timestamp-literal cast for scan-pushable time cutoffs (UTC session
+    * zone makes the string → instant mapping unambiguous). */
+  private def tsCut(v: String): Column = lit(v).cast("timestamp")
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->

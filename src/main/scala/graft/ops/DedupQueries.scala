@@ -170,11 +170,14 @@ object DedupQueries {
     val hashed = rows.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val dfs = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val pref = hashed.join(dfs, "h")
+    // Pinned: the prefix frame feeds BOTH sides of the self-join, and the
+    // branches differ after optimization, so without the pin the df join
+    // + double window would execute twice (observed in the physical plan).
+    val pref = Pin.lazily(hashed.join(dfs, "h")
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df").asc, col("h").asc)))
       .withColumn("n", count(lit(1)).over(byDoc))
       .filter(col("rn") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h")))
     pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -14,6 +14,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
   }
 
+  test("q86/q136: time cutoffs push to the parquet scan through the NTZ cast") {
+    // The derived-ts_ns predicate form silently loses this (measured:
+    // PushedFilters degrades to [IsNotNull(ts)]); the timestamp-literal
+    // form is load-bearing for the time-travel/drift family's scan prune.
+    val p86 = plan("q86_state_asof")
+    assert(p86.contains("LessThanOrEqual(ts,2024-01-15T00:00"), p86)
+    val p136 = plan("q136_psi_drift")
+    assert(p136.contains("LessThan(ts,2024-01-15T00:00"), p136)
+    assert(p136.contains("GreaterThanOrEqual(ts,2024-01-15T00:00"), p136)
+  }
+
   test("q01: scan reads only the referenced columns") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("ReadSchema"), p)
