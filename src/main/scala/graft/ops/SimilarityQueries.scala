@@ -26,6 +26,15 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumQueries = 10
 
+  /** Fixture embedding width — the contract FixtureSchemaSpec pins (a
+    * regenerated fixture with a new width fails there, not as silent
+    * nulls from a zip_with length mismatch). Oracles interpolate this
+    * so both engines agree on the dimension by construction. */
+  private[graft] val EmbDim = 64
+
+  /** PCA components kept by q140. */
+  private[graft] val PcaK = 8
+
   private def embs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "embeddings")
@@ -420,8 +429,104 @@ object SimilarityQueries {
           round($"cos", 6).as("cos_sim"),
           ($"cos" >= SemDedupThreshold).as("leaked"))
         .orderBy($"vec_id")
+    },
+
+    // Embedding covariance — the statistical face of the corpus (feeds
+    // PCA/whitening, q140). One distributed pass; pair generation happens
+    // INSIDE the scan stage (Generate feeding the partial HashAggregate),
+    // so the shuffle carries only the d(d+1)/2 = 2080 co-moment groups
+    // per map task — never the n·d²/2 exploded stream. At 100 TB the
+    // reduce side is still 2080 rows.
+    "q139_embedding_covariance" -> { (s, dir) =>
+      import s.implicits._
+      coMoments(s, dir)
+        .select($"i", $"j", $"n",
+          // + 0.0 canonicalizes IEEE -0.0 (a near-zero covariance rounds
+          // to the signed zero of whichever side it approached — engine-
+          // dependent; the driver's hash compare distinguishes the two).
+          (round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 6) + lit(0d)).as("cov"))
+        .orderBy($"i", $"j")
+    },
+
+    // PCA projection: eigendecompose the q139 covariance on the driver
+    // (64×64 control-plane matrix — the k-means-centroid pattern, see
+    // ops/Eigen.scala for the scale rationale), broadcast the top-PcaK
+    // components as literals, and project every embedding in one
+    // codegen'd map stage: each coordinate is a fixed 64-term expression
+    // tree (no interpreted HOF lambda in the hot path — the SrpSignature
+    // lesson), evaluated left-to-right like a sequential fold. No oracle:
+    // eigensolves aren't ANSI-SQL-expressible; VectorSpec gates
+    // orthonormality, trace preservation, Rayleigh residuals, descending
+    // order, coordinate-variance ≈ eigenvalue, and sign-fixed determinism.
+    "q140_pca_project" -> { (s, dir) =>
+      import s.implicits._
+      val d = EmbDim
+      val rows = coMoments(s, dir).collect() // 2080 control-plane rows
+      val sx = Array.ofDim[Double](d)
+      val cov = Array.ofDim[Double](d, d)
+      var n = 0L
+      rows.foreach { r =>
+        val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+        n = r.getLong(2)
+        if (i == j) sx(i) = r.getDouble(3)
+        val c = (r.getDouble(5) - r.getDouble(3) * r.getDouble(4) / n) / (n - 1)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      val mu = sx.map(_ / n)
+      val (_, vecs) = Eigen.symmetric(cov)
+      val pcs = (0 until PcaK).map { k =>
+        val v = vecs(k)
+        // + 0.0: canonicalize -0.0 (q139 note) — a centered coordinate
+        // rounding to zero must hash identically across partition layouts.
+        (round((0 until d).map(i => ($"emb".getItem(i) - lit(mu(i))) * lit(v(i)))
+          .reduce(_ + _), 6) + lit(0d)).as(s"pc$k")
+      }
+      embs(s, dir).select(($"vec_id" +: pcs): _*).orderBy($"vec_id")
+    },
+
+    // Label-centroid silhouette — embedding-space quality audit of the
+    // fixture's class structure (are labels geometrically coherent?).
+    // Centroids: n·d exploded rows partial-aggregate to |L|·d = 640
+    // groups, assembled into a 10-row centroid frame that BROADCASTS;
+    // each vector then scores 10 codegen'd cosines and reduces to its
+    // own-vs-nearest-other distances. Simplified (centroid) silhouette —
+    // the full pairwise form is O(n²) and adds nothing at corpus scale.
+    "q142_label_silhouette" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+      val cent = e.select($"label", posexplode($"emb").as(Seq("i", "x")))
+        .groupBy($"label", $"i").agg(avg($"x").as("c"))
+        .groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("cent"))
+        .select($"label".as("clabel"), $"cent")
+      val ab = e.crossJoin(broadcast(cent))
+        .withColumn("dist", lit(1d) - VectorFunctions.cosine($"emb", $"cent"))
+        .groupBy($"vec_id", $"label")
+        .agg(min(when($"clabel" === $"label", $"dist")).as("a"),
+          min(when($"clabel" =!= $"label", $"dist")).as("b"))
+      ab.select($"label", (($"b" - $"a") / greatest($"a", $"b")).as("sil"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"), round(avg($"sil"), 6).as("avg_silhouette"))
+        .orderBy($"label")
     }
   )
+
+  /** Upper-triangle co-moment aggregate over embeddings: one row per
+    * (i ≤ j) dimension pair with n, Σxᵢ, Σxⱼ, Σxᵢxⱼ — covariance and
+    * means derive from it (q139 output; q140 driver collect). */
+  private def coMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embs(s, dir)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${EmbDim - 1}), i ->
+           |  transform(sequence(i, ${EmbDim - 1}), j ->
+           |    named_struct('i', i, 'j', j, 'x', emb[i], 'y', emb[j]))))""".stripMargin)).as("p"))
+      .select($"p.i".cast("long").as("i"), $"p.j".cast("long").as("j"), $"p.x", $"p.y")
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"))
+  }
 
   // SRP-LSH geometry: signature width comes from the expression that
   // computes it (VectorFunctions.SrpBits — a single source of truth, so
@@ -634,6 +739,41 @@ object SimilarityQueries {
          |  FROM sc)
          |SELECT val_id AS vec_id, train_id AS nearest_train_id,
          |  ROUND(cos, 6) AS cos_sim, cos >= $SemDedupThreshold AS leaked
-         |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin
+         |FROM rk WHERE r = 1 ORDER BY vec_id""".stripMargin,
+
+    // Same co-moment algebra; DuckDB expands the (i ≤ j) pair grid with
+    // range() (BIGINT, matching the Spark side's long cast) and indexes
+    // the 1-based list.
+    "q139_embedding_covariance" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |p AS (
+         |  SELECT i.i AS i, j.j AS j, emb[i.i + 1] AS x, emb[j.j + 1] AS y
+         |  FROM e, range(0, $EmbDim) i(i), range(0, $EmbDim) j(j)
+         |  WHERE j.j >= i.i)
+         |SELECT i, j, COUNT(*) AS n,
+         |  ROUND((SUM(x * y) - SUM(x) * SUM(y) / COUNT(*)) / (COUNT(*) - 1), 6) + 0.0 AS cov
+         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+
+    // Centroids rebuilt via unnest+AVG and reassembled with an ordered
+    // list(); distances replay the cosExpr fold order.
+    "q142_label_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |x AS (
+         |  SELECT label, i.i AS i, AVG(emb[i.i]) AS c
+         |  FROM e, range(1, ${EmbDim + 1}) i(i) GROUP BY label, i.i),
+         |cent AS (SELECT label AS clabel, list(c ORDER BY i) AS cent FROM x GROUP BY label),
+         |sc AS (
+         |  SELECT e.vec_id, e.label, c.clabel,
+         |    1 - list_dot_product(e.emb, c.cent) /
+         |      (SQRT(list_dot_product(e.emb, e.emb)) * SQRT(list_dot_product(c.cent, c.cent))) AS dist
+         |  FROM e CROSS JOIN cent c),
+         |ab AS (
+         |  SELECT vec_id, label,
+         |    MIN(CASE WHEN clabel = label THEN dist END) AS a,
+         |    MIN(CASE WHEN clabel <> label THEN dist END) AS b
+         |  FROM sc GROUP BY vec_id, label)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS avg_silhouette
+         |FROM ab GROUP BY label ORDER BY label""".stripMargin
   )
 }

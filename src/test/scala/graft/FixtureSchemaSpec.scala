@@ -47,10 +47,11 @@ class FixtureSchemaSpec extends AnyFunSuite with SparkSuite {
     // cosine fixtures assume dim 64. A regenerated fixture with a new
     // width must fail HERE, not as silent nulls from a zip_with length
     // mismatch (the round-6 NTZ lesson, applied to the vector column).
+    val want = graft.ops.SimilarityQueries.EmbDim
     val dims = Tables.t(spark, sf0001, "embeddings")
       .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
-    assert(dims.toSeq === Seq(64),
-      s"embedding dims ${dims.mkString(",")} != 64 — update SimilarityQueries.EmbDim and its oracles")
+    assert(dims.toSeq === Seq(want),
+      s"embedding dims ${dims.mkString(",")} != $want — update SimilarityQueries.EmbDim and its oracles")
   }
 
   test("Tables.events exposes ts/ts_ns/ms with consistent instants") {

@@ -297,4 +297,71 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     }
     assert(err.getMessage.toLowerCase.contains("array"))
   }
+
+  // ---------------------------------------------------------------- PCA (q140)
+
+  /** Fixture embeddings as driver-side arrays (500×64 at sf0.001 — spec
+    * scale only; the queries never collect the corpus). */
+  private lazy val fixtureVecs: Array[Array[Double]] =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  private lazy val fixtureCov: Array[Array[Double]] = {
+    val vs = fixtureVecs
+    val n = vs.length
+    val d = vs.head.length
+    val mu = Array.tabulate(d)(i => vs.map(_(i)).sum / n)
+    Array.tabulate(d, d) { (i, j) =>
+      vs.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / (n - 1)
+    }
+  }
+
+  test("Jacobi eigensolve: orthonormal, trace-preserving, small residual, descending, sign-fixed") {
+    val cov = fixtureCov
+    val d = cov.length
+    val (lam, vecs) = graft.ops.Eigen.symmetric(cov)
+    // Orthonormality.
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"v${a}.v${b} = $dot")
+    }
+    // Eigenvalue sum equals the trace; order is descending.
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(lam.sum - trace) < 1e-9 * math.max(1.0, math.abs(trace)))
+    assert(lam.zip(lam.tail).forall { case (a, b) => a >= b })
+    // Rayleigh residual ‖Av − λv‖∞ ≈ 0.
+    for (k <- 0 until d) {
+      val av = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * vecs(k)(j)).sum)
+      val res = (0 until d).map(i => math.abs(av(i) - lam(k) * vecs(k)(i))).max
+      assert(res < 1e-8, s"residual for eigenpair $k = $res")
+    }
+    // Sign convention: the largest-|component| entry is positive.
+    for (k <- 0 until d) {
+      val best = vecs(k).indices.maxBy(i => math.abs(vecs(k)(i)))
+      assert(vecs(k)(best) > 0, s"eigenvector $k not sign-fixed")
+    }
+  }
+
+  test("q140: coordinate variance ≈ eigenvalue, mean ≈ 0, deterministic") {
+    val run1 = graft.SparkEntry.queries("q140_pca_project")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val run2 = graft.SparkEntry.queries("q140_pca_project")(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(run1.toSeq == run2.toSeq, "q140 output is not run-deterministic")
+    val (lam, _) = graft.ops.Eigen.symmetric(fixtureCov)
+    val n = run1.length
+    for (k <- 0 until graft.ops.SimilarityQueries.PcaK) {
+      val coords = run1.map(_(k + 1).asInstanceOf[Double])
+      val mean = coords.sum / n
+      val vr = coords.map(c => (c - mean) * (c - mean)).sum / (n - 1)
+      // Coordinates round at 1e-6, so allow a loose-but-meaningful band.
+      assert(math.abs(mean) < 1e-4, s"pc$k mean $mean")
+      assert(math.abs(vr - lam(k)) < 1e-3 * math.max(1.0, lam(k)),
+        s"pc$k variance $vr vs eigenvalue ${lam(k)}")
+    }
+    // Projecting onto the top component captures the most variance.
+    assert(lam(0) > lam(graft.ops.SimilarityQueries.PcaK - 1))
+  }
 }
