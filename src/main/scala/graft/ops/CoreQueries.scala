@@ -1305,6 +1305,63 @@ object CoreQueries {
           sum(when($"cls" === "retained", 1L).otherwise(0L)).as("n_retained"),
           sum(when($"cls" === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
         .orderBy($"day")
+    },
+
+    // Multi-touch revenue attribution: every purchase's value credited to
+    // the non-purchase events that preceded it in the SAME session (q15's
+    // gaps-and-islands), under the three standard models at once —
+    // first-touch, last-touch, linear. Purchases with no preceding touch
+    // roll up into a '(direct)' row so total credited revenue equals total
+    // purchase revenue under every model (the books balance — pinned in
+    // QueriesSpec).
+    //
+    // Scale shape: the touch×purchase pair expansion is keyed by
+    // (user_id, sess_seq) — bounded by human session length squared, not
+    // corpus size — and all three window functions share ONE partition
+    // key, so the pair frame sorts once per purchase group. First/last
+    // credits are exact decimal sums (dsum); the linear split value/n is
+    // float-derived, so it stays double and rounds once at the end (the
+    // dsum6-tie lesson in the verify notes).
+    "q144_revenue_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val uw = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val sess = Pin.lazily(events(s, dir)
+        .withColumn("prev_ms", lag($"ms", 1).over(uw))
+        .withColumn("new_sess",
+          when($"prev_ms".isNull || $"ms" - $"prev_ms" >= SessionGapMs, 1L).otherwise(0L))
+        .withColumn("sess_seq",
+          sum($"new_sess").over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"user_id", $"sess_seq", $"ms", $"event_id", $"event_type", $"value"))
+      val purch = sess.filter($"event_type" === "purchase")
+        .select($"user_id", $"sess_seq", $"ms".as("pms"), $"event_id".as("pid"), $"value")
+      val touch = sess.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"sess_seq", $"ms".as("tms"), $"event_id".as("tid"), $"event_type")
+      val pairs = Pin.lazily(purch.join(touch, Seq("user_id", "sess_seq"))
+        .filter($"tms" < $"pms" || ($"tms" === $"pms" && $"tid" < $"pid")))
+      val pg = Window.partitionBy($"user_id", $"sess_seq", $"pid")
+      val attr = pairs
+        .withColumn("rn", row_number().over(pg.orderBy($"tms", $"tid")))
+        .withColumn("rnd", row_number().over(pg.orderBy($"tms".desc, $"tid".desc)))
+        .withColumn("n", count(lit(1)).over(pg))
+        .groupBy($"event_type")
+        .agg(dsum(when($"rn" === 1, $"value")).as("first_touch_rev"),
+          dsum(when($"rnd" === 1, $"value")).as("last_touch_rev"),
+          (round(sum($"value" / $"n"), 6) + lit(0d)).as("linear_rev"),
+          countDistinct($"user_id", $"sess_seq", $"pid").as("n_conversions"))
+      val direct = purch.join(
+          pairs.select($"user_id", $"sess_seq", $"pid").distinct(),
+          Seq("user_id", "sess_seq", "pid"), "left_anti")
+        .agg(dsum($"value").as("first_touch_rev"),
+          dsum($"value").as("last_touch_rev"),
+          (round(sum($"value"), 6) + lit(0d)).as("linear_rev"),
+          count(lit(1)).as("n_conversions"))
+        .filter($"n_conversions" > 0)
+        .select(lit("(direct)").as("event_type"), $"first_touch_rev",
+          $"last_touch_rev", $"linear_rev", $"n_conversions")
+      attr.select($"event_type", $"first_touch_rev", $"last_touch_rev",
+          $"linear_rev", $"n_conversions")
+        .union(direct)
+        .orderBy($"event_type")
     }
   )
 
@@ -2034,6 +2091,53 @@ object CoreQueries {
         |  CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
         |  CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
         |  CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
-        |FROM f GROUP BY day ORDER BY day""".stripMargin
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+
+    // q15's sessionization CTE extended with type/value, then the same
+    // pair expansion + shared-partition windows; decimal sums for the
+    // whole-value credits, double + one ROUND for the linear split.
+    "q144_revenue_attribution" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+         |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, event_id, event_type, value, ms,
+         |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= $SessionGapMs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+         |  FROM g),
+         |p AS (SELECT user_id, sess_seq, ms AS pms, event_id AS pid, value
+         |      FROM x WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, sess_seq, ms AS tms, event_id AS tid, event_type
+         |      FROM x WHERE event_type <> 'purchase'),
+         |pr AS (
+         |  SELECT p.user_id, p.sess_seq, p.pms, p.pid, p.value, t.tms, t.tid, t.event_type
+         |  FROM p JOIN t USING (user_id, sess_seq)
+         |  WHERE t.tms < p.pms OR (t.tms = p.pms AND t.tid < p.pid)),
+         |a AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_seq, pid ORDER BY tms, tid) AS rn,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, sess_seq, pid ORDER BY tms DESC, tid DESC) AS rnd,
+         |    COUNT(*) OVER (PARTITION BY user_id, sess_seq, pid) AS n
+         |  FROM pr),
+         |m AS (
+         |  SELECT event_type,
+         |    ${sqlDsum("CASE WHEN rn = 1 THEN value END")} AS first_touch_rev,
+         |    ${sqlDsum("CASE WHEN rnd = 1 THEN value END")} AS last_touch_rev,
+         |    ROUND(SUM(value / n), 6) + 0.0 AS linear_rev,
+         |    COUNT(DISTINCT (user_id, sess_seq, pid)) AS n_conversions
+         |  FROM a GROUP BY event_type),
+         |d AS (
+         |  SELECT '(direct)' AS event_type,
+         |    ${sqlDsum("p.value")} AS first_touch_rev,
+         |    ${sqlDsum("p.value")} AS last_touch_rev,
+         |    ROUND(SUM(p.value), 6) + 0.0 AS linear_rev,
+         |    COUNT(*) AS n_conversions
+         |  FROM p LEFT JOIN (SELECT DISTINCT user_id, sess_seq, pid FROM pr) u
+         |    ON p.user_id = u.user_id AND p.sess_seq = u.sess_seq AND p.pid = u.pid
+         |  WHERE u.pid IS NULL
+         |  HAVING COUNT(*) > 0)
+         |SELECT * FROM m UNION ALL SELECT * FROM d ORDER BY event_type""".stripMargin
   )
 }

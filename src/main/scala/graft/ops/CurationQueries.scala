@@ -527,8 +527,63 @@ object CurationQueries {
         .filter($"cum" - $"toks" < $"budget")
         .select($"source", $"doc_id", $"toks", $"cum", $"budget")
         .orderBy($"source", $"cum", $"doc_id")
+    },
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    // Importance Resampling"): score every document by how target-like
+    // its hashed n-gram profile is — log w(x) = Σ_b c_b(x)·[ln p̂_b −
+    // ln q̂_b] over DsirBuckets hashed word-bigram buckets, target p̂ =
+    // the lang='en' slice, proposal q̂ = the whole corpus, add-1
+    // smoothing. The downstream resample keeps documents ∝ exp(log w) —
+    // this query is the scoring pass that feeds it (the selection itself
+    // is q65/q66/q79's hash-sampling family).
+    //
+    // Scale shape: the gram stream is pinned and aggregated exactly
+    // twice, BOTH at bounded granularity — (doc, bucket) for the per-doc
+    // profile and bucket for the two 256-row distributions; the log-ratio
+    // table is 256 rows and BROADCASTS onto the profile. The token
+    // stream is never joined at token granularity (the q88 lesson).
+    // Bucket family is the SQL-expressible md5 recipe of q33/q41/q110:
+    // conv(first 8 hex of md5(gram)) % buckets here, the hex-digit
+    // Horner chain in the oracle — identical buckets by construction.
+    "q141_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      val grams = Pin.lazily(t(s, dir, "documents")
+        .withColumn("ws", split(lower($"text"), " "))
+        .select($"doc_id", $"lang",
+          explode(when(size($"ws") >= 2, expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+            .otherwise(expr("array()"))).as("gram"))
+        .withColumn("bucket",
+          (conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long")
+            % DsirBuckets).cast("int")))
+      val tgt = grams.filter($"lang" === "en")
+        .groupBy($"bucket").agg(count(lit(1)).as("tc"))
+      val all = grams.groupBy($"bucket").agg(count(lit(1)).as("rc"))
+      val totals = grams.agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"),
+        count(lit(1)).as("rt"))
+      // 256-row ratio table over the full bucket range (unseen target
+      // buckets still get the smoothed floor), assembled broadcast-side.
+      val ratio = s.range(0, DsirBuckets).select($"id".cast("int").as("bucket"))
+        .join(tgt, Seq("bucket"), "left").join(all, Seq("bucket"), "left")
+        .crossJoin(totals)
+        .select($"bucket",
+          (log((coalesce($"tc", lit(0L)) + 1).cast("double") /
+            ($"tt" + DsirBuckets).cast("double")) -
+            log((coalesce($"rc", lit(0L)) + 1).cast("double") /
+              ($"rt" + DsirBuckets).cast("double"))).as("lr"))
+      grams.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+        .join(broadcast(ratio), "bucket")
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_grams"),
+          (round(sum($"c".cast("double") * $"lr"), 6) + lit(0d)).as("log_weight"))
+        .orderBy($"doc_id")
     }
   )
+
+  /** Hashed-feature space size for q141 (DSIR). */
+  private val DsirBuckets = 256
 
   /** q93 sample size. */
   private val WeightedSampleK = 50
@@ -851,6 +906,45 @@ object CurationQueries {
         |SELECT c.source, c.doc_id, c.toks, c.cum, b.budget
         |FROM c JOIN b USING (source)
         |WHERE c.cum - c.toks < b.budget
-        |ORDER BY c.source, c.cum, c.doc_id""".stripMargin
+        |ORDER BY c.source, c.cum, c.doc_id""".stripMargin,
+
+    // Rebuilds the hashed-bigram profile with the q110 Horner recipe and
+    // replays the identical smoothed log-ratio tree — counts cast to
+    // DOUBLE before dividing, ln, one ROUND at the end (+0.0 for the
+    // signed-zero canon). A hash match proves bucketing, both
+    // distributions, and the per-doc weighted sum end-to-end.
+    "q141_dsir_weights" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH g0 AS (
+         |  SELECT doc_id, lang, regexp_split_to_array(lower(text), ' ') AS ws
+         |  FROM documents),
+         |g1 AS (
+         |  SELECT doc_id, lang,
+         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+         |  FROM g0),
+         |gb AS (
+         |  SELECT doc_id, lang, CAST($horner % $DsirBuckets AS INT) AS bucket
+         |  FROM (SELECT doc_id, lang, md5(gram) AS hx FROM g1) h),
+         |tot AS (
+         |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt, COUNT(*) AS rt
+         |  FROM gb),
+         |tgt AS (SELECT bucket, COUNT(*) AS tc FROM gb WHERE lang = 'en' GROUP BY bucket),
+         |alln AS (SELECT bucket, COUNT(*) AS rc FROM gb GROUP BY bucket),
+         |ratio AS (
+         |  SELECT b.b AS bucket,
+         |    ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / CAST(tt + $DsirBuckets AS DOUBLE)) -
+         |    ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE) / CAST(rt + $DsirBuckets AS DOUBLE)) AS lr
+         |  FROM range(0, $DsirBuckets) b(b)
+         |  LEFT JOIN tgt ON tgt.bucket = b.b
+         |  LEFT JOIN alln ON alln.bucket = b.b
+         |  CROSS JOIN tot),
+         |prof AS (SELECT doc_id, bucket, COUNT(*) AS c FROM gb GROUP BY doc_id, bucket)
+         |SELECT p.doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |  ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) + 0.0 AS log_weight
+         |FROM prof p JOIN ratio r ON r.bucket = p.bucket
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+    }
   )
 }

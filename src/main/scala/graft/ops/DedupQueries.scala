@@ -678,6 +678,43 @@ object DedupQueries {
         .withColumn("novelty",
           round(lit(1.0) - $"n_seen_before".cast("double") / $"n_shingles".cast("double"), 6))
         .orderBy($"doc_id")
+    },
+
+    // Duplicated-span coverage (the repeated-substring dedup metric of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): per document, the fraction of token POSITIONS covered by
+    // at least one 5-gram that also occurs in another document. Where
+    // q118 counts novel shingles, this measures how much of each doc's
+    // surface is corpus-duplicated text — the signal behind span-level
+    // (not doc-level) dedup decisions.
+    //
+    // Scale shape: the positioned gram stream shuffles (16-byte md5,
+    // doc_id, pos) rows once to build the df ≥ 2 inverted index; only
+    // grams IN that index rejoin (hash-granularity, like the q31 spine),
+    // and the ×5 position expansion happens post-filter, on covered grams
+    // only. Distinct-position counting is a (doc, pos) aggregate — never
+    // a per-doc interval merge on the driver.
+    "q143_dup_span_coverage" -> { (s, dir) =>
+      import s.implicits._
+      val K = ShingleK
+      val pos = Pin.lazily(t(s, dir, "documents")
+        .withColumn("ws", split(lower($"text"), " "))
+        .select($"doc_id", size($"ws").cast("long").as("n_tokens"),
+          posexplode(when(size($"ws") >= K, expr(
+            s"transform(sequence(0, size(ws) - $K), i -> md5(concat_ws(' ', slice(ws, i + 1, $K))))"))
+            .otherwise(expr("array()"))).as(Seq("pos", "h"))))
+      val dup = pos.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("df")).filter($"df" >= 2)
+      val covered = pos.join(dup, "h")
+        .select($"doc_id", explode(expr(s"sequence(pos, pos + ${K - 1})")).as("p"))
+        .groupBy($"doc_id").agg(countDistinct($"p").as("covered"))
+      t(s, dir, "documents")
+        .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("covered"))
+        .select($"doc_id", $"n_tokens", $"covered",
+          round($"covered" / $"n_tokens", 6).as("dup_frac"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1036,6 +1073,32 @@ object DedupQueries {
         |  ROUND(1.0 - CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
         |                    AS DOUBLE) / COUNT(*), 6) AS novelty
         |FROM sh s JOIN f USING (shingle)
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // Positioned 5-grams via the inclusive-slice comprehension (t[i:i+4]
+    // is 5 words — the q31/q118 shingle family), md5-hashed so both
+    // engines bucket identically; covered positions expand through
+    // generate_series (inclusive), and the division is exact-integer /
+    // exact-integer on both sides.
+    "q143_dup_span_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |         md5(array_to_string(ws[g.i:g.i+4], ' ')) AS h
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) g),
+        |dup AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id, COUNT(DISTINCT q.pp) AS covered
+        |  FROM p JOIN dup USING (h),
+        |       LATERAL (SELECT unnest(generate_series(p.pos, p.pos + 4)) AS pp) q
+        |  GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM d)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+        |  ROUND(CAST(COALESCE(c.covered, 0) AS BIGINT) / b.n_tokens, 6) AS dup_frac
+        |FROM base b LEFT JOIN cov c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -181,6 +181,81 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q144 attribution books balance under every model") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q144_revenue_attribution")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,4)"))).collect()(0)
+      .getDecimal(0).doubleValue()
+    val ft = rows.map(_.getDouble(1)).sum
+    val lt = rows.map(_.getDouble(2)).sum
+    val lin = rows.map(_.getDouble(3)).sum
+    // Every purchase's value is credited exactly once per model.
+    assert(math.abs(ft - total) < 1e-6, s"first-touch $ft != $total")
+    assert(math.abs(lt - total) < 1e-6, s"last-touch $lt != $total")
+    // Linear credits are per-type rounded at 1e-6; rows bound the drift.
+    assert(math.abs(lin - total) < 1e-4, s"linear $lin != $total")
+    // purchase itself never receives touch credit
+    assert(!rows.exists(_.getString(0) == "purchase"))
+  }
+
+  test("q143 coverage equals an exhaustive driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q143_dup_span_coverage")(spark, sf0001).collect()
+    out.foreach { r =>
+      val (n, c, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c >= 0 && c <= n, s"doc ${r.getLong(0)}: covered $c of $n")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // Exhaustive driver-side recomputation (fixture scale): positioned
+    // 5-grams, corpus df, covered-position union — independent of both
+    // the Spark plan and the DuckDB oracle.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)).toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, ws) <- docs; i <- 0 to ws.length - 5)
+      gramDocs.getOrElseUpdate(ws.slice(i, i + 5).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    var anyCovered = false
+    for ((id, ws) <- docs) {
+      val cov = scala.collection.mutable.Set.empty[Int]
+      for (i <- 0 to ws.length - 5
+           if gramDocs(ws.slice(i, i + 5).mkString(" ")).size >= 2)
+        cov ++= (i until i + 5)
+      assert(byId(id).getLong(1) == ws.length, s"doc $id n_tokens")
+      assert(byId(id).getLong(2) == cov.size,
+        s"doc $id covered ${byId(id).getLong(2)} != recomputed ${cov.size}")
+      if (cov.nonEmpty) anyCovered = true
+    }
+    assert(anyCovered, "fixture has no duplicated spans at all — gate is vacuous")
+  }
+
+  test("q141 DSIR weights separate the target slice from the rest") {
+    import org.apache.spark.sql.functions.col
+    val w = SparkEntry.queries("q141_dsir_weights")(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    // joined columns: doc_id, n_grams, log_weight, lang
+    val byLang = w.join(docs, "doc_id").collect()
+      .groupBy(_.getString(3))
+      .map { case (lang, rs) =>
+        lang -> rs.map(_.getDouble(2)).sum / rs.length
+      }
+    // Every document scored.
+    assert(byLang.values.nonEmpty && w.count() == docs.count())
+    // The importance weight must rank the target language strictly above
+    // every non-target language on average — the property DSIR's
+    // resampling step depends on.
+    val en = byLang("en")
+    byLang.filterNot(_._1 == "en").foreach { case (lang, avg) =>
+      assert(en > avg + 0.1, s"target en ($en) not separated from $lang ($avg)")
+    }
+  }
+
   test("q122 Zipf slopes are negative on natural-ish fixture text") {
     val rows = SparkEntry.queries("q122_zipf_slope")(spark, sf0001).collect()
     assert(rows.nonEmpty)
