@@ -795,46 +795,94 @@ object TextQueries {
     // the whole training against an independent in-memory reference BPE.
     "q135_bpe_merges" -> { (s, dir) =>
       import s.implicits._
-      val words0 = t(s, dir, "documents").filter($"text".isNotNull)
-        .select(explode(split(lower($"text"), " ")).as("w"))
-        .filter(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("wc"))
-        .as[(String, Long)]
-        .map { case (w, c) => (w.map(_.toString) :+ "</w>", c) }
-        .toDF("syms", "wc")
-      var words = Pin(words0)
-      val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-      var r = 0
-      var exhausted = false
-      while (r < BpeRounds && !exhausted) {
-        // Adjacent pairs (overlapping, per position — the classic
-        // get_stats) over the histogram; the HOF lambda runs interpreted
-        // but only across vocabulary rows, not corpus rows.
-        val best = words
-          .select($"wc", explode(expr(
-            "transform(slice(syms, 1, size(syms) - 1), " +
-              "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))")).as("p"))
-          .groupBy($"p.l".as("l"), $"p.r".as("r"))
-          .agg(sum($"wc").as("cnt"))
-          .orderBy($"cnt".desc, $"l".asc, $"r".asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (l, rr, cnt) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((r + 1L, l, rr, cnt))
-          words = Pin(words.as[(Seq[String], Long)]
-            .map { case (syms, c) => (bpeMergeOnce(syms, l, rr), c) }
-            .toDF("syms", "wc"))
-          r += 1
-        }
-      }
-      merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      bpeTrainedMerges(s, dir).toDF("rank", "left", "right", "pair_count")
         .select($"rank", $"left", $"right",
           concat($"left", $"right").as("merged"), $"pair_count")
         .orderBy($"rank")
+    },
+
+    // BPE tokenization with the q135-trained merges — the APPLY side of
+    // the pair: per-document BPE unit counts (incl. the </w> marker) and
+    // the units-per-word compression the merges buy. The scale insight:
+    // tokenize the VOCABULARY, not the corpus — the iterative merge
+    // replay runs once per distinct word (typed map over the vocab
+    // frame, merge list broadcast), and per-doc counts come from joining
+    // the (doc, word, count) aggregate against that vocab-granularity
+    // length table. A 100 TB corpus re-tokenizes by streaming its word
+    // histogram through the same join; if the vocabulary outgrows the
+    // broadcast budget, the join degrades to a shuffle at vocab
+    // granularity — never token granularity. Rows-only like q135
+    // (iterative training isn't ANSI SQL); QueriesSpec recomputes every
+    // document's count against an independent driver-side BPE.
+    "q145_bpe_tokenize" -> { (s, dir) =>
+      import s.implicits._
+      val merges = bpeTrainedMerges(s, dir).map(m => (m._2, m._3))
+      val bm = s.sparkContext.broadcast(merges)
+      val docWords = Pin.lazily(t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c")))
+      val vocab = docWords.select($"w").distinct()
+        .as[String]
+        .map { w =>
+          val syms = bm.value.foldLeft[Seq[String]](w.map(_.toString) :+ "</w>") {
+            case (sy, (l, r)) => bpeMergeOnce(sy, l, r)
+          }
+          (w, syms.length.toLong)
+        }.toDF("w", "bpe_len")
+      docWords.join(broadcast(vocab), "w")
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_ws_tokens"),
+          sum($"c" * $"bpe_len").as("n_bpe_units"))
+        .withColumn("units_per_word", round($"n_bpe_units" / $"n_ws_tokens", 6))
+        .orderBy($"doc_id")
     }
   )
+
+  /** q135's training loop, shared with q145's apply side: BpeRounds of
+    * (best adjacent pair by histogram count, ties by symbol order) →
+    * merge replay over the vocabulary histogram. Returns (rank, left,
+    * right, pair_count) in training order. All iteration state is
+    * vocabulary-granularity; only 1-row argmaxes reach the driver. */
+  private[graft] def bpeTrainedMerges(
+      s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    import s.implicits._
+    val words0 = t(s, dir, "documents").filter($"text".isNotNull)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString) :+ "</w>", c) }
+      .toDF("syms", "wc")
+    var words = Pin(words0)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < BpeRounds && !exhausted) {
+      // Adjacent pairs (overlapping, per position — the classic
+      // get_stats) over the histogram; the HOF lambda runs interpreted
+      // but only across vocabulary rows, not corpus rows.
+      val best = words
+        .select($"wc", explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"wc").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r + 1L, l, rr, cnt))
+        words = Pin(words.as[(Seq[String], Long)]
+          .map { case (syms, c) => (bpeMergeOnce(syms, l, rr), c) }
+          .toDF("syms", "wc"))
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
 
   /** One BPE merge pass: replace adjacent (l, r) with l+r, leftmost-first,
     * skipping past each merge (so "aaa" under (a,a) → ["aa","a"]) — the

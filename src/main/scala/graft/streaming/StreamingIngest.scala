@@ -486,4 +486,57 @@ object StreamingIngest {
           Iterator.single(next)
       }
   }
+
+  /** Emitted by [[ttlDedupGate]] for each batch a key appears in. */
+  final case class FirstSeen(key: String, emitted: Boolean, suppressed: Long)
+
+  /** [[ttlDedupGate]]'s processor — Spark 4's `transformWithState` API
+    * (the successor to flatMapGroupsWithState): typed state variables
+    * created against a handle, with DECLARATIVE per-state TTL — the
+    * store evicts expired entries itself, so the dedup horizon is
+    * bounded without the manual timeout bookkeeping funnelStages does.
+    * Requires the RocksDB state store provider (bundled with Spark);
+    * state is checkpointed and key-partitioned like any other store. */
+  private final class FirstSeenProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, String, FirstSeen] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+                                 timerValues: TimerValues): Iterator[FirstSeen] = {
+      val n = rows.size.toLong
+      if (seen.exists()) Iterator.single(FirstSeen(key, emitted = false, n))
+      else {
+        seen.update(true)
+        Iterator.single(FirstSeen(key, emitted = true, n - 1))
+      }
+    }
+  }
+
+  /**
+   * Streaming first-occurrence gate with a bounded memory horizon: the
+   * first time a key arrives (within the TTL) it is emitted; repeats are
+   * suppressed and counted. The streaming face of exact dedup (q30) for
+   * an UNBOUNDED stream — `dropDuplicatesWithinWatermark` bounds its
+   * state by event-time watermark; this bounds it by state TTL instead,
+   * which also works for keys that carry no event time at all (content
+   * digests). At scale the state store shards by key exactly like a
+   * shuffle, and TTL eviction keeps each shard's footprint proportional
+   * to the distinct-key arrival rate × horizon, not stream length.
+   */
+  def ttlDedupGate(spark: SparkSession, events: DataFrame, keyCol: String,
+                   ttl: java.time.Duration): Dataset[FirstSeen] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.select(col(keyCol).cast("string").as("k")).as[String]
+      .groupByKey(identity)
+      // TTL state requires TimeMode.ProcessingTime (expiry is judged
+      // against the batch's processing clock).
+      .transformWithState(new FirstSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }

@@ -70,6 +70,47 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(got.length === 10, "fixture should sustain 10 merge rounds")
   }
 
+  test("q145 BPE tokenization equals a driver-side reference apply (exhaustive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val merges = graft.ops.TextQueries.queries("q135_bpe_merges")(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    def applyBpe(w: String): Int = {
+      var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.length
+    }
+    val want = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val ws = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        id -> ((ws.length.toLong, ws.map(w => applyBpe(w).toLong).sum))
+      }.toMap
+    val got = SparkEntry.queries("q145_bpe_tokenize")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (nws, nbpe)) =>
+      assert(got(id) === ((nws, nbpe)), s"doc $id: got ${got(id)} want ($nws, $nbpe)")
+    }
+    // Merges strictly compress: fewer units than raw chars+markers.
+    val rawUnits = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (_, t) =>
+        t.toLowerCase.split(" ", -1).filter(_.nonEmpty).map(_.length + 1L).sum }.sum
+    assert(got.values.map(_._2).sum < rawUnits, "BPE merges did not compress")
+  }
+
   test("approx percentiles track the exact ones within sketch tolerance") {
     def byType(name: String) =
       SparkEntry.queries(name)(spark, sf0001).collect()

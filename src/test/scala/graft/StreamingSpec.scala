@@ -397,4 +397,52 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(written.count() === 4)
     assert(written.columns.contains("jobType") && written.columns.contains("ingest_date"))
   }
+
+  test("transformWithState TTL dedup gate emits each key once, suppresses repeats") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState mandates the RocksDB state store; scope the
+    // provider switch to this query so the other suites keep the default.
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(java.sql.Timestamp, String)]
+      val df = ms.toDF().toDF("ts", "k")
+      val q = StreamingIngest
+        .ttlDedupGate(spark, df, "k", java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("ttl_dedup")
+        .option("checkpointLocation", tmp("graft-ttl-ckpt"))
+        .outputMode("append").start()
+      // TimeMode.ProcessingTime keeps scheduling batches for TTL
+      // bookkeeping, so processAllAvailable() never observes a drained
+      // stream — poll the sink for the expected row count instead.
+      def sinkRows(atLeast: Int): Set[(String, Boolean, Long)] = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var rows = Array.empty[(String, Boolean, Long)]
+        while (rows.length < atLeast && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          rows = spark.sql("SELECT key, emitted, suppressed FROM ttl_dedup")
+            .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+        }
+        rows.toSet
+      }
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      ms.addData((t0, "a"), (t0, "a"), (t0, "b"))
+      // a: first occurrence emitted, one in-batch repeat suppressed; b: clean.
+      assert(sinkRows(2) === Set(("a", true, 1L), ("b", true, 0L)))
+      ms.addData((t0, "a"), (t0, "c"))
+      val all = sinkRows(4)
+      q.stop()
+      // a's second batch is fully suppressed by the carried state.
+      assert(all === Set(("a", true, 1L), ("b", true, 0L),
+        ("a", false, 1L), ("c", true, 0L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
