@@ -1362,6 +1362,79 @@ object CoreQueries {
           $"linear_rev", $"n_conversions")
         .union(direct)
         .orderBy($"event_type")
+    },
+
+    // Two-sample Kolmogorov–Smirnov drift statistic, each event type's
+    // value distribution vs the REST of the corpus — the exact-statistic
+    // companion to q136's binned PSI. The core is kept in EXACT integers
+    // (q98's discipline): D's numerator is max |cum_t·n_rest −
+    // cum_rest·n_t| over pooled distinct values, so both engines compute
+    // identical longs and the single final division of exact integers is
+    // bit-identical double — no ROUND needed anywhere.
+    //
+    // Scale shape: one (type, value) aggregate over the scan, a distinct-
+    // value spine crossed with the |T|=5 type labels (grid = |T| ×
+    // distinct values), and a cumulative window PARTITIONED BY TYPE. At
+    // corpus scale a per-type partition is the whole value domain — the
+    // deployment swap is the q134 equi-depth spine (KS on binned ECDFs,
+    // error ≤ 1/bins) or GlobalRank's two-pass rank; the fixture computes
+    // the exact statistic.
+    "q146_ks_drift" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val tv = ev.groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
+      val vals = Pin.lazily(tv.groupBy($"value").agg(sum($"c").as("cv")))
+      val types = ev.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+      val total = ev.agg(count(lit(1)).as("n")).select($"n")
+      val grid = vals.crossJoin(broadcast(types.select($"event_type")))
+        .join(tv, Seq("event_type", "value"), "left")
+        .na.fill(0L, Seq("c"))
+      val cw = Window.partitionBy($"event_type").orderBy($"value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_t", sum($"c").over(cw))
+        .withColumn("cum_all", sum($"cv").over(cw))
+        .join(broadcast(types), "event_type")
+        .crossJoin(broadcast(total))
+        .groupBy($"event_type", $"n_t", $"n")
+        .agg(max(abs($"cum_t" * ($"n" - $"n_t") - ($"cum_all" - $"cum_t") * $"n_t"))
+          .as("d_num"))
+        .select($"event_type", $"n_t",
+          ($"n" - $"n_t").as("n_rest"), $"d_num",
+          ($"d_num".cast("double") / ($"n_t" * ($"n" - $"n_t")).cast("double")).as("ks"))
+        .orderBy($"event_type")
+    },
+
+    // Weighted median (smallest value whose cumulative weight reaches
+    // half the group total) of line unit price per supplier nation,
+    // weighted by quantity — the order-statistic that q26's unweighted
+    // percentiles can't express when rows carry multiplicity. Selection,
+    // not aggregation: the output value is an EXISTING double, and the
+    // reach-half test is the exact-integer comparison 2·cum ≥ total, so
+    // nothing floats cross-engine. Dim joins broadcast; the cumulative
+    // window partitions by nation.
+    "q147_weighted_median_price" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_extendedprice".as("price"),
+          $"l_quantity".cast("long").as("w"))
+      val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      val nat = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+      val rows = li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", $"price").agg(sum($"w").as("pw"))
+      val nw = Window.partitionBy($"n_name").orderBy($"price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rows.groupBy($"n_name")
+        .agg(sum($"pw").as("tw"), count(lit(1)).as("n_prices"))
+      rows.withColumn("cum", sum($"pw").over(nw))
+        .join(broadcast(tot), "n_name")
+        .filter($"cum" * 2 >= $"tw")
+        .groupBy($"n_name", $"tw", $"n_prices")
+        .agg(min($"price").as("weighted_median_price"))
+        .select($"n_name", $"n_prices", $"tw".as("total_weight"),
+          $"weighted_median_price")
+        .orderBy($"n_name")
     }
   )
 
@@ -2138,6 +2211,55 @@ object CoreQueries {
          |    ON p.user_id = u.user_id AND p.sess_seq = u.sess_seq AND p.pid = u.pid
          |  WHERE u.pid IS NULL
          |  HAVING COUNT(*) > 0)
-         |SELECT * FROM m UNION ALL SELECT * FROM d ORDER BY event_type""".stripMargin
+         |SELECT * FROM m UNION ALL SELECT * FROM d ORDER BY event_type""".stripMargin,
+
+    // Identical exact-integer core: the D numerator is a max over BIGINT
+    // products, the only division is exact-int/exact-int at the end.
+    "q146_ks_drift" ->
+      """WITH tv AS (SELECT event_type, value, COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |vals AS (SELECT value, CAST(SUM(c) AS BIGINT) AS cv FROM tv GROUP BY value),
+        |ty AS (SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM events),
+        |grid AS (
+        |  SELECT t.event_type, v.value, v.cv, COALESCE(tv.c, 0) AS c
+        |  FROM vals v CROSS JOIN (SELECT event_type FROM ty) t
+        |  LEFT JOIN tv ON tv.event_type = t.event_type AND tv.value = v.value),
+        |cum AS (
+        |  SELECT event_type, value,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS cum_t,
+        |    CAST(SUM(cv) OVER w AS BIGINT) AS cum_all
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING))
+        |SELECT c.event_type, ty.n_t, tot.n - ty.n_t AS n_rest,
+        |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS BIGINT) AS d_num,
+        |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS DOUBLE)
+        |    / CAST(ty.n_t * (tot.n - ty.n_t) AS DOUBLE) AS ks
+        |FROM cum c JOIN ty USING (event_type) CROSS JOIN tot
+        |GROUP BY c.event_type, ty.n_t, tot.n
+        |ORDER BY event_type""".stripMargin,
+
+    // Selection-not-aggregation: the output price is an existing double;
+    // the reach-half rule is the exact-integer 2·cum ≥ total. The
+    // double→BIGINT quantity cast is safe: quantities are integral.
+    "q147_weighted_median_price" ->
+      """WITH r AS (
+        |  SELECT n.n_name, l.l_extendedprice AS price,
+        |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS pw
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, l.l_extendedprice),
+        |t AS (SELECT n_name, CAST(SUM(pw) AS BIGINT) AS tw, COUNT(*) AS n_prices
+        |      FROM r GROUP BY n_name),
+        |c AS (SELECT n_name, price, pw,
+        |        CAST(SUM(pw) OVER (PARTITION BY n_name ORDER BY price
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM r)
+        |SELECT c.n_name, t.n_prices, t.tw AS total_weight,
+        |  MIN(c.price) AS weighted_median_price
+        |FROM c JOIN t USING (n_name)
+        |WHERE c.cum * 2 >= t.tw
+        |GROUP BY c.n_name, t.n_prices, t.tw
+        |ORDER BY c.n_name""".stripMargin
   )
 }

@@ -222,6 +222,64 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q146 KS and q147 weighted median equal exhaustive driver recomputes") {
+    import org.apache.spark.sql.functions.col
+    // KS: per type vs rest, exact-integer numerator at pooled points.
+    def ub(sorted: Array[Double], v: Double): Long = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo.toLong
+    }
+    val evs = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val gotKs = SparkEntry.queries("q146_ks_drift")(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    evs.map(_._1).distinct.foreach { t =>
+      val a = evs.filter(_._1 == t).map(_._2).sorted
+      val b = evs.filter(_._1 != t).map(_._2).sorted
+      val pool = (a ++ b).distinct.sorted
+      var dnum = 0L
+      pool.foreach { v =>
+        dnum = math.max(dnum,
+          math.abs(ub(a, v) * b.length - ub(b, v) * a.length))
+      }
+      val want = (a.length.toLong, b.length.toLong, dnum,
+        dnum.toDouble / (a.length.toLong * b.length))
+      assert(gotKs(t) === want, s"KS for $t: got ${gotKs(t)} want $want")
+    }
+    // Weighted median: reach-half over per-nation (price, Σquantity).
+    val supNat = {
+      val nat = spark.read.parquet(s"$sf0001/nation.parquet")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      spark.read.parquet(s"$sf0001/supplier.parquet")
+        .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long")).collect()
+        .map(r => r.getLong(0) -> nat(r.getLong(1))).toMap
+    }
+    val byNation = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (supNat(r.getLong(0)), r.getDouble(1), r.getDouble(2).toLong))
+      .groupBy(_._1)
+    val gotWm = SparkEntry.queries("q147_weighted_median_price")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    byNation.foreach { case (nation, rows) =>
+      val pw = rows.groupBy(_._2).map { case (p, rs) => p -> rs.map(_._3).sum }
+        .toArray.sortBy(_._1)
+      val tw = pw.map(_._2).sum
+      var cum = 0L
+      val med = pw.find { case (_, w) => cum += w; cum * 2 >= tw }.get._1
+      assert(gotWm(nation) === ((pw.length.toLong, tw, med)),
+        s"$nation: got ${gotWm(nation)} want (${pw.length}, $tw, $med)")
+    }
+    assert(gotWm.keySet === byNation.keySet)
+  }
+
   test("q144 attribution books balance under every model") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q144_revenue_attribution")(spark, sf0001).collect()
