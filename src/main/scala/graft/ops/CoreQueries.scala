@@ -1435,6 +1435,49 @@ object CoreQueries {
         .select($"n_name", $"n_prices", $"tw".as("total_weight"),
           $"weighted_median_price")
         .orderBy($"n_name")
+    },
+
+    // Schema INFERENCE for semi-structured columns — q106 shreds with a
+    // hand-written schema; this derives it with schema_of_json from a
+    // deterministic sample (the lexicographic min — one control-plane
+    // row), then shreds the column with the inferred DDL. The pattern a
+    // pipeline uses the day a new feed's props shape is unknown. The
+    // inferred DDL is emitted as a column: the oracle pins it literally,
+    // so a fixture drop whose props change shape fails LOUDLY here.
+    "q148_props_schema_infer" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val sample = ev.agg(min($"props")).collect()(0).getString(0)
+      val ddl = ev.sparkSession.range(1)
+        .select(schema_of_json(lit(sample)).as("s")).collect()(0).getString(0)
+      ev.select($"event_type",
+          from_json($"props", ddl, Map.empty[String, String]).as("p"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"p.k").as("sum_k"))
+        .withColumn("inferred_schema", lit(ddl))
+        .select($"event_type", $"inferred_schema", $"n", $"sum_k")
+        .orderBy($"event_type")
+    },
+
+    // Map-assembly face of the pivot (q27): per-day type counts built
+    // into a MAP column via map_from_entries (completing SURVEY §2.F's
+    // map surface), then extracted with element_at. The map stays
+    // internal — output columns are plain longs, so the oracle is the
+    // conditional-count formulation.
+    "q149_daily_type_map" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"day")
+        .agg(map_from_entries(sort_array(collect_list(struct($"event_type", $"n"))))
+          .as("m"))
+        .select($"day",
+          size(map_keys($"m")).cast("long").as("n_types"),
+          coalesce(element_at($"m", "click"), lit(0L)).as("n_click"),
+          coalesce(element_at($"m", "purchase"), lit(0L)).as("n_purchase"),
+          coalesce(element_at($"m", "view"), lit(0L)).as("n_view"))
+        .orderBy($"day")
     }
   )
 
@@ -2237,6 +2280,23 @@ object CoreQueries {
         |FROM cum c JOIN ty USING (event_type) CROSS JOIN tot
         |GROUP BY c.event_type, ty.n_t, tot.n
         |ORDER BY event_type""".stripMargin,
+
+    // The inferred-DDL literal is the CONTRACT: if a regenerated fixture
+    // changes the props shape, Spark infers something else and this
+    // hash-mismatches loudly instead of silently shredding nulls.
+    "q148_props_schema_infer" ->
+      """SELECT event_type, 'STRUCT<k: BIGINT>' AS inferred_schema,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q149_daily_type_map" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     // Selection-not-aggregation: the output price is an existing double;
     // the reach-half rule is the exact-integer 2·cum ≥ total. The
