@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -482,6 +482,58 @@ object SimilarityQueries {
           .reduce(_ + _), 6) + lit(0d)).as(s"pc$k")
       }
       embs(s, dir).select(($"vec_id" +: pcs): _*).orderBy($"vec_id")
+    },
+
+    // PCA compression audit — the sizing curve for embedding compression
+    // decisions: for each k ≤ PcaK, the MEASURED mean squared
+    // reconstruction error of projecting onto the top-k components,
+    // next to the THEORETICAL value (Σ_{j>k} λⱼ — the eigenvalue tail).
+    // The two columns cross-check each other: a drifting eigensolve, a
+    // mis-centered projection, or a wrong component order shows up as
+    // measured ≠ theory (VectorSpec pins their agreement; the query is
+    // its own audit). One distributed pass per audit: the residual
+    // ‖x − μ − Σₖ⟨x−μ,vₖ⟩vₖ‖² expands to ‖x−μ‖² − Σₖ⟨x−μ,vₖ⟩², so the
+    // scan computes k+1 codegen'd dot products per row — no
+    // reconstruction materialized, no second join.
+    "q150_pca_reconstruction" -> { (s, dir) =>
+      import s.implicits._
+      val d = EmbDim
+      val rows = coMoments(s, dir).collect()
+      val sx = Array.ofDim[Double](d)
+      val cov = Array.ofDim[Double](d, d)
+      var n = 0L
+      rows.foreach { r =>
+        val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+        n = r.getLong(2)
+        if (i == j) sx(i) = r.getDouble(3)
+        val c = (r.getDouble(5) - r.getDouble(3) * r.getDouble(4) / n) / (n - 1)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      val mu = sx.map(_ / n)
+      val (lam, vecs) = Eigen.symmetric(cov)
+      def dotSq(v: Array[Double]): Column = {
+        val p = (0 until d).map(i => ($"emb".getItem(i) - lit(mu(i))) * lit(v(i)))
+          .reduce(_ + _)
+        p * p
+      }
+      val centeredSq: Column =
+        (0 until d).map(i => ($"emb".getItem(i) - lit(mu(i))) *
+          ($"emb".getItem(i) - lit(mu(i)))).reduce(_ + _)
+      val proj = embs(s, dir).select(
+        (centeredSq.as("c2") +: (0 until PcaK).map(k => dotSq(vecs(k)).as(s"p$k"))): _*)
+      val agg = proj.agg(avg($"c2").as("c2m"),
+        (0 until PcaK).map(k => avg(col(s"p$k")).as(s"a$k")): _*).collect()(0)
+      val c2 = agg.getDouble(0)
+      // Sample-vs-population: eigenvalues come from the (n−1)-divisor
+      // covariance; the measured means divide by n — rescale once.
+      val f = (n - 1).toDouble / n
+      val out = (1 to PcaK).map { k =>
+        val measured = c2 - (1 to k).map(j => agg.getDouble(j)).sum
+        val theory = f * lam.drop(k).sum
+        (k.toLong, math.rint(measured * 1e6) / 1e6 + 0.0,
+          math.rint(theory * 1e6) / 1e6 + 0.0)
+      }
+      out.toDF("k", "measured_mse", "theory_mse").orderBy($"k")
     },
 
     // Label-centroid silhouette — embedding-space quality audit of the

@@ -57,6 +57,43 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"split assignment must not shuffle: $p")
   }
 
+  test("runtime Bloom-filter join pruning engages on a selective fact join") {
+    // The 100 TB lever AQE adds on top of static pushdown: a selective
+    // dim-side predicate materializes a Bloom filter that prunes the fact
+    // scan at RUNTIME. Size thresholds gate it off at fixture scale, so
+    // this pins the MECHANISM with thresholds lowered, proving the plans
+    // this library emits are runtime-filterable (equi-join on a plain
+    // column reference) — the property that matters on a real cluster.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be UNDER this (it's a max), application side
+      // OVER that (it's a min) — shaped here to mimic dim≪fact at scale
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only injects into SHUFFLE joins — at fixture scale the
+      // dim side would broadcast, so disable auto-broadcast like a
+      // fact×fact join at cluster scale
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val o = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_orderdate") < lit("1993-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"))
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val q = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy().sum("l_quantity")
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        s"runtime bloom filter did not engage:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("SQL face: spark.sql over registered views matches the DataFrame query") {
     val viaSql = graft.ops.Views.sql(spark, sf0001,
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n

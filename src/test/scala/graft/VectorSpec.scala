@@ -344,6 +344,21 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q150: measured reconstruction MSE equals the eigenvalue-tail theory, strictly decreasing") {
+    val rows = graft.SparkEntry.queries("q150_pca_reconstruction")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to graft.ops.SimilarityQueries.PcaK).toSeq)
+    rows.foreach { case (k, measured, theory) =>
+      // The expansion identity ‖x−μ‖² − Σ⟨x−μ,vₖ⟩² ≡ Σ_{j>k} λⱼ·(n−1)/n
+      // holds to the 1e-6 output grain — one grain of slack for the two
+      // independent roundings.
+      assert(math.abs(measured - theory) <= 2e-6, s"k=$k: $measured vs $theory")
+    }
+    rows.sliding(2).foreach { case Array((_, m1, _), (_, m2, _)) =>
+      assert(m2 < m1, "reconstruction error must decrease with k")
+    }
+  }
+
   test("q140: coordinate variance ≈ eigenvalue, mean ≈ 0, deterministic") {
     val run1 = graft.SparkEntry.queries("q140_pca_project")(spark, sf0001)
       .collect().map(_.toSeq)
