@@ -517,6 +517,84 @@ object StreamingIngest {
     }
   }
 
+  /** Accumulating session state for [[sessionCloseGate]]. */
+  final case class SessAcc(startMs: Long, endMs: Long, n: Long)
+
+  /** Emitted by [[sessionCloseGate]] when the watermark passes a
+    * session's inactivity gap. */
+  final case class ClosedSession(key: String, startMs: Long, endMs: Long, nEvents: Long)
+
+  /** [[sessionCloseGate]]'s processor — the TIMER face of
+    * transformWithState: per-key EVENT-TIME timers fire when the
+    * watermark passes sessionEnd + gap, finalizing the session exactly
+    * once. session_window (q127 / sessionCounts) aggregates; this is the
+    * arbitrary-state form for when the close must run custom logic
+    * (ledger append, notification, downstream handoff). Stale timers
+    * (from a session later extended) are detected by re-checking the
+    * CURRENT state's deadline at expiry. */
+  private final class SessionCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[SessAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessAcc]("sess",
+        org.apache.spark.sql.Encoders.product[SessAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[ClosedSession] = {
+      var lo = Long.MaxValue; var hi = Long.MinValue; var n = 0L
+      rows.foreach { case (_, ms) =>
+        if (ms < lo) lo = ms
+        if (ms > hi) hi = ms
+        n += 1
+      }
+      val prev = if (sess.exists()) sess.get() else SessAcc(lo, hi, 0L)
+      val next = SessAcc(math.min(prev.startMs, lo), math.max(prev.endMs, hi), prev.n + n)
+      sess.update(next)
+      getHandle.registerTimer(next.endMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val st = sess.get()
+        // A timer registered before the session was extended fires early:
+        // the CURRENT deadline is the truth.
+        if (expiredTimerInfo.getExpiryTimeInMs() >= st.endMs + gapMs) {
+          sess.clear()
+          Iterator.single(ClosedSession(key, st.startMs, st.endMs, st.n))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /**
+   * Event-time session finalization with timers: events accumulate into
+   * per-key session state; when the WATERMARK passes last-event + gap,
+   * the timer fires and the closed session is emitted exactly once.
+   * Emission is driven by stream progress, not by new data for the key —
+   * the semantics a ledger/handoff close-out needs (a key that goes
+   * silent still closes). Input needs a watermarked event-time column;
+   * state and timers shard by key like any shuffle.
+   */
+  def sessionCloseGate(spark: SparkSession, events: DataFrame, tsCol: String,
+                       keyCol: String, gapMs: Long,
+                       watermark: String): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"),
+        unix_millis(col(tsCol)).as("ms"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /**
    * Streaming first-occurrence gate with a bounded memory horizon: the
    * first time a key arrives (within the TTL) it is emitted; repeats are

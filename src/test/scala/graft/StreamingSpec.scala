@@ -398,6 +398,55 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(written.columns.contains("jobType") && written.columns.contains("ingest_date"))
   }
 
+  test("transformWithState event-time timers close sessions when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(java.sql.Timestamp, String)]
+      val df = ms.toDF().toDF("ts", "k")
+      val q = StreamingIngest
+        .sessionCloseGate(spark, df, "ts", "k", gapMs = 300000L, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("closed_sessions")
+        .option("checkpointLocation", tmp("graft-sess-close-ckpt"))
+        .outputMode("append").start()
+      def closed(atLeast: Int): Set[(String, Long, Long, Long)] = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var rows = Array.empty[(String, Long, Long, Long)]
+        while (rows.length < atLeast && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          rows = spark.sql("SELECT key, startMs, endMs, nEvents FROM closed_sessions")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        rows.toSet
+      }
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // Two events for u1 within the gap: one open session, nothing closes
+      // (watermark sits at the max event time, before the gap deadline).
+      ms.addData((ts("2024-01-01 00:00:00"), "u1"), (ts("2024-01-01 00:02:00"), "u1"))
+      Thread.sleep(3000)
+      assert(closed(0).isEmpty, "session must stay open until the watermark passes the gap")
+      // u2 at 00:10 advances the watermark past u1's 00:02 + 5m deadline:
+      // the timer fires and u1's session closes with BOTH events.
+      ms.addData((ts("2024-01-01 00:10:00"), "u2"))
+      val first = closed(1)
+      val base = ts("2024-01-01 00:00:00").getTime
+      assert(first === Set(("u1", base, base + 120000L, 2L)))
+      // Advancing far again closes u2's one-event session.
+      ms.addData((ts("2024-01-01 01:00:00"), "u3"))
+      assert(closed(2).contains(("u2", base + 600000L, base + 600000L, 1L)))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("transformWithState TTL dedup gate emits each key once, suppresses repeats") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
