@@ -1459,6 +1459,49 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Binned two-sample KS — the 100 TB path q146's doc promises: the
+    // same exact-integer D, computed on GLOBAL equi-depth decile bins
+    // (q134's edge machinery) instead of the raw value spine. State is
+    // bounded everywhere — one percentile aggregate for the edges, nine
+    // codegen'd comparisons to bin, a |T|×10 control grid for the
+    // cumulative — so the plan survives any corpus size; the price is
+    // D_binned ≤ D_exact with error at most the largest bin share
+    // (QueriesSpec pins both bounds against q146).
+    "q151_ks_binned" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).filter($"value".isNotNull)
+        .select($"event_type", $"value")
+      val qs = (1 to 9).map(_ / 10.0)
+      val edges = ev.agg(expr(s"percentile(value, array(${qs.mkString(", ")}))").as("es"))
+        .select((0 until 9).map(i =>
+          round(element_at($"es", i + 1), 6).as(s"e$i")): _*)
+      val binned = Pin.lazily(ev.crossJoin(broadcast(edges))
+        .withColumn("bin", (0 until 9).map(i =>
+          when($"value" >= col(s"e$i"), 1L).otherwise(0L)).reduce(_ + _))
+        .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c")))
+      val types = binned.groupBy($"event_type").agg(sum($"c").as("n_t"))
+      val perBin = binned.groupBy($"bin").agg(sum($"c").as("cb"))
+      val total = binned.agg(sum($"c").as("n"))
+      val grid = s.range(0, 10).select($"id".as("bin"))
+        .crossJoin(broadcast(types.select($"event_type")))
+        .join(binned, Seq("event_type", "bin"), "left").na.fill(0L, Seq("c"))
+        .join(broadcast(perBin), Seq("bin"), "left").na.fill(0L, Seq("cb"))
+      val cw = Window.partitionBy($"event_type").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_t", sum($"c").over(cw))
+        .withColumn("cum_all", sum($"cb").over(cw))
+        .join(broadcast(types), "event_type")
+        .crossJoin(broadcast(total))
+        .groupBy($"event_type", $"n_t", $"n")
+        .agg(max(abs($"cum_t" * ($"n" - $"n_t") - ($"cum_all" - $"cum_t") * $"n_t"))
+          .as("d_num"))
+        .select($"event_type", $"n_t", ($"n" - $"n_t").as("n_rest"), $"d_num",
+          ($"d_num".cast("double") / ($"n_t" * ($"n" - $"n_t")).cast("double"))
+            .as("ks_binned"))
+        .orderBy($"event_type")
+    },
+
     // Map-assembly face of the pivot (q27): per-day type counts built
     // into a MAP column via map_from_entries (completing SURVEY §2.F's
     // map surface), then extracted with element_at. The map stays
@@ -2289,6 +2332,42 @@ object CoreQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same grid algebra as q146 over the ten global decile bins; edge
+    // derivation is q134's quantile_cont + ROUND recipe.
+    "q151_ks_binned" -> {
+      val edgeCols = (1 to 9).map(i =>
+        s"ROUND(quantile_cont(value, 0.$i), 6) AS e${i - 1}").mkString(", ")
+      val binExpr = (0 until 9).map(i =>
+        s"(CASE WHEN value >= e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |ed AS (SELECT $edgeCols FROM e),
+         |b AS (SELECT e.event_type, CAST($binExpr AS BIGINT) AS bin, COUNT(*) AS c
+         |      FROM e CROSS JOIN ed GROUP BY 1, 2),
+         |ty AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_t FROM b GROUP BY 1),
+         |pb AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
+         |grid AS (
+         |  SELECT t.event_type, g.g AS bin,
+         |    COALESCE(b.c, 0) AS c, COALESCE(pb.cb, 0) AS cb
+         |  FROM range(0, 10) g(g)
+         |  CROSS JOIN (SELECT event_type FROM ty) t
+         |  LEFT JOIN b ON b.event_type = t.event_type AND b.bin = g.g
+         |  LEFT JOIN pb ON pb.bin = g.g),
+         |cum AS (
+         |  SELECT event_type, bin,
+         |    CAST(SUM(c) OVER w AS BIGINT) AS cum_t,
+         |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_all
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING))
+         |SELECT c.event_type, ty.n_t, tot.n - ty.n_t AS n_rest,
+         |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS BIGINT) AS d_num,
+         |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS DOUBLE)
+         |    / CAST(ty.n_t * (tot.n - ty.n_t) AS DOUBLE) AS ks_binned
+         |FROM cum c JOIN ty USING (event_type) CROSS JOIN tot
+         |GROUP BY c.event_type, ty.n_t, tot.n
+         |ORDER BY event_type""".stripMargin
+    },
 
     "q149_daily_type_map" ->
       """SELECT CAST(ts AS DATE) AS day,

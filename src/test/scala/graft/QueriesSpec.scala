@@ -280,6 +280,21 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(gotWm.keySet === byNation.keySet)
   }
 
+  test("q151 binned KS lower-bounds q146's exact KS within the bin-share error") {
+    val exact = SparkEntry.queries("q146_ks_drift")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val binned = SparkEntry.queries("q151_ks_binned")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(binned.keySet === exact.keySet)
+    binned.foreach { case (t, b) =>
+      val e = exact(t)
+      // Coarsening can only lose mass; with ten equi-depth bins it loses
+      // at most roughly the largest pooled bin share.
+      assert(b >= 0.0 && b <= e + 1e-12, s"$t: binned $b above exact $e")
+      assert(e - b <= 0.2, s"$t: binned $b too far below exact $e")
+    }
+  }
+
   test("q144 attribution books balance under every model") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q144_revenue_attribution")(spark, sf0001).collect()
