@@ -171,4 +171,29 @@ object Layout {
     org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
     (before, parquetFiles(root))
   }
+
+  /**
+   * Idempotent partition rewrite — the daily-rerun story for a
+   * date-partitioned lake layout (ingest/FeedIngest's D4 directories):
+   * `partitionOverwriteMode=dynamic` replaces ONLY the partitions present
+   * in the incoming frame and leaves every other partition untouched, so
+   * re-running a day after a partial failure converges to the same state
+   * instead of truncating the table (static overwrite) or duplicating
+   * rows (append). The reference replays a day by job-ledger continuation
+   * (ua2sql.py:165–176); this is the lake-side equivalent when the sink
+   * is parquet rather than PostgreSQL. Scoped to this one write — the
+   * session conf is restored, because dynamic mode silently changes the
+   * semantics of every other overwrite in the process.
+   */
+  def overwritePartitions(df: DataFrame, root: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -175,4 +175,29 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(dir).count() === n)
     assert(!java.nio.file.Files.exists(bak))
   }
+
+  test("dynamic partition overwrite replaces only the incoming day; reruns are idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val twoDays = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0)).toDF("id", "day", "v")
+    Layout.overwritePartitions(twoDays, dir, "day")
+    // Re-run day 1 with corrected rows: day 2 must be untouched.
+    val day1Fixed = Seq((1L, "2024-01-01", 11.0), (4L, "2024-01-01", 40.0))
+      .toDF("id", "day", "v")
+    Layout.overwritePartitions(day1Fixed, dir, "day")
+    val got = spark.read.parquet(dir)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "2024-01-01", 11.0), (4L, "2024-01-01", 40.0),
+      (3L, "2024-01-02", 30.0)))
+    // Replaying the identical day converges to the same state (idempotent).
+    Layout.overwritePartitions(day1Fixed, dir, "day")
+    assert(spark.read.parquet(dir).count() === 3)
+    // session conf restored
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").isEmpty ||
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
