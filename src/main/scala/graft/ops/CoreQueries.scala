@@ -1502,6 +1502,34 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Winsorized (clipped) statistics — the robust-preprocessing step
+    // upstream of any mean-based feature: clip each type's values at its
+    // own exact p01/p99 (q134's edge recipe, rounded once and broadcast)
+    // and report the clipped mean next to the raw mean plus clip counts.
+    // Complements q114's MAD OUTLIER DETECTION: winsorization keeps the
+    // rows and tames the tails instead of flagging them. Same two-pass
+    // shape as q134/q136 — one percentile aggregate, then one pass where
+    // rows clip themselves via codegen comparisons.
+    "q152_winsorized_stats" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).filter($"value".isNotNull)
+        .select($"event_type", $"value")
+      val edges = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, array(0.01, 0.99))").as("es"))
+        .select($"event_type", round(element_at($"es", 1), 6).as("lo"),
+          round(element_at($"es", 2), 6).as("hi"))
+      ev.join(broadcast(edges), "event_type")
+        .withColumn("cv", when($"value" < $"lo", $"lo")
+          .when($"value" > $"hi", $"hi").otherwise($"value"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+          round(avg($"cv"), 6).as("winsorized_mean"),
+          round(avg($"value"), 6).as("raw_mean"))
+        .orderBy($"event_type")
+    },
+
     // Map-assembly face of the pivot (q27): per-day type counts built
     // into a MAP column via map_from_entries (completing SURVEY §2.F's
     // map surface), then extracted with element_at. The map stays
@@ -2368,6 +2396,25 @@ object CoreQueries {
          |GROUP BY c.event_type, ty.n_t, tot.n
          |ORDER BY event_type""".stripMargin
     },
+
+    // quantile_cont matches Spark's exact interpolated percentile; the
+    // single ROUND on each edge keeps the clip DECISIONS identical, and
+    // the clipped/raw means are plain double averages rounded once (q36's
+    // float-data policy).
+    "q152_winsorized_stats" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |ed AS (
+        |  SELECT event_type, ROUND(quantile_cont(value, 0.01), 6) AS lo,
+        |         ROUND(quantile_cont(value, 0.99), 6) AS hi
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  ROUND(AVG(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+        |            ELSE value END), 6) AS winsorized_mean,
+        |  ROUND(AVG(value), 6) AS raw_mean
+        |FROM e JOIN ed USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q149_daily_type_map" ->
       """SELECT CAST(ts AS DATE) AS day,

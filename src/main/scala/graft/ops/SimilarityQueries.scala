@@ -132,6 +132,12 @@ object SimilarityQueries {
   private val Cells = 16
   private val Probes = 6
 
+  /** q153 MMR geometry: pool of 20 relevance candidates per query, pick 5,
+    * λ = 0.7 relevance vs redundancy. */
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
   /** q130 PQ geometry: 16 subspaces of 4 dims (finer than the classic 8×8
     * split — at this fixture's weak-similarity margins the extra subspace
     * resolution is worth the 16- vs 8-byte code) and a 50-deep ADC
@@ -471,6 +477,69 @@ object SimilarityQueries {
           .reduce(_ + _), 6) + lit(0d)).as(s"pc$k")
       }
       embs(s, dir).select(($"vec_id" +: pcs): _*).orderBy($"vec_id")
+    },
+
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998 maximal
+    // marginal relevance): re-rank each query's neighbors to trade
+    // relevance against redundancy — score λ·cos(q,c) − (1−λ)·max_s
+    // cos(c,s) over already-picked s. The standard fix for ANN results
+    // that return five copies of the same near-duplicate document.
+    //
+    // Scale shape: relevance scoring + GroupTopK bound the candidate
+    // pool to MmrPool per query BEFORE anything quadratic happens; the
+    // greedy selection then runs per group over ≤ MmrPool rows inside
+    // mapGroups — bounded state, the (c, s) pairwise cosines never leave
+    // the task. Deterministic: argmax ties break to the lower vec_id and
+    // the pairwise cosine replays the codegen expression's fold order.
+    // Rows-only (greedy iteration isn't ANSI SQL); VectorSpec recomputes
+    // the whole pipeline exhaustively.
+    "q153_mmr_diversify" -> { (s, dir) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val e = embs(s, dir)
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"emb".as("q_emb"))
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("cos", VectorFunctions.cosine($"emb", $"q_emb"))
+      val pool = graft.plans.GroupTopK(scored, Seq($"query_id"),
+          Seq($"cos".desc, $"vec_id".asc), MmrPool)
+        .select($"query_id", $"vec_id", $"cos", $"emb")
+        .as[(Long, Long, Double, Seq[Double])]
+      pool.groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          val cands = it.map { case (_, id, cos, emb) => (id, cos, emb.toArray) }
+            .toArray.sortBy { case (id, cos, _) => (-cos, id) }
+          def fcos(a: Array[Double], b: Array[Double]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+            dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+          val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+          val pickedEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+          val used = Array.fill(cands.length)(false)
+          while (picked.length < MmrK && picked.length < cands.length) {
+            var best = -1; var bestScore = Double.NegativeInfinity
+            for (ci <- cands.indices if !used(ci)) {
+              val (_, cos, emb) = cands(ci)
+              val red = if (pickedEmb.isEmpty) 0.0
+                        else pickedEmb.map(p => fcos(emb, p)).max
+              val sc = MmrLambda * cos - (1 - MmrLambda) * red
+              if (sc > bestScore || (sc == bestScore && best >= 0 &&
+                  cands(ci)._1 < cands(best)._1)) {
+                best = ci; bestScore = sc
+              }
+            }
+            used(best) = true
+            picked += ((cands(best)._1, cands(best)._2, bestScore))
+            pickedEmb += cands(best)._3
+          }
+          picked.zipWithIndex.iterator.map { case ((id, cos, sc), i) =>
+            (qid, (i + 1).toLong, id,
+              math.rint(cos * 1e6) / 1e6 + 0.0, math.rint(sc * 1e6) / 1e6 + 0.0)
+          }
+        }
+        .toDF("query_id", "rank", "vec_id", "cos_sim", "mmr_score")
+        .orderBy($"query_id", $"rank")
     },
 
     // PCA compression audit — the sizing curve for embedding compression

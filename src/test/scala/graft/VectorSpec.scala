@@ -298,6 +298,55 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.toLowerCase.contains("array"))
   }
 
+  test("q153 MMR equals an exhaustive driver-side greedy recompute") {
+    import org.apache.spark.sql.functions.col
+    def bcos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val lambda = 0.7
+    val want = (0L until 10L).flatMap { qid =>
+      val cands = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, emb) => (id, bcos(emb, vecs(qid)), emb) }
+        .sortBy { case (id, cos, _) => (-cos, id) }.take(20).toArray
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+      val pickedEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val used = Array.fill(cands.length)(false)
+      while (picked.length < 5) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        for (ci <- cands.indices if !used(ci)) {
+          val (_, cos, emb) = cands(ci)
+          val red = if (pickedEmb.isEmpty) 0.0 else pickedEmb.map(p => bcos(emb, p)).max
+          val sc = lambda * cos - (1 - lambda) * red
+          if (sc > bestScore || (sc == bestScore && best >= 0 && cands(ci)._1 < cands(best)._1)) {
+            best = ci; bestScore = sc
+          }
+        }
+        used(best) = true
+        picked += ((qid, (picked.length + 1).toLong, cands(best)._1,
+          math.rint(cands(best)._2 * 1e6) / 1e6 + 0.0,
+          math.rint(bestScore * 1e6) / 1e6 + 0.0))
+        pickedEmb += cands(best)._3
+      }
+      picked
+    }.toSet
+    val got = graft.SparkEntry.queries("q153_mmr_diversify")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === want)
+    // Diversity actually engages: some query must have deferred a
+    // higher-cos candidate below a lower-cos one.
+    val reordered = got.groupBy(_._1).exists { case (_, rows) =>
+      val byRank = rows.toSeq.sortBy(_._2).map(_._4)
+      byRank.zip(byRank.tail).exists { case (a, b) => b > a }
+    }
+    assert(reordered, "MMR never reordered by redundancy — degenerate")
+  }
+
   // ---------------------------------------------------------------- PCA (q140)
 
   /** Fixture embeddings as driver-side arrays (500×64 at sf0.001 — spec
@@ -315,6 +364,40 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     Array.tabulate(d, d) { (i, j) =>
       vs.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / (n - 1)
     }
+  }
+
+  test("property: Jacobi eigensolve holds its invariants on random symmetric matrices") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Random d×d symmetric matrices across sizes and magnitudes — the
+    // fixture-covariance test below is one point; this sweeps the space.
+    val gen = for {
+      d <- Gen.choose(2, 12)
+      cells <- Gen.listOfN(d * d, Gen.choose(-10.0, 10.0))
+    } yield {
+      val raw = cells.toArray.grouped(d).toArray
+      Array.tabulate(d, d)((i, j) => (raw(i)(j) + raw(j)(i)) / 2.0)
+    }
+    val prop = Prop.forAll(gen) { m =>
+      val d = m.length
+      val (lam, vecs) = graft.ops.Eigen.symmetric(m)
+      val scale = math.max(1.0, m.map(_.map(math.abs).max).max)
+      val ortho = (for (a <- 0 until d; b <- a until d) yield {
+        val dot = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8
+      }).forall(identity)
+      val trace = (0 until d).map(i => m(i)(i)).sum
+      val traceOk = math.abs(lam.sum - trace) < 1e-8 * math.max(1.0, math.abs(trace))
+      val resOk = (0 until d).forall { k =>
+        (0 until d).forall { i =>
+          val av = (0 until d).map(j => m(i)(j) * vecs(k)(j)).sum
+          math.abs(av - lam(k) * vecs(k)(i)) < 1e-7 * scale
+        }
+      }
+      val orderOk = lam.zip(lam.tail).forall { case (a, b) => a >= b }
+      ortho && traceOk && resOk && orderOk
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(50))
+    assert(res.passed, res.status.toString)
   }
 
   test("Jacobi eigensolve: orthonormal, trace-preserving, small residual, descending, sign-fixed") {
