@@ -1324,20 +1324,7 @@ object CoreQueries {
     // dsum6-tie lesson in the verify notes).
     "q144_revenue_attribution" -> { (s, dir) =>
       import s.implicits._
-      val uw = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
-      val sess = Pin.lazily(events(s, dir)
-        .withColumn("prev_ms", lag($"ms", 1).over(uw))
-        .withColumn("new_sess",
-          when($"prev_ms".isNull || $"ms" - $"prev_ms" >= SessionGapMs, 1L).otherwise(0L))
-        .withColumn("sess_seq",
-          sum($"new_sess").over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select($"user_id", $"sess_seq", $"ms", $"event_id", $"event_type", $"value"))
-      val purch = sess.filter($"event_type" === "purchase")
-        .select($"user_id", $"sess_seq", $"ms".as("pms"), $"event_id".as("pid"), $"value")
-      val touch = sess.filter($"event_type" =!= "purchase")
-        .select($"user_id", $"sess_seq", $"ms".as("tms"), $"event_id".as("tid"), $"event_type")
-      val pairs = Pin.lazily(purch.join(touch, Seq("user_id", "sess_seq"))
-        .filter($"tms" < $"pms" || ($"tms" === $"pms" && $"tid" < $"pid")))
+      val (purch, pairs) = touchPurchasePairs(s, dir)
       val pg = Window.partitionBy($"user_id", $"sess_seq", $"pid")
       val attr = pairs
         .withColumn("rn", row_number().over(pg.orderBy($"tms", $"tid")))
@@ -1502,6 +1489,35 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Fourth attribution model beside q144's first/last/linear:
+    // time-decay — each touch's credit ∝ exp(−Δt/τ), normalized within
+    // the purchase, so recency earns share smoothly instead of the
+    // all-or-nothing first/last extremes. Same session-scoped pair frame
+    // and '(direct)' remainder; exp's ≤1-ulp libm wobble flows through
+    // the normalized shares and is absorbed by the single ROUND (the
+    // q111 ln precedent).
+    "q154_time_decay_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val (purch, pairs) = touchPurchasePairs(s, dir)
+      val pg = Window.partitionBy($"user_id", $"sess_seq", $"pid")
+      val attr = pairs
+        .withColumn("w", exp(($"tms" - $"pms").cast("double") / DecayTauMs))
+        .withColumn("sw", sum($"w").over(pg))
+        .groupBy($"event_type")
+        .agg((round(sum($"value" * $"w" / $"sw"), 6) + lit(0d)).as("decayed_rev"),
+          countDistinct($"user_id", $"sess_seq", $"pid").as("n_conversions"))
+      val direct = purch.join(
+          pairs.select($"user_id", $"sess_seq", $"pid").distinct(),
+          Seq("user_id", "sess_seq", "pid"), "left_anti")
+        .agg((round(sum($"value"), 6) + lit(0d)).as("decayed_rev"),
+          count(lit(1)).as("n_conversions"))
+        .filter($"n_conversions" > 0)
+        .select(lit("(direct)").as("event_type"), $"decayed_rev", $"n_conversions")
+      attr.select($"event_type", $"decayed_rev", $"n_conversions")
+        .union(direct)
+        .orderBy($"event_type")
+    },
+
     // Winsorized (clipped) statistics — the robust-preprocessing step
     // upstream of any mean-based feature: clip each type's values at its
     // own exact p01/p99 (q134's edge recipe, rounded once and broadcast)
@@ -1554,6 +1570,33 @@ object CoreQueries {
 
   /** q100 cool-down: 5 minutes in epoch millis. */
   private val DebounceMs = 300000L
+
+  /** q154 decay constant: 10 minutes in epoch millis. */
+  private val DecayTauMs = 600000.0
+
+  /** Session-scoped touch×purchase pair frame shared by the attribution
+    * models (q144 first/last/linear, q154 time-decay): q15's
+    * sessionization, purchases vs non-purchase touches, pairs bounded by
+    * session length via the (user, session) equi-join. Both frames pin
+    * so the two consumers share one materialization. */
+  private def touchPurchasePairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val uw = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sess = Pin.lazily(events(s, dir)
+      .withColumn("prev_ms", lag($"ms", 1).over(uw))
+      .withColumn("new_sess",
+        when($"prev_ms".isNull || $"ms" - $"prev_ms" >= SessionGapMs, 1L).otherwise(0L))
+      .withColumn("sess_seq",
+        sum($"new_sess").over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"sess_seq", $"ms", $"event_id", $"event_type", $"value"))
+    val purch = sess.filter($"event_type" === "purchase")
+      .select($"user_id", $"sess_seq", $"ms".as("pms"), $"event_id".as("pid"), $"value")
+    val touch = sess.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"sess_seq", $"ms".as("tms"), $"event_id".as("tid"), $"event_type")
+    val pairs = Pin.lazily(purch.join(touch, Seq("user_id", "sess_seq"))
+      .filter($"tms" < $"pms" || ($"tms" === $"pms" && $"tid" < $"pid")))
+    (purch, pairs)
+  }
 
   /** q90 interval width: 10 minutes in epoch millis. */
   private val IntervalJoinMs = 600000L
@@ -2396,6 +2439,45 @@ object CoreQueries {
          |GROUP BY c.event_type, ty.n_t, tot.n
          |ORDER BY event_type""".stripMargin
     },
+
+    // Same pair CTEs as q144; the decay share replays the identical
+    // exp/normalize tree, one ROUND at the end.
+    "q154_time_decay_attribution" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+         |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, event_id, event_type, value, ms,
+         |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= $SessionGapMs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+         |  FROM g),
+         |p AS (SELECT user_id, sess_seq, ms AS pms, event_id AS pid, value
+         |      FROM x WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, sess_seq, ms AS tms, event_id AS tid, event_type
+         |      FROM x WHERE event_type <> 'purchase'),
+         |pr AS (
+         |  SELECT p.user_id, p.sess_seq, p.pms, p.pid, p.value, t.tms, t.tid, t.event_type,
+         |    exp(CAST(t.tms - p.pms AS DOUBLE) / $DecayTauMs) AS w
+         |  FROM p JOIN t USING (user_id, sess_seq)
+         |  WHERE t.tms < p.pms OR (t.tms = p.pms AND t.tid < p.pid)),
+         |a AS (
+         |  SELECT *, SUM(w) OVER (PARTITION BY user_id, sess_seq, pid) AS sw
+         |  FROM pr),
+         |m AS (
+         |  SELECT event_type,
+         |    ROUND(SUM(value * w / sw), 6) + 0.0 AS decayed_rev,
+         |    COUNT(DISTINCT (user_id, sess_seq, pid)) AS n_conversions
+         |  FROM a GROUP BY event_type),
+         |d AS (
+         |  SELECT '(direct)' AS event_type,
+         |    ROUND(SUM(p.value), 6) + 0.0 AS decayed_rev, COUNT(*) AS n_conversions
+         |  FROM p LEFT JOIN (SELECT DISTINCT user_id, sess_seq, pid FROM pr) u
+         |    ON p.user_id = u.user_id AND p.sess_seq = u.sess_seq AND p.pid = u.pid
+         |  WHERE u.pid IS NULL
+         |  HAVING COUNT(*) > 0)
+         |SELECT * FROM m UNION ALL SELECT * FROM d ORDER BY event_type""".stripMargin,
 
     // quantile_cont matches Spark's exact interpolated percentile; the
     // single ROUND on each edge keeps the clip DECISIONS identical, and

@@ -313,6 +313,13 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(lin - total) < 1e-4, s"linear $lin != $total")
     // purchase itself never receives touch credit
     assert(!rows.exists(_.getString(0) == "purchase"))
+    // The time-decay model's books balance too: normalized shares sum to
+    // one per purchase, so total credited revenue equals total purchases.
+    val decayed = SparkEntry.queries("q154_time_decay_attribution")(spark, sf0001)
+      .collect()
+    val dsum = decayed.map(_.getDouble(1)).sum
+    assert(math.abs(dsum - total) < 1e-4, s"time-decay $dsum != $total")
+    assert(!decayed.exists(_.getString(0) == "purchase"))
   }
 
   test("q143 coverage equals an exhaustive driver-side recomputation") {
