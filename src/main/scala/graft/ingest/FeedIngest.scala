@@ -50,6 +50,35 @@ object FeedIngest {
       .json(path)
 
   /**
+   * Quarantine scan — the production middle ground between the
+   * reference's FAILFAST (one corrupt line kills the whole job,
+   * ua2sql.py:222) and bare PERMISSIVE (corrupt lines silently become
+   * all-NULL rows): parse with a corrupt-record column, split into
+   * (good, quarantined) frames, and keep the raw text of every bad line
+   * so the quarantine sink preserves evidence for replay after a fix.
+   * The scan is cached before the split — Spark disallows filtering raw
+   * JSON on only the internal corrupt column (SPARK-21610), and the two
+   * consumers would otherwise re-parse the staging dir twice anyway.
+   */
+  def readFeedQuarantine(spark: SparkSession, feed: FeedSpec,
+                         path: String): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val schema = org.apache.spark.sql.types.StructType(
+      feed.wire.fields :+ org.apache.spark.sql.types.StructField(
+        corrupt, org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .cache()
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantined = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (good, quarantined)
+  }
+
+  /**
    * Schema-evolution-tolerant scan over warehouse epochs whose parquet
    * schemas drifted (columns added/retired between backfills — the fate
    * of every long-lived feed): each epoch is read AS IT IS, the epochs

@@ -136,4 +136,26 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
     assert(res.passed, res.status.toString)
   }
+
+  test("quarantine scan splits good rows from corrupt lines and keeps the raw text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine")
+    val lines = Seq(
+      """{"userid": "u1", "platform": "ios", "ts": 1704067200000}""",
+      """{"userid": "u2", "platform": "android"""", // truncated JSON
+      """{"userid": "u3", "platform": "web", "ts": 1704067201000}""",
+      """not json at all""")
+    java.nio.file.Files.write(dir.resolve("part-0.json"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val (good, bad) = FeedIngest.readFeedQuarantine(spark, appStart, dir.toString)
+    assert(good.columns.toSet === appStart.wire.fieldNames.toSet)
+    assert(good.select("userid").collect().map(_.getString(0)).toSet === Set("u1", "u3"))
+    val rawLines = bad.collect().map(_.getString(0))
+    assert(rawLines.length === 2)
+    assert(rawLines.exists(_.contains("u2")) && rawLines.contains("not json at all"))
+    // FAILFAST on the same input throws — the delta this API exists for.
+    intercept[org.apache.spark.SparkException] {
+      FeedIngest.readFeed(spark, appStart, dir.toString).collect()
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
