@@ -1518,6 +1518,50 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Experiment readout — the two-proportion z-test over a
+    // deterministic hash split (q52's md5 family on user_id: 0–7 → A,
+    // 8–f → B), conversion = user made ≥1 purchase. The moments stay in
+    // exact integers (converted counts, arm sizes) until the final
+    // z-score expression, whose sqrt/divisions both engines evaluate
+    // identically from identical exact inputs; one ROUND absorbs the
+    // last-ulp wobble. An A/A-shaped split on fixture data should read
+    // |z| small — the spec pins that, which is exactly what this query
+    // is FOR (catching a broken randomizer before anyone trusts a
+    // readout). Scale: one (user, converted) aggregate, then a 2-row
+    // control frame; nothing else moves.
+    "q155_ab_test" -> { (s, dir) =>
+      import s.implicits._
+      // Conversion = a repeat purchaser (≥ 3) — a non-degenerate rate on
+      // this fixture (every user buys at least once, so "any purchase"
+      // would make the pooled p̂ exactly 1 and the z denominator exactly
+      // 0 — which ANSI mode correctly refuses to divide by).
+      val users = events(s, dir)
+        .groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"))
+        .select($"user_id", when($"purchases" >= 3, 1L).otherwise(0L).as("converted"))
+        .withColumn("arm",
+          when(substring(md5($"user_id".cast("string")), 1, 1) <= "7", "A").otherwise("B"))
+      val arms = users.groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_converted"))
+      val a = arms.filter($"arm" === "A")
+        .select($"n_users".as("n_a"), $"n_converted".as("c_a"))
+      val b = arms.filter($"arm" === "B")
+        .select($"n_users".as("n_b"), $"n_converted".as("c_b"))
+      // The NaN-guard discipline (see verify notes): a degenerate pooled
+      // rate (0 or 1) NULLs the z rather than dividing by zero — stated
+      // identically in the oracle.
+      val pPool = ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b")
+      val denom = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+      a.crossJoin(b)
+        .select($"n_a", $"c_a", $"n_b", $"c_b",
+          round($"c_a".cast("double") / $"n_a", 6).as("rate_a"),
+          round($"c_b".cast("double") / $"n_b", 6).as("rate_b"),
+          when($"c_a" + $"c_b" > 0 && $"c_a" + $"c_b" < $"n_a" + $"n_b",
+            round(($"c_a".cast("double") / $"n_a" - $"c_b".cast("double") / $"n_b")
+              / denom, 6) + lit(0d)).as("z_score"))
+    },
+
     // Winsorized (clipped) statistics — the robust-preprocessing step
     // upstream of any mean-based feature: clip each type's values at its
     // own exact p01/p99 (q134's edge recipe, rounded once and broadcast)
@@ -2439,6 +2483,33 @@ object CoreQueries {
          |GROUP BY c.event_type, ty.n_t, tot.n
          |ORDER BY event_type""".stripMargin
     },
+
+    // Identical exact-integer moments; the z expression replays the same
+    // tree from the same four BIGINTs.
+    "q155_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3
+        |         THEN 1 ELSE 0 END AS converted,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, COUNT(*) AS n_users,
+        |    CAST(SUM(converted) AS BIGINT) AS n_converted
+        |  FROM u GROUP BY arm),
+        |a AS (SELECT n_users AS n_a, n_converted AS c_a FROM arms WHERE arm = 'A'),
+        |b AS (SELECT n_users AS n_b, n_converted AS c_b FROM arms WHERE arm = 'B')
+        |SELECT n_a, c_a, n_b, c_b,
+        |  ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+        |    ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+        |      SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |           (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |           (1.0 / n_a + 1.0 / n_b)), 6) + 0.0
+        |  END AS z_score
+        |FROM a CROSS JOIN b""".stripMargin,
 
     // Same pair CTEs as q144; the decay share replays the identical
     // exp/normalize tree, one ROUND at the end.

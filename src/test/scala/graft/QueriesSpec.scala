@@ -280,6 +280,21 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(gotWm.keySet === byNation.keySet)
   }
 
+  test("q155 A/A-shaped hash split reads as no effect") {
+    // Both arms draw from the same population, so the readout must not
+    // claim significance — precisely the broken-randomizer check this
+    // query exists for.
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { dir =>
+      val r = SparkEntry.queries("q155_ab_test")(spark, dir).collect()(0)
+      val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(na > 0 && nb > 0 && ca <= na && cb <= nb)
+      if (!r.isNullAt(6)) {
+        val z = r.getDouble(6)
+        assert(math.abs(z) < 4.0, s"$dir: A/A split produced |z| = $z")
+      }
+    }
+  }
+
   test("q151 binned KS lower-bounds q146's exact KS within the bin-share error") {
     val exact = SparkEntry.queries("q146_ks_drift")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getDouble(4)).toMap
