@@ -1518,6 +1518,65 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Session-path transition counts with ABSORBING states — the input
+    // layer of data-driven (Markov) attribution, and the session-scoped
+    // counterpart to q104's user-level transitions: every session walks
+    // START → events → first purchase (CONV) or session end (NULL);
+    // events after the first purchase within a session don't count (the
+    // conversion closed the journey). Paths assemble per session
+    // (bounded by session length — collect_list state is human-scale),
+    // transitions aggregate to a ≤(|T|+1)×(|T|+2) count table.
+    "q156_session_transitions" -> { (s, dir) =>
+      import s.implicits._
+      sessionTransitionCounts(s, dir).orderBy($"from_state", $"to_state")
+    },
+
+    // Data-driven (Markov removal-effect) attribution — the model-based
+    // complement to q144/q154's heuristics: fit the first-order Markov
+    // chain over q156's absorbing transition counts, then each channel's
+    // credit is how much the START→CONV probability DROPS when that
+    // channel is removed (its inbound edges redirected to NULL),
+    // normalized across channels. The chain solve runs on the driver —
+    // the transition table is ≤(|T|+1)×(|T|+2) control-plane rows at any
+    // corpus size (the q139-covariance pattern); the corpus-scale work
+    // is q156's distributed count. Rows-only (iterative chain solve
+    // isn't ANSI SQL); QueriesSpec recomputes everything independently,
+    // Gaussian elimination against this fixed-point iteration.
+    "q157_markov_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val counts = sessionTransitionCounts(s, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val channels = counts.map(_._1).filter(_ != "START").distinct.sorted
+      def conv(remove: Option[String]): Double = {
+        val redirected = counts
+          .map { case (f, t, n) => ((f, if (remove.contains(t)) "NULL" else t), n) }
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+        val froms = redirected.keys.map(_._1).toSeq.distinct
+        val totals = froms.map(f =>
+          f -> redirected.collect { case ((`f`, _), n) => n }.sum).toMap
+        var p = (froms.map(_ -> 0.0).toMap + ("CONV" -> 1.0)) + ("NULL" -> 0.0)
+        // Fixed-point of p(s) = Σ P(s→t)·p(t); absorbing chain ⇒
+        // contraction, 500 rounds leave residual ≪ the 1e-6 output grain.
+        for (_ <- 0 until 500) {
+          val next = froms.map { f =>
+            f -> redirected.collect { case ((`f`, t), n) =>
+              n.toDouble / totals(f) * p.getOrElse(t, 0.0) }.sum
+          }.toMap
+          p = p ++ next
+        }
+        p.getOrElse("START", 0.0)
+      }
+      val base = conv(None)
+      val effects = channels.map(c => c -> math.max(0.0, (base - conv(Some(c))) / base))
+      val tot = effects.map(_._2).sum
+      effects.toSeq.map { case (c, e) =>
+        (c, math.rint(e * 1e6) / 1e6 + 0.0,
+          (if (tot > 0) math.rint(e / tot * 1e6) / 1e6 else 0.0) + 0.0,
+          math.rint(base * 1e6) / 1e6 + 0.0)
+      }.toDF("channel", "removal_effect", "credit", "base_conv_rate")
+        .orderBy($"channel")
+    },
+
     // Experiment readout — the two-proportion z-test over a
     // deterministic hash split (q52's md5 family on user_id: 0–7 → A,
     // 8–f → B), conversion = user made ≥1 purchase. The moments stay in
@@ -1623,16 +1682,44 @@ object CoreQueries {
     * sessionization, purchases vs non-purchase touches, pairs bounded by
     * session length via the (user, session) equi-join. Both frames pin
     * so the two consumers share one materialization. */
-  private def touchPurchasePairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** q15's sessionization as a reusable pinned frame (q144/q154/q157). */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val uw = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
-    val sess = Pin.lazily(events(s, dir)
+    Pin.lazily(events(s, dir)
       .withColumn("prev_ms", lag($"ms", 1).over(uw))
       .withColumn("new_sess",
         when($"prev_ms".isNull || $"ms" - $"prev_ms" >= SessionGapMs, 1L).otherwise(0L))
       .withColumn("sess_seq",
         sum($"new_sess").over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select($"user_id", $"sess_seq", $"ms", $"event_id", $"event_type", $"value"))
+  }
+
+  /** Shared by q156 (oracle-checked output) and q157 (driver-side solve):
+    * absorbing-state transition counts over session paths truncated at
+    * the first purchase. */
+  private def sessionTransitionCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionized(s, dir)
+      .groupBy($"user_id", $"sess_seq")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(ms, event_id, event_type))), x -> x.event_type)")
+        .as("path"))
+      .as[(Long, Long, Seq[String])]
+      .flatMap { case (_, _, path) =>
+        val idx = path.indexOf("purchase")
+        val (pre, term) = if (idx >= 0) (path.take(idx), "CONV") else (path, "NULL")
+        val states = ("START" +: pre) :+ term
+        states.sliding(2).map(p => (p(0), p(1)))
+      }
+      .toDF("from_state", "to_state")
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def touchPurchasePairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sess = sessionized(s, dir)
     val purch = sess.filter($"event_type" === "purchase")
       .select($"user_id", $"sess_seq", $"ms".as("pms"), $"event_id".as("pid"), $"value")
     val touch = sess.filter($"event_type" =!= "purchase")
@@ -2483,6 +2570,36 @@ object CoreQueries {
          |GROUP BY c.event_type, ty.n_t, tot.n
          |ORDER BY event_type""".stripMargin
     },
+
+    // Paths rebuild via ordered list() per session; truncation slices at
+    // list_position (0 = absent → full path + NULL terminal); the
+    // '->' string join sidesteps struct unnest (types contain no '->').
+    "q156_session_transitions" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, event_id, event_type, ms,
+         |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= $SessionGapMs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+         |  FROM g),
+         |p AS (
+         |  SELECT user_id, sess_seq, list(event_type ORDER BY ms, event_id) AS path
+         |  FROM x GROUP BY user_id, sess_seq),
+         |st AS (
+         |  SELECT CASE WHEN list_position(path, 'purchase') > 0
+         |    THEN ['START'] || path[1:list_position(path, 'purchase') - 1] || ['CONV']
+         |    ELSE ['START'] || path || ['NULL'] END AS states
+         |  FROM p),
+         |tr AS (
+         |  SELECT unnest([states[i] || '->' || states[i + 1]
+         |                 for i in range(1, len(states))]) AS e
+         |  FROM st)
+         |SELECT split_part(e, '->', 1) AS from_state,
+         |       split_part(e, '->', 2) AS to_state, COUNT(*) AS n
+         |FROM tr GROUP BY 1, 2 ORDER BY from_state, to_state""".stripMargin,
 
     // Identical exact-integer moments; the z expression replays the same
     // tree from the same four BIGINTs.

@@ -280,6 +280,82 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(gotWm.keySet === byNation.keySet)
   }
 
+  test("q156/q157 Markov attribution equals an independent Gaussian-solve recompute") {
+    import org.apache.spark.sql.functions.col
+    import scala.collection.mutable
+    // Independent sessionization + absorbing transition counts.
+    val evs = graft.ops.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ms"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = mutable.Map.empty[(String, String), Long]
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[String]]
+      var prev = Long.MinValue
+      var first = true
+      sorted.foreach { case (_, ms, _, t) =>
+        if (first || ms - prev >= 1800000L) sessions += mutable.ArrayBuffer(t)
+        else sessions.last += t
+        prev = ms; first = false
+      }
+      sessions.foreach { sess =>
+        val path = sess.toSeq
+        val idx = path.indexOf("purchase")
+        val (pre, term) = if (idx >= 0) (path.take(idx), "CONV") else (path, "NULL")
+        (("START" +: pre) :+ term).sliding(2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1
+        }
+      }
+    }
+    val gotCounts = SparkEntry.queries("q156_session_transitions")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotCounts === counts.toMap, "transition counts diverge")
+    // Absorbing-chain conversion probability by Gaussian elimination —
+    // a different solver than the query's fixed-point iteration.
+    def solve(remove: Option[String]): Double = {
+      val red = counts.toSeq
+        .map { case ((f, t), n) => ((f, if (remove.contains(t)) "NULL" else t), n) }
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      val froms = red.keys.map(_._1).toSeq.distinct.sorted
+      val idx = froms.zipWithIndex.toMap
+      val m = froms.size
+      val a = Array.tabulate(m, m)((i, j) => if (i == j) 1.0 else 0.0)
+      val b = Array.ofDim[Double](m)
+      val totals = froms.map(f => f -> red.collect { case ((`f`, _), n) => n }.sum).toMap
+      red.foreach { case ((f, t), n) =>
+        val p = n.toDouble / totals(f)
+        if (t == "CONV") b(idx(f)) += p
+        else idx.get(t).foreach(j => a(idx(f))(j) -= p)
+      }
+      for (c <- 0 until m) {
+        val piv = (c until m).maxBy(r => math.abs(a(r)(c)))
+        val (ta, tb) = (a(c), b(c)); a(c) = a(piv); a(piv) = ta; b(c) = b(piv); b(piv) = tb
+        for (r <- 0 until m if r != c && a(r)(c) != 0.0) {
+          val f = a(r)(c) / a(c)(c)
+          for (k <- c until m) a(r)(k) -= f * a(c)(k)
+          b(r) -= f * b(c)
+        }
+      }
+      b(idx("START")) / a(idx("START"))(idx("START"))
+    }
+    val base = solve(None)
+    val chans = counts.keys.map(_._1).filter(_ != "START").toSeq.distinct.sorted
+    val eff = chans.map(c => c -> math.max(0.0, (base - solve(Some(c))) / base))
+    val tot = eff.map(_._2).sum
+    val got = SparkEntry.queries("q157_markov_attribution")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === chans.toSet)
+    eff.foreach { case (c, e) =>
+      val (ge, gc, gb) = got(c)
+      assert(math.abs(ge - e) < 2e-6, s"$c effect $ge vs $e")
+      assert(math.abs(gc - (if (tot > 0) e / tot else 0.0)) < 2e-6, s"$c credit")
+      assert(math.abs(gb - base) < 2e-6, s"base $gb vs $base")
+    }
+    // Credits are a distribution.
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
   test("q155 A/A-shaped hash split reads as no effect") {
     // Both arms draw from the same population, so the readout must not
     // claim significance — precisely the broken-randomizer check this
