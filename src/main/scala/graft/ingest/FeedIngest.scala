@@ -59,9 +59,19 @@ object FeedIngest {
    * The scan is cached before the split — Spark disallows filtering raw
    * JSON on only the internal corrupt column (SPARK-21610), and the two
    * consumers would otherwise re-parse the staging dir twice anyway.
+   * Call [[QuarantineScan.release]] once both frames are consumed: the
+   * cache otherwise pins the parsed dataset for the session's lifetime,
+   * and a long-running per-batch ingest loop would accumulate pinned
+   * blocks until storage pressure evicts the working set.
    */
+  final case class QuarantineScan(good: DataFrame, quarantined: DataFrame,
+                                  private val raw: DataFrame) {
+    /** Unpersist the shared parse (frames re-parse if used afterwards). */
+    def release(): Unit = { raw.unpersist(); () }
+  }
+
   def readFeedQuarantine(spark: SparkSession, feed: FeedSpec,
-                         path: String): (DataFrame, DataFrame) = {
+                         path: String): QuarantineScan = {
     val corrupt = "_corrupt_record"
     val schema = org.apache.spark.sql.types.StructType(
       feed.wire.fields :+ org.apache.spark.sql.types.StructField(
@@ -75,7 +85,7 @@ object FeedIngest {
     val good = raw.filter(col(corrupt).isNull).drop(corrupt)
     val quarantined = raw.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))
-    (good, quarantined)
+    QuarantineScan(good, quarantined, raw)
   }
 
   /**

@@ -1368,28 +1368,15 @@ object CoreQueries {
     // the exact statistic.
     "q146_ks_drift" -> { (s, dir) =>
       import s.implicits._
-      val ev = events(s, dir)
-      val tv = ev.groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
-      val vals = Pin.lazily(tv.groupBy($"value").agg(sum($"c").as("cv")))
-      val types = ev.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
-      val total = ev.agg(count(lit(1)).as("n")).select($"n")
-      val grid = vals.crossJoin(broadcast(types.select($"event_type")))
+      val ev = events(s, dir).filter($"value".isNotNull)
+        .select($"event_type", $"value")
+      val tv = Pin.lazily(ev.groupBy($"event_type", $"value").agg(count(lit(1)).as("c")))
+      val vals = tv.groupBy($"value").agg(sum($"c").as("cb"))
+      val grid = vals
+        .crossJoin(broadcast(tv.select($"event_type").distinct()))
         .join(tv, Seq("event_type", "value"), "left")
         .na.fill(0L, Seq("c"))
-      val cw = Window.partitionBy($"event_type").orderBy($"value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid
-        .withColumn("cum_t", sum($"c").over(cw))
-        .withColumn("cum_all", sum($"cv").over(cw))
-        .join(broadcast(types), "event_type")
-        .crossJoin(broadcast(total))
-        .groupBy($"event_type", $"n_t", $"n")
-        .agg(max(abs($"cum_t" * ($"n" - $"n_t") - ($"cum_all" - $"cum_t") * $"n_t"))
-          .as("d_num"))
-        .select($"event_type", $"n_t",
-          ($"n" - $"n_t").as("n_rest"), $"d_num",
-          ($"d_num".cast("double") / ($"n_t" * ($"n" - $"n_t")).cast("double")).as("ks"))
-        .orderBy($"event_type")
+      ksOverGrid(grid, "value", "ks").orderBy($"event_type")
     },
 
     // Weighted median (smallest value whose cumulative weight reaches
@@ -1466,27 +1453,12 @@ object CoreQueries {
         .withColumn("bin", (0 until 9).map(i =>
           when($"value" >= col(s"e$i"), 1L).otherwise(0L)).reduce(_ + _))
         .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c")))
-      val types = binned.groupBy($"event_type").agg(sum($"c").as("n_t"))
       val perBin = binned.groupBy($"bin").agg(sum($"c").as("cb"))
-      val total = binned.agg(sum($"c").as("n"))
       val grid = s.range(0, 10).select($"id".as("bin"))
-        .crossJoin(broadcast(types.select($"event_type")))
+        .crossJoin(broadcast(binned.select($"event_type").distinct()))
         .join(binned, Seq("event_type", "bin"), "left").na.fill(0L, Seq("c"))
         .join(broadcast(perBin), Seq("bin"), "left").na.fill(0L, Seq("cb"))
-      val cw = Window.partitionBy($"event_type").orderBy($"bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid
-        .withColumn("cum_t", sum($"c").over(cw))
-        .withColumn("cum_all", sum($"cb").over(cw))
-        .join(broadcast(types), "event_type")
-        .crossJoin(broadcast(total))
-        .groupBy($"event_type", $"n_t", $"n")
-        .agg(max(abs($"cum_t" * ($"n" - $"n_t") - ($"cum_all" - $"cum_t") * $"n_t"))
-          .as("d_num"))
-        .select($"event_type", $"n_t", ($"n" - $"n_t").as("n_rest"), $"d_num",
-          ($"d_num".cast("double") / ($"n_t" * ($"n" - $"n_t")).cast("double"))
-            .as("ks_binned"))
-        .orderBy($"event_type")
+      ksOverGrid(grid, "bin", "ks_binned").orderBy($"event_type")
     },
 
     // Fourth attribution model beside q144's first/last/linear:
@@ -1677,11 +1649,52 @@ object CoreQueries {
   /** q154 decay constant: 10 minutes in epoch millis. */
   private val DecayTauMs = 600000.0
 
-  /** Session-scoped touch×purchase pair frame shared by the attribution
-    * models (q144 first/last/linear, q154 time-decay): q15's
-    * sessionization, purchases vs non-purchase touches, pairs bounded by
-    * session length via the (user, session) equi-join. Both frames pin
-    * so the two consumers share one materialization. */
+  /** Exact-integer two-sample KS core shared by q146 (raw value spine)
+    * and q151 (decile-bin spine): from the dense (event_type, <spine>,
+    * c, cb) grid — c = this type's count at the spine point, cb = the
+    * pooled count — compute per type the D numerator
+    * max |cum_t·n_rest − cum_rest·n_t| in BIGINTs and the single final
+    * exact-int division. A future change (e.g. the DECIMAL promotion
+    * needed past ~3×10⁹ rows per side) lands HERE once for both spines;
+    * [[sqlKsTail]] is the oracle-side twin. */
+  private def ksOverGrid(grid: DataFrame, spineCol: String, ksAlias: String): DataFrame = {
+    val s = grid.sparkSession
+    import s.implicits._
+    val types = grid.groupBy($"event_type").agg(sum($"c").as("n_t"))
+    val total = types.agg(sum($"n_t").as("n"))
+    val cw = Window.partitionBy($"event_type").orderBy(col(spineCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_t", sum($"c").over(cw))
+      .withColumn("cum_all", sum($"cb").over(cw))
+      .join(broadcast(types), "event_type")
+      .crossJoin(broadcast(total))
+      .groupBy($"event_type", $"n_t", $"n")
+      .agg(max(abs($"cum_t" * ($"n" - $"n_t") - ($"cum_all" - $"cum_t") * $"n_t"))
+        .as("d_num"))
+      .select($"event_type", $"n_t", ($"n" - $"n_t").as("n_rest"), $"d_num",
+        ($"d_num".cast("double") / ($"n_t" * ($"n" - $"n_t")).cast("double")).as(ksAlias))
+  }
+
+  /** Oracle twin of [[ksOverGrid]]: the CTE tail over a `grid(event_type,
+    * sp, c, cb)` relation the caller's WITH-chain must end in. */
+  private def sqlKsTail(ksAlias: String): String =
+    s"""ty AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_t FROM grid GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM ty),
+       |cum AS (
+       |  SELECT event_type, sp,
+       |    CAST(SUM(c) OVER w AS BIGINT) AS cum_t,
+       |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_all
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY sp ROWS UNBOUNDED PRECEDING))
+       |SELECT c.event_type, ty.n_t, tot.n - ty.n_t AS n_rest,
+       |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS BIGINT) AS d_num,
+       |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS DOUBLE)
+       |    / CAST(ty.n_t * (tot.n - ty.n_t) AS DOUBLE) AS $ksAlias
+       |FROM cum c JOIN ty USING (event_type) CROSS JOIN tot
+       |GROUP BY c.event_type, ty.n_t, tot.n
+       |ORDER BY event_type""".stripMargin
+
   /** q15's sessionization as a reusable pinned frame (q144/q154/q157). */
   private def sessionized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1717,6 +1730,11 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Session-scoped touch×purchase pair frame shared by the attribution
+    * models (q144 first/last/linear, q154 time-decay): purchases vs
+    * non-purchase touches over [[sessionized]], pairs bounded by session
+    * length via the (user, session) equi-join. Both frames pin so the
+    * two consumers share one materialization. */
   private def touchPurchasePairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val sess = sessionized(s, dir)
@@ -2504,27 +2522,14 @@ object CoreQueries {
     // Identical exact-integer core: the D numerator is a max over BIGINT
     // products, the only division is exact-int/exact-int at the end.
     "q146_ks_drift" ->
-      """WITH tv AS (SELECT event_type, value, COUNT(*) AS c FROM events GROUP BY 1, 2),
-        |vals AS (SELECT value, CAST(SUM(c) AS BIGINT) AS cv FROM tv GROUP BY value),
-        |ty AS (SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY 1),
-        |tot AS (SELECT COUNT(*) AS n FROM events),
-        |grid AS (
-        |  SELECT t.event_type, v.value, v.cv, COALESCE(tv.c, 0) AS c
-        |  FROM vals v CROSS JOIN (SELECT event_type FROM ty) t
-        |  LEFT JOIN tv ON tv.event_type = t.event_type AND tv.value = v.value),
-        |cum AS (
-        |  SELECT event_type, value,
-        |    CAST(SUM(c) OVER w AS BIGINT) AS cum_t,
-        |    CAST(SUM(cv) OVER w AS BIGINT) AS cum_all
-        |  FROM grid
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING))
-        |SELECT c.event_type, ty.n_t, tot.n - ty.n_t AS n_rest,
-        |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS BIGINT) AS d_num,
-        |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS DOUBLE)
-        |    / CAST(ty.n_t * (tot.n - ty.n_t) AS DOUBLE) AS ks
-        |FROM cum c JOIN ty USING (event_type) CROSS JOIN tot
-        |GROUP BY c.event_type, ty.n_t, tot.n
-        |ORDER BY event_type""".stripMargin,
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |tv AS (SELECT event_type, value, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |vals AS (SELECT value, CAST(SUM(c) AS BIGINT) AS cb FROM tv GROUP BY value),
+         |grid AS (
+         |  SELECT t.event_type, v.value AS sp, COALESCE(tv.c, 0) AS c, v.cb
+         |  FROM vals v CROSS JOIN (SELECT DISTINCT event_type FROM tv) t
+         |  LEFT JOIN tv ON tv.event_type = t.event_type AND tv.value = v.value),
+         |${sqlKsTail("ks")}""".stripMargin,
 
     // The inferred-DDL literal is the CONTRACT: if a regenerated fixture
     // changes the props shape, Spark infers something else and this
@@ -2546,29 +2551,15 @@ object CoreQueries {
          |ed AS (SELECT $edgeCols FROM e),
          |b AS (SELECT e.event_type, CAST($binExpr AS BIGINT) AS bin, COUNT(*) AS c
          |      FROM e CROSS JOIN ed GROUP BY 1, 2),
-         |ty AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_t FROM b GROUP BY 1),
          |pb AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM b GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
          |grid AS (
-         |  SELECT t.event_type, g.g AS bin,
+         |  SELECT t.event_type, g.g AS sp,
          |    COALESCE(b.c, 0) AS c, COALESCE(pb.cb, 0) AS cb
          |  FROM range(0, 10) g(g)
-         |  CROSS JOIN (SELECT event_type FROM ty) t
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM b) t
          |  LEFT JOIN b ON b.event_type = t.event_type AND b.bin = g.g
          |  LEFT JOIN pb ON pb.bin = g.g),
-         |cum AS (
-         |  SELECT event_type, bin,
-         |    CAST(SUM(c) OVER w AS BIGINT) AS cum_t,
-         |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_all
-         |  FROM grid
-         |  WINDOW w AS (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING))
-         |SELECT c.event_type, ty.n_t, tot.n - ty.n_t AS n_rest,
-         |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS BIGINT) AS d_num,
-         |  CAST(MAX(ABS(cum_t * (tot.n - ty.n_t) - (cum_all - cum_t) * ty.n_t)) AS DOUBLE)
-         |    / CAST(ty.n_t * (tot.n - ty.n_t) AS DOUBLE) AS ks_binned
-         |FROM cum c JOIN ty USING (event_type) CROSS JOIN tot
-         |GROUP BY c.event_type, ty.n_t, tot.n
-         |ORDER BY event_type""".stripMargin
+         |${sqlKsTail("ks_binned")}""".stripMargin
     },
 
     // Paths rebuild via ordered list() per session; truncation slices at

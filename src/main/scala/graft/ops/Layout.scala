@@ -181,19 +181,14 @@ object Layout {
    * instead of truncating the table (static overwrite) or duplicating
    * rows (append). The reference replays a day by job-ledger continuation
    * (ua2sql.py:165–176); this is the lake-side equivalent when the sink
-   * is parquet rather than PostgreSQL. Scoped to this one write — the
-   * session conf is restored, because dynamic mode silently changes the
-   * semantics of every other overwrite in the process.
+   * is parquet rather than PostgreSQL. Scoped via the per-WRITER option,
+   * not the session conf: a session-conf flip would race with any
+   * concurrent overwrite on the shared SparkSession (their static
+   * overwrite silently turning dynamic, or this one turning static on
+   * the conf restore).
    */
-  def overwritePartitions(df: DataFrame, root: String, partitionCol: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(root)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  def overwritePartitions(df: DataFrame, root: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(root)
 }

@@ -517,7 +517,8 @@ object SimilarityQueries {
           val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
           val pickedEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
           val used = Array.fill(cands.length)(false)
-          while (picked.length < MmrK && picked.length < cands.length) {
+          var exhausted = false
+          while (!exhausted && picked.length < MmrK && picked.length < cands.length) {
             var best = -1; var bestScore = Double.NegativeInfinity
             for (ci <- cands.indices if !used(ci)) {
               val (_, cos, emb) = cands(ci)
@@ -529,9 +530,15 @@ object SimilarityQueries {
                 best = ci; bestScore = sc
               }
             }
-            used(best) = true
-            picked += ((cands(best)._1, cands(best)._2, bestScore))
-            pickedEmb += cands(best)._3
+            // A zero-norm embedding scores NaN against everything (NaN
+            // compares false both ways) — if every remaining candidate is
+            // degenerate, stop rather than index used(-1).
+            if (best < 0) exhausted = true
+            else {
+              used(best) = true
+              picked += ((cands(best)._1, cands(best)._2, bestScore))
+              pickedEmb += cands(best)._3
+            }
           }
           picked.zipWithIndex.iterator.map { case ((id, cos, sc), i) =>
             (qid, (i + 1).toLong, id,

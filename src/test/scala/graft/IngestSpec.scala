@@ -146,12 +146,13 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       """not json at all""")
     java.nio.file.Files.write(dir.resolve("part-0.json"),
       String.join("\n", lines: _*).getBytes("UTF-8"))
-    val (good, bad) = FeedIngest.readFeedQuarantine(spark, appStart, dir.toString)
-    assert(good.columns.toSet === appStart.wire.fieldNames.toSet)
-    assert(good.select("userid").collect().map(_.getString(0)).toSet === Set("u1", "u3"))
-    val rawLines = bad.collect().map(_.getString(0))
+    val scan = FeedIngest.readFeedQuarantine(spark, appStart, dir.toString)
+    assert(scan.good.columns.toSet === appStart.wire.fieldNames.toSet)
+    assert(scan.good.select("userid").collect().map(_.getString(0)).toSet === Set("u1", "u3"))
+    val rawLines = scan.quarantined.collect().map(_.getString(0))
     assert(rawLines.length === 2)
     assert(rawLines.exists(_.contains("u2")) && rawLines.contains("not json at all"))
+    scan.release() // cache must not outlive the batch
     // FAILFAST on the same input throws — the delta this API exists for.
     intercept[org.apache.spark.SparkException] {
       FeedIngest.readFeed(spark, appStart, dir.toString).collect()

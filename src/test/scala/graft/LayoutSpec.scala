@@ -195,9 +195,9 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     // Replaying the identical day converges to the same state (idempotent).
     Layout.overwritePartitions(day1Fixed, dir, "day")
     assert(spark.read.parquet(dir).count() === 3)
-    // session conf restored
-    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").isEmpty ||
-      spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic")
+    // dynamic mode is writer-scoped, never leaked into the session conf
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

@@ -428,7 +428,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       // (watermark sits at the max event time, before the gap deadline).
       ms.addData((ts("2024-01-01 00:00:00"), "u1"), (ts("2024-01-01 00:02:00"), "u1"))
       Thread.sleep(3000)
-      assert(closed(0).isEmpty, "session must stay open until the watermark passes the gap")
+      // Query the sink directly — closed(atLeast = 0) would return
+      // without reading it, making this negative check vacuous.
+      assert(spark.sql("SELECT * FROM closed_sessions").collect().isEmpty,
+        "session must stay open until the watermark passes the gap")
       // u2 at 00:10 advances the watermark past u1's 00:02 + 5m deadline:
       // the timer fires and u1's session closes with BOTH events.
       ms.addData((ts("2024-01-01 00:10:00"), "u2"))
