@@ -1695,8 +1695,9 @@ object CoreQueries {
        |GROUP BY c.event_type, ty.n_t, tot.n
        |ORDER BY event_type""".stripMargin
 
-  /** q15's sessionization as a reusable pinned frame (q144/q154/q157). */
-  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+  /** q15's sessionization as a reusable pinned frame (q144/q154/q157;
+    * also StatsQueries q167's sequence mining). */
+  private[ops] def sessionized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val uw = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
     Pin.lazily(events(s, dir)

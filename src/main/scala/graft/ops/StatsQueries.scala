@@ -1,0 +1,636 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables._
+
+/**
+ * Statistical analysis, pattern mining, and graph analytics — the
+ * "analyst toolbox" layer over the warehouse the reference materializes
+ * (SURVEY.md §2.F–I: PostgreSQL users run exactly these shapes over the
+ * ingested tables; here each is a named, oracle-checked Spark query).
+ *
+ * Families and their 100 TB stance:
+ *  - **Association mining** (q158 basket rules, q165 PageRank over the
+ *    co-occurrence graph): the basket frame is (order, brand) DISTINCT —
+ *    one digest-granularity shuffle; pair expansion is bounded by basket
+ *    size squared (tens, not corpus); everything downstream is
+ *    brand-granularity (≤25×25 rows) and broadcast.
+ *  - **Hypothesis tests** (q159 Mann–Whitney U, q160 chi-square, q155's
+ *    z-test in CoreQueries): all moments are EXACT integer/decimal
+ *    aggregates; the single float division happens once, identically in
+ *    both engines. Rank statistics ride [[GlobalRank.withGlobalPrefixSum]]
+ *    — never an unpartitioned data-row window.
+ *  - **Distribution diagnostics** (q161 Benford, q162 MAD outliers, q168
+ *    Gini): group- or digit-granularity aggregates; Gini's Σ rank·value
+ *    uses the two-pass global rank plus one DECIMAL(38,0) aggregate.
+ *  - **Time series** (q163 autocorrelation, q164 EWMA): computed on the
+ *    daily-revenue frame, which is DAY-granularity (control-plane-sized
+ *    at any corpus scale — one row per calendar day). Lag/window joins
+ *    are calendar equi-joins against a broadcast offset spine, not
+ *    windows, so nothing ever sorts data rows globally.
+ *  - **Sequence mining** (q167 session trigrams): rides CoreQueries'
+ *    pinned sessionization; windows are partitioned by (user, session).
+ *  - **Sorted-neighborhood dedup** (q166): the classic entity-resolution
+ *    alternative to LSH banding (DedupQueries q31/q32) — sort by a
+ *    normalized key, compare only w nearest neighbors per block.
+ *    Candidate generation is a partitioned window (block = 8-char
+ *    normalized prefix); Levenshtein runs only on the ≤2w candidate
+ *    pairs per row, never all-pairs. At corpus scale a hot block is the
+ *    classic SNM skew caveat — widen the block key or salt (ops/Salting)
+ *    if a prefix dominates.
+ *
+ * Oracle-parity notes follow Tables.scala's conventions: exact integer /
+ * decimal moments, one mirrored float expression at the end, ROUND only
+ * on final output columns. Money → cents via ROUND(x*100) CAST BIGINT
+ * (truncating CAST would diverge between engines on 123.45*100 ==
+ * 12344.999…; both engines round identically).
+ */
+object StatsQueries {
+
+  /** Must equal CoreQueries.SessionGapMs (q15/q156 family). */
+  private val SessionGapMs = 30L * 60 * 1000
+
+  private val dec = DecimalType(38, 0)
+
+  /** Exact money cents: 2-decimal doubles → BIGINT, rounding (not
+    * truncating) so 123.45*100 == 12344.999… lands on 12345 in both
+    * engines. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // Shared pinned frames are MEMOIZED per (application, fixture dir) —
+  // the covStats/q91-layout lesson: q163+q164 share the day frame and
+  // q158+q165 share the basket frame, and a 3-iteration bench would
+  // otherwise re-aggregate the fact table once per consumer per
+  // iteration. The cached object is the lazily-pinned DataFrame; its
+  // checkpoint blocks materialize on first action and live for the app.
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /**
+   * Day-granularity revenue frame: one row per calendar order day with
+   * the exact revenue in cents. ~2.4k rows on the fixtures and bounded
+   * by calendar span at ANY corpus size — the canonical control-plane
+   * time series. Pinned: the autocorr/EWMA consumers each branch over
+   * it several times (self-joins), and re-aggregating the orders fact
+   * per branch would re-scan the corpus.
+   */
+  private def dailyRevenueCents(s: SparkSession, dir: String): DataFrame =
+    frameCache.computeIfAbsent(
+      "day@" + s.sparkContext.applicationId + "@" + dir, { _ =>
+        import s.implicits._
+        Pin.lazily(t(s, dir, "orders")
+          .groupBy(to_date($"o_orderdate").as("d"))
+          .agg(sum(cents($"o_totalprice")).as("cents")))
+      })
+
+  /**
+   * Basket frame for association mining: DISTINCT (order, brand) via the
+   * broadcast part dim. One shuffle at (order, brand) digest granularity;
+   * pinned because rule mining and PageRank both self-join it.
+   */
+  private def brandBaskets(s: SparkSession, dir: String): DataFrame =
+    frameCache.computeIfAbsent(
+      "baskets@" + s.sparkContext.applicationId + "@" + dir, { _ =>
+        import s.implicits._
+        Pin.lazily(t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+          .distinct())
+      })
+
+  /** Directed co-occurrence edges between brands (both directions), with
+    * weights = number of baskets containing both. Edge cardinality is
+    * bounded by |brands|² (≤625), independent of corpus size. */
+  private def brandEdges(bb: DataFrame): DataFrame = {
+    val s = bb.sparkSession
+    import s.implicits._
+    Pin.lazily(bb.as("a").join(bb.as("b"),
+        $"a.ok" === $"b.ok" && $"a.brand" =!= $"b.brand")
+      .select($"a.brand".as("src"), $"b.brand".as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------ association rules
+    // Market-basket rules over order baskets (items = part brands):
+    // support / confidence (both directions) / lift for every brand pair
+    // co-occurring in ≥10 baskets. Scale: the self-join expands each
+    // basket to (distinct brands)² pairs — bounded by order width, never
+    // corpus²; brand marginals (≤25 rows) and the 1-row basket count
+    // broadcast onto the pair aggregate. All metrics are single float
+    // divisions of exact BIGINT counts.
+    "q158_basket_rules" -> { (s, dir) =>
+      import s.implicits._
+      val bb = brandBaskets(s, dir)
+      val nB = bb.agg(countDistinct($"ok").as("n_baskets"))
+      val bc = bb.groupBy($"brand").agg(count(lit(1)).as("cnt"))
+      bb.as("a").join(bb.as("b"), $"a.ok" === $"b.ok" && $"a.brand" < $"b.brand")
+        .select($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
+        .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("pair_n"))
+        .filter($"pair_n" >= 10)
+        .join(broadcast(bc.toDF("brand_a", "cnt_a")), "brand_a")
+        .join(broadcast(bc.toDF("brand_b", "cnt_b")), "brand_b")
+        .crossJoin(broadcast(nB))
+        .select($"brand_a", $"brand_b", $"pair_n", $"cnt_a", $"cnt_b",
+          round($"pair_n" / $"n_baskets", 6).as("support"),
+          round($"pair_n" / $"cnt_a", 6).as("conf_a_b"),
+          round($"pair_n" / $"cnt_b", 6).as("conf_b_a"),
+          round(($"pair_n" * $"n_baskets") / ($"cnt_a" * $"cnt_b"), 6).as("lift"))
+        .orderBy($"brand_a", $"brand_b")
+    },
+
+    // -------------------------------------------------- Mann–Whitney U test
+    // Rank-sum test (URGENT vs LOW order priority on order value), the
+    // non-parametric complement to q155's z-test and q146/q151's KS.
+    // Midranks come from the VALUE-granularity frame: per distinct cents
+    // value, (a_n, t_n) counts, then the exclusive prefix sum of t_n via
+    // GlobalRank's two-pass distributed cumsum — no unpartitioned
+    // data-row window. 2·R_A = Σ a_n·(2·cum_before + t_n + 1) stays an
+    // exact DECIMAL aggregate; the tie-corrected z is one mirrored float
+    // expression. (Distinct values bound the frame; at corpus scale swap
+    // in q134's equi-depth bins exactly as q151 does for KS.)
+    "q159_mann_whitney_u" -> { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(($"o_orderpriority" === "1-URGENT").as("is_a"),
+          cents($"o_totalprice").as("v"))
+      val byV = o.groupBy($"v").agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("a_n"),
+        count(lit(1)).as("t_n"))
+      val pf = GlobalRank.withGlobalPrefixSum(
+        byV, Seq($"v"), $"t_n", "vrk", "nv", "cum_t", "n_tot")
+        .withColumn("cum_b", $"cum_t" - $"t_n")
+      pf.agg(
+          sum($"a_n").as("n_a"),
+          max($"n_tot").as("n"),
+          sum($"a_n".cast(dec) * (lit(2L) * $"cum_b" + $"t_n" + lit(1L))).as("r2_a"),
+          sum(($"t_n".cast(dec) * $"t_n" * $"t_n") - $"t_n").as("tie_raw"))
+        .select($"n_a", ($"n" - $"n_a").as("n_b"),
+          ($"r2_a" - ($"n_a" * ($"n_a" + lit(1L))).cast(dec)).cast("long").as("u2_a"),
+          $"tie_raw".cast("long").as("tie_sum"), $"n")
+        .select($"n_a", $"n_b", $"u2_a", $"tie_sum",
+          round(($"u2_a".cast("double") - ($"n_a" * $"n_b").cast("double")) /
+            (lit(2.0) * sqrt($"n_a".cast("double") * $"n_b" / lit(12.0) *
+              (($"n" + lit(1L)) - $"tie_sum".cast("double") /
+                ($"n".cast("double") * ($"n" - lit(1L)))))), 6).as("z"))
+    },
+
+    // -------------------------------------------------- chi-square contingency
+    // Independence audit of order priority × status: one fact scan, one
+    // (5×3)-cell aggregate; marginals and the grand total re-aggregate
+    // the PINNED 15-row cell frame (zero extra fact scans). Expected
+    // counts and per-cell contributions are single float expressions of
+    // exact BIGINTs — per-cell output avoids any cross-engine float-sum
+    // ordering entirely (the spec sums contributions for the statistic).
+    "q160_chi_square_cells" -> { (s, dir) =>
+      import s.implicits._
+      val cells = Pin.lazily(t(s, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("obs")))
+      val rt = cells.groupBy($"o_orderpriority").agg(sum($"obs").as("rt"))
+      val ct = cells.groupBy($"o_orderstatus").agg(sum($"obs").as("ct"))
+      val nn = cells.agg(sum($"obs").as("n_tot"))
+      val e = ($"rt" * $"ct").cast("double") / $"n_tot"
+      cells
+        .join(broadcast(rt), "o_orderpriority")
+        .join(broadcast(ct), "o_orderstatus")
+        .crossJoin(broadcast(nn))
+        .select($"o_orderpriority", $"o_orderstatus", $"obs",
+          round(e, 6).as("expected"),
+          round(($"obs" - e) * ($"obs" - e) / e, 6).as("contrib"))
+        .orderBy($"o_orderpriority", $"o_orderstatus")
+    },
+
+    // ----------------------------------------------------- Benford digit audit
+    // First-significant-digit distribution of order values vs Benford's
+    // log10(1+1/d) — the classic fabricated-data screen. The digit comes
+    // from the cents BIGINT's decimal string (no log10-of-value edge
+    // cases at exact powers of ten); digit-granularity (9 rows) from one
+    // scan, total derived from the pinned digit frame.
+    "q161_benford_digits" -> { (s, dir) =>
+      import s.implicits._
+      val d = Pin.lazily(t(s, dir, "orders")
+        .select(substring(cents($"o_totalprice").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n_d")))
+      val nn = d.agg(sum($"n_d").as("n"))
+      d.crossJoin(broadcast(nn))
+        .select($"digit", $"n_d",
+          round($"n_d" / $"n", 6).as("obs_freq"),
+          round(log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("benford_freq"),
+          round(abs($"n_d" / $"n" - log10(lit(1.0) + lit(1.0) / $"digit")), 6)
+            .as("abs_dev"))
+        .orderBy($"digit")
+    },
+
+    // -------------------------------------------------------- MAD outliers
+    // Robust per-segment outlier counts: median + median-absolute-
+    // deviation (the robust σ), flagging |x−med| > 3·1.4826·MAD. Three
+    // group-granularity passes over the pinned 2-column projection
+    // (medians are holistic — Spark's exact interpolated percentile ≡
+    // DuckDB quantile_cont, the q26 convention); the 5-row stats frame
+    // broadcasts back for the count pass.
+    "q162_mad_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val c = Pin.lazily(t(s, dir, "customer")
+        .select($"c_mktsegment", $"c_acctbal"))
+      val med = c.groupBy($"c_mktsegment")
+        .agg(expr("percentile(c_acctbal, 0.5D)").as("med"))
+      val stats = c.join(broadcast(med), "c_mktsegment")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), max($"med").as("med"),
+          expr("percentile(abs(c_acctbal - med), 0.5D)").as("mad"))
+      c.join(broadcast(stats), "c_mktsegment")
+        .groupBy($"c_mktsegment")
+        .agg(max($"n").as("n"), max($"med").as("med"), max($"mad").as("mad"),
+          sum(when(abs($"c_acctbal" - $"med") > lit(4.4478) * $"mad", 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // ------------------------------------------------------- autocorrelation
+    // Lag-1..7 autocorrelation of daily revenue — seasonality detection
+    // for the volume-anomaly family (q98). Calendar-lag pairs come from
+    // an equi-join of the day frame against itself through a broadcast
+    // 7-row offset spine (no window, no sort); Pearson r per lag is
+    // assembled from exact DECIMAL(38,0) moments with one mirrored float
+    // expression. Missing calendar days simply drop those pairs —
+    // identical semantics in both engines.
+    "q163_revenue_autocorr" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val lagDim = broadcast(s.range(1, 8).select(col("id").cast("int").as("lag")))
+      day.as("a").crossJoin(lagDim)
+        .join(day.as("b"), $"b.d" === date_sub($"a.d", $"lag"))
+        .select($"lag", $"a.cents".as("xa"), $"b.cents".as("xb"))
+        .groupBy($"lag").agg(
+          count(lit(1)).as("np"),
+          sum($"xa".cast(dec)).as("sx"), sum($"xb".cast(dec)).as("sy"),
+          sum($"xa".cast(dec) * $"xb").as("sxy"),
+          sum($"xa".cast(dec) * $"xa").as("sxx"),
+          sum($"xb".cast(dec) * $"xb").as("syy"))
+        .select($"lag", $"np",
+          round(($"np" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"np" * $"sxx" - $"sx" * $"sx").cast("double")) *
+             sqrt(($"np" * $"syy" - $"sy" * $"sy").cast("double"))), 6).as("acf"))
+        .orderBy($"lag")
+    },
+
+    // ------------------------------------------------------------ EWMA
+    // Exponentially weighted moving average of daily revenue (α = 1/2,
+    // 21-day window): weights 2^(20−off) keep the numerator an EXACT
+    // integer sum — no order-dependent float accumulation, bit-identical
+    // across engines and partitionings. The window is a calendar
+    // equi-join through a broadcast 21-row offset spine over the
+    // day-granularity frame; partial leading windows renormalize via the
+    // matched-weight denominator. The output stays integer to the end:
+    // ewma_cents_e4 = ⌊num·10⁴/den⌋ via exact decimal floor division —
+    // ROUND-of-double differs between engines exactly at scale-4 ties
+    // (Spark rounds the decimal expansion HALF_UP, DuckDB rounds the
+    // binary double), which a first cut of this query hit on the fixture.
+    "q164_ewma_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val offDim = broadcast(s.range(0, 21).select(col("id").cast("int").as("off")))
+      day.as("a").crossJoin(offDim)
+        .join(day.as("b"), $"b.d" === date_sub($"a.d", $"off"))
+        .select($"a.d".as("d"), $"a.cents".as("rev_cents"),
+          $"b.cents".as("bc"), pow(lit(2.0), lit(20) - $"off").cast("long").as("w"))
+        .groupBy($"d", $"rev_cents")
+        .agg(sum($"bc".cast(dec) * $"w").as("num"), sum($"w").as("den"))
+        .withColumn("sc", $"num" * lit(10000L))
+        .select($"d", $"rev_cents",
+          (($"sc" - pmod($"sc", $"den")) / $"den").cast("long").as("ewma_cents_e4"))
+        .orderBy($"d")
+    },
+
+    // --------------------------------------------------------- PageRank
+    // PageRank (damping 0.85, 3 power iterations from uniform) over the
+    // brand co-occurrence graph — "central" brands that co-sell with
+    // everything. The corpus-scale work is the basket/edge aggregation
+    // (shared, pinned); each iteration is then an edge-granularity join
+    // (≤625 rows here; E rows in general) between the broadcast rank
+    // vector and the pinned edge list — the standard distributed
+    // power-iteration shape, with per-iteration cost O(E), not O(n²).
+    // The oracle unrolls the same three iterations as CTEs.
+    "q165_brand_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val edges = brandEdges(brandBaskets(s, dir))
+      val ow = edges.groupBy($"src").agg(sum($"w").as("outw"))
+      val brands = t(s, dir, "part").select($"p_brand".as("brand")).distinct()
+      val nbF = broadcast(brands.agg(count(lit(1)).as("nb")))
+      var r = brands.crossJoin(nbF).select($"brand", (lit(1.0) / $"nb").as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(broadcast(ow), "src")
+          .join(broadcast(r.select($"brand".as("src"), $"r".as("rp"))), "src")
+          .groupBy($"dst").agg(sum(($"w" / $"outw") * $"rp").as("m"))
+        r = brands.crossJoin(nbF)
+          .join(broadcast(contrib), $"brand" === $"dst", "left")
+          .select($"brand",
+            (lit(0.15) / $"nb" + lit(0.85) * coalesce($"m", lit(0.0))).as("r"))
+      }
+      r.select($"brand", round($"r", 6).as("pagerank")).orderBy($"brand")
+    },
+
+    // --------------------------------------------- sorted-neighborhood dedup
+    // SNM: normalize → sort → compare only the w=2 forward neighbors per
+    // block (block = 8-char normalized prefix, sort key = 64-char prefix).
+    // Candidate generation is one partitioned window — O(n·w) pairs vs
+    // LSH's band-bucket joins; Levenshtein (threshold-capped, so Spark
+    // abandons early) runs only on candidates. Accepts pairs with edit
+    // distance ≤ 30% of the longer text.
+    "q166_sorted_neighborhood" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", $"text",
+          substring(regexp_replace(lower($"text"), "[^a-z0-9]", ""), 1, 64).as("skey"))
+        .withColumn("blk", substring($"skey", 1, 8))
+      val w = Window.partitionBy($"blk").orderBy($"skey", $"doc_id")
+      val neigh = d
+        .withColumn("n1_id", lead($"doc_id", 1).over(w))
+        .withColumn("n1_tx", lead($"text", 1).over(w))
+        .withColumn("n2_id", lead($"doc_id", 2).over(w))
+        .withColumn("n2_tx", lead($"text", 2).over(w))
+      val p1 = neigh.filter($"n1_id".isNotNull)
+        .select($"doc_id".as("id_x"), $"text".as("tx_x"),
+          $"n1_id".as("id_y"), $"n1_tx".as("tx_y"))
+      val p2 = neigh.filter($"n2_id".isNotNull)
+        .select($"doc_id".as("id_x"), $"text".as("tx_x"),
+          $"n2_id".as("id_y"), $"n2_tx".as("tx_y"))
+      p1.unionByName(p2)
+        .select(least($"id_x", $"id_y").as("doc_a"),
+          greatest($"id_x", $"id_y").as("doc_b"),
+          when($"id_x" < $"id_y", $"tx_x").otherwise($"tx_y").as("text_a"),
+          when($"id_x" < $"id_y", $"tx_y").otherwise($"tx_x").as("text_b"))
+        .withColumn("k",
+          floor(lit(0.3) * greatest(length($"text_a"), length($"text_b"))).cast("int"))
+        .withColumn("edit_dist", expr("levenshtein(text_a, text_b, k)").cast("long"))
+        .filter($"edit_dist" >= 0)
+        .select($"doc_a", $"doc_b", $"edit_dist")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // ------------------------------------------------- session sequence mining
+    // Top-20 event-type trigrams within sessions — the frequent-sequence
+    // complement to q156's pairwise transitions. Rides the shared pinned
+    // sessionization; two leads in ONE (user, session)-partitioned
+    // WindowExec; trigram counts are a bounded-domain aggregate
+    // (|types|³); top-k is TakeOrderedAndProject with a total tiebreak.
+    "q167_session_trigrams" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"sess_seq").orderBy($"ms", $"event_id")
+      CoreQueries.sessionized(s, dir)
+        .withColumn("t1", lead($"event_type", 1).over(w))
+        .withColumn("t2", lead($"event_type", 2).over(w))
+        .filter($"t1".isNotNull && $"t2".isNotNull)
+        .select(concat_ws(">", $"event_type", $"t1", $"t2").as("trigram"))
+        .groupBy($"trigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"trigram").limit(20)
+    },
+
+    // ------------------------------------------------------------- Gini
+    // Gini coefficient of customer spend concentration:
+    // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending spend. The rank
+    // comes from GlobalRank's two-pass distributed row number (unique
+    // total order via the custkey tiebreak) — no single-partition
+    // window; Σ rank·cents is one exact DECIMAL(38,0) aggregate.
+    "q168_gini_spend" -> { (s, dir) =>
+      import s.implicits._
+      val spend = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(sum(cents($"o_totalprice")).as("cents"))
+      GlobalRank.withGlobalRank(spend, Seq($"cents", $"o_custkey"), "rk", "n")
+        .agg(max($"n").as("n"), sum($"cents").as("total_cents"),
+          sum($"rk".cast(dec) * $"cents").as("s"))
+        .select($"n", $"total_cents",
+          round(lit(2.0) * $"s".cast("double") /
+              ($"n".cast("double") * $"total_cents") -
+            ($"n" + lit(1L)).cast("double") / $"n", 6).as("gini"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q158_basket_rules" ->
+      """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM bb),
+        |bc AS (SELECT brand, COUNT(*) AS cnt FROM bb GROUP BY brand),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_n
+        |       FROM bb a JOIN bb b ON a.ok = b.ok AND a.brand < b.brand
+        |       GROUP BY a.brand, b.brand)
+        |SELECT pr.brand_a, pr.brand_b, pr.pair_n, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  ROUND(pr.pair_n / n.n_baskets, 6) AS support,
+        |  ROUND(pr.pair_n / ca.cnt, 6) AS conf_a_b,
+        |  ROUND(pr.pair_n / cb.cnt, 6) AS conf_b_a,
+        |  ROUND((pr.pair_n * n.n_baskets) / (ca.cnt * cb.cnt), 6) AS lift
+        |FROM pr JOIN bc ca ON pr.brand_a = ca.brand
+        |        JOIN bc cb ON pr.brand_b = cb.brand
+        |        CROSS JOIN n
+        |WHERE pr.pair_n >= 10
+        |ORDER BY pr.brand_a, pr.brand_b""".stripMargin,
+
+    "q159_mann_whitney_u" ->
+      """WITH o AS (
+        |  SELECT (o_orderpriority = '1-URGENT') AS is_a,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |vv AS (SELECT v, CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        |         COUNT(*) AS t_n
+        |       FROM o GROUP BY v),
+        |c AS (SELECT v, a_n, t_n,
+        |        CAST(COALESCE(SUM(t_n) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_b
+        |      FROM vv),
+        |agg AS (SELECT CAST(SUM(a_n) AS BIGINT) AS n_a, CAST(SUM(t_n) AS BIGINT) AS n,
+        |          CAST(SUM(a_n * (2 * cum_b + t_n + 1)) AS BIGINT) AS r2_a,
+        |          CAST(SUM(t_n * t_n * t_n - t_n) AS BIGINT) AS tie_sum
+        |        FROM c)
+        |SELECT n_a, (n - n_a) AS n_b,
+        |  (r2_a - n_a * (n_a + 1)) AS u2_a, tie_sum,
+        |  ROUND((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a * (n - n_a) AS DOUBLE)) /
+        |    (2.0 * SQRT(CAST(n_a AS DOUBLE) * (n - n_a) / 12.0 *
+        |      ((n + 1) - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))), 6) AS z
+        |FROM agg""".stripMargin,
+
+    "q160_chi_square_cells" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+        |rt AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS rt
+        |       FROM cells GROUP BY o_orderpriority),
+        |ct AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS ct
+        |       FROM cells GROUP BY o_orderstatus),
+        |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells)
+        |SELECT c.o_orderpriority, c.o_orderstatus, c.obs,
+        |  ROUND(CAST(rt.rt * ct.ct AS DOUBLE) / nn.n_tot, 6) AS expected,
+        |  ROUND((c.obs - CAST(rt.rt * ct.ct AS DOUBLE) / nn.n_tot) *
+        |        (c.obs - CAST(rt.rt * ct.ct AS DOUBLE) / nn.n_tot) /
+        |        (CAST(rt.rt * ct.ct AS DOUBLE) / nn.n_tot), 6) AS contrib
+        |FROM cells c JOIN rt USING (o_orderpriority)
+        |             JOIN ct USING (o_orderstatus)
+        |             CROSS JOIN nn
+        |ORDER BY c.o_orderpriority, c.o_orderstatus""".stripMargin,
+
+    "q161_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+        |           AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n_d FROM d GROUP BY digit),
+        |nn AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM g)
+        |SELECT g.digit, g.n_d,
+        |  ROUND(g.n_d / nn.n, 6) AS obs_freq,
+        |  ROUND(LOG10(1.0 + 1.0 / g.digit), 6) AS benford_freq,
+        |  ROUND(ABS(g.n_d / nn.n - LOG10(1.0 + 1.0 / g.digit)), 6) AS abs_dev
+        |FROM g CROSS JOIN nn
+        |ORDER BY g.digit""".stripMargin,
+
+    "q162_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med
+        |  FROM customer GROUP BY c_mktsegment),
+        |s AS (
+        |  SELECT c.c_mktsegment, COUNT(*) AS n, MAX(m.med) AS med,
+        |    quantile_cont(abs(c.c_acctbal - m.med), 0.5) AS mad
+        |  FROM customer c JOIN m USING (c_mktsegment)
+        |  GROUP BY c.c_mktsegment)
+        |SELECT c.c_mktsegment, MAX(s.n) AS n, MAX(s.med) AS med, MAX(s.mad) AS mad,
+        |  CAST(SUM(CASE WHEN abs(c.c_acctbal - s.med) > 4.4478 * s.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM customer c JOIN s USING (c_mktsegment)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q163_revenue_autocorr" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |p AS (
+        |  SELECT l.lag, a.cents AS xa, b.cents AS xb
+        |  FROM day a CROSS JOIN range(1, 8) l(lag)
+        |  JOIN day b ON b.d = a.d - CAST(l.lag AS INTEGER)),
+        |agg AS (
+        |  SELECT lag, COUNT(*) AS np,
+        |    SUM(CAST(xa AS HUGEINT)) AS sx, SUM(CAST(xb AS HUGEINT)) AS sy,
+        |    SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
+        |    SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+        |    SUM(CAST(xb AS HUGEINT) * xb) AS syy
+        |  FROM p GROUP BY lag)
+        |SELECT CAST(lag AS INTEGER) AS lag, np,
+        |  ROUND(CAST(np * sxy - sx * sy AS DOUBLE) /
+        |    (SQRT(CAST(np * sxx - sx * sx AS DOUBLE)) *
+        |     SQRT(CAST(np * syy - sy * sy AS DOUBLE))), 6) AS acf
+        |FROM agg ORDER BY lag""".stripMargin,
+
+    "q164_ewma_revenue" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |p AS (
+        |  SELECT a.d, a.cents AS rev_cents, b.cents AS bc,
+        |    CAST(POWER(2, 20 - o.off) AS BIGINT) AS w
+        |  FROM day a CROSS JOIN range(0, 21) o(off)
+        |  JOIN day b ON b.d = a.d - CAST(o.off AS INTEGER)),
+        |g AS (
+        |  SELECT d, rev_cents, SUM(CAST(bc AS HUGEINT) * w) AS num,
+        |    CAST(SUM(w) AS BIGINT) AS den
+        |  FROM p GROUP BY d, rev_cents)
+        |SELECT d, rev_cents, CAST((num * 10000) // den AS BIGINT) AS ewma_cents_e4
+        |FROM g ORDER BY d""".stripMargin,
+
+    "q165_brand_pagerank" ->
+      """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |e AS (SELECT a.brand AS src, b.brand AS dst, COUNT(*) AS w
+        |      FROM bb a JOIN bb b ON a.ok = b.ok AND a.brand <> b.brand
+        |      GROUP BY a.brand, b.brand),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+        |bs AS (SELECT DISTINCT p_brand AS brand FROM part),
+        |nn AS (SELECT COUNT(*) AS nb FROM bs),
+        |r0 AS (SELECT brand, 1.0 / nn.nb AS r FROM bs CROSS JOIN nn),
+        |c1 AS (SELECT e.dst, SUM((e.w / ow.outw) * r0.r) AS m
+        |       FROM e JOIN ow ON ow.src = e.src JOIN r0 ON r0.brand = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT bs.brand, 0.15 / nn.nb + 0.85 * COALESCE(c1.m, 0.0) AS r
+        |       FROM bs CROSS JOIN nn LEFT JOIN c1 ON c1.dst = bs.brand),
+        |c2 AS (SELECT e.dst, SUM((e.w / ow.outw) * r1.r) AS m
+        |       FROM e JOIN ow ON ow.src = e.src JOIN r1 ON r1.brand = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT bs.brand, 0.15 / nn.nb + 0.85 * COALESCE(c2.m, 0.0) AS r
+        |       FROM bs CROSS JOIN nn LEFT JOIN c2 ON c2.dst = bs.brand),
+        |c3 AS (SELECT e.dst, SUM((e.w / ow.outw) * r2.r) AS m
+        |       FROM e JOIN ow ON ow.src = e.src JOIN r2 ON r2.brand = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT bs.brand, 0.15 / nn.nb + 0.85 * COALESCE(c3.m, 0.0) AS r
+        |       FROM bs CROSS JOIN nn LEFT JOIN c3 ON c3.dst = bs.brand)
+        |SELECT brand, ROUND(r, 6) AS pagerank FROM r3 ORDER BY brand""".stripMargin,
+
+    "q166_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64) AS skey
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    LEAD(doc_id, 1) OVER w AS n1_id, LEAD(text, 1) OVER w AS n1_tx,
+        |    LEAD(doc_id, 2) OVER w AS n2_id, LEAD(text, 2) OVER w AS n2_tx
+        |  FROM d WINDOW w AS (PARTITION BY substr(skey, 1, 8) ORDER BY skey, doc_id)),
+        |p AS (
+        |  SELECT doc_id AS id_x, text AS tx_x, n1_id AS id_y, n1_tx AS tx_y
+        |  FROM n WHERE n1_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, n2_id, n2_tx FROM n WHERE n2_id IS NOT NULL),
+        |c AS (
+        |  SELECT LEAST(id_x, id_y) AS doc_a, GREATEST(id_x, id_y) AS doc_b,
+        |    CASE WHEN id_x < id_y THEN tx_x ELSE tx_y END AS text_a,
+        |    CASE WHEN id_x < id_y THEN tx_y ELSE tx_x END AS text_b
+        |  FROM p)
+        |SELECT doc_a, doc_b, CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_dist
+        |FROM c
+        |WHERE levenshtein(text_a, text_b)
+        |  <= FLOOR(0.3 * GREATEST(length(text_a), length(text_b)))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q167_session_trigrams" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, event_id, event_type, ms,
+         |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= $SessionGapMs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+         |  FROM g),
+         |l AS (
+         |  SELECT event_type,
+         |    LEAD(event_type, 1) OVER w AS t1, LEAD(event_type, 2) OVER w AS t2
+         |  FROM x WINDOW w AS (PARTITION BY user_id, sess_seq ORDER BY ms, event_id))
+         |SELECT event_type || '>' || t1 || '>' || t2 AS trigram, COUNT(*) AS n
+         |FROM l WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         |GROUP BY trigram
+         |ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
+
+    "q168_gini_spend" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk FROM sp),
+        |agg AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |          SUM(CAST(rk AS HUGEINT) * cents) AS s
+        |        FROM r)
+        |SELECT n, total_cents,
+        |  ROUND(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * total_cents)
+        |        - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM agg""".stripMargin
+  )
+}

@@ -22,7 +22,7 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     val moduleSizes = Seq(graft.ops.CoreQueries.queries, graft.ops.DedupQueries.queries,
       graft.ops.SimilarityQueries.queries, graft.ops.SimilarityQueries.extraQueries,
       graft.ops.TextQueries.queries, graft.ops.MultimodalQueries.queries,
-      graft.ops.CurationQueries.queries).map(_.size).sum
+      graft.ops.CurationQueries.queries, graft.ops.StatsQueries.queries).map(_.size).sum
     assert(SparkEntry.queries.size === moduleSizes, "query name collision between modules")
   }
 

