@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -92,6 +92,45 @@ object Layout {
     require(sortCols.nonEmpty && shards >= 1)
     df.repartitionByRange(shards, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+  }
+
+  /**
+   * Per-file (rows, min, max) stats manifest over `statCol` for a written
+   * parquet layout — one CONTROL-PLANE row per data file. This is the
+   * metadata a transactional table format (or parquet footers) persists at
+   * write time; deriving it here costs one aggregate scan, paid once per
+   * layout (callers memoize — the Bucketing write-once lesson). After a
+   * [[sortedShards]] rewrite on `statCol`, file ranges are disjoint, so a
+   * range predicate intersects O(1) of them — the file-skipping that makes
+   * selective scans at 100 TB read gigabytes instead of the corpus.
+   */
+  def statsManifest(spark: SparkSession, layoutDir: String,
+                    statCol: String): Array[(String, Long, Double, Double)] = {
+    import spark.implicits._
+    spark.read.parquet(layoutDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(statCol).cast("double")).as("mn"),
+        max(col(statCol).cast("double")).as("mx"))
+      .as[(String, Long, Double, Double)]
+      .collect()
+  }
+
+  /**
+   * Range scan over a layout that reads ONLY the files whose [min, max]
+   * envelope intersects [lo, hi) per the manifest; the residual in-file
+   * filter still applies (file stats are an envelope, not a membership
+   * proof). Returns the pruned frame plus (filesRead, filesTotal) so
+   * callers can assert the skip actually happened.
+   */
+  def prunedRangeScan(spark: SparkSession, statCol: String, lo: Double, hi: Double,
+                      manifest: Array[(String, Long, Double, Double)]): (DataFrame, Int, Int) = {
+    val keep = manifest.collect { case (f, _, mn, mx) if mx >= lo && mn < hi => f }
+    val df =
+      if (keep.isEmpty)
+        spark.read.parquet(manifest.map(_._1).toIndexedSeq: _*).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (df.filter(col(statCol) >= lo && col(statCol) < hi), keep.length, manifest.length)
   }
 
   /**

@@ -194,6 +194,146 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(gini >= 0.0 && gini < 1.0)
   }
 
+  test("q169 changepoint matches an exhaustive driver-side split search") {
+    import spark.implicits._
+    val row = q("q169_revenue_changepoint").collect().head
+    val series = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+      .select($"d".cast("string"), $"c").as[(String, Long)].collect().sortBy(_._1)
+    val n = series.length
+    val prefix = series.map(_._2).scanLeft(0L)(_ + _).tail
+    val tot = prefix.last
+    val best = (7 to n - 7).map { i =>
+      val p = prefix(i - 1)
+      val score = math.sqrt(i.toDouble * (n - i) / n) *
+        math.abs(p.toDouble / i - (tot - p).toDouble / (n - i))
+      (score, series(i - 1)._1, i)
+    }.maxBy { case (s, d, _) => (s, d) }
+    assert(row.getDate(0).toString === best._2)
+    assert(row.getLong(1) === best._3.toLong)
+    assert(math.abs(row.getDouble(5) - best._1) < 1e-9)
+  }
+
+  test("q170 triangle counts match a brute-force enumeration") {
+    import spark.implicits._
+    val got = q("q170_brand_triangles").as[(String, Long)].collect().toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val edges = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+      .groupBy(_._1).values.flatMap { bs =>
+        val b = bs.map(_._2).distinct.sorted
+        for (i <- b.indices; j <- i + 1 until b.size) yield (b(i), b(j))
+      }.toSet
+    val nodes = brandOf.values.toSeq.distinct.sorted
+    val want = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size) {
+      val (x, y, z) = (nodes(i), nodes(j), nodes(k))
+      if (edges((x, y)) && edges((y, z)) && edges((x, z))) {
+        want(x) += 1; want(y) += 1; want(z) += 1
+      }
+    }
+    nodes.foreach(b => assert(got(b) === want(b), s"brand $b"))
+  }
+
+  test("q171 LLR matches an independent contingency recompute; LLR is nonnegative") {
+    import spark.implicits._
+    val got = q("q171_llr_collocations").as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._4 >= -1e-9))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"text").as[String].collect()
+    val bigrams = docs.flatMap(_.toLowerCase.split(" ").sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val k11 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rC = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cC = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nBi = bigrams.length.toLong
+    def term(k: Long, row: Long, c: Long): Double =
+      if (k > 0) k.toDouble * math.log(k.toDouble * nBi / (row.toDouble * c)) else 0.0
+    got.foreach { case (p, t0, cBi, llr) =>
+      assert(cBi === k11((p, t0)))
+      val (r, c) = (rC(p), cC(t0))
+      val want = 2.0 * (term(cBi, r, c) + term(r - cBi, r, nBi - c) +
+        term(c - cBi, nBi - r, c) + term(nBi - r - c + cBi, nBi - r, nBi - c))
+      assert(math.abs(llr - want) < 1e-4, s"($p,$t0): got $llr want $want")
+    }
+  }
+
+  test("q172 Zipf slope is negative and matches the collected-histogram OLS") {
+    import spark.implicits._
+    val row = q("q172_zipf_slope").collect().head
+    val (nW, slope, intercept) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(slope < 0.0, "word frequencies must decay with rank")
+    val hist = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    val pts = hist.sortBy { case (w, c) => (-c, w) }.take(200).zipWithIndex
+      .map { case ((_, c), i) => (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length
+    assert(nW === n.toLong)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val slopeW = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - slopeW) < 1e-5)
+    assert(math.abs(intercept - (sy - slopeW * sx) / n) < 1e-5)
+  }
+
+  test("q173 audience overlap matches collected user-set intersections") {
+    import spark.implicits._
+    val got = q("q173_audience_overlap")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val sets = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (a, b, na, nb, both, jac) =>
+      assert(a < b)
+      assert(na === sets(a).size.toLong && nb === sets(b).size.toLong)
+      val inter = (sets(a) & sets(b)).size.toLong
+      assert(both === inter)
+      val want = inter.toDouble / (na + nb - inter)
+      assert(math.abs(jac - want) < 1e-6)
+    }
+  }
+
+  test("q174 manifest pruning skips files and never changes results") {
+    import spark.implicits._
+    import graft.ops.Layout
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-spec").toString
+    try {
+      Layout.sortedShards(
+          spark.read.parquet(s"$sf0001/orders.parquet")
+            .select($"o_orderkey", $"o_totalprice"),
+          Seq("o_totalprice"), 8)
+        .write.mode("overwrite").parquet(root)
+      val man = Layout.statsManifest(spark, root, "o_totalprice")
+      assert(man.length === 8)
+      val (scan, kept, total) =
+        Layout.prunedRangeScan(spark, "o_totalprice", 50000.0, 100000.0, man)
+      assert(kept < total, s"pruning should skip files ($kept/$total read)")
+      val full = spark.read.parquet(root)
+        .filter($"o_totalprice" >= 50000.0 && $"o_totalprice" < 100000.0)
+      assert(scan.count() === full.count())
+      assert(scan.agg(sum($"o_orderkey")).head.getLong(0) ===
+        full.agg(sum($"o_orderkey")).head.getLong(0))
+      // empty intersection degenerates to zero rows, not an error
+      val (none, k0, _) =
+        Layout.prunedRangeScan(spark, "o_totalprice", 1e12, 2e12, man)
+      assert(k0 === 0 && none.count() === 0L)
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(root))
+    }
+  }
+
   test("q158 rules: metrics satisfy support/confidence/lift identities") {
     import spark.implicits._
     val rows = q("q158_basket_rules")
