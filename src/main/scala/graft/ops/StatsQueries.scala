@@ -609,6 +609,117 @@ object StatsQueries {
         s, "o_totalprice", 50000.0, 100000.0, priceManifest(s, dir))
       scan.agg(count(lit(1)).as("n_orders"),
         sum(cents($"o_totalprice")).as("rev_cents"))
+    },
+
+    // --------------------------------------------------- Kaplan–Meier
+    // Survival analysis of signup → first-purchase conversion: per-user
+    // durations in days (censored at the study end for never-converters),
+    // then the Kaplan–Meier product-limit estimator over the life table.
+    // The corpus-scale work is the per-user aggregation; the life table
+    // is DURATION-granularity (calendar-bounded — control-plane at any
+    // corpus size), so the sequential product folds on the driver like
+    // q157's chain solve. The oracle computes the identical estimator as
+    // EXP(Σ ln(1−dᵢ/nᵢ)) under a cumulative window; ROUND(…,6) absorbs
+    // the product-vs-exp-log ulp difference.
+    "q175_kaplan_meier" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val st = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ms").as("st"))
+      val pt = ev.select($"user_id", $"ms", $"event_type").join(st, "user_id")
+        .filter($"event_type" === "purchase" && $"ms" >= $"st")
+        .groupBy($"user_id").agg(min($"ms").as("pt"))
+      val mx = ev.agg(max($"ms").as("mx"))
+      val lt = st.join(pt, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          expr("CASE WHEN pt IS NOT NULL THEN (pt - st) div 86400000" +
+            " ELSE (mx - st) div 86400000 END").as("dur"),
+          when($"pt".isNotNull, 1L).otherwise(0L).as("conv"))
+        .groupBy($"dur")
+        .agg(sum($"conv").as("n_conv"), sum(lit(1L) - $"conv").as("n_cens"))
+        .orderBy($"dur").collect()
+      var atRisk = lt.map(r => r.getLong(1) + r.getLong(2)).sum
+      var sKm = 1.0
+      val rows = lt.toIndexedSeq.map { r =>
+        val (dur, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val nRisk = atRisk
+        sKm *= 1.0 - d.toDouble / nRisk
+        atRisk -= d + c
+        (dur, nRisk, d, c,
+          BigDecimal(sKm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      s.createDataFrame(rows)
+        .toDF("dur", "n_risk", "n_conv", "n_cens", "s_km")
+        .orderBy($"dur")
+    },
+
+    // ---------------------------------------------------- k-anonymity
+    // Privacy audit: group sizes over the quasi-identifier triple
+    // (nation, market segment, balance coarsened to 1000-unit bands) —
+    // rows in groups smaller than 5 are re-identifiable; coarsened
+    // numerics still leak, which is exactly what this audit surfaces.
+    // One group-granularity aggregate, pinned so the table-wide k (the
+    // min group size) derives from the same frame; output is the
+    // violating groups with the table k alongside.
+    "q176_k_anonymity" -> { (s, dir) =>
+      import s.implicits._
+      val g = Pin.lazily(t(s, dir, "customer")
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("group_size")))
+      val kTab = g.agg(min($"group_size").as("k_table"))
+      g.filter($"group_size" < 5)
+        .crossJoin(broadcast(kTab))
+        .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"group_size", $"k_table")
+        .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+    },
+
+    // ----------------------------------------------- day-of-week index
+    // Weekly seasonality: average revenue per weekday over the overall
+    // daily average (index 1.0 = a flat week) — the calendar complement
+    // to q163's autocorrelation. All moments exact off the shared pinned
+    // day frame; the index is one mirrored float division of exact
+    // integer products. Weekday is Monday=0 in both engines (Spark
+    // weekday(), DuckDB isodow−1 — dayofweek() anchors differ).
+    "q177_dow_seasonality" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val tot = day.agg(count(lit(1)).as("nd_tot"), sum($"cents").as("tot"))
+      day.groupBy(weekday($"d").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum($"cents").as("rev_cents"))
+        .crossJoin(broadcast(tot))
+        .select($"dow", $"n_days", $"rev_cents",
+          round(($"rev_cents".cast(dec) * $"nd_tot").cast("double") /
+            (($"n_days".cast(dec) * $"tot")).cast("double"), 6).as("idx"))
+        .orderBy($"dow")
+    },
+
+    // ------------------------------------------------- repair audit
+    // Ledger-repair audit over customer balances: negative balances are
+    // treated as sentinel errors to IMPUTE with the segment median of
+    // valid balances; values above the segment p99 get CAPPED. This is
+    // the audit face (counts + both thresholds); the repaired projection
+    // is a stateless CASE over the broadcast 5-row threshold frame
+    // (StatsSpec applies it and checks the invariants). Thresholds are
+    // interpolated percentiles emitted RAW — identical float expressions
+    // in both engines (the q26 convention); no ROUND anywhere, because
+    // interpolated midpoints land exactly on decimal ties where engine
+    // ROUND semantics diverge (the q164 lesson).
+    "q178_repair_audit" -> { (s, dir) =>
+      import s.implicits._
+      val c = Pin.lazily(t(s, dir, "customer")
+        .select($"c_mktsegment", $"c_acctbal"))
+      val th = c.filter($"c_acctbal" >= 0)
+        .groupBy($"c_mktsegment")
+        .agg(expr("percentile(c_acctbal, 0.5D)").as("med"),
+          expr("percentile(c_acctbal, 0.99D)").as("p99"))
+      c.join(broadcast(th), "c_mktsegment")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"c_acctbal" < 0, 1L).otherwise(0L)).as("n_imputed"),
+          sum(when($"c_acctbal" > $"p99", 1L).otherwise(0L)).as("n_capped"),
+          max($"med").as("med"), max($"p99").as("p99"))
+        .orderBy($"c_mktsegment")
     }
   )
 
@@ -936,6 +1047,74 @@ object StatsQueries {
       """SELECT COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM orders
-        |WHERE o_totalprice >= 50000.0 AND o_totalprice < 100000.0""".stripMargin
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice < 100000.0""".stripMargin,
+
+    "q175_kaplan_meier" ->
+      """WITH st AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS st
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pt AS (
+        |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS pt
+        |  FROM events e JOIN st ON st.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= st.st
+        |  GROUP BY e.user_id),
+        |mx AS (SELECT MAX(epoch_ms(ts)) AS mx FROM events),
+        |u AS (
+        |  SELECT CASE WHEN pt.pt IS NOT NULL THEN (pt.pt - st.st) // 86400000
+        |              ELSE (mx.mx - st.st) // 86400000 END AS dur,
+        |    CASE WHEN pt.pt IS NOT NULL THEN 1 ELSE 0 END AS conv
+        |  FROM st LEFT JOIN pt ON pt.user_id = st.user_id CROSS JOIN mx),
+        |lt AS (SELECT dur, CAST(SUM(conv) AS BIGINT) AS n_conv,
+        |         CAST(SUM(1 - conv) AS BIGINT) AS n_cens
+        |       FROM u GROUP BY dur),
+        |w AS (SELECT dur, n_conv, n_cens,
+        |        (SELECT COUNT(*) FROM u) -
+        |          CAST(COALESCE(SUM(n_conv + n_cens) OVER (ORDER BY dur
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |      FROM lt)
+        |SELECT dur, n_risk, n_conv, n_cens,
+        |  ROUND(PRODUCT(1.0 - CAST(n_conv AS DOUBLE) / n_risk) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s_km
+        |FROM w ORDER BY dur""".stripMargin,
+
+    "q176_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    COUNT(*) AS group_size
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000.0)),
+        |k AS (SELECT CAST(MIN(group_size) AS BIGINT) AS k_table FROM g)
+        |SELECT g.c_nationkey, g.c_mktsegment, g.bal_band, g.group_size, k.k_table
+        |FROM g CROSS JOIN k
+        |WHERE g.group_size < 5
+        |ORDER BY g.c_nationkey, g.c_mktsegment, g.bal_band""".stripMargin,
+
+    "q177_dow_seasonality" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |tot AS (SELECT COUNT(*) AS nd_tot, CAST(SUM(cents) AS BIGINT) AS tot FROM day)
+        |SELECT (isodow(d) - 1) AS dow, COUNT(*) AS n_days,
+        |  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+        |  ROUND(CAST(CAST(SUM(cents) AS HUGEINT) * nd_tot AS DOUBLE) /
+        |        CAST(CAST(COUNT(*) AS HUGEINT) * tot AS DOUBLE), 6) AS idx
+        |FROM day CROSS JOIN tot
+        |GROUP BY (isodow(d) - 1), nd_tot, tot
+        |ORDER BY dow""".stripMargin,
+
+    "q178_repair_audit" ->
+      """WITH th AS (
+        |  SELECT c_mktsegment,
+        |    quantile_cont(c_acctbal, 0.5) AS med,
+        |    quantile_cont(c_acctbal, 0.99) AS p99
+        |  FROM customer WHERE c_acctbal >= 0 GROUP BY c_mktsegment)
+        |SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  CAST(SUM(CASE WHEN c.c_acctbal > th.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |  MAX(th.med) AS med, MAX(th.p99) AS p99
+        |FROM customer c JOIN th USING (c_mktsegment)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin
   )
 }

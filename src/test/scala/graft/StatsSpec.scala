@@ -334,6 +334,98 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q175 Kaplan-Meier matches an independent life-table recompute") {
+    import spark.implicits._
+    val got = q("q175_kaplan_meier")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id",
+        (unix_micros($"ts".cast("timestamp")) / 1000).cast("long").as("ms"),
+        $"event_type")
+      .as[(Long, Long, String)].collect()
+    val signup = ev.filter(_._3 == "signup").groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val maxMs = ev.map(_._2).max
+    val durs = signup.toSeq.map { case (u, st) =>
+      val p = ev.filter(e => e._1 == u && e._3 == "purchase" && e._2 >= st)
+      if (p.nonEmpty) ((p.map(_._2).min - st) / 86400000L, 1L)
+      else ((maxMs - st) / 86400000L, 0L)
+    }
+    val lt = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, xs) =>
+      (d, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }
+    var atRisk = durs.size.toLong
+    var sKm = 1.0
+    val want = lt.map { case (d, conv, cens) =>
+      val n = atRisk
+      sKm *= 1.0 - conv.toDouble / n
+      atRisk -= conv + cens
+      (d, n, conv, cens, sKm)
+    }
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((d, n, cv, cs, s), (wd, wn, wcv, wcs, ws)) =>
+      assert(d === wd && n === wn && cv === wcv && cs === wcs)
+      assert(math.abs(s - ws) < 1e-6)
+    }
+    // survival is monotone nonincreasing from 1
+    assert(got.map(_._5).zip(got.map(_._5).tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("q176 k-anonymity violations match a collected recount") {
+    import spark.implicits._
+    val got = q("q176_k_anonymity")
+      .as[(Int, String, Long, Long, Long)].collect()
+    val groups = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long").as("b"))
+      .as[(Int, String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val kTable = groups.values.min
+    val wantViol = groups.filter(_._2 < 5)
+    assert(got.length === wantViol.size)
+    got.foreach { case (n, seg, band, sz, k) =>
+      assert(k === kTable)
+      assert(wantViol((n, seg, band)) === sz)
+    }
+  }
+
+  test("q177 day-of-week indices average to 1 weighted by day counts") {
+    import spark.implicits._
+    val rows = q("q177_dow_seasonality")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.map(_._1).sorted.sameElements(0 to 6))
+    val ndTot = rows.map(_._2).sum
+    val tot = rows.map(_._3).sum
+    // Σ n_days·idx·(tot/nd_tot) == Σ rev  ⇒  weighted mean of idx is 1
+    val wmean = rows.map(r => r._2 * r._4).sum / ndTot
+    assert(math.abs(wmean - 1.0) < 1e-4, s"weighted mean $wmean")
+    rows.foreach { case (_, nd, rev, idx) =>
+      val want = rev.toDouble * ndTot / (nd.toDouble * tot)
+      assert(math.abs(idx - want) < 1e-5)
+    }
+  }
+
+  test("q178 repair projection respects the audited thresholds") {
+    import spark.implicits._
+    val audit = q("q178_repair_audit")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val th = audit.map { case (seg, _, _, _, med, p99) => seg -> (med, p99) }.toMap
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_mktsegment", $"c_acctbal").as[(String, Double)].collect()
+    audit.foreach { case (seg, n, nImp, nCap, med, p99) =>
+      val xs = cust.filter(_._1 == seg).map(_._2)
+      assert(n === xs.length.toLong)
+      assert(nImp === xs.count(_ < 0).toLong)
+      assert(nCap === xs.count(_ > p99).toLong)
+      assert(med >= 0 && med <= p99)
+    }
+    // applying the repair: every cleaned value lies in [0, p99]
+    cust.foreach { case (seg, x) =>
+      val (med, p99) = th(seg)
+      val clean = if (x < 0) med else math.min(x, p99)
+      assert(clean >= 0.0 && clean <= p99)
+    }
+  }
+
   test("q158 rules: metrics satisfy support/confidence/lift identities") {
     import spark.implicits._
     val rows = q("q158_basket_rules")
