@@ -389,18 +389,15 @@ object StatsQueries {
           substring(regexp_replace(lower($"text"), "[^a-z0-9]", ""), 1, 64).as("skey"))
         .withColumn("blk", substring($"skey", 1, 8))
       val w = Window.partitionBy($"blk").orderBy($"skey", $"doc_id")
-      val neigh = d
-        .withColumn("n1_id", lead($"doc_id", 1).over(w))
-        .withColumn("n1_tx", lead($"text", 1).over(w))
-        .withColumn("n2_id", lead($"doc_id", 2).over(w))
-        .withColumn("n2_tx", lead($"text", 2).over(w))
-      val p1 = neigh.filter($"n1_id".isNotNull)
-        .select($"doc_id".as("id_x"), $"text".as("tx_x"),
-          $"n1_id".as("id_y"), $"n1_tx".as("tx_y"))
-      val p2 = neigh.filter($"n2_id".isNotNull)
-        .select($"doc_id".as("id_x"), $"text".as("tx_x"),
-          $"n2_id".as("id_y"), $"n2_tx".as("tx_y"))
-      p1.unionByName(p2)
+      // Both forward neighbors come out of ONE window pass (an array +
+      // explode rather than two filtered branches, which would plan two
+      // full scan+sort+window subtrees).
+      d.withColumn("nbrs", array(
+          struct(lead($"doc_id", 1).over(w).as("id_y"), lead($"text", 1).over(w).as("tx_y")),
+          struct(lead($"doc_id", 2).over(w).as("id_y"), lead($"text", 2).over(w).as("tx_y"))))
+        .select($"doc_id".as("id_x"), $"text".as("tx_x"), explode($"nbrs").as("nb"))
+        .filter($"nb.id_y".isNotNull)
+        .select($"id_x", $"tx_x", $"nb.id_y".as("id_y"), $"nb.tx_y".as("tx_y"))
         .select(least($"id_x", $"id_y").as("doc_a"),
           greatest($"id_x", $"id_y").as("doc_b"),
           when($"id_x" < $"id_y", $"tx_x").otherwise($"tx_y").as("text_a"),
