@@ -54,6 +54,16 @@ object StatsQueries {
   /** Must equal CoreQueries.SessionGapMs (q15/q156 family). */
   private val SessionGapMs = 30L * 60 * 1000
 
+  /** q180's PII/identifier patterns — RE2/Java-COMMON syntax only
+    * (character classes, no \b or lookaround), so Spark and DuckDB
+    * compile identical automata. Ordered; the audit emits one output row
+    * per (field, pattern). */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+    "ipv4" -> "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+    "intl_phone" -> "[+][0-9]{7,15}",
+    "digit_run" -> "[0-9]{2,}")
+
   private val dec = DecimalType(38, 0)
 
   /** Exact money cents: 2-decimal doubles → BIGINT, rounding (not
@@ -384,26 +394,37 @@ object StatsQueries {
     // distance ≤ 30% of the longer text.
     "q166_sorted_neighborhood" -> { (s, dir) =>
       import s.implicits._
+      // Candidate generation moves ONLY (doc_id, 64-char sort key)
+      // through the range exchange + sort — never document text; both
+      // forward neighbors come out of ONE window pass (array + explode —
+      // two filtered branches would plan two scan+sort+window subtrees).
+      // Text joins back for the O(n·w) candidate pairs only, the q84
+      // verify-stage discipline: at corpus scale full text crossing the
+      // candidate sort is the cost that kills SNM.
       val d = t(s, dir, "documents").filter($"text".isNotNull)
-        .select($"doc_id", $"text",
+        .select($"doc_id",
           substring(regexp_replace(lower($"text"), "[^a-z0-9]", ""), 1, 64).as("skey"))
         .withColumn("blk", substring($"skey", 1, 8))
       val w = Window.partitionBy($"blk").orderBy($"skey", $"doc_id")
-      // Both forward neighbors come out of ONE window pass (an array +
-      // explode rather than two filtered branches, which would plan two
-      // full scan+sort+window subtrees).
-      d.withColumn("nbrs", array(
-          struct(lead($"doc_id", 1).over(w).as("id_y"), lead($"text", 1).over(w).as("tx_y")),
-          struct(lead($"doc_id", 2).over(w).as("id_y"), lead($"text", 2).over(w).as("tx_y"))))
-        .select($"doc_id".as("id_x"), $"text".as("tx_x"), explode($"nbrs").as("nb"))
-        .filter($"nb.id_y".isNotNull)
-        .select($"id_x", $"tx_x", $"nb.id_y".as("id_y"), $"nb.tx_y".as("tx_y"))
+      val cand = d.withColumn("nbrs", array(
+          lead($"doc_id", 1).over(w), lead($"doc_id", 2).over(w)))
+        .select($"doc_id".as("id_x"), explode($"nbrs").as("id_y"))
+        .filter($"id_y".isNotNull)
         .select(least($"id_x", $"id_y").as("doc_a"),
-          greatest($"id_x", $"id_y").as("doc_b"),
-          when($"id_x" < $"id_y", $"tx_x").otherwise($"tx_y").as("text_a"),
-          when($"id_x" < $"id_y", $"tx_y").otherwise($"tx_x").as("text_b"))
+          greatest($"id_x", $"id_y").as("doc_b"))
+      val txt = t(s, dir, "documents")
+        .select($"doc_id", $"text")
+      cand
+        .join(txt.toDF("doc_a", "text_a"), "doc_a")
+        .join(txt.toDF("doc_b", "text_b"), "doc_b")
         .withColumn("k",
           floor(lit(0.3) * greatest(length($"text_a"), length($"text_b"))).cast("int"))
+        // free prune before the DP: levenshtein ≥ |len_a − len_b|, so a
+        // length gap beyond the band k already rejects the pair — this
+        // drops the bulk of the random sorted neighbors without touching
+        // characters (they dominate SNM verify cost; same predicate in
+        // the oracle, so the admitted set is unchanged by construction)
+        .filter(abs(length($"text_a") - length($"text_b")) <= $"k")
         .withColumn("edit_dist", expr("levenshtein(text_a, text_b, k)").cast("long"))
         .filter($"edit_dist" >= 0)
         .select($"doc_a", $"doc_b", $"edit_dist")
@@ -691,6 +712,159 @@ object StatsQueries {
         .orderBy($"dow")
     },
 
+    // --------------------------------------------------- RAG chunking
+    // Overlapping sliding-window chunking (64-word chunks, stride 48 —
+    // 16-word overlap), the retrieval-corpus preparation step between
+    // cleaning and embedding. Chunking is a per-row array transform (no
+    // shuffle); chunks ship as md5 digests + token counts, so the output
+    // (and at scale, the shuffle toward the embedder) carries 16-byte
+    // digests, not text. Tail chunks shorter than the stride are kept —
+    // same rule stated in the oracle's slice arithmetic.
+    "q179_rag_chunks" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", split(lower($"text"), " ").as("ws"))
+        .filter(size($"ws") >= 1)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, cast(floor((size(ws) - 1) / 48.0) as int)),
+            |  g -> struct(g as chunk_idx,
+            |    size(slice(ws, g * 48 + 1, 64)) as n_tokens,
+            |    md5(concat_ws(' ', slice(ws, g * 48 + 1, 64))) as chunk_md5))""".stripMargin))
+          .as("c"))
+        .select($"doc_id", $"c.chunk_idx", $"c.n_tokens", $"c.chunk_md5")
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // ----------------------------------------------------- PII audit
+    // Regex PII/identifier audit over every free-text field (documents
+    // text, events props): per (field, pattern) row counts and total
+    // occurrence counts — the scrubbing pre-pass a training-data
+    // pipeline runs before release. Patterns are RE2/Java-common
+    // character classes (no engine-specific syntax); each field is
+    // scanned ONCE with all patterns fused into one aggregate, then the
+    // 2-row frame unpivots to (field, pattern) rows. The redaction
+    // projection (regexp_replace with the same patterns) is exercised in
+    // StatsSpec on synthetic rows, since the fixtures are PII-free by
+    // construction — which the zero email/ipv4/phone rows here prove.
+    "q180_pii_audit" -> { (s, dir) =>
+      import s.implicits._
+      val fields = t(s, dir, "documents").filter($"text".isNotNull)
+        .select(lit("documents.text").as("field"), $"text".as("s"))
+        .unionByName(events(s, dir).filter($"props".isNotNull)
+          .select(lit("events.props").as("field"), $"props".as("s")))
+      val aggCols = count(lit(1)).as("n_scanned") +:
+        PiiPatterns.flatMap { case (name, re) =>
+          Seq(
+            sum(when(size(regexp_extract_all($"s", lit(re), lit(0))) > 0, 1L)
+              .otherwise(0L)).as(s"${name}_rows"),
+            sum(size(regexp_extract_all($"s", lit(re), lit(0))).cast("long"))
+              .as(s"${name}_occ"))
+        }
+      val agg = fields.groupBy($"field").agg(aggCols.head, aggCols.tail: _*)
+      val stackArgs = PiiPatterns.map { case (name, _) =>
+        s"'$name', ${name}_rows, ${name}_occ"
+      }.mkString(", ")
+      agg.select($"field", $"n_scanned",
+          expr(s"stack(${PiiPatterns.size}, $stackArgs) as (pattern, n_rows_hit, n_occurrences)"))
+        .select($"field", $"pattern", $"n_scanned", $"n_rows_hit", $"n_occurrences")
+        .orderBy($"field", $"pattern")
+    },
+
+    // ------------------------------------------- logistic regression
+    // Distributed batch-gradient logistic regression — the trained
+    // quality/domain classifier step of a curation pipeline (the
+    // fastText-classifier role; q141's DSIR is the importance-weight
+    // sibling). Label: lang = 'en'; features: cheap per-doc signals.
+    // Each of the 25 iterations is ONE aggregate pass over the PINNED
+    // feature frame (4 gradient sums + loss — map-side partial agg);
+    // weights live on the driver and re-enter as literals, the KMeans
+    // pattern. Rows-only (iterative float optimization isn't ANSI SQL);
+    // StatsSpec pins monotone loss, an accuracy floor over the majority
+    // class, and a first-iteration gradient recompute.
+    "q181_logreg_quality" -> { (s, dir) =>
+      import s.implicits._
+      val raw = Pin.lazily(t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select(($"lang" === "en").cast("double").as("y"),
+          split(lower($"text"), " ").as("ws"), length($"text").as("len"))
+        .select($"y",
+          ($"len".cast("double") / size($"ws")).as("r1"),
+          (size(filter($"ws", w => w === "the" || w === "a")).cast("double") /
+            size($"ws")).as("r2"),
+          (size(array_distinct($"ws")).cast("double") / size($"ws")).as("r3")))
+      // Standardize (z-score, population σ) — unscaled features make the
+      // fixed learning rate overshoot (avg word length ≫ the ratios; an
+      // unstandardized first cut oscillated instead of descending). One
+      // extra aggregate pass; the broadcast 1-row moments frame is the
+      // fit-then-transform of a deployed feature pipeline.
+      val mo = raw.agg(
+        avg($"r1").as("m1"), stddev_pop($"r1").as("s1"),
+        avg($"r2").as("m2"), stddev_pop($"r2").as("s2"),
+        avg($"r3").as("m3"), stddev_pop($"r3").as("s3"))
+      val feats = Pin.lazily(raw.crossJoin(broadcast(mo))
+        .select($"y", lit(1.0).as("x0"),
+          (($"r1" - $"m1") / $"s1").as("x1"),
+          (($"r2" - $"m2") / $"s2").as("x2"),
+          (($"r3" - $"m3") / $"s3").as("x3")))
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      val lr = 0.5
+      var lastLoss = Double.NaN
+      for (_ <- 1 to 25) {
+        val z = lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+          lit(w(2)) * $"x2" + lit(w(3)) * $"x3"
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val g = feats.agg(
+          avg((p - $"y") * $"x0").as("g0"), avg((p - $"y") * $"x1").as("g1"),
+          avg((p - $"y") * $"x2").as("g2"), avg((p - $"y") * $"x3").as("g3"),
+          avg(-($"y" * log(p) + (lit(1.0) - $"y") * log(lit(1.0) - p))).as("loss"))
+          .collect().head
+        w = Array(w(0) - lr * g.getDouble(0), w(1) - lr * g.getDouble(1),
+          w(2) - lr * g.getDouble(2), w(3) - lr * g.getDouble(3))
+        lastLoss = g.getDouble(4)
+      }
+      val zF = lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+        lit(w(2)) * $"x2" + lit(w(3)) * $"x3"
+      val acc = feats.agg(avg(
+        when((zF > 0).cast("double") === $"y", 1.0).otherwise(0.0)).as("a"))
+        .collect().head.getDouble(0)
+      val rows = w.toIndexedSeq.zipWithIndex.map { case (wi, i) =>
+        (s"w$i", BigDecimal(wi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } :+ ("train_acc", BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :+
+        ("train_loss", BigDecimal(lastLoss).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      s.createDataFrame(rows).toDF("param", "value").orderBy($"param")
+    },
+
+    // ------------------------------------------------- jackknife CI
+    // Delete-one-group jackknife confidence interval for a RATIO metric
+    // (average order value) — the standard error a plain per-row stddev
+    // gets wrong for ratios. Customers hash (md5, the SQL-expressible
+    // q141 recipe) into 32 buckets; leave-one-bucket-out θ₍g₎ are exact
+    // ratios off the bucket-granularity frame; SE and the 95% interval
+    // reduce the 32-row control-plane frame. At corpus scale the only
+    // data-wide work is the one bucket aggregate.
+    "q182_jackknife_ci" -> { (s, dir) =>
+      import s.implicits._
+      val b = Pin.lazily(t(s, dir, "orders")
+        .groupBy((conv(substring(md5($"o_custkey".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 32).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_g"), sum(cents($"o_totalprice")).as("s_g")))
+      val tot = b.agg(sum($"n_g").as("n"), sum($"s_g").as("sc"),
+        count(lit(1)).as("g"))
+      val thetas = b.crossJoin(broadcast(tot))
+        .select($"n", $"sc", $"g",
+          (($"sc" - $"s_g").cast("double") / ($"n" - $"n_g")).as("theta_g"))
+      val mean = thetas.agg(max($"n").as("n"), max($"sc").as("sc"), max($"g").as("g"),
+        (sum($"theta_g") / max($"g")).as("tbar"))
+      thetas.crossJoin(broadcast(mean.select($"tbar")))
+        .agg(max($"n").as("n_orders"), max($"g").as("n_buckets"),
+          max(($"sc".cast("double") / $"n")).as("theta_cents"),
+          sum(($"theta_g" - $"tbar") * ($"theta_g" - $"tbar")).as("ssq"),
+          max($"g").as("g2"))
+        .select($"n_orders", $"n_buckets",
+          round($"theta_cents", 6).as("aov_cents"),
+          round(sqrt(($"g2" - 1).cast("double") / $"g2" * $"ssq"), 6).as("se_cents"))
+    },
+
     // ------------------------------------------------- repair audit
     // Ledger-repair audit over customer balances: negative balances are
     // treated as sentinel errors to IMPUTE with the segment median of
@@ -901,8 +1075,10 @@ object StatsQueries {
         |  FROM p)
         |SELECT doc_a, doc_b, CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_dist
         |FROM c
-        |WHERE levenshtein(text_a, text_b)
-        |  <= FLOOR(0.3 * GREATEST(length(text_a), length(text_b)))
+        |WHERE ABS(length(text_a) - length(text_b))
+        |    <= FLOOR(0.3 * GREATEST(length(text_a), length(text_b)))
+        |  AND levenshtein(text_a, text_b)
+        |    <= FLOOR(0.3 * GREATEST(length(text_a), length(text_b)))
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q167_session_trigrams" ->
@@ -1099,6 +1275,68 @@ object StatsQueries {
         |FROM day CROSS JOIN tot
         |GROUP BY (isodow(d) - 1), nd_tot, tot
         |ORDER BY dow""".stripMargin,
+
+    "q179_rag_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+        |    CAST(len(ws[g * 48 + 1 : g * 48 + 64]) AS INT) AS n_tokens,
+        |    md5(array_to_string(ws[g * 48 + 1 : g * 48 + 64], ' ')) AS chunk_md5
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    CAST(FLOOR((len(ws) - 1) / 48.0) AS INT) + 1)) AS g) gg
+        |  WHERE len(ws) >= 1)
+        |SELECT doc_id, chunk_idx, n_tokens, chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q180_pii_audit" -> {
+      val aggCols = PiiPatterns.map { case (name, re) =>
+        s"""    CAST(SUM(CASE WHEN len(regexp_extract_all(s, '$re')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ${name}_rows,
+           |    CAST(SUM(len(regexp_extract_all(s, '$re'))) AS BIGINT) AS ${name}_occ""".stripMargin
+      }.mkString(",\n")
+      val branches = PiiPatterns.map { case (name, _) =>
+        s"SELECT field, '$name' AS pattern, n_scanned, ${name}_rows AS n_rows_hit, ${name}_occ AS n_occurrences FROM a"
+      }.mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH f AS (
+         |  SELECT 'documents.text' AS field, text AS s FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'events.props' AS field, props AS s FROM events WHERE props IS NOT NULL),
+         |a AS (
+         |  SELECT field, COUNT(*) AS n_scanned,
+         |$aggCols
+         |  FROM f GROUP BY field)
+         |$branches
+         |ORDER BY field, pattern""".stripMargin
+    },
+
+    "q182_jackknife_ci" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH h AS (
+         |  SELECT CAST($horner % 32 AS INT) AS bucket, o_totalprice
+         |  FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx, o_totalprice
+         |        FROM orders) x),
+         |b AS (SELECT bucket, COUNT(*) AS n_g,
+         |        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS s_g
+         |      FROM h GROUP BY bucket),
+         |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS sc,
+         |          COUNT(*) AS g
+         |        FROM b),
+         |th AS (SELECT n, sc, g,
+         |         CAST(sc - s_g AS DOUBLE) / (n - n_g) AS theta_g
+         |       FROM b CROSS JOIN tot),
+         |m AS (SELECT SUM(theta_g) / MAX(g) AS tbar FROM th),
+         |fin AS (SELECT MAX(th.n) AS n_orders, MAX(th.g) AS n_buckets,
+         |          MAX(CAST(th.sc AS DOUBLE) / th.n) AS theta_cents,
+         |          SUM((th.theta_g - m.tbar) * (th.theta_g - m.tbar)) AS ssq,
+         |          MAX(th.g) AS g2
+         |        FROM th CROSS JOIN m)
+         |SELECT n_orders, n_buckets, ROUND(theta_cents, 6) AS aov_cents,
+         |  ROUND(SQRT(CAST(g2 - 1 AS DOUBLE) / g2 * ssq), 6) AS se_cents
+         |FROM fin""".stripMargin
+    },
 
     "q178_repair_audit" ->
       """WITH th AS (

@@ -426,6 +426,131 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q179 chunks cover every word with stride overlap and digest-match a driver rechunk") {
+    import spark.implicits._
+    val got = q("q179_rag_chunks").as[(Long, Int, Int, String)].collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = docs.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split(" ", -1)
+      val nChunks = (ws.length - 1) / 48 + 1
+      (0 until nChunks).map { g =>
+        val chunk = ws.slice(g * 48, g * 48 + 64)
+        (id, g, chunk.length, md5(chunk.mkString(" ")))
+      }
+    }
+    assert(got.sortBy(r => (r._1, r._2)).toSeq === want.sortBy(r => (r._1, r._2)).toSeq)
+    // stride 48 < chunk 64 ⇒ chunk g covers words [48g, 48g+64) and the
+    // last chunk's start lies within the doc — so every word is covered
+    val lens = docs.map { case (id, tx) => id -> tx.toLowerCase.split(" ", -1).length }.toMap
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val maxIdx = cs.map(_._2).max
+      assert(maxIdx * 48 < lens(id))
+      assert((maxIdx + 1) * 48 >= lens(id) || maxIdx * 48 + 64 >= lens(id))
+    }
+  }
+
+  test("q180 PII audit: fixture is PII-free, digit runs present, redaction removes all matches") {
+    import spark.implicits._
+    val got = q("q180_pii_audit")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.length === 8)
+    got.foreach { case (_, pat, scanned, rows, occ) =>
+      assert(scanned > 0 && rows >= 0 && occ >= rows * 0)
+      if (pat != "digit_run") assert(rows === 0L, s"fixture should be $pat-free")
+    }
+    val dr = got.filter(_._2 == "digit_run")
+    assert(dr.exists(_._4 > 0), "props digit runs should be detected")
+    // redaction projection on synthetic PII rows: nothing survives
+    val synth = Seq(
+      "contact me at jane.doe+x@example.com or +14155550123",
+      "server 192.168.10.20 responded, ticket 99887766").toDF("s")
+    val pats = Seq(
+      "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+      "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+      "[+][0-9]{7,15}",
+      "[0-9]{2,}")
+    val red = pats.foldLeft(synth)((df, p) =>
+      df.withColumn("s", regexp_replace($"s", p, "[REDACTED]")))
+    val survivors = pats.map(p =>
+      red.filter(size(regexp_extract_all($"s", lit(p), lit(0))) > 0).count()).sum
+    assert(survivors === 0L)
+  }
+
+  test("q181 logistic regression matches a driver-side gradient-descent replay") {
+    import spark.implicits._
+    val got = q("q181_logreg_quality").as[(String, Double)].collect().toMap
+    val rawFeats = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .map { case (lang, text) =>
+        val ws = text.toLowerCase.split(" ", -1)
+        val y = if (lang == "en") 1.0 else 0.0
+        (y, Array(text.length.toDouble / ws.length,
+          ws.count(w => w == "the" || w == "a").toDouble / ws.length,
+          ws.distinct.length.toDouble / ws.length))
+      }
+    val n0 = rawFeats.length
+    val mus = (0 until 3).map(i => rawFeats.map(_._2(i)).sum / n0)
+    val sds = (0 until 3).map(i =>
+      math.sqrt(rawFeats.map(f => math.pow(f._2(i) - mus(i), 2)).sum / n0))
+    val feats = rawFeats.map { case (y, r) =>
+      (y, Array(1.0, (r(0) - mus(0)) / sds(0), (r(1) - mus(1)) / sds(1),
+        (r(2) - mus(2)) / sds(2)))
+    }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    var loss = 0.0
+    var prevLoss = Double.MaxValue
+    for (_ <- 1 to 25) {
+      val g = Array(0.0, 0.0, 0.0, 0.0)
+      loss = 0.0
+      feats.foreach { case (y, x) =>
+        val p = 1.0 / (1.0 + math.exp(-(w, x).zipped.map(_ * _).sum))
+        (0 until 4).foreach(i => g(i) += (p - y) * x(i))
+        loss += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }
+      (0 until 4).foreach(i => w(i) -= 0.5 * g(i) / feats.length)
+      loss /= feats.length
+      assert(loss < prevLoss + 1e-9, "loss must not increase")
+      prevLoss = loss
+    }
+    (0 until 4).foreach(i =>
+      assert(math.abs(got(s"w$i") - w(i)) < 1e-4, s"w$i: ${got(s"w$i")} vs ${w(i)}"))
+    assert(math.abs(got("train_loss") - loss) < 1e-4)
+    val majority = math.max(feats.count(_._1 == 1.0), feats.count(_._1 == 0.0))
+      .toDouble / feats.length
+    assert(got("train_acc") >= majority - 0.05,
+      s"accuracy ${got("train_acc")} should not trail the majority class $majority")
+  }
+
+  test("q182 jackknife matches an independent MD5-bucket recompute") {
+    import spark.implicits._
+    val row = q("q182_jackknife_ci").collect().head
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("c"))
+      .as[(Long, Long)].collect()
+    def bucket(k: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 32).toInt
+    }
+    val byB = orders.groupBy(o => bucket(o._1)).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val n = orders.length.toLong
+    val sc = orders.map(_._2).sum
+    val g = byB.size
+    val thetas = byB.values.map { case (ng, sg) => (sc - sg).toDouble / (n - ng) }
+    val tbar = thetas.sum / g
+    val se = math.sqrt((g - 1).toDouble / g * thetas.map(t => (t - tbar) * (t - tbar)).sum)
+    assert(row.getLong(0) === n && row.getLong(1) === g.toLong)
+    assert(math.abs(row.getDouble(2) - sc.toDouble / n) < 1e-4)
+    assert(math.abs(row.getDouble(3) - se) < 1e-4)
+  }
+
   test("q158 rules: metrics satisfy support/confidence/lift identities") {
     import spark.implicits._
     val rows = q("q158_basket_rules")
