@@ -865,6 +865,62 @@ object StatsQueries {
           round(sqrt(($"g2" - 1).cast("double") / $"g2" * $"ssq"), 6).as("se_cents"))
     },
 
+    // ------------------------------------------------ padding waste
+    // Batch-padding efficiency for inference/training: fixed batches of
+    // 32 docs padded to the batch max token count, comparing arrival
+    // (doc_id) order against length-sorted order — the measurement that
+    // justifies length bucketing (sorted batching cuts padding waste).
+    // Both rankings ride GlobalRank (no single-partition window); batch
+    // stats and the final totals are exact integer aggregates, one float
+    // division per strategy row.
+    "q183_padding_waste" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Pin.lazily(t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("n_tok")))
+      def strategy(name: String, order: Seq[Column]): DataFrame =
+        GlobalRank.withGlobalRank(toks, order, "rk", "n")
+          .withColumn("batch", expr("(rk - 1) div 32"))
+          .groupBy($"batch")
+          .agg(count(lit(1)).as("n_b"), max($"n_tok").as("mx"), sum($"n_tok").as("st"))
+          .agg(count(lit(1)).as("n_batches"), sum($"n_b").as("n_docs"),
+            sum($"st").as("total_tokens"), sum($"n_b" * $"mx").as("padded_tokens"))
+          .select(lit(name).as("strategy"), $"n_docs", $"n_batches",
+            $"total_tokens", $"padded_tokens",
+            round(($"padded_tokens" - $"total_tokens").cast("double") /
+              $"padded_tokens", 6).as("waste_pct"))
+      strategy("arrival", Seq($"doc_id"))
+        .unionByName(strategy("length_sorted", Seq($"n_tok", $"doc_id")))
+        .orderBy($"strategy")
+    },
+
+    // -------------------------------------------- forecast backtest
+    // Seasonal-naive backtest over daily revenue: predict each day with
+    // the value 1 day ago (naive) and 7 days ago (seasonal naive), score
+    // MAE/MAPE over the scored days — the baseline every revenue
+    // forecast must beat, and the q177/q163 seasonality evidence in
+    // error terms (lag-7 should win on a weekly-seasonal series).
+    // Predictions come from the same broadcast offset-spine equi-join as
+    // q163; MAE stays an exact ⌊·10⁴⌋ integer, MAPE is one mirrored AVG.
+    "q184_seasonal_naive_backtest" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val lagDim = broadcast(Seq(1, 7).toDF("lag"))
+      val sc = day.as("a").crossJoin(lagDim)
+        .join(day.as("b"), $"b.d" === date_sub($"a.d", $"lag"))
+        .select($"lag", $"a.cents".as("actual"), $"b.cents".as("pred"))
+        .withColumn("ad", abs($"actual" - $"pred"))
+        .groupBy($"lag")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"ad".cast(dec)).as("sad"),
+          avg($"ad".cast("double") / $"actual").as("mape_raw"))
+      val sadScaled = $"sad" * lit(10000L)
+      sc.select(concat(lit("lag"), $"lag").as("strategy"), $"n_days",
+          ((sadScaled - pmod(sadScaled, $"n_days")) / $"n_days").cast("long")
+            .as("mae_cents_e4"),
+          round($"mape_raw", 6).as("mape"))
+        .orderBy($"strategy")
+    },
+
     // ------------------------------------------------- repair audit
     // Ledger-repair audit over customer balances: negative balances are
     // treated as sentinel errors to IMPUTE with the segment median of
@@ -1337,6 +1393,53 @@ object StatsQueries {
          |  ROUND(SQRT(CAST(g2 - 1 AS DOUBLE) / g2 * ssq), 6) AS se_cents
          |FROM fin""".stripMargin
     },
+
+    "q183_padding_waste" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |ra AS (SELECT n_tok, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+        |       FROM toks),
+        |rs AS (SELECT n_tok, (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch
+        |       FROM toks),
+        |ga AS (SELECT batch, COUNT(*) AS n_b, MAX(n_tok) AS mx,
+        |         CAST(SUM(n_tok) AS BIGINT) AS st
+        |       FROM ra GROUP BY batch),
+        |gs AS (SELECT batch, COUNT(*) AS n_b, MAX(n_tok) AS mx,
+        |         CAST(SUM(n_tok) AS BIGINT) AS st
+        |       FROM rs GROUP BY batch),
+        |fa AS (SELECT 'arrival' AS strategy, CAST(SUM(n_b) AS BIGINT) AS n_docs,
+        |         COUNT(*) AS n_batches, CAST(SUM(st) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(n_b * mx) AS BIGINT) AS padded_tokens
+        |       FROM ga),
+        |fs AS (SELECT 'length_sorted', CAST(SUM(n_b) AS BIGINT), COUNT(*),
+        |         CAST(SUM(st) AS BIGINT), CAST(SUM(n_b * mx) AS BIGINT)
+        |       FROM gs),
+        |u AS (SELECT * FROM fa UNION ALL SELECT * FROM fs)
+        |SELECT strategy, n_docs, n_batches, total_tokens, padded_tokens,
+        |  ROUND(CAST(padded_tokens - total_tokens AS DOUBLE) / padded_tokens, 6)
+        |    AS waste_pct
+        |FROM u ORDER BY strategy""".stripMargin,
+
+    "q184_seasonal_naive_backtest" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |p AS (
+        |  SELECT l.lag, a.cents AS actual, b.cents AS pred,
+        |    ABS(a.cents - b.cents) AS ad
+        |  FROM day a CROSS JOIN (SELECT 1 AS lag UNION ALL SELECT 7) l
+        |  JOIN day b ON b.d = a.d - CAST(l.lag AS INTEGER)),
+        |g AS (
+        |  SELECT lag, COUNT(*) AS n_days, SUM(CAST(ad AS HUGEINT)) AS sad,
+        |    AVG(CAST(ad AS DOUBLE) / actual) AS mape_raw
+        |  FROM p GROUP BY lag)
+        |SELECT 'lag' || CAST(lag AS VARCHAR) AS strategy, n_days,
+        |  CAST((sad * 10000) // n_days AS BIGINT) AS mae_cents_e4,
+        |  ROUND(mape_raw, 6) AS mape
+        |FROM g ORDER BY strategy""".stripMargin,
 
     "q178_repair_audit" ->
       """WITH th AS (

@@ -394,6 +394,60 @@ object StreamingIngest {
   /** Per-key running state for one update cycle. */
   final case class KeyState(key: String, totalEvents: Long, batches: Long)
 
+  /** Token-bucket state carried between micro-batches by [[rateLimitGate]]:
+    * tokens remaining and the event-time the bucket was last advanced to. */
+  final case class BucketState(tokens: Double, lastMs: Long)
+
+  /** One admission decision from [[rateLimitGate]]. */
+  final case class Admission(key: String, id: Long, ms: Long, admitted: Boolean)
+
+  /**
+   * Per-key EVENT-TIME token-bucket admission control — the quota /
+   * rate-limit gate an ingest pipeline puts in front of a hot source so
+   * one feed can't starve the rest (a per-source fairness knob, not a
+   * dedup: every event gets an explicit admit/reject decision row).
+   *
+   * Bucket semantics: capacity `capacity` tokens, refilled at
+   * `refillPerSec` scaled by EVENT-time progress (deterministic and
+   * replayable — a processing-time bucket would admit a different set on
+   * every run; the trade is that a burst with identical timestamps
+   * refills nothing, which is exactly what a quota should do). Admission
+   * consumes one token. Events within a micro-batch are sorted by
+   * (ms, id) before the fold, so per-batch decisions are deterministic;
+   * across batches the usual streaming stance applies (arrival order,
+   * no retroactive replay). State is one (tokens, lastMs) pair per key
+   * in the checkpointed store — O(keys), bounded.
+   */
+  def rateLimitGate(spark: SparkSession, events: DataFrame,
+                    keyCol: String, idCol: String, msCol: String,
+                    capacity: Double, refillPerSec: Double): Dataset[Admission] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events.select(col(keyCol).cast("string").as("k"),
+        col(idCol).cast("long").as("id"), col(msCol).cast("long").as("ms"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[BucketState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(
+            BucketState(capacity, sorted.headOption.map(_._3).getOrElse(0L)))
+          val out = sorted.map { case (_, id, ms) =>
+            val advanced = math.max(0L, ms - st.lastMs)
+            val refilled = math.min(capacity,
+              st.tokens + advanced / 1000.0 * refillPerSec)
+            val admit = refilled >= 1.0
+            st = BucketState(if (admit) refilled - 1.0 else refilled,
+              math.max(st.lastMs, ms))
+            Admission(key, id, ms, admit)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Funnel progress for one user: highest stage reached (0 none,
     * 1 view, 2 view→click, 3 view→click→purchase) and when. */
   final case class FunnelState(userId: String, stage: Int, stageMs: Long)

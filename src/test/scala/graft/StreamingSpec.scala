@@ -497,4 +497,47 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("token-bucket rate gate admits per event-time refill, carries tokens across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val df = ms.toDF().toDF("k", "id", "ms")
+    // capacity 2 tokens, refill 1 token/second of EVENT time
+    val q = StreamingIngest.rateLimitGate(spark, df, "k", "id", "ms", 2.0, 1.0)
+      .writeStream.format("memory").queryName("rate_gate")
+      .outputMode("append").start()
+    // batch 1, key a: burst of 4 at t=0 — capacity admits 2, rejects 2;
+    // then t=1500ms refills 1.5 (capped at 2.0 partial) → admit.
+    ms.addData(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 0L),
+      ("a", 5L, 1500L), ("b", 10L, 0L))
+    q.processAllAvailable()
+    // batch 2, key a: t=1600 (+0.1s → 0.6 tokens: reject), t=3000
+    // (+1.4s → 1.9...: admit)
+    ms.addData(("a", 6L, 1600L), ("a", 7L, 3000L))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT key, id, admitted FROM rate_gate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    q.stop()
+    // independent fold with the same bucket rules
+    def replay(events: Seq[(Long, Long)], cap: Double, rps: Double): Set[(Long, Boolean)] = {
+      var tokens = cap
+      var last = events.head._2
+      events.map { case (id, t) =>
+        tokens = math.min(cap, tokens + math.max(0L, t - last) / 1000.0 * rps)
+        last = math.max(last, t)
+        val admit = tokens >= 1.0
+        if (admit) tokens -= 1.0
+        (id, admit)
+      }.toSet
+    }
+    val wantA = replay(Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (5L, 1500L), (6L, 1600L), (7L, 3000L)), 2.0, 1.0)
+    assert(got.filter(_._1 == "a").map(r => (r._2, r._3)) === wantA)
+    assert(got.filter(_._1 == "b") === Set(("b", 10L, true)))
+    // spelled out: the burst is clipped at capacity, refill is event-time
+    val byId = got.collect { case ("a", id, adm) => id -> adm }.toMap
+    assert(byId(1L) && byId(2L) && !byId(3L) && !byId(4L))
+    assert(byId(5L) && !byId(6L) && byId(7L))
+  }
 }
