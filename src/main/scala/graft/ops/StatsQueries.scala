@@ -921,6 +921,39 @@ object StatsQueries {
         .orderBy($"strategy")
     },
 
+    // --------------------------------------------- join-size estimation
+    // Join cardinality WITHOUT the join: |A⋈B| on a key = Σ_k cA(k)·cB(k)
+    // over the key-granularity count frames — the planner-style estimate
+    // that costs two aggregates + a key-level join instead of
+    // materializing row-level join output (at 100 TB: key-cardinality
+    // work vs row-cardinality work). Alongside the exact identity, a
+    // deterministic 1/16 key sample (md5 recipe, q141 family) scaled
+    // ×16 shows the sketch path a planner would actually run; its
+    // relative error is the output's last column. The oracle recomputes
+    // both from scratch — including, at sf0.01 scale, the ground-truth
+    // row count the identity must equal.
+    "q185_join_size_estimate" -> { (s, dir) =>
+      import s.implicits._
+      val ca = t(s, dir, "orders").groupBy($"o_orderkey".as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val cb = t(s, dir, "lineitem").groupBy($"l_orderkey".as("k"))
+        .agg(count(lit(1)).as("cb"))
+      val joined = Pin.lazily(ca.join(cb, "k")
+        .withColumn("prod", ($"ca".cast(dec) * $"cb"))
+        .withColumn("samp",
+          (conv(substring(md5($"k".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 16) === 0))
+      joined.agg(
+          sum($"prod").as("exact_rows"),
+          sum(when($"samp", $"prod").otherwise(lit(0L).cast(dec)))
+            .as("sampled_sum"))
+        .select($"exact_rows".cast("long").as("exact_join_rows"),
+          ($"sampled_sum" * lit(16L)).cast("long").as("estimated_join_rows"))
+        .select($"exact_join_rows", $"estimated_join_rows",
+          round(abs($"estimated_join_rows" - $"exact_join_rows").cast("double") /
+            $"exact_join_rows", 6).as("rel_error"))
+    },
+
     // ------------------------------------------------- repair audit
     // Ledger-repair audit over customer balances: negative balances are
     // treated as sentinel errors to IMPUTE with the segment median of
@@ -1440,6 +1473,28 @@ object StatsQueries {
         |  CAST((sad * 10000) // n_days AS BIGINT) AS mae_cents_e4,
         |  ROUND(mape_raw, 6) AS mape
         |FROM g ORDER BY strategy""".stripMargin,
+
+    "q185_join_size_estimate" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY o_orderkey),
+         |cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY l_orderkey),
+         |j AS (
+         |  SELECT ca.k, CAST(ca.ca AS HUGEINT) * cb.cb AS prod,
+         |    ($horner % 16) = 0 AS samp
+         |  FROM ca JOIN cb USING (k)
+         |  CROSS JOIN LATERAL (SELECT md5(CAST(ca.k AS VARCHAR)) AS hx) h),
+         |a AS (
+         |  SELECT CAST(SUM(prod) AS BIGINT) AS exact_join_rows,
+         |    CAST(SUM(CASE WHEN samp THEN prod ELSE 0 END) * 16 AS BIGINT)
+         |      AS estimated_join_rows
+         |  FROM j)
+         |SELECT exact_join_rows, estimated_join_rows,
+         |  ROUND(ABS(estimated_join_rows - exact_join_rows) /
+         |    CAST(exact_join_rows AS DOUBLE), 6) AS rel_error
+         |FROM a""".stripMargin
+    },
 
     "q178_repair_audit" ->
       """WITH th AS (

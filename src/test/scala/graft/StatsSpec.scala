@@ -594,6 +594,18 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q185 join-size identity equals the materialized join's row count") {
+    import spark.implicits._
+    val row = q("q185_join_size_estimate").collect().head
+    val o = spark.read.parquet(s"$sf0001/orders.parquet").select($"o_orderkey")
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet").select($"l_orderkey")
+    val actual = o.join(l, $"o_orderkey" === $"l_orderkey").count()
+    assert(row.getLong(0) === actual, "Σ cA·cB must equal the real join size")
+    assert(row.getLong(1) > 0 && row.getDouble(2) >= 0.0)
+    // the 1/16 key sample should land within a loose error band
+    assert(row.getDouble(2) < 0.5, s"sampled estimate off by ${row.getDouble(2)}")
+  }
+
   test("q158 rules: metrics satisfy support/confidence/lift identities") {
     import spark.implicits._
     val rows = q("q158_basket_rules")
