@@ -28,7 +28,7 @@ import Tables._
  */
 object CoreQueries {
 
-  private val SessionGapMs = 30L * 60 * 1000
+  private[ops] val SessionGapMs = 30L * 60 * 1000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------------- scans + hash agg

@@ -51,8 +51,10 @@ import Tables._
  */
 object StatsQueries {
 
-  /** Must equal CoreQueries.SessionGapMs (q15/q156 family). */
-  private val SessionGapMs = 30L * 60 * 1000
+  /** The one sessionization gap (q15/q156 family) — referenced, not
+    * duplicated: q167's Spark side sessionizes through CoreQueries and
+    * its oracle interpolates this, so they can never drift apart. */
+  private val SessionGapMs = CoreQueries.SessionGapMs
 
   /** q180's PII/identifier patterns — RE2/Java-COMMON syntax only
     * (character classes, no \b or lookaround), so Spark and DuckDB
@@ -72,13 +74,33 @@ object StatsQueries {
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
   // Shared pinned frames are MEMOIZED per (application, fixture dir) —
-  // the covStats/q91-layout lesson: q163+q164 share the day frame and
-  // q158+q165 share the basket frame, and a 3-iteration bench would
-  // otherwise re-aggregate the fact table once per consumer per
-  // iteration. The cached object is the lazily-pinned DataFrame; its
-  // checkpoint blocks materialize on first action and live for the app.
+  // the covStats/q91-layout lesson: q163/q164/q169/q177/q184 share the
+  // day frame and q158/q165/q170 share the basket + pair frames; a
+  // 3-iteration bench would otherwise re-aggregate the fact table once
+  // per consumer per iteration. The cached object is the lazily-pinned
+  // DataFrame; its checkpoint blocks materialize on first action and
+  // live for the app. Entries are EVICTED when their application ends
+  // (a per-app SparkListener) so a JVM that cycles SparkSessions doesn't
+  // pin dead sessions' plans forever.
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def memo(s: SparkSession, name: String, dir: String)
+                  (build: => DataFrame): DataFrame = {
+    val app = s.sparkContext.applicationId
+    if (evictionHooked.add(app))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          frameCache.keySet.removeIf(_.contains(s"@$app@"))
+          manifestCache.keySet.removeIf(_.contains(s"@$app@"))
+          evictionHooked.remove(app): Unit
+        }
+      })
+    frameCache.computeIfAbsent(s"$name@$app@$dir", _ => build)
+  }
 
   /**
    * Day-granularity revenue frame: one row per calendar order day with
@@ -89,28 +111,43 @@ object StatsQueries {
    * per branch would re-scan the corpus.
    */
   private def dailyRevenueCents(s: SparkSession, dir: String): DataFrame =
-    frameCache.computeIfAbsent(
-      "day@" + s.sparkContext.applicationId + "@" + dir, { _ =>
-        import s.implicits._
-        Pin.lazily(t(s, dir, "orders")
-          .groupBy(to_date($"o_orderdate").as("d"))
-          .agg(sum(cents($"o_totalprice")).as("cents")))
-      })
+    memo(s, "day", dir) {
+      import s.implicits._
+      Pin.lazily(t(s, dir, "orders")
+        .groupBy(to_date($"o_orderdate").as("d"))
+        .agg(sum(cents($"o_totalprice")).as("cents")))
+    }
 
   /**
    * Basket frame for association mining: DISTINCT (order, brand) via the
-   * broadcast part dim. One shuffle at (order, brand) digest granularity;
-   * pinned because rule mining and PageRank both self-join it.
+   * broadcast part dim. One shuffle at (order, brand) digest granularity.
    */
   private def brandBaskets(s: SparkSession, dir: String): DataFrame =
-    frameCache.computeIfAbsent(
-      "baskets@" + s.sparkContext.applicationId + "@" + dir, { _ =>
-        import s.implicits._
-        Pin.lazily(t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
-          .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
-          .distinct())
-      })
+    memo(s, "baskets", dir) {
+      import s.implicits._
+      Pin.lazily(t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+        .distinct())
+    }
+
+  /**
+   * Canonical (brand_a < brand_b) co-occurrence pair counts — the ONE
+   * basket self-join, shared by rule mining (q158, counts), PageRank
+   * (q165, both directions as weighted edges) and triangle counting
+   * (q170, pair keys). The self-join is the family's corpus-scale cost;
+   * memoizing the ≤|brands|² result means it runs once per application,
+   * not once per consumer per bench iteration.
+   */
+  private def brandPairCounts(s: SparkSession, dir: String): DataFrame =
+    memo(s, "brandpairs", dir) {
+      import s.implicits._
+      val bb = brandBaskets(s, dir)
+      Pin.lazily(bb.as("a")
+        .join(bb.as("b"), $"a.ok" === $"b.ok" && $"a.brand" < $"b.brand")
+        .select($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
+        .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("pair_n")))
+    }
 
   /**
    * q174's price-sorted layout + stats manifest, memoized per
@@ -126,18 +163,26 @@ object StatsQueries {
   private val manifestRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def priceManifest(s: SparkSession, dir: String): Array[(String, Long, Double, Double)] =
+  private val cleanupHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def priceManifest(s: SparkSession, dir: String): Array[(String, Long, Double, Double)] = {
+    val app = s.sparkContext.applicationId
     manifestCache.computeIfAbsent(
-      s.sparkContext.applicationId + "@" + dir, { _ =>
+      "manifest@" + app + "@" + dir, { _ =>
         import s.implicits._
+        // root keyed by (dir, pid, APPLICATION) to match the memo key — a
+        // second SparkSession in the same JVM must not Overwrite the files
+        // a first session's cached manifest still points at (review
+        // finding); the hook arms exactly once via compareAndSet.
         val pid = ProcessHandle.current().pid()
         val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft-manifest-${Integer.toHexString(dir.hashCode)}-$pid").toString
+          s"graft-manifest-${Integer.toHexString((dir + "@" + app).hashCode)}-$pid").toString
         Layout.sortedShards(
             t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice"),
             Seq("o_totalprice"), 16)
           .write.mode("overwrite").parquet(root)
-        if (manifestRoots.add(root) && manifestRoots.size == 1)
+        manifestRoots.add(root)
+        if (cleanupHookArmed.compareAndSet(false, true))
           Runtime.getRuntime.addShutdownHook(new Thread(() =>
             manifestRoots.forEach { r =>
               def del(f: java.io.File): Unit = {
@@ -148,17 +193,18 @@ object StatsQueries {
             }))
         Layout.statsManifest(s, root, "o_totalprice")
       })
+  }
 
   /** Directed co-occurrence edges between brands (both directions), with
-    * weights = number of baskets containing both. Edge cardinality is
-    * bounded by |brands|² (≤625), independent of corpus size. */
-  private def brandEdges(bb: DataFrame): DataFrame = {
-    val s = bb.sparkSession
+    * weights = number of baskets containing both — derived narrowly from
+    * the memoized pinned pair counts (≤|brands|² rows), no second
+    * self-join. */
+  private def brandEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Pin.lazily(bb.as("a").join(bb.as("b"),
-        $"a.ok" === $"b.ok" && $"a.brand" =!= $"b.brand")
-      .select($"a.brand".as("src"), $"b.brand".as("dst"))
-      .groupBy($"src", $"dst").agg(count(lit(1)).as("w")))
+    val pc = brandPairCounts(s, dir)
+    pc.select($"brand_a".as("src"), $"brand_b".as("dst"), $"pair_n".as("w"))
+      .unionByName(pc.select($"brand_b".as("src"), $"brand_a".as("dst"),
+        $"pair_n".as("w")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -176,9 +222,11 @@ object StatsQueries {
       val bb = brandBaskets(s, dir)
       val nB = bb.agg(countDistinct($"ok").as("n_baskets"))
       val bc = bb.groupBy($"brand").agg(count(lit(1)).as("cnt"))
-      bb.as("a").join(bb.as("b"), $"a.ok" === $"b.ok" && $"a.brand" < $"b.brand")
-        .select($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
-        .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("pair_n"))
+      // lift's cross products go through DECIMAL→DOUBLE, not LONG: at the
+      // corpus scale this file designs for, pair_n·n_baskets would wrap
+      // Long silently in Spark while DuckDB raises — the engines would
+      // diverge exactly at scale (review finding; HUGEINT mirror in SQL).
+      brandPairCounts(s, dir)
         .filter($"pair_n" >= 10)
         .join(broadcast(bc.toDF("brand_a", "cnt_a")), "brand_a")
         .join(broadcast(bc.toDF("brand_b", "cnt_b")), "brand_b")
@@ -187,7 +235,8 @@ object StatsQueries {
           round($"pair_n" / $"n_baskets", 6).as("support"),
           round($"pair_n" / $"cnt_a", 6).as("conf_a_b"),
           round($"pair_n" / $"cnt_b", 6).as("conf_b_a"),
-          round(($"pair_n" * $"n_baskets") / ($"cnt_a" * $"cnt_b"), 6).as("lift"))
+          round(($"pair_n".cast(dec) * $"n_baskets").cast("double") /
+            ($"cnt_a".cast(dec) * $"cnt_b").cast("double"), 6).as("lift"))
         .orderBy($"brand_a", $"brand_b")
     },
 
@@ -219,10 +268,12 @@ object StatsQueries {
           sum($"a_n".cast(dec) * (lit(2L) * $"cum_b" + $"t_n" + lit(1L))).as("r2_a"),
           sum(($"t_n".cast(dec) * $"t_n" * $"t_n") - $"t_n").as("tie_raw"))
         .select($"n_a", ($"n" - $"n_a").as("n_b"),
-          ($"r2_a" - ($"n_a" * ($"n_a" + lit(1L))).cast(dec)).cast("long").as("u2_a"),
+          // decimal product BEFORE the subtraction: n_a·(n_a+1) wraps
+          // Long near 3e9 rows per arm (review finding; HUGEINT mirror)
+          ($"r2_a" - $"n_a".cast(dec) * ($"n_a" + lit(1L))).cast("long").as("u2_a"),
           $"tie_raw".cast("long").as("tie_sum"), $"n")
         .select($"n_a", $"n_b", $"u2_a", $"tie_sum",
-          round(($"u2_a".cast("double") - ($"n_a" * $"n_b").cast("double")) /
+          round(($"u2_a".cast("double") - $"n_a".cast("double") * $"n_b") /
             (lit(2.0) * sqrt($"n_a".cast("double") * $"n_b" / lit(12.0) *
               (($"n" + lit(1L)) - $"tie_sum".cast("double") /
                 ($"n".cast("double") * ($"n" - lit(1L)))))), 6).as("z"))
@@ -368,7 +419,7 @@ object StatsQueries {
     // The oracle unrolls the same three iterations as CTEs.
     "q165_brand_pagerank" -> { (s, dir) =>
       import s.implicits._
-      val edges = brandEdges(brandBaskets(s, dir))
+      val edges = brandEdges(s, dir)
       val ow = edges.groupBy($"src").agg(sum($"w").as("outw"))
       val brands = t(s, dir, "part").select($"p_brand".as("brand")).distinct()
       val nbF = broadcast(brands.agg(count(lit(1)).as("nb")))
@@ -506,11 +557,7 @@ object StatsQueries {
     // basket frame.
     "q170_brand_triangles" -> { (s, dir) =>
       import s.implicits._
-      val e = Pin.lazily(brandBaskets(s, dir).as("a")
-        .join(brandBaskets(s, dir).as("b"),
-          $"a.ok" === $"b.ok" && $"a.brand" < $"b.brand")
-        .select($"a.brand".as("x"), $"b.brand".as("y"))
-        .distinct())
+      val e = brandPairCounts(s, dir).select($"brand_a".as("x"), $"brand_b".as("y"))
       val tri = e.as("e1")
         .join(e.toDF("y", "z").as("e2"), "y")
         .join(e.toDF("x", "z").as("e3"), Seq("x", "z"))
@@ -997,7 +1044,8 @@ object StatsQueries {
         |  ROUND(pr.pair_n / n.n_baskets, 6) AS support,
         |  ROUND(pr.pair_n / ca.cnt, 6) AS conf_a_b,
         |  ROUND(pr.pair_n / cb.cnt, 6) AS conf_b_a,
-        |  ROUND((pr.pair_n * n.n_baskets) / (ca.cnt * cb.cnt), 6) AS lift
+        |  ROUND(CAST(CAST(pr.pair_n AS HUGEINT) * n.n_baskets AS DOUBLE) /
+        |        CAST(CAST(ca.cnt AS HUGEINT) * cb.cnt AS DOUBLE), 6) AS lift
         |FROM pr JOIN bc ca ON pr.brand_a = ca.brand
         |        JOIN bc cb ON pr.brand_b = cb.brand
         |        CROSS JOIN n
@@ -1021,8 +1069,9 @@ object StatsQueries {
         |          CAST(SUM(t_n * t_n * t_n - t_n) AS BIGINT) AS tie_sum
         |        FROM c)
         |SELECT n_a, (n - n_a) AS n_b,
-        |  (r2_a - n_a * (n_a + 1)) AS u2_a, tie_sum,
-        |  ROUND((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a * (n - n_a) AS DOUBLE)) /
+        |  CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a, tie_sum,
+        |  ROUND((CAST(CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * (n - n_a)) /
         |    (2.0 * SQRT(CAST(n_a AS DOUBLE) * (n - n_a) / 12.0 *
         |      ((n + 1) - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))), 6) AS z
         |FROM agg""".stripMargin,
