@@ -382,7 +382,12 @@ object StatsQueries {
 
     // ------------------------------------------------------------ EWMA
     // Exponentially weighted moving average of daily revenue (α = 1/2,
-    // 21-day window): weights 2^(20−off) keep the numerator an EXACT
+    // 21-day window). Sibling of q116 (per-type recursive float EWMA for
+    // anomaly baselines) — this is the WINDOWED, integer-exact form: a
+    // bounded 21-term window with dyadic weights, chosen when the result
+    // must be order-independent and bit-reproducible under any
+    // partitioning (q116's recursive fold is the unbounded-memory-free
+    // stream shape). Weights 2^(20−off) keep the numerator an EXACT
     // integer sum — no order-dependent float accumulation, bit-identical
     // across engines and partitionings. The window is a calendar
     // equi-join through a broadcast 21-row offset spine over the
@@ -501,7 +506,12 @@ object StatsQueries {
     },
 
     // ------------------------------------------------------------- Gini
-    // Gini coefficient of customer spend concentration:
+    // Gini coefficient of customer SPEND concentration — the revenue
+    // twin of q126's token-mass Gini/Lorenz audit (same estimator, same
+    // GlobalRank machinery, different inventory: q126 asks "do a few
+    // documents own the token mass", this asks "do a few customers own
+    // the revenue" — the two dashboards a curation team and a business
+    // team actually run):
     // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending spend. The rank
     // comes from GlobalRank's two-pass distributed row number (unique
     // total order via the custkey tiebreak) — no single-partition
@@ -611,12 +621,13 @@ object StatsQueries {
     },
 
     // --------------------------------------------------------- Zipf fit
-    // Rank-frequency Zipf fit over the top-200 vocabulary: OLS slope of
-    // ln(freq) on ln(rank) — the corpus-health fingerprint (natural text
-    // sits near −1). Ranks come from GlobalRank over the vocab-bounded
-    // histogram (count desc, word tiebreak); the regression reduces a
-    // 200-row control-plane frame, so the float Σ terms are 200 ln
-    // products, rounded once at the end.
+    // CORPUS-WIDE rank-frequency Zipf fit over the top-200 vocabulary —
+    // q122's per-source screen aggregated to one corpus fingerprint
+    // (q122 compares sources against each other via GroupTopK heaps;
+    // this fits the global head via GlobalRank — the one number that
+    // goes on the dataset card). OLS slope of ln(freq) on ln(rank);
+    // natural text sits near −1. The regression reduces a 200-row
+    // control-plane frame, rounded once at the end.
     "q172_zipf_slope" -> { (s, dir) =>
       import s.implicits._
       val hist = t(s, dir, "documents")
