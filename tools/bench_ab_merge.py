@@ -3,7 +3,14 @@
 BENCH_AB.json: per-query old/new medians + ratio, common-set totals, and the
 largest movers in each direction. Medians because single samples on this box
 spread +/-25% (Bench.scala header); the ratio of same-session medians is the
-signal the per-round absolute totals cannot give."""
+signal the per-round absolute totals cannot give.
+
+Failed queries (-1 medians) are EXCLUDED from the comparable set and listed
+separately: a query that errors costs ~0 s, so summing it on one side only
+silently deflates that side's total. The round-7 r6-vs-r7 replay hit exactly
+this — the r6 tree failed 40 event-table queries against the regenerated
+NTZ fixtures, and the raw totals read as a phantom 1.6x regression that a
+both-sides-succeeded comparison (0.96x) dissolved."""
 import argparse, json, statistics
 
 
@@ -27,23 +34,30 @@ def main():
     ap.add_argument("--out", default="BENCH_AB.json")
     a = ap.parse_args()
     old, new = medians(a.old), medians(a.new)
-    common = sorted(set(old) & set(new))
+    registered_both = sorted(set(old) & set(new))
+    failed_old = sorted(q for q in registered_both if old[q] < 0)
+    failed_new = sorted(q for q in registered_both if new[q] < 0)
+    # comparable = registered AND succeeded in BOTH trees; anything else
+    # would sum a ~free failure against a real runtime
+    common = [q for q in registered_both if old[q] >= 0 and new[q] >= 0]
     per = {
         q: {
             "old": old[q],
             "new": new[q],
-            "ratio": round(new[q] / old[q], 3) if old[q] > 0 and new[q] >= 0 else None,
+            "ratio": round(new[q] / old[q], 3) if old[q] > 0 else None,
         }
         for q in common
     }
-    tot_old = round(sum(old[q] for q in common if old[q] > 0), 3)
-    tot_new = round(sum(new[q] for q in common if new[q] > 0), 3)
+    tot_old = round(sum(old[q] for q in common), 3)
+    tot_new = round(sum(new[q] for q in common), 3)
     movers = [(q, v["ratio"]) for q, v in per.items() if v["ratio"] is not None]
     out = {
         "old_rev": a.old_rev,
         "new_rev": a.new_rev,
         "sf": a.sf,
         "common_queries": len(common),
+        "failed_old": failed_old,
+        "failed_new": failed_new,
         "only_old": sorted(set(old) - set(new)),
         "only_new": sorted(set(new) - set(old)),
         "common_total_old_sec": tot_old,
@@ -55,7 +69,8 @@ def main():
     }
     with open(a.out, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"[bench_ab] {a.old_rev} -> {a.new_rev} on {len(common)} common queries: "
+    print(f"[bench_ab] {a.old_rev} -> {a.new_rev} on {len(common)} comparable queries "
+          f"({len(failed_old)} failed old-side, {len(failed_new)} failed new-side): "
           f"{tot_old}s -> {tot_new}s (x{out['common_total_ratio']}); wrote {a.out}")
     for q, r in out["top_improvements"][:5]:
         print(f"  improved  {q}: {per[q]['old']}s -> {per[q]['new']}s (x{r})")
