@@ -139,15 +139,22 @@ object StatsQueries {
    * memoizing the ≤|brands|² result means it runs once per application,
    * not once per consumer per bench iteration.
    */
-  private def brandPairCounts(s: SparkSession, dir: String): DataFrame =
+  private def brandPairCounts(s: SparkSession, dir: String): DataFrame = {
+    // Resolve the basket dependency BEFORE entering this frame's memo:
+    // computeIfAbsent is not reentrant on the same map, and nesting the
+    // two lookups threw ConcurrentHashMap's "Recursive update" whenever
+    // the pair frame was requested before the basket frame (q165/q170
+    // running ahead of q158 in a full Verify — the targeted runs always
+    // warmed baskets first and masked it).
+    import s.implicits._
+    val bb = brandBaskets(s, dir)
     memo(s, "brandpairs", dir) {
-      import s.implicits._
-      val bb = brandBaskets(s, dir)
       Pin.lazily(bb.as("a")
         .join(bb.as("b"), $"a.ok" === $"b.ok" && $"a.brand" < $"b.brand")
         .select($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
         .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("pair_n")))
     }
+  }
 
   /**
    * q174's price-sorted layout + stats manifest, memoized per
