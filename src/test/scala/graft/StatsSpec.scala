@@ -606,6 +606,87 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getDouble(2) < 0.5, s"sampled estimate off by ${row.getDouble(2)}")
   }
 
+  /** Driver-side GD replay shared by the classifier-family tests —
+    * identical to the query-side trainer by construction. */
+  private def trainReplay(): (Seq[Double], Seq[(Long, Double, Array[Double])]) = {
+    import spark.implicits._
+    val rawFeats = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+      .map { case (id, lang, text) =>
+        val ws = text.toLowerCase.split(" ", -1)
+        (id, if (lang == "en") 1.0 else 0.0,
+          Array(text.length.toDouble / ws.length,
+            ws.count(w => w == "the" || w == "a").toDouble / ws.length,
+            ws.distinct.length.toDouble / ws.length))
+      }
+    val n0 = rawFeats.length
+    val mus = (0 until 3).map(i => rawFeats.map(_._3(i)).sum / n0)
+    val sds = (0 until 3).map(i =>
+      math.sqrt(rawFeats.map(f => math.pow(f._3(i) - mus(i), 2)).sum / n0))
+    val feats = rawFeats.map { case (id, y, r) =>
+      (id, y, Array(1.0, (r(0) - mus(0)) / sds(0), (r(1) - mus(1)) / sds(1),
+        (r(2) - mus(2)) / sds(2)))
+    }
+    var w = Seq(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 25) {
+      val g = Array(0.0, 0.0, 0.0, 0.0)
+      feats.foreach { case (_, y, x) =>
+        val p = 1.0 / (1.0 + math.exp(-w.zip(x).map { case (a, b) => a * b }.sum))
+        (0 until 4).foreach(i => g(i) += (p - y) * x(i))
+      }
+      w = w.zipWithIndex.map { case (wi, i) => wi - 0.5 * g(i) / feats.length }
+    }
+    (w, feats.toIndexedSeq)
+  }
+
+  test("q186 gains table matches an independent rank-and-fold replay") {
+    import spark.implicits._
+    val got = q("q186_classifier_gains")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val (w, feats) = trainReplay()
+    val scored = feats.map { case (id, y, x) =>
+      (id, y, w.zip(x).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, _, sc) => (-sc, id) }
+    val n = scored.length
+    // SQL NTILE sizes: first (n mod 10) deciles get one extra row
+    val (q10, r10) = (n / 10, n % 10)
+    val sizes = (1 to 10).map(d => if (d <= r10) q10 + 1 else q10)
+    var idx = 0
+    val totPos = scored.map(_._2).sum
+    var cum = 0.0
+    got.zip(sizes).zipWithIndex.foreach { case (((d, nD, nP, rate, rec, lift), sz), i) =>
+      assert(d === (i + 1).toLong && nD === sz.toLong)
+      val pos = scored.slice(idx, idx + sz).map(_._2).sum
+      idx += sz
+      cum += pos
+      assert(nP === pos.toLong)
+      assert(math.abs(rate - pos / sz) < 1e-6)
+      assert(math.abs(rec - cum / totPos) < 1e-6)
+      assert(math.abs(lift - (pos / sz) / (totPos / n)) < 1e-6)
+    }
+    // gains must be monotone: recall non-decreasing, top decile ≥ base rate
+    assert(got.map(_._5).zip(got.map(_._5).tail).forall { case (a, b) => b >= a - 1e-9 })
+  }
+
+  test("q187 AUC matches brute-force pair counting with midrank ties") {
+    import spark.implicits._
+    val row = q("q187_classifier_auc").collect().head
+    val (w, feats) = trainReplay()
+    val scored = feats.map { case (_, y, x) =>
+      (y, w.zip(x).map { case (a, b) => a * b }.sum)
+    }
+    val pos = scored.filter(_._1 == 1.0).map(_._2)
+    val neg = scored.filter(_._1 == 0.0).map(_._2)
+    var num = 0.0
+    for (p <- pos; q0 <- neg)
+      num += (if (p > q0) 1.0 else if (p == q0) 0.5 else 0.0)
+    val want = num / (pos.length.toDouble * neg.length)
+    assert(row.getLong(0) === pos.length.toLong && row.getLong(1) === neg.length.toLong)
+    assert(math.abs(row.getDouble(2) - want) < 1e-6, s"AUC ${row.getDouble(2)} vs $want")
+    assert(row.getDouble(2) > 0.5, "trained classifier should beat chance")
+  }
+
   test("q158 rules: metrics satisfy support/confidence/lift identities") {
     import spark.implicits._
     val rows = q("q158_basket_rules")
