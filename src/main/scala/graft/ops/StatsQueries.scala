@@ -1114,6 +1114,64 @@ object StatsQueries {
             $"exact_join_rows", 6).as("rel_error"))
     },
 
+    // ------------------------------------------------------- CUPED
+    // Variance-reduced experiment readout (CUPED): adjust each user's
+    // post-period purchase count by their PRE-period count — the
+    // covariate trick that shrinks A/B confidence intervals without
+    // touching the point estimate's expectation. Period split at the
+    // event-time midpoint; arms reuse q155's md5 hash split. Everything
+    // reduces to ONE user-granularity aggregate pass: pooled θ =
+    // cov(x,y)/var(x) and the correlation² (the variance-reduction
+    // factor) come from exact DECIMAL moments; per-arm raw and adjusted
+    // deltas are mirrored float expressions. The pooled-mean term of the
+    // textbook formula cancels in the A−B difference, which is what
+    // ships.
+    "q188_cuped" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      // integer division, NOT /2-then-cast: the float quotient lands on
+      // .5 when min+max is odd, where Spark's cast truncates but DuckDB's
+      // rounds — the cutoff itself would diverge (the q164 tie family)
+      val span = ev.agg(min($"ms").as("mn"), max($"ms").as("mx"))
+        .select(expr("(mn + mx) div 2").as("cut"))
+      val users = ev.crossJoin(broadcast(span))
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "purchase" && $"ms" < $"cut", 1L)
+            .otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase" && $"ms" >= $"cut", 1L)
+            .otherwise(0L)).as("y"))
+        .withColumn("is_a",
+          substring(md5($"user_id".cast("string")), 1, 1) <= "7")
+      val m = users.agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y").as("sxy"),
+        sum($"x".cast(dec) * $"x").as("sxx"),
+        sum($"y".cast(dec) * $"y").as("syy"),
+        sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"is_a", $"x").otherwise(0L)).as("xa"),
+        sum(when($"is_a", $"y").otherwise(0L)).as("ya"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when(!$"is_a", $"x").otherwise(0L)).as("xb"),
+        sum(when(!$"is_a", $"y").otherwise(0L)).as("yb"))
+      val theta = ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+      val diffRaw = $"ya".cast("double") / $"n_a" - $"yb".cast("double") / $"n_b"
+      val diffCuped = ($"ya".cast("double") / $"n_a" -
+          $"theta" * ($"xa".cast("double") / $"n_a")) -
+        ($"yb".cast("double") / $"n_b" - $"theta" * ($"xb".cast("double") / $"n_b"))
+      val rho2 = (($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+        (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+          ($"n" * $"syy" - $"sy" * $"sy").cast("double"))
+      m.withColumn("theta", theta)
+        .select($"n_a", $"n_b", round($"theta", 6).as("theta"),
+          round(diffRaw, 6).as("diff_raw"),
+          round(diffCuped, 6).as("diff_cuped"),
+          round(rho2, 6).as("variance_reduction"))
+    },
+
     // ------------------------------------------------- repair audit
     // Ledger-repair audit over customer balances: negative balances are
     // treated as sentinel errors to IMPUTE with the segment median of
@@ -1657,6 +1715,46 @@ object StatsQueries {
          |    CAST(exact_join_rows AS DOUBLE), 6) AS rel_error
          |FROM a""".stripMargin
     },
+
+    "q188_cuped" ->
+      """WITH cutq AS (
+        |  SELECT CAST((MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS BIGINT) AS cut
+        |  FROM events),
+        |u AS (
+        |  SELECT e.user_id,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' AND epoch_ms(e.ts) < c.cut
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.cut
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    (substr(md5(CAST(e.user_id AS VARCHAR)), 1, 1) <= '7') AS is_a
+        |  FROM events e CROSS JOIN cutq c
+        |  GROUP BY e.user_id),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN is_a THEN x ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(SUM(CASE WHEN is_a THEN y ELSE 0 END) AS BIGINT) AS ya,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN x ELSE 0 END) AS BIGINT) AS xb,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN y ELSE 0 END) AS BIGINT) AS yb
+        |  FROM u),
+        |t AS (
+        |  SELECT m.*,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+        |  FROM m)
+        |SELECT n_a, n_b, ROUND(theta, 6) AS theta,
+        |  ROUND(CAST(ya AS DOUBLE) / n_a - CAST(yb AS DOUBLE) / n_b, 6) AS diff_raw,
+        |  ROUND((CAST(ya AS DOUBLE) / n_a - theta * (CAST(xa AS DOUBLE) / n_a)) -
+        |        (CAST(yb AS DOUBLE) / n_b - theta * (CAST(xb AS DOUBLE) / n_b)), 6)
+        |    AS diff_cuped,
+        |  ROUND((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) /
+        |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |    AS variance_reduction
+        |FROM t""".stripMargin,
 
     "q178_repair_audit" ->
       """WITH th AS (

@@ -687,6 +687,46 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getDouble(2) > 0.5, "trained classifier should beat chance")
   }
 
+  test("q188 CUPED: adjustment matches a collected recompute and never inflates the raw variance") {
+    import spark.implicits._
+    val row = q("q188_cuped").collect().head
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id",
+        (unix_micros($"ts".cast("timestamp")) / 1000).cast("long").as("ms"),
+        $"event_type")
+      .as[(Long, Long, String)].collect()
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def md5hex(k: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      val x = rows.count(r => r._3 == "purchase" && r._2 < cut).toLong
+      val y = rows.count(r => r._3 == "purchase" && r._2 >= cut).toLong
+      (u, x, y, md5hex(u).head <= '7')
+    }.toSeq
+    val n = users.size
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val syy = users.map(u => u._3 * u._3).sum
+    val theta = (n.toDouble * sxy - sx.toDouble * sy) / (n.toDouble * sxx - sx.toDouble * sx)
+    val a = users.filter(_._4); val b = users.filterNot(_._4)
+    assert(row.getLong(0) === a.size.toLong && row.getLong(1) === b.size.toLong)
+    assert(math.abs(row.getDouble(2) - theta) < 1e-5)
+    val diffRaw = a.map(_._3).sum.toDouble / a.size - b.map(_._3).sum.toDouble / b.size
+    val diffCuped = (a.map(_._3).sum.toDouble / a.size - theta * a.map(_._2).sum / a.size.toDouble) -
+      (b.map(_._3).sum.toDouble / b.size - theta * b.map(_._2).sum / b.size.toDouble)
+    assert(math.abs(row.getDouble(3) - diffRaw) < 1e-5)
+    assert(math.abs(row.getDouble(4) - diffCuped) < 1e-5)
+    val rho2 = row.getDouble(5)
+    assert(rho2 >= 0.0 && rho2 <= 1.0, "variance reduction is a squared correlation")
+    // CUPED's whole point: Var(y − θx) = Var(y)(1 − ρ²) ≤ Var(y)
+    val varY = syy.toDouble / n - math.pow(sy.toDouble / n, 2)
+    val adj = users.map(u => u._3 - theta * u._2)
+    val varAdj = adj.map(v => v * v).sum / n - math.pow(adj.sum / n, 2)
+    assert(varAdj <= varY + 1e-9)
+    assert(math.abs(varAdj - varY * (1 - rho2)) < 1e-4 * varY + 1e-9)
+  }
+
   test("q158 rules: metrics satisfy support/confidence/lift identities") {
     import spark.implicits._
     val rows = q("q158_basket_rules")
