@@ -68,6 +68,17 @@ object StatsQueries {
 
   private val dec = DecimalType(38, 0)
 
+  /** q192: replicate count for the Poisson bootstrap. */
+  val BootstrapReps = 32
+
+  /** q192: cumulative Poisson(1) probabilities P[W ≤ k] for k = 0..5,
+    * kept as STRINGS so the Spark literal and the interpolated oracle SQL
+    * parse the identical decimal text to the identical double. A uniform
+    * draw u maps to the first k with u < cdf(k), else 6 (the cap). */
+  val PoissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183")
+
   /** Exact money cents: 2-decimal doubles → BIGINT, rounding (not
     * truncating) so 123.45*100 == 12344.999… lands on 12345 in both
     * engines. */
@@ -1172,6 +1183,123 @@ object StatsQueries {
           round(rho2, 6).as("variance_reduction"))
     },
 
+    // ------------------------------------- difference-in-differences
+    // Two-period DiD experiment readout — the quasi-experimental sibling
+    // of q155's z-test and q188's CUPED: arms come from the same md5 hash
+    // split, periods from the same event-time midpoint (integer `div 2` —
+    // the q188 cutoff lesson), outcome = per-user purchase count in each
+    // period, zeros included, so every user contributes one pre and one
+    // post observation. Estimate = the four-cell-mean contrast
+    // (T,post − T,pre) − (C,post − C,pre); its SE pools the four cell
+    // variances, each from EXACT decimal moments (n·Σy² − (Σy)² over
+    // n(n−1)); floats appear only in the final mirrored divisions. Plan
+    // is q188's: ONE user-granularity hash aggregate (map-side combined)
+    // then ONE single-row fold — at 100 TB the shuffle carries one row
+    // per user and the readout is a 1-row frame.
+    "q191_diff_in_diff" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val span = ev.agg(min($"ms").as("mn"), max($"ms").as("mx"))
+        .select(expr("(mn + mx) div 2").as("cut"))
+      val users = ev.crossJoin(broadcast(span))
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "purchase" && $"ms" < $"cut", 1L)
+            .otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase" && $"ms" >= $"cut", 1L)
+            .otherwise(0L)).as("y"))
+        .withColumn("is_t",
+          substring(md5($"user_id".cast("string")), 1, 1) <= "7")
+      val m = users.agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("n_t"),
+        sum(when(!$"is_t", 1L).otherwise(0L)).as("n_c"),
+        sum(when($"is_t", $"x").otherwise(0L).cast(dec)).as("tx"),
+        sum(when($"is_t", $"y").otherwise(0L).cast(dec)).as("ty"),
+        sum(when(!$"is_t", $"x").otherwise(0L).cast(dec)).as("cx"),
+        sum(when(!$"is_t", $"y").otherwise(0L).cast(dec)).as("cy"),
+        sum(when($"is_t", $"x".cast(dec) * $"x").otherwise(lit(0).cast(dec)))
+          .as("tx2"),
+        sum(when($"is_t", $"y".cast(dec) * $"y").otherwise(lit(0).cast(dec)))
+          .as("ty2"),
+        sum(when(!$"is_t", $"x".cast(dec) * $"x").otherwise(lit(0).cast(dec)))
+          .as("cx2"),
+        sum(when(!$"is_t", $"y".cast(dec) * $"y").otherwise(lit(0).cast(dec)))
+          .as("cy2"))
+      // sample variance of a cell from its exact moments; the (n, n-1)
+      // denominators stay integer until the one double division
+      def cellVar(n: Column, sv: Column, sv2: Column): Column =
+        (n.cast(dec) * sv2 - sv * sv).cast("double") /
+          (n.cast("double") * (n - 1).cast("double"))
+      val did = ($"ty".cast("double") / $"n_t".cast("double") -
+          $"tx".cast("double") / $"n_t".cast("double")) -
+        ($"cy".cast("double") / $"n_c".cast("double") -
+          $"cx".cast("double") / $"n_c".cast("double"))
+      val se = sqrt(
+        cellVar($"n_t", $"tx", $"tx2") / $"n_t".cast("double") +
+          cellVar($"n_t", $"ty", $"ty2") / $"n_t".cast("double") +
+          cellVar($"n_c", $"cx", $"cx2") / $"n_c".cast("double") +
+          cellVar($"n_c", $"cy", $"cy2") / $"n_c".cast("double"))
+      m.withColumn("se", se)
+        .select($"n_t", $"n_c",
+          round(did, 6).as("did_estimate"),
+          round($"se", 6).as("se"),
+          round(did / $"se", 6).as("t_stat"))
+    },
+
+    // ------------------------------------------- Poisson bootstrap CI
+    // Bootstrap confidence interval for the mean order price WITHOUT
+    // materializing resamples — the Poisson(1) trick: each (row,
+    // replicate) pair draws an independent approximately-Poisson weight,
+    // so all B resampled means come out of ONE aggregate pass over a
+    // map-side `explode(sequence)` fan-out. Nothing reshuffles raw rows
+    // per replicate: partial aggregation folds each task's rows into B
+    // partial sums, and the shuffle carries B×tasks tiny rows — the only
+    // bootstrap that works at 100 TB. Draws are deterministic — md5 of
+    // key:group, where each 32-hex digest feeds FOUR replicate uniforms
+    // (8 hex chars each), then inverse-CDF thresholds shared verbatim
+    // with the oracle — replicate sums are exact DECIMAL/LONG, each
+    // replicate mean is ONE mirrored float division rounded to 6dp, and
+    // the CI bounds are interpolated percentiles over those 32 rounded
+    // means — emitted RAW, never re-rounded (the q26/q178 convention).
+    // Weights cap at 6 (P[W>6 | λ=1] ≈ 8e-5 per draw): deterministic,
+    // shared with the oracle, negligible truncation bias.
+    "q192_poisson_bootstrap" -> { (s, dir) =>
+      import s.implicits._
+      // one md5 digest feeds FOUR replicates (8 hex chars each of the
+      // 32-char digest) — the draw count is the dominant cost and this
+      // quarters it without touching determinism or independence
+      val reps = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .withColumn("g", explode(expr(s"sequence(0, ${BootstrapReps / 4 - 1})")))
+        .withColumn("hx", md5(concat($"o_orderkey".cast("string"), lit(":"),
+          $"g".cast("string"))))
+        .withColumn("lane", explode(expr("sequence(0, 3)")))
+        .withColumn("rep", $"g" * 4 + $"lane")
+        .withColumn("u",
+          conv(expr("substring(hx, lane * 8 + 1, 8)"), 16, 10).cast("long")
+            .cast("double") / lit(4294967296.0))
+      val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size)) {
+        case ((c, k), rest) => when($"u" < lit(c.toDouble), lit(k)).otherwise(rest)
+      }
+      val means = reps.withColumn("w", w)
+        .groupBy($"rep")
+        .agg(sum($"w".cast("long") * $"o_totalprice".cast(money)).as("sv"),
+          sum($"w".cast("long")).as("nv"))
+        .select(round($"sv".cast("double") / $"nv".cast("double"), 6).as("m"))
+      val base = t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(money)).as("sp"))
+      means.agg(
+          expr("percentile(m, array(0.025D, 0.975D))").as("ci"),
+          count(lit(1)).as("b_reps"))
+        .crossJoin(broadcast(base))
+        .select($"n_orders", $"b_reps",
+          round($"sp".cast("double") / $"n_orders".cast("double"), 6)
+            .as("mean_price"),
+          element_at($"ci", 1).as("ci_lo"),
+          element_at($"ci", 2).as("ci_hi"))
+    },
+
     // ------------------------------------------------- repair audit
     // Ledger-repair audit over customer balances: negative balances are
     // treated as sentinel errors to IMPUTE with the segment median of
@@ -1755,6 +1883,91 @@ object StatsQueries {
         |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |    AS variance_reduction
         |FROM t""".stripMargin,
+
+    "q191_diff_in_diff" ->
+      """WITH cutq AS (
+        |  SELECT CAST((MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS BIGINT) AS cut
+        |  FROM events),
+        |u AS (
+        |  SELECT e.user_id,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' AND epoch_ms(e.ts) < c.cut
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.cut
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    (substr(md5(CAST(e.user_id AS VARCHAR)), 1, 1) <= '7') AS is_t
+        |  FROM events e CROSS JOIN cutq c
+        |  GROUP BY e.user_id),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    SUM(CASE WHEN is_t THEN CAST(x AS HUGEINT) ELSE 0 END) AS tx,
+        |    SUM(CASE WHEN is_t THEN CAST(y AS HUGEINT) ELSE 0 END) AS ty,
+        |    SUM(CASE WHEN NOT is_t THEN CAST(x AS HUGEINT) ELSE 0 END) AS cx,
+        |    SUM(CASE WHEN NOT is_t THEN CAST(y AS HUGEINT) ELSE 0 END) AS cy,
+        |    SUM(CASE WHEN is_t THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS tx2,
+        |    SUM(CASE WHEN is_t THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS ty2,
+        |    SUM(CASE WHEN NOT is_t THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS cx2,
+        |    SUM(CASE WHEN NOT is_t THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS cy2
+        |  FROM u),
+        |s AS (
+        |  SELECT m.*,
+        |    (CAST(ty AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |     CAST(tx AS DOUBLE) / CAST(n_t AS DOUBLE)) -
+        |    (CAST(cy AS DOUBLE) / CAST(n_c AS DOUBLE) -
+        |     CAST(cx AS DOUBLE) / CAST(n_c AS DOUBLE)) AS did,
+        |    sqrt(
+        |      CAST(n_t * tx2 - tx * tx AS DOUBLE) /
+        |        (CAST(n_t AS DOUBLE) * CAST(n_t - 1 AS DOUBLE)) / CAST(n_t AS DOUBLE) +
+        |      CAST(n_t * ty2 - ty * ty AS DOUBLE) /
+        |        (CAST(n_t AS DOUBLE) * CAST(n_t - 1 AS DOUBLE)) / CAST(n_t AS DOUBLE) +
+        |      CAST(n_c * cx2 - cx * cx AS DOUBLE) /
+        |        (CAST(n_c AS DOUBLE) * CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE) +
+        |      CAST(n_c * cy2 - cy * cy AS DOUBLE) /
+        |        (CAST(n_c AS DOUBLE) * CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)) AS se
+        |  FROM m)
+        |SELECT n_t, n_c, ROUND(did, 6) AS did_estimate, ROUND(se, 6) AS se,
+        |  ROUND(did / se, 6) AS t_stat
+        |FROM s""".stripMargin,
+
+    // Rebuilds the 8-hex-digit md5 draw with the q141 strpos-Horner
+    // recipe; the inverse-CDF thresholds are interpolated from the SAME
+    // PoissonCdf strings the Spark side parses, so both engines compare
+    // the identical double u against the identical double thresholds.
+    "q192_poisson_bootstrap" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, (rep % 4) * 8 + $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      val cases = PoissonCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString(" ")
+      s"""WITH r AS (
+         |  SELECT o_orderkey, o_totalprice, rep,
+         |    md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+         |        CAST(rep // 4 AS VARCHAR)) AS hx
+         |  FROM orders CROSS JOIN range(0, $BootstrapReps) t(rep)),
+         |uu AS (
+         |  SELECT rep, o_totalprice, CAST($horner AS DOUBLE) / 4294967296.0 AS u
+         |  FROM r),
+         |wts AS (
+         |  SELECT rep, o_totalprice, CASE $cases ELSE ${PoissonCdf.size} END AS w
+         |  FROM uu),
+         |mm AS (
+         |  SELECT rep,
+         |    ROUND(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) /
+         |          CAST(SUM(w) AS DOUBLE), 6) AS m
+         |  FROM wts GROUP BY rep),
+         |base AS (
+         |  SELECT COUNT(*) AS n_orders,
+         |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sp
+         |  FROM orders)
+         |SELECT base.n_orders, (SELECT COUNT(*) FROM mm) AS b_reps,
+         |  ROUND(CAST(base.sp AS DOUBLE) / CAST(base.n_orders AS DOUBLE), 6)
+         |    AS mean_price,
+         |  (SELECT quantile_cont(m, 0.025) FROM mm) AS ci_lo,
+         |  (SELECT quantile_cont(m, 0.975) FROM mm) AS ci_hi
+         |FROM base""".stripMargin
+    },
 
     "q178_repair_audit" ->
       """WITH th AS (

@@ -740,4 +740,82 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       assert(lift > 0)
     }
   }
+
+  test("q191 DiD: estimate, SE and t match a four-cell driver recompute") {
+    import spark.implicits._
+    val row = q("q191_diff_in_diff").collect().head
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id",
+        (unix_micros($"ts".cast("timestamp")) / 1000).cast("long").as("ms"),
+        $"event_type")
+      .as[(Long, Long, String)].collect()
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def md5hex(k: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      val x = rows.count(r => r._3 == "purchase" && r._2 < cut).toDouble
+      val y = rows.count(r => r._3 == "purchase" && r._2 >= cut).toDouble
+      (x, y, md5hex(u).head <= '7')
+    }.toSeq
+    val t = users.filter(_._3); val c = users.filterNot(_._3)
+    assert(row.getLong(0) === t.size.toLong && row.getLong(1) === c.size.toLong)
+    def mean(v: Seq[Double]) = v.sum / v.size
+    def svar(v: Seq[Double]) = {
+      val m = mean(v); v.map(x => (x - m) * (x - m)).sum / (v.size - 1)
+    }
+    val did = (mean(t.map(_._2)) - mean(t.map(_._1))) -
+      (mean(c.map(_._2)) - mean(c.map(_._1)))
+    val se = math.sqrt(
+      svar(t.map(_._1)) / t.size + svar(t.map(_._2)) / t.size +
+        svar(c.map(_._1)) / c.size + svar(c.map(_._2)) / c.size)
+    assert(math.abs(row.getDouble(2) - did) < 1e-5, s"did: got ${row.getDouble(2)}, want $did")
+    assert(math.abs(row.getDouble(3) - se) < 1e-5, s"se: got ${row.getDouble(3)}, want $se")
+    assert(math.abs(row.getDouble(4) - did / se) < 1e-4)
+  }
+
+  test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
+    import spark.implicits._
+    val row = q("q192_poisson_bootstrap").collect().head
+    val (nOrders, bReps) = (row.getLong(0), row.getLong(1))
+    val (meanPrice, lo, hi) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(bReps === StatsQueries.BootstrapReps.toLong)
+    assert(lo < hi, "a nondegenerate interval")
+    assert(lo < meanPrice && meanPrice < hi,
+      s"CI [$lo, $hi] should bracket the mean $meanPrice")
+
+    // Full driver replay: same md5 draws, same thresholds, same
+    // interpolated percentile — through BigDecimal, not Catalyst.
+    val prices = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,4)"))
+      .as[(Long, java.math.BigDecimal)].collect()
+    assert(nOrders === prices.length.toLong)
+    val cdf = StatsQueries.PoissonCdf.map(_.toDouble)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val reps = (0 until StatsQueries.BootstrapReps).map { r =>
+      var sv = java.math.BigDecimal.ZERO; var nv = 0L
+      prices.foreach { case (ok, p) =>
+        val off = (r % 4) * 8
+        val u = java.lang.Long.parseLong(
+          md5hex(s"$ok:${r / 4}").substring(off, off + 8), 16)
+          .toDouble / 4294967296.0
+        val w = cdf.indexWhere(u < _) match { case -1 => cdf.size; case k => k }
+        sv = sv.add(p.multiply(java.math.BigDecimal.valueOf(w.toLong)))
+        nv += w
+      }
+      BigDecimal(sv).toDouble / nv.toDouble
+    }.map(m => BigDecimal(m)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).sorted
+    def pct(p: Double): Double = {
+      val pos = p * (reps.size - 1)
+      val (i, f) = (pos.toInt, pos - pos.toInt)
+      if (i + 1 < reps.size) reps(i) + f * (reps(i + 1) - reps(i)) else reps(i)
+    }
+    assert(math.abs(lo - pct(0.025)) < 1e-6, s"lo: got $lo, want ${pct(0.025)}")
+    assert(math.abs(hi - pct(0.975)) < 1e-6, s"hi: got $hi, want ${pct(0.975)}")
+    // weights average ≈ 1 ⇒ every replicate mean is near the point
+    // estimate; the spread is the bootstrap's sampling noise
+    assert(reps.forall(m => math.abs(m - meanPrice) / meanPrice < 0.2))
+  }
 }
