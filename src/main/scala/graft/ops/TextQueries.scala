@@ -720,6 +720,108 @@ object TextQueries {
         .orderBy($"query_id", $"rk")
     },
 
+    // Reciprocal-rank-fusion hybrid retrieval — the standard way two
+    // rankers with incommensurable scores combine (hybrid lexical+dense
+    // search uses exactly this): each ranker contributes 1/(k + rank)
+    // for its top-20, missing docs contribute 0, fused top-10 ships.
+    // Ranker A is q124's Okapi BM25 (same constants — the sibling
+    // cross-reference convention, like q164/q116); ranker B is Dirichlet-
+    // smoothed query likelihood (μ=2000, add-one collection smoothing so
+    // out-of-corpus terms stay finite), a genuinely different relevance
+    // model over the SAME candidate set: docs matching ≥1 query term.
+    // Plan shape stays the inverted-index join — the broadcast query-term
+    // list prunes postings FIRST, the LM's absent-term defaults come from
+    // an equi-join of candidates × the query's own ≤3 broadcast term
+    // rows (never a scan of non-matching tokens), and both rankers'
+    // top-20 pools ride GroupTopK partial heaps, so no unpartitioned
+    // window and no per-ranker rescan of the corpus. Float parity: both
+    // scores are fixed-slot folds (≤1 row per slot — selection, not
+    // accumulation) added left-to-right; ranks are decided on those raw
+    // doubles identically in both engines with doc_id tie-breaks; the
+    // RRF sum is two mirrored divisions.
+    "q189_rrf_hybrid" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Pin.lazily(t(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("tok")))
+      val dl = Pin.lazily(toks.groupBy($"doc_id").agg(count(lit(1)).as("dl")))
+      val post = Pin.lazily(
+        toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf")))
+      val dfr = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val cf = Pin.lazily(post.groupBy($"tok").agg(sum($"tf").as("cf")))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val vt = cf.agg(count(lit(1)).as("vocab"), sum($"cf").as("total"))
+      val qterms = Bm25Queries
+        .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (tk, i) => (qid, tk, i) } }
+        .toDF("query_id", "tok", "term_idx")
+      // BM25 ranking — q124's expression verbatim
+      val bmScored = post
+        .join(broadcast(qterms), "tok")
+        .join(dfr, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .withColumn("idf", log(
+          ($"n_docs".cast("double") - $"df".cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("contrib",
+          $"idf" * ($"tf".cast("double") * lit(Bm25K1 + 1.0)) /
+            ($"tf".cast("double") +
+              lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * $"dl".cast("double") / $"avgdl")))
+      val bmDoc = bmScored.groupBy($"query_id", $"doc_id")
+        .agg(
+          sum(when($"term_idx" === 0, $"contrib")).as("c0"),
+          sum(when($"term_idx" === 1, $"contrib")).as("c1"),
+          sum(when($"term_idx" === 2, $"contrib")).as("c2"))
+        .withColumn("score",
+          coalesce($"c0", lit(0.0)) + coalesce($"c1", lit(0.0)) + coalesce($"c2", lit(0.0)))
+      // LM ranking over the same candidates: every (candidate, query
+      // term) pair gets a row, so absent terms contribute the smoothed
+      // floor log(μ·p/(dl+μ)) instead of silently dropping out
+      val qp = broadcast(qterms
+        .join(cf, Seq("tok"), "left")
+        .crossJoin(vt)
+        .select($"query_id", $"term_idx", $"tok",
+          ((coalesce($"cf", lit(0L)) + 1).cast("double") /
+            ($"total" + $"vocab").cast("double")).as("p")))
+      val cand = post.join(broadcast(qterms), "tok")
+        .select($"query_id", $"doc_id").distinct()
+      val p2 = post.select($"tok".as("ptok"), $"doc_id".as("pdoc"), $"tf")
+      val lmDoc = cand
+        .join(qp, "query_id")
+        .join(p2, $"ptok" === $"tok" && $"pdoc" === $"doc_id", "left")
+        .drop("ptok", "pdoc")
+        .join(dl, "doc_id")
+        .withColumn("contrib",
+          log((coalesce($"tf", lit(0L)).cast("double") + lit(LmMu) * $"p") /
+            ($"dl".cast("double") + lit(LmMu))))
+        .groupBy($"query_id", $"doc_id")
+        .agg(
+          sum(when($"term_idx" === 0, $"contrib")).as("c0"),
+          sum(when($"term_idx" === 1, $"contrib")).as("c1"),
+          sum(when($"term_idx" === 2, $"contrib")).as("c2"))
+        .withColumn("score", $"c0" + $"c1" + coalesce($"c2", lit(0.0)))
+      def pool(df: DataFrame, rankCol: String): DataFrame = {
+        val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+        graft.plans.GroupTopK(df, Seq($"query_id"),
+            Seq($"score".desc, $"doc_id".asc), RrfPoolK)
+          .withColumn(rankCol, row_number().over(w).cast("long"))
+          .select($"query_id", $"doc_id", col(rankCol))
+      }
+      val b = pool(bmDoc, "r_bm")
+      val l = pool(lmDoc, "r_lm")
+      val fused = b.join(l, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / ($"r_bm" + lit(RrfK)).cast("double"), lit(0.0)) +
+            coalesce(lit(1.0) / ($"r_lm" + lit(RrfK)).cast("double"), lit(0.0)))
+      val wf = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id".asc)
+      graft.plans.GroupTopK(fused, Seq($"query_id"),
+          Seq($"rrf".desc, $"doc_id".asc), Bm25TopK)
+        .withColumn("rk", row_number().over(wf).cast("long"))
+        .select($"query_id".cast("long").as("query_id"), $"rk", $"doc_id",
+          round($"rrf", 6).as("rrf_score"), $"r_bm", $"r_lm")
+        .orderBy($"query_id", $"rk")
+    },
+
     // Token-mass concentration: the Lorenz curve (cumulative token share at
     // each decile of documents, shortest-first) plus the Gini coefficient —
     // the audit that says whether a handful of giant documents carry the
@@ -908,6 +1010,15 @@ object TextQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   private val Bm25TopK = 10
+
+  /** q189: Dirichlet-smoothing mass for the query-likelihood ranker. */
+  private val LmMu = 2000.0
+
+  /** q189: RRF rank-damping constant (the standard k=60). */
+  private val RrfK = 60
+
+  /** q189: per-ranker pool depth fed into the fusion. */
+  private val RrfPoolK = 20
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("hash", "join"),
     1 -> Seq("window", "agg"),
@@ -1349,6 +1460,86 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id,
          |  ROUND(score, 6) AS score
          |FROM rk WHERE rk <= $Bm25TopK ORDER BY query_id, rk""".stripMargin
+    },
+
+    // q124's CTE spine (tok/dl/post/dfr/st/qt/sc/pd) extended with the
+    // LM side: collection stats, per-(candidate, query-term) smoothed
+    // contributions (LEFT JOIN supplies the absent-term floor), both
+    // rankers' ROW_NUMBER pools, and the full-outer RRF fold.
+    "q189_rrf_hybrid" -> {
+      val values = Bm25Queries.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (tk, i) => s"($qid, '$tk', $i)" }
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |post AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tok GROUP BY tok, doc_id),
+         |dfr AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |qt(query_id, tok, term_idx) AS (VALUES $values),
+         |sc AS (
+         |  SELECT qt.query_id, post.doc_id, qt.term_idx,
+         |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |       (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf AS DOUBLE) * (${Bm25K1 + 1.0}))
+         |    / (CAST(tf AS DOUBLE) + $Bm25K1 *
+         |       (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) /
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+         |  FROM post JOIN qt USING (tok) JOIN dfr USING (tok)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (
+         |  SELECT query_id, doc_id,
+         |    COALESCE(SUM(CASE WHEN term_idx = 0 THEN contrib END), 0.0)
+         |    + COALESCE(SUM(CASE WHEN term_idx = 1 THEN contrib END), 0.0)
+         |    + COALESCE(SUM(CASE WHEN term_idx = 2 THEN contrib END), 0.0) AS score
+         |  FROM sc GROUP BY query_id, doc_id),
+         |cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM post GROUP BY tok),
+         |vt AS (SELECT COUNT(*) AS vocab, CAST(SUM(cf) AS BIGINT) AS total FROM cf),
+         |qp AS (
+         |  SELECT qt.query_id, qt.term_idx, qt.tok,
+         |    CAST(COALESCE(cf.cf, 0) + 1 AS DOUBLE) /
+         |      CAST(vt.total + vt.vocab AS DOUBLE) AS p
+         |  FROM qt LEFT JOIN cf USING (tok) CROSS JOIN vt),
+         |cand AS (SELECT DISTINCT qt.query_id, post.doc_id
+         |         FROM post JOIN qt USING (tok)),
+         |lmc AS (
+         |  SELECT c.query_id, c.doc_id, qp.term_idx,
+         |    ln((CAST(COALESCE(post.tf, 0) AS DOUBLE) + $LmMu * qp.p) /
+         |       (CAST(dl.dl AS DOUBLE) + $LmMu)) AS contrib
+         |  FROM cand c
+         |  JOIN qp ON qp.query_id = c.query_id
+         |  LEFT JOIN post ON post.tok = qp.tok AND post.doc_id = c.doc_id
+         |  JOIN dl ON dl.doc_id = c.doc_id),
+         |lmd AS (
+         |  SELECT query_id, doc_id,
+         |    SUM(CASE WHEN term_idx = 0 THEN contrib END)
+         |    + SUM(CASE WHEN term_idx = 1 THEN contrib END)
+         |    + COALESCE(SUM(CASE WHEN term_idx = 2 THEN contrib END), 0.0) AS score
+         |  FROM lmc GROUP BY query_id, doc_id),
+         |rbm AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r_bm
+         |  FROM pd),
+         |rlm AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r_lm
+         |  FROM lmd),
+         |fused AS (
+         |  SELECT COALESCE(b.query_id, l.query_id) AS query_id,
+         |    COALESCE(b.doc_id, l.doc_id) AS doc_id, b.r_bm, l.r_lm,
+         |    COALESCE(1.0 / CAST(b.r_bm + $RrfK AS DOUBLE), 0.0)
+         |    + COALESCE(1.0 / CAST(l.r_lm + $RrfK AS DOUBLE), 0.0) AS rrf
+         |  FROM (SELECT * FROM rbm WHERE r_bm <= $RrfPoolK) b
+         |  FULL OUTER JOIN (SELECT * FROM rlm WHERE r_lm <= $RrfPoolK) l
+         |    ON b.query_id = l.query_id AND b.doc_id = l.doc_id),
+         |fr AS (
+         |  SELECT query_id, doc_id, rrf, r_bm, r_lm,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM fused)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id,
+         |  ROUND(rrf, 6) AS rrf_score, r_bm, r_lm
+         |FROM fr WHERE rk <= $Bm25TopK ORDER BY query_id, rk""".stripMargin
     },
 
     // Single-window replay of the distributed prefix frame; B sums to

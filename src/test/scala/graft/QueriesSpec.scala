@@ -504,6 +504,70 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(toks1.contains("dup"), "BM25 #1 for the dup query lacks 'dup'")
   }
 
+  test("q189 RRF fusion matches a full driver replay of both rankers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lower
+    val got = SparkEntry.queries("q189_rrf_hybrid")(spark, sf0001)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+      .toMap
+    // Independent replay: Scala collections, no Catalyst.
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", lower($"text").as("t")).as[(Long, String)].collect()
+    val toks = texts.map { case (d, t) => d -> t.split(" ").toSeq }
+    val dl = toks.map { case (d, ts) => d -> ts.size }.toMap
+    val post = toks.flatMap { case (d, ts) => ts.map(tk => (tk, d)) }
+      .groupBy(identity).map { case ((tk, d), v) => (tk, d) -> v.size.toLong }
+    val df = post.keys.groupBy(_._1).map { case (tk, v) => tk -> v.size.toLong }
+    val cf = post.groupBy(_._1._1).map { case (tk, m) => tk -> m.values.sum }
+    val (nDocs, sumDl) = (dl.size.toLong, dl.values.map(_.toLong).sum)
+    val (vocab, total) = (cf.size.toLong, cf.values.sum)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val queries = Seq(0 -> Seq("hash", "join"), 1 -> Seq("window", "agg"),
+      2 -> Seq("stream", "batch", "dup"), 3 -> Seq("sort", "merge", "join"),
+      4 -> Seq("vector", "scan"))
+    queries.foreach { case (qid, terms) =>
+      val cand = terms.flatMap(tk => post.keys.filter(_._1 == tk).map(_._2)).distinct
+      def bm(d: Long): Double = terms.map { tk =>
+        post.get((tk, d)).fold(0.0) { tfv =>
+          val idf = math.log((nDocs - df(tk) + 0.5) / (df(tk) + 0.5) + 1.0)
+          idf * (tfv * 2.2) / (tfv + 1.2 * (1.0 - 0.75 + 0.75 * dl(d) / avgdl))
+        }
+      }.sum
+      def lm(d: Long): Double = terms.map { tk =>
+        val p = (cf.getOrElse(tk, 0L) + 1).toDouble / (total + vocab).toDouble
+        math.log((post.getOrElse((tk, d), 0L).toDouble + 2000.0 * p) /
+          (dl(d).toDouble + 2000.0))
+      }.sum
+      val poolB = cand.map(d => d -> bm(d)).sortBy { case (d, s) => (-s, d) }
+        .take(20).zipWithIndex.map { case ((d, _), i) => d -> (i + 1L) }.toMap
+      val poolL = cand.map(d => d -> lm(d)).sortBy { case (d, s) => (-s, d) }
+        .take(20).zipWithIndex.map { case ((d, _), i) => d -> (i + 1L) }.toMap
+      val fused = (poolB.keySet ++ poolL.keySet).toSeq.map { d =>
+        val r = poolB.get(d).fold(0.0)(r => 1.0 / (60 + r)) +
+          poolL.get(d).fold(0.0)(r => 1.0 / (60 + r))
+        (d, r)
+      }.sortBy { case (d, r) => (-r, d) }.take(10)
+      fused.zipWithIndex.foreach { case ((d, r), i) =>
+        val (gd, gr, grb, grl) = got((qid.toLong, i + 1L))
+        assert(gd === d, s"query $qid rank ${i + 1}: got doc $gd, want $d")
+        assert(math.abs(gr - r) < 1e-6)
+        assert(grb === poolB.get(d) && grl === poolL.get(d))
+      }
+    }
+    // fusion engages: at this scale both 20-deep pools cover every fused
+    // top-10 doc, so the real signal is ORDER — the LM ranker must have
+    // moved at least one query's fused order off the BM25-alone order
+    val reordered = got.toSeq.groupBy(_._1._1).exists { case (_, rows) =>
+      val byRk = rows.sortBy(_._1._2).flatMap(_._2._3)
+      byRk != byRk.sorted
+    }
+    assert(reordered, "fused order never deviates from BM25 order")
+  }
+
   test("q125 bottom-k sample sketch is mergeable and tracks exact percentiles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
