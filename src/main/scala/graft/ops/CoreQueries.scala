@@ -1640,6 +1640,51 @@ object CoreQueries {
           coalesce(element_at($"m", "purchase"), lit(0L)).as("n_purchase"),
           coalesce(element_at($"m", "view"), lit(0L)).as("n_view"))
         .orderBy($"day")
+    },
+
+    // The INET face of the reference schema (remote_ip is PG INET in
+    // three of its four tables — SURVEY §1.2): dotted-quad parsing,
+    // integer IP arithmetic, RFC-1918 CIDR containment, and /16 subnet
+    // rollup — what PG users do with host()/masklen()/<<= moves here as
+    // string split + Horner fold + range compares, all codegen'd
+    // stateless projections. The fixture carries no real IPs, so each
+    // user gets a deterministic synthetic address (md5 octets — stable
+    // per user, shared verbatim with the oracle); the OPERATOR under
+    // test is the parse → int → classify → rollup pipeline downstream
+    // of the string. Scale: per-row projection, one hash aggregate
+    // bounded by the /16 space (≤65536 groups; distinct users partial-
+    // aggregates map-side), top-50 via TakeOrderedAndProject.
+    "q190_inet_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val ip = events(s, dir)
+        .select($"user_id")
+        .withColumn("hx", md5($"user_id".cast("string")))
+        .withColumn("ip", concat_ws(".",
+          conv(substring($"hx", 1, 2), 16, 10),
+          conv(substring($"hx", 3, 2), 16, 10),
+          conv(substring($"hx", 5, 2), 16, 10),
+          conv(substring($"hx", 7, 2), 16, 10)))
+      // the INET operator: parse the dotted-quad STRING back to octets
+      // and a uint32, then classify and aggregate
+      val parsed = ip
+        .withColumn("oct", split($"ip", "\\."))
+        .withColumn("a", element_at($"oct", 1).cast("long"))
+        .withColumn("b", element_at($"oct", 2).cast("long"))
+        .withColumn("ip_int",
+          (($"a" * 256 + $"b") * 256 + element_at($"oct", 3).cast("long")) * 256 +
+            element_at($"oct", 4).cast("long"))
+        .withColumn("subnet_16",
+          concat($"a", lit("."), $"b", lit(".0.0/16")))
+        .withColumn("is_private",
+          $"a" === 10 ||
+            ($"a" === 172 && $"b".between(16, 31)) ||
+            ($"a" === 192 && $"b" === 168))
+      parsed.groupBy($"subnet_16", $"is_private")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          min($"ip_int").as("lo_ip"), max($"ip_int").as("hi_ip"))
+        .orderBy($"n_events".desc, $"subnet_16".asc)
+        .limit(50)
     }
   )
 
@@ -2685,6 +2730,35 @@ object CoreQueries {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // Octets decoded with the q141 strpos recipe (two hex digits each);
+    // the ip-int Horner, the RFC-1918 predicate and the /16 label are
+    // the identical integer/string expressions on both sides.
+    "q190_inet_rollup" -> {
+      def oct(i: Int) =
+        s"((strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1))"
+      s"""WITH h AS (
+         |  SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+         |oc AS (
+         |  SELECT user_id, ${oct(1)} AS a, ${oct(3)} AS b,
+         |    ${oct(5)} AS c, ${oct(7)} AS d
+         |  FROM h),
+         |p AS (
+         |  SELECT user_id,
+         |    ((a * 256 + b) * 256 + c) * 256 + d AS ip_int,
+         |    CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR) || '.0.0/16'
+         |      AS subnet_16,
+         |    (a = 10 OR (a = 172 AND b BETWEEN 16 AND 31)
+         |      OR (a = 192 AND b = 168)) AS is_private
+         |  FROM oc)
+         |SELECT subnet_16, is_private, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(MIN(ip_int) AS BIGINT) AS lo_ip,
+         |  CAST(MAX(ip_int) AS BIGINT) AS hi_ip
+         |FROM p GROUP BY subnet_16, is_private
+         |ORDER BY n_events DESC, subnet_16 LIMIT 50""".stripMargin
+    },
 
     // Selection-not-aggregation: the output price is an existing double;
     // the reach-half rule is the exact-integer 2·cum ≥ total. The

@@ -568,6 +568,38 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(reordered, "fused order never deviates from BM25 order")
   }
 
+  test("q190 INET rollup matches a driver recompute of octets, ranges and RFC-1918") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q190_inet_rollup")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty && got.length <= 50)
+    def md5hex(k: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id").as[Long].collect()
+    val rows = users.map { u =>
+      val hx = md5hex(u)
+      val o = (0 until 4).map(i => Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16))
+      val ipInt = o.foldLeft(0L)((acc, x) => acc * 256 + x)
+      val priv = o(0) == 10 || (o(0) == 172 && o(1) >= 16 && o(1) <= 31) ||
+        (o(0) == 192 && o(1) == 168)
+      (s"${o(0)}.${o(1)}.0.0/16", u, ipInt, priv)
+    }
+    val agg = rows.groupBy(_._1).map { case (sn, rs) =>
+      sn -> (rs.head._4, rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(_._3).min, rs.map(_._3).max)
+    }
+    val expTop = agg.toSeq.sortBy { case (sn, v) => (-v._2, sn) }.take(50)
+    assert(got.toSeq === expTop)
+    // the classification predicate itself, on known literals
+    assert(rows.forall { case (_, _, ip, priv) =>
+      val a = ip >> 24; val b = (ip >> 16) & 255
+      priv === (a == 10 || (a == 172 && b >= 16 && b <= 31) || (a == 192 && b == 168))
+    })
+  }
+
   test("q125 bottom-k sample sketch is mergeable and tracks exact percentiles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
