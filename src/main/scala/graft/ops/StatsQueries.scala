@@ -79,6 +79,17 @@ object StatsQueries {
     "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
     "0.9810118431238462", "0.9963401531726563", "0.9994058151824183")
 
+  /** q193: z_{α/2} at α=0.05 and z_β at 80% power — literal strings
+    * shared with the oracle (the PoissonCdf convention). */
+  val PowerZAlpha = "1.959963984540054"
+  val PowerZBeta = "0.8416212335729143"
+
+  /** q193: relative-lift grid, in percent. */
+  val PowerLifts: Seq[Int] = Seq(1, 2, 5, 10)
+
+  /** q193: conversion = a purchase at or above this value. */
+  val PowerConvValue = 200.0
+
   /** Exact money cents: 2-decimal doubles → BIGINT, rounding (not
     * truncating) so 123.45*100 == 12344.999… lands on 12345 in both
     * engines. */
@@ -1300,6 +1311,83 @@ object StatsQueries {
           element_at($"ci", 2).as("ci_hi"))
     },
 
+    // ------------------------------------------------- power analysis
+    // Pre-experiment power analysis / minimum-detectable-effect grid —
+    // the readout that comes BEFORE q155/q188/q191 ship: from the
+    // historical purchase-conversion baseline, the two-proportion sample
+    // size n = (z_α/2+z_β)²·(p_B(1−p_B)+p_A(1−p_A))/(p_A−p_B)² for a
+    // grid of relative lifts, against the users actually available per
+    // arm. Conversion = a high-value purchase (value ≥ 200) — on this
+    // fixture EVERY user purchases eventually, so the ≥1-purchase rate
+    // degenerates to 1.0 and p·(1+lift) > 1 flips the formula's sign;
+    // the thresholded event keeps the baseline mid-range at every SF.
+    // z constants are shared literal STRINGS (the PoissonCdf
+    // convention) so both engines parse identical doubles; conversion
+    // counts are exact distincts; the grid is a 4-row broadcast spine.
+    // CEIL lands on exact-integer doubles only if the formula does —
+    // identical inputs → identical double → identical ceiling.
+    "q193_power_mde" -> { (s, dir) =>
+      import s.implicits._
+      val base = events(s, dir).agg(
+        countDistinct($"user_id").as("users"),
+        countDistinct(when($"event_type" === "purchase" &&
+          $"value" >= PowerConvValue, $"user_id")).as("converters"))
+      val z = lit(PowerZAlpha.toDouble) + lit(PowerZBeta.toDouble)
+      PowerLifts.toDF("lift_pct")
+        .crossJoin(broadcast(base))
+        .withColumn("p_base",
+          $"converters".cast("double") / $"users".cast("double"))
+        .withColumn("p_treat",
+          $"p_base" * (lit(1.0) + $"lift_pct".cast("double") / lit(100.0)))
+        .withColumn("n_required",
+          ceil((z * z) *
+            ($"p_base" * (lit(1.0) - $"p_base") +
+              $"p_treat" * (lit(1.0) - $"p_treat")) /
+            (($"p_treat" - $"p_base") * ($"p_treat" - $"p_base")))
+            .cast("long"))
+        .withColumn("n_avail_per_arm", expr("users div 2"))
+        .select($"lift_pct".cast("long").as("lift_pct"),
+          round($"p_base", 6).as("p_base"),
+          round($"p_treat", 6).as("p_treat"),
+          $"n_required", $"n_avail_per_arm",
+          ($"n_avail_per_arm" >= $"n_required").as("powered"))
+        .orderBy($"lift_pct")
+    },
+
+    // --------------------------------------------- item-item neighbors
+    // Item-item collaborative-filtering neighbors: cosine similarity on
+    // the co-purchase counts — pair_n/√(cnt_a·cnt_b) — with each brand's
+    // top-5 neighbor list. The recommender face of the q158/q165/q170
+    // basket family, riding the SAME memoized basket and pair frames
+    // (the self-join cost is paid once per application across all four
+    // consumers). Count products route through DECIMAL before the double
+    // sqrt (the q158 HUGEINT lesson); neighbor lists ride GroupTopK with
+    // cosine-then-name tie-breaks decided on raw doubles.
+    "q194_item_item_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val bb = brandBaskets(s, dir)
+      val cnt = bb.groupBy($"brand").agg(count(lit(1)).as("cnt"))
+      val pairs = brandPairCounts(s, dir)
+      val sym = pairs
+        .select($"brand_a".as("brand"), $"brand_b".as("nbr"), $"pair_n")
+        .unionAll(pairs
+          .select($"brand_b".as("brand"), $"brand_a".as("nbr"), $"pair_n"))
+      val scored = sym
+        .join(broadcast(cnt.select($"brand", $"cnt".as("cnt_self"))), "brand")
+        .join(broadcast(cnt.select($"brand".as("nbr"), $"cnt".as("cnt_nbr"))),
+          "nbr")
+        .withColumn("cosine",
+          $"pair_n".cast("double") /
+            sqrt(($"cnt_self".cast(dec) * $"cnt_nbr").cast("double")))
+      val w = Window.partitionBy($"brand").orderBy($"cosine".desc, $"nbr".asc)
+      graft.plans.GroupTopK(scored, Seq($"brand"),
+          Seq($"cosine".desc, $"nbr".asc), 5)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select($"brand", $"rk", $"nbr".as("neighbor"), $"pair_n",
+          round($"cosine", 6).as("cosine"))
+        .orderBy($"brand", $"rk")
+    },
+
     // ------------------------------------------------- repair audit
     // Ledger-repair audit over customer balances: negative balances are
     // treated as sentinel errors to IMPUTE with the segment median of
@@ -1968,6 +2056,55 @@ object StatsQueries {
          |  (SELECT quantile_cont(m, 0.975) FROM mm) AS ci_hi
          |FROM base""".stripMargin
     },
+
+    "q193_power_mde" -> {
+      val grid = PowerLifts.map(l => s"($l)").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT COUNT(DISTINCT user_id) AS users,
+         |    COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+         |                        AND value >= $PowerConvValue
+         |                        THEN user_id END) AS converters
+         |  FROM events),
+         |g(lift_pct) AS (VALUES $grid),
+         |p AS (
+         |  SELECT g.lift_pct, base.users,
+         |    CAST(converters AS DOUBLE) / CAST(users AS DOUBLE) AS p_base,
+         |    CAST(converters AS DOUBLE) / CAST(users AS DOUBLE) *
+         |      (1.0 + CAST(g.lift_pct AS DOUBLE) / 100.0) AS p_treat
+         |  FROM g CROSS JOIN base)
+         |SELECT CAST(lift_pct AS BIGINT) AS lift_pct,
+         |  ROUND(p_base, 6) AS p_base, ROUND(p_treat, 6) AS p_treat,
+         |  CAST(CEIL((($PowerZAlpha + $PowerZBeta) * ($PowerZAlpha + $PowerZBeta)) *
+         |    (p_base * (1.0 - p_base) + p_treat * (1.0 - p_treat)) /
+         |    ((p_treat - p_base) * (p_treat - p_base))) AS BIGINT) AS n_required,
+         |  users // 2 AS n_avail_per_arm,
+         |  (users // 2 >= CAST(CEIL((($PowerZAlpha + $PowerZBeta) * ($PowerZAlpha + $PowerZBeta)) *
+         |    (p_base * (1.0 - p_base) + p_treat * (1.0 - p_treat)) /
+         |    ((p_treat - p_base) * (p_treat - p_base))) AS BIGINT)) AS powered
+         |FROM p ORDER BY lift_pct""".stripMargin
+    },
+
+    "q194_item_item_cosine" ->
+      """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |cnt AS (SELECT brand, COUNT(*) AS cnt FROM bb GROUP BY brand),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_n
+        |       FROM bb a JOIN bb b ON a.ok = b.ok AND a.brand < b.brand
+        |       GROUP BY a.brand, b.brand),
+        |sym AS (SELECT brand_a AS brand, brand_b AS nbr, pair_n FROM pr
+        |        UNION ALL
+        |        SELECT brand_b AS brand, brand_a AS nbr, pair_n FROM pr),
+        |sc AS (SELECT s.brand, s.nbr, s.pair_n,
+        |         CAST(s.pair_n AS DOUBLE) /
+        |           sqrt(CAST(CAST(ca.cnt AS HUGEINT) * cb.cnt AS DOUBLE)) AS cosine
+        |       FROM sym s JOIN cnt ca ON s.brand = ca.brand
+        |                  JOIN cnt cb ON s.nbr = cb.brand),
+        |rk AS (SELECT brand, nbr, pair_n, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY brand
+        |                            ORDER BY cosine DESC, nbr) AS rk
+        |       FROM sc)
+        |SELECT brand, rk, nbr AS neighbor, pair_n, ROUND(cosine, 6) AS cosine
+        |FROM rk WHERE rk <= 5 ORDER BY brand, rk""".stripMargin,
 
     "q178_repair_audit" ->
       """WITH th AS (

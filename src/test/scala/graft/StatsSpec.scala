@@ -773,6 +773,68 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(row.getDouble(4) - did / se) < 1e-4)
   }
 
+  test("q193 power/MDE grid matches the closed-form recompute and is monotone in lift") {
+    import spark.implicits._
+    val rows = q("q193_power_mde").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 5L, 10L))
+    // independent recompute from the raw fixture
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Option[Double])].collect()
+    val users = ev.map(_._1).distinct.length
+    val conv = ev.filter(r => r._2 == "purchase" && r._3.exists(_ >= 200.0))
+      .map(_._1).distinct.length
+    val pB = conv.toDouble / users
+    val z = 1.959963984540054 + 0.8416212335729143
+    rows.foreach { case (lift, gotPb, gotPt, nReq, nAvail, powered) =>
+      val pT = pB * (1.0 + lift / 100.0)
+      val want = math.ceil(z * z * (pB * (1 - pB) + pT * (1 - pT)) /
+        ((pT - pB) * (pT - pB))).toLong
+      assert(math.abs(gotPb - pB) < 1e-6 && math.abs(gotPt - pT) < 1e-6)
+      assert(nReq === want, s"lift $lift%: got $nReq, want $want")
+      assert(nAvail === users / 2)
+      assert(powered === (nAvail >= want))
+    }
+    // a bigger detectable effect always needs fewer subjects
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.reverse)
+  }
+
+  test("q194 item-item cosine matches a driver recompute of the basket geometry") {
+    import spark.implicits._
+    val got = q("q194_item_item_cosine").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    // independent basket recompute
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val bb = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+    val cnt = bb.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val pairN = bb.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val bs = basket.map(_._2).distinct.toSeq
+      for (a <- bs; b <- bs if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def cos(a: String, b: String): Double = {
+      val pn = pairN.getOrElse(if (a < b) (a, b) else (b, a), 0L)
+      pn.toDouble / math.sqrt(cnt(a).toDouble * cnt(b).toDouble)
+    }
+    got.foreach { case (brand, rk, nbr, pn, c) =>
+      assert(rk >= 1 && rk <= 5)
+      assert(pn === pairN(if (brand < nbr) (brand, nbr) else (nbr, brand)))
+      assert(math.abs(c - cos(brand, nbr)) < 1e-6)
+    }
+    // each brand's list is exactly the 5 best neighbors by (cosine, name)
+    got.groupBy(_._1).foreach { case (brand, rows) =>
+      val want = cnt.keys.filter(_ != brand).toSeq
+        .map(n => (n, cos(brand, n))).filter(_._2 > 0)
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+      assert(rows.sortBy(_._2).map(_._3).toSeq === want, s"brand $brand")
+    }
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
