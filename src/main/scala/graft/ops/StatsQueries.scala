@@ -90,6 +90,20 @@ object StatsQueries {
   /** q193: conversion = a purchase at or above this value. */
   val PowerConvValue = 200.0
 
+  /** q195: Abramowitz–Stegun 7.1.26 erf-complement coefficients, √2 and
+    * the FDR level — literal strings shared with the oracle so both
+    * engines evaluate the identical polynomial on identical doubles.
+    * 1 − erf(x) = (((((a5·t + a4)·t + a3)·t + a2)·t + a1)·t)·e^(−x²)
+    * with t = 1/(1 + p·x); |error| < 1.5e-7, far under the 6dp grain. */
+  val ErfP = "0.3275911"
+  val ErfA1 = "0.254829592"
+  val ErfA2 = "-0.284496736"
+  val ErfA3 = "1.421413741"
+  val ErfA4 = "-1.453152027"
+  val ErfA5 = "1.061405429"
+  val Sqrt2 = "1.4142135623730951"
+  val FdrAlpha = "0.05"
+
   /** Exact money cents: 2-decimal doubles → BIGINT, rounding (not
     * truncating) so 123.45*100 == 12344.999… lands on 12345 in both
     * engines. */
@@ -1354,6 +1368,57 @@ object StatsQueries {
         .orderBy($"lift_pct")
     },
 
+    // ------------------------------------------- multiple testing (BH)
+    // Mix-shift scan with false-discovery-rate control — the multiple-
+    // testing layer q155/q160/q191 stop short of: per event type, a
+    // two-proportion z on the type's share of traffic between the two
+    // halves of the period, then Benjamini–Hochberg at α=0.05 across the
+    // whole family. p-values come from the shared A&S 7.1.26 polynomial
+    // (neither engine ships erf; both evaluate the identical Horner tree,
+    // and 2·(1−Φ(|z|)) reduces to exactly poly·e^(−x²) — no cancellation).
+    // The test frame is segment-granularity (one row per type — thousands
+    // at worst when segmenting finer), ranked by GlobalRank rather than
+    // an unpartitioned window, so the registry-wide no-global-window
+    // guarantee holds even when the family gets large; k* is one more
+    // 1-row fold. Counts are exact longs; z, the p-value and the BH
+    // threshold compare are the only float math, mirrored verbatim.
+    "q195_fdr_mixshift" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val span = ev.agg(min($"ms").as("mn"), max($"ms").as("mx"))
+        .select(expr("(mn + mx) div 2").as("cut"))
+      val byType = ev.crossJoin(broadcast(span))
+        .groupBy($"event_type")
+        .agg(sum(when($"ms" < $"cut", 1L).otherwise(0L)).as("c1"),
+          sum(when($"ms" >= $"cut", 1L).otherwise(0L)).as("c2"))
+      val tot = byType.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      val pp = ($"c1" + $"c2").cast("double") / ($"n1" + $"n2").cast("double")
+      val scored = byType.crossJoin(broadcast(tot))
+        .withColumn("z",
+          ($"c1".cast("double") / $"n1".cast("double") -
+            $"c2".cast("double") / $"n2".cast("double")) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / $"n1".cast("double") + lit(1.0) / $"n2".cast("double"))))
+        .withColumn("x", abs($"z") / lit(Sqrt2.toDouble))
+        .withColumn("tv", lit(1.0) / (lit(1.0) + lit(ErfP.toDouble) * $"x"))
+        .withColumn("pval",
+          ((((lit(ErfA5.toDouble) * $"tv" + lit(ErfA4.toDouble)) * $"tv" +
+            lit(ErfA3.toDouble)) * $"tv" + lit(ErfA2.toDouble)) * $"tv" +
+            lit(ErfA1.toDouble)) * $"tv" * exp(-($"x" * $"x")))
+      val ranked = Pin.lazily(GlobalRank.withGlobalRank(scored,
+        Seq($"pval".asc, $"event_type".asc), "rk", "m"))
+      val kstar = ranked.agg(
+        max(when($"pval" <=
+          $"rk".cast("double") * lit(FdrAlpha.toDouble) / $"m".cast("double"),
+          $"rk")).as("kstar"))
+      ranked.crossJoin(broadcast(kstar))
+        .select($"event_type", $"c1", $"c2",
+          (round($"z", 6) + lit(0d)).as("z_score"),
+          round($"pval", 6).as("p_value"), $"rk",
+          coalesce($"rk" <= $"kstar", lit(false)).as("discovery"))
+        .orderBy($"rk")
+    },
+
     // --------------------------------------------- item-item neighbors
     // Item-item collaborative-filtering neighbors: cosine similarity on
     // the co-purchase counts — pair_n/√(cnt_a·cnt_b) — with each brand's
@@ -2083,6 +2148,49 @@ object StatsQueries {
          |    ((p_treat - p_base) * (p_treat - p_base))) AS BIGINT)) AS powered
          |FROM p ORDER BY lift_pct""".stripMargin
     },
+
+    "q195_fdr_mixshift" ->
+      s"""WITH cutq AS (
+         |  SELECT CAST((MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS BIGINT) AS cut
+         |  FROM events),
+         |bt AS (
+         |  SELECT e.event_type,
+         |    CAST(SUM(CASE WHEN epoch_ms(e.ts) < c.cut THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN epoch_ms(e.ts) >= c.cut THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM events e CROSS JOIN cutq c
+         |  GROUP BY e.event_type),
+         |tot AS (
+         |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+         |  FROM bt),
+         |sc AS (
+         |  SELECT event_type, c1, c2,
+         |    (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |     CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+         |    sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+         |         (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+         |         (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+         |  FROM bt CROSS JOIN tot),
+         |p1 AS (SELECT *, abs(z) / $Sqrt2 AS x FROM sc),
+         |p2 AS (SELECT *, 1.0 / (1.0 + $ErfP * x) AS tv FROM p1),
+         |p3 AS (
+         |  SELECT *,
+         |    ((((($ErfA5 * tv + $ErfA4) * tv + $ErfA3) * tv + $ErfA2) * tv +
+         |      $ErfA1) * tv) * exp(-(x * x)) AS pval
+         |  FROM p2),
+         |rkt AS (
+         |  SELECT event_type, c1, c2, z, pval,
+         |    ROW_NUMBER() OVER (ORDER BY pval, event_type) AS rk,
+         |    COUNT(*) OVER () AS m
+         |  FROM p3),
+         |ks AS (
+         |  SELECT MAX(CASE WHEN pval <= CAST(rk AS DOUBLE) * $FdrAlpha /
+         |                               CAST(m AS DOUBLE)
+         |             THEN rk END) AS kstar
+         |  FROM rkt)
+         |SELECT event_type, c1, c2, ROUND(z, 6) + 0.0 AS z_score,
+         |  ROUND(pval, 6) AS p_value, rk,
+         |  COALESCE(rk <= kstar, FALSE) AS discovery
+         |FROM rkt CROSS JOIN ks ORDER BY rk""".stripMargin,
 
     "q194_item_item_cosine" ->
       """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand

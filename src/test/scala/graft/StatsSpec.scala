@@ -835,6 +835,50 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q195 BH-FDR mixshift matches a driver replay and the erf polynomial is accurate") {
+    import spark.implicits._
+    val got = q("q195_fdr_mixshift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6)))
+    // the polynomial itself, against high-precision reference values
+    def pval(z: Double): Double = {
+      val x = math.abs(z) / 1.4142135623730951
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t -
+        0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+    }
+    assert(math.abs(pval(1.0) - 0.3173105078629141) < 3e-7)
+    assert(math.abs(pval(1.959963984540054) - 0.05) < 3e-7)
+    // full replay: counts → z → p → BH
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"event_type",
+        (unix_micros($"ts".cast("timestamp")) / 1000).cast("long").as("ms"))
+      .as[(String, Long)].collect()
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val byType = ev.groupBy(_._1).map { case (t, rows) =>
+      (t, rows.count(_._2 < cut).toLong, rows.count(_._2 >= cut).toLong)
+    }.toSeq
+    val (n1, n2) = (byType.map(_._2).sum, byType.map(_._3).sum)
+    val tests = byType.map { case (t, c1, c2) =>
+      val pp = (c1 + c2).toDouble / (n1 + n2)
+      val z = (c1.toDouble / n1 - c2.toDouble / n2) /
+        math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+      (t, c1, c2, z, pval(z))
+    }.sortBy { case (t, _, _, _, p) => (p, t) }
+    val m = tests.size
+    val kstar = (1 to m).filter(k => tests(k - 1)._5 <= k * 0.05 / m)
+      .lastOption.getOrElse(0)
+    assert(got.length === m)
+    got.foreach { case (t, c1, c2, z, p, rk, disc) =>
+      val (wt, wc1, wc2, wz, wp) = tests(rk.toInt - 1)
+      assert(t === wt && c1 === wc1 && c2 === wc2)
+      assert(math.abs(z - wz) < 1e-5 && math.abs(p - wp) < 1e-5)
+      assert(disc === (rk <= kstar), s"$t discovery flag")
+    }
+    // an A/A-shaped split must not discover anything at the 5% FDR
+    assert(got.count(_._7) === 0)
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
