@@ -1419,6 +1419,51 @@ object StatsQueries {
         .orderBy($"rk")
     },
 
+    // --------------------------------------------- Mann–Kendall trend
+    // Non-parametric monotone-trend test on daily revenue — the
+    // distribution-free complement to q163's autocorrelation and q184's
+    // backtest: S = Σ_{i<j} sign(x_j − x_i) over the MEMOIZED day frame,
+    // tie-corrected variance, continuity-corrected z, p-value through
+    // the shared q195 erf polynomial. The pairwise self-join is bounded
+    // by CALENDAR², not corpus (a decade is ~3650 rows → 6.7M sign
+    // pairs), the same control-plane argument as the q163/q164 family;
+    // S and both variance terms are exact integers, z/p the mirrored
+    // float tail. Two-sided test at α=0.05 labels the trend.
+    "q196_mann_kendall" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val a = day.select($"d".as("da"), $"cents".as("xa"))
+      val b = day.select($"d".as("db"), $"cents".as("xb"))
+      val sAgg = a.join(b, $"da" < $"db")
+        .agg(sum(when($"xb" > $"xa", 1L).when($"xb" < $"xa", -1L)
+          .otherwise(0L)).as("s_stat"))
+      val nAgg = day.agg(count(lit(1)).as("n"))
+      val tieAgg = day.groupBy($"cents").agg(count(lit(1)).as("t"))
+        .filter($"t" >= 2)
+        .agg(coalesce(sum($"t" * ($"t" - 1) * (lit(2L) * $"t" + 5)), lit(0L))
+          .as("tie_term"))
+      val varS = ($"n" * ($"n" - 1) * (lit(2L) * $"n" + 5) - $"tie_term")
+        .cast("double") / lit(18.0)
+      val z = when($"s_stat" > 0, ($"s_stat" - 1).cast("double") / sqrt($"mkvar"))
+        .when($"s_stat" < 0, ($"s_stat" + 1).cast("double") / sqrt($"mkvar"))
+        .otherwise(lit(0.0))
+      val x = abs($"z") / lit(Sqrt2.toDouble)
+      val tv = lit(1.0) / (lit(1.0) + lit(ErfP.toDouble) * x)
+      val pv = ((((lit(ErfA5.toDouble) * tv + lit(ErfA4.toDouble)) * tv +
+        lit(ErfA3.toDouble)) * tv + lit(ErfA2.toDouble)) * tv +
+        lit(ErfA1.toDouble)) * tv * exp(-(x * x))
+      sAgg.crossJoin(broadcast(nAgg)).crossJoin(broadcast(tieAgg))
+        .withColumn("mkvar", varS)
+        .withColumn("z", z)
+        .withColumn("pval", pv)
+        .select($"n".as("n_days"), $"s_stat",
+          (round($"z", 6) + lit(0d)).as("z_mk"),
+          round($"pval", 6).as("p_value"),
+          when($"pval" < lit(FdrAlpha.toDouble) && $"s_stat" > 0, "increasing")
+            .when($"pval" < lit(FdrAlpha.toDouble) && $"s_stat" < 0, "decreasing")
+            .otherwise("none").as("trend"))
+    },
+
     // --------------------------------------------- item-item neighbors
     // Item-item collaborative-filtering neighbors: cosine similarity on
     // the co-purchase counts — pair_n/√(cnt_a·cnt_b) — with each brand's
@@ -2191,6 +2236,45 @@ object StatsQueries {
          |  ROUND(pval, 6) AS p_value, rk,
          |  COALESCE(rk <= kstar, FALSE) AS discovery
          |FROM rkt CROSS JOIN ks ORDER BY rk""".stripMargin,
+
+    "q196_mann_kendall" ->
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+         |sp AS (
+         |  SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+         |                       WHEN b.cents < a.cents THEN -1
+         |                       ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM day a JOIN day b ON a.d < b.d),
+         |nn AS (SELECT COUNT(*) AS n FROM day),
+         |tt AS (
+         |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+         |    AS tie_term
+         |  FROM (SELECT COUNT(*) AS t FROM day GROUP BY cents) g
+         |  WHERE t >= 2),
+         |zz AS (
+         |  SELECT s_stat, n, tie_term,
+         |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS mkvar
+         |  FROM sp CROSS JOIN nn CROSS JOIN tt),
+         |z2 AS (
+         |  SELECT *, CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(mkvar)
+         |                 WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(mkvar)
+         |                 ELSE 0.0 END AS z
+         |  FROM zz),
+         |z3 AS (SELECT *, abs(z) / $Sqrt2 AS x FROM z2),
+         |z4 AS (SELECT *, 1.0 / (1.0 + $ErfP * x) AS tv FROM z3),
+         |z5 AS (
+         |  SELECT *,
+         |    ((((($ErfA5 * tv + $ErfA4) * tv + $ErfA3) * tv + $ErfA2) * tv +
+         |      $ErfA1) * tv) * exp(-(x * x)) AS pval
+         |  FROM z4)
+         |SELECT n AS n_days, s_stat, ROUND(z, 6) + 0.0 AS z_mk,
+         |  ROUND(pval, 6) AS p_value,
+         |  CASE WHEN pval < $FdrAlpha AND s_stat > 0 THEN 'increasing'
+         |       WHEN pval < $FdrAlpha AND s_stat < 0 THEN 'decreasing'
+         |       ELSE 'none' END AS trend
+         |FROM z5""".stripMargin,
 
     "q194_item_item_cosine" ->
       """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand

@@ -879,6 +879,36 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(got.count(_._7) === 0)
   }
 
+  test("q196 Mann-Kendall matches a brute-force pairwise recompute") {
+    import spark.implicits._
+    val row = q("q196_mann_kendall").collect().head
+    val day = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate".cast("timestamp")).as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"d")
+      .select($"cents").as[Long].collect()
+    val n = day.length
+    assert(row.getLong(0) === n.toLong)
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      s += java.lang.Long.signum(day(j) - day(i))
+    assert(row.getLong(1) === s, s"S: got ${row.getLong(1)}, want $s")
+    val tie = day.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ >= 2).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val v = (n.toLong * (n - 1) * (2L * n + 5) - tie) / 18.0
+    val z = if (s > 0) (s - 1) / math.sqrt(v)
+      else if (s < 0) (s + 1) / math.sqrt(v) else 0.0
+    assert(math.abs(row.getDouble(2) - z) < 1e-5)
+    val x = math.abs(z) / 1.4142135623730951
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val p = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t -
+      0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+    assert(math.abs(row.getDouble(3) - p) < 1e-5)
+    assert(row.getString(4) ===
+      (if (p < 0.05 && s > 0) "increasing"
+       else if (p < 0.05 && s < 0) "decreasing" else "none"))
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
