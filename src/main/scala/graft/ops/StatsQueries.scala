@@ -104,6 +104,11 @@ object StatsQueries {
   val Sqrt2 = "1.4142135623730951"
   val FdrAlpha = "0.05"
 
+  /** q198: privacy budget and the 2⁻³² log-argument clamp (a lattice-
+    * edge md5 draw would otherwise send ln(0) to −∞). */
+  val DpEpsilon = "1.0"
+  val DpMinMag = "2.3283064365386963e-10"
+
   /** Exact money cents: 2-decimal doubles → BIGINT, rounding (not
     * truncating) so 123.45*100 == 12344.999… lands on 12345 in both
     * engines. */
@@ -1464,6 +1469,93 @@ object StatsQueries {
             .otherwise("none").as("trend"))
     },
 
+    // ----------------------------------------------- Theil–Sen slope
+    // Robust trend MAGNITUDE to q196's trend EXISTENCE: the Theil–Sen
+    // estimator — median of all pairwise slopes over the memoized day
+    // frame, with the median-residual intercept. Breakdown point 29%:
+    // a month of outage days or a flash-sale spike moves it barely,
+    // where OLS (q167-family regressions) chases it. Same calendar²-
+    // bounded pair frame as q196; slopes are single float divisions of
+    // exact integer differences, and both medians are interpolated
+    // percentiles emitted RAW (the q26/q178 convention — never re-ROUND
+    // an interpolated value).
+    "q197_theil_sen" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val t0 = day.agg(min($"d").as("d0"))
+      val dt = day.crossJoin(broadcast(t0))
+        .select(datediff($"d", $"d0").cast("long").as("t"), $"cents")
+      val a = dt.select($"t".as("ta"), $"cents".as("xa"))
+      val b = dt.select($"t".as("tb"), $"cents".as("xb"))
+      val slopes = a.join(b, $"ta" < $"tb")
+        .select((($"xb" - $"xa").cast("double") /
+          ($"tb" - $"ta").cast("double")).as("sl"))
+      // Median by DISTRIBUTED rank selection, not percentile(): the
+      // exact-percentile aggregate funnels every pair through one final
+      // buffer (4.5 s/iter here, unbounded at scale); GlobalRank range-
+      // sorts instead and the median is two rank-selected rows. The
+      // interpolation lo + f·(hi−lo) is bit-identical to both engines'
+      // percentile/quantile_cont formula; rank ties among equal slope
+      // VALUES select the same value whichever tied row wins.
+      val ranked = Pin.lazily(
+        GlobalRank.withGlobalRank(slopes, Seq($"sl".asc), "rk", "np"))
+      val targets = ranked.agg(max($"np").as("npt"))
+        .select($"npt",
+          (floor(lit(0.5) * ($"npt" - 1).cast("double")).cast("long") + 1)
+            .as("t1"),
+          (lit(0.5) * ($"npt" - 1).cast("double") -
+            floor(lit(0.5) * ($"npt" - 1).cast("double"))).as("f"))
+        .withColumn("t2", least($"t1" + 1, $"npt"))
+        .drop("npt")
+      val sl = ranked
+        .join(broadcast(targets), $"rk" === $"t1" || $"rk" === $"t2")
+        .agg(max($"np").as("n_pairs"), max($"f").as("f"),
+          max(when($"rk" === $"t1", $"sl")).as("x1"),
+          max(when($"rk" === $"t2", $"sl")).as("x2"))
+        .select($"n_pairs",
+          ($"x1" + $"f" * ($"x2" - $"x1")).as("slope"))
+      dt.crossJoin(broadcast(sl))
+        .agg(count(lit(1)).as("n_days"), max($"n_pairs").as("n_pairs"),
+          max($"slope").as("slope_cents_per_day"),
+          expr("percentile(cast(cents as double) - slope * cast(t as double), 0.5D)")
+            .as("intercept_cents"))
+    },
+
+    // ------------------------------------------- DP noisy release
+    // Differentially-private count release — the publication step after
+    // q176's k-anonymity and q180's PII audit: per (day × type) event
+    // counts released with Laplace(1/ε) noise at ε=1 (event-level
+    // adjacency, sensitivity 1), plus the per-cell absolute error the
+    // analyst needs for utility accounting. Noise is the inverse-CDF
+    // transform μ − b·sgn(u−½)·ln(1−2|u−½|) of the md5 cell uniform —
+    // deterministic and mirrored verbatim (production would swap ONLY
+    // the uniform for a secure RNG; the release pipeline is identical),
+    // with the log argument clamped at 2⁻³² so a lattice-edge draw
+    // can't produce ±∞. Negative releases are kept — post-processing
+    // (clamping) is the consumer's choice, not the mechanism's. One
+    // cell-granularity aggregate + stateless scalar math: release cost
+    // is group-count-bounded at any corpus size.
+    "q198_dp_release" -> { (s, dir) =>
+      import s.implicits._
+      val cells = events(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("true_n"))
+      cells
+        .withColumn("u",
+          conv(substring(md5(concat($"day".cast("string"), lit(":"),
+            $"event_type")), 1, 8), 16, 10).cast("long")
+            .cast("double") / lit(4294967296.0))
+        .withColumn("v", $"u" - lit(0.5))
+        .withColumn("noise",
+          when($"v" >= 0, lit(-1.0)).otherwise(lit(1.0)) *
+            log(greatest(lit(1.0) - lit(2.0) * abs($"v"),
+              lit(DpMinMag.toDouble))) / lit(DpEpsilon.toDouble))
+        .select($"day", $"event_type", $"true_n",
+          (round($"true_n" + $"noise", 6) + lit(0d)).as("noisy_n"),
+          round(abs($"noise"), 6).as("abs_err"))
+        .orderBy($"day", $"event_type")
+    },
+
     // --------------------------------------------- item-item neighbors
     // Item-item collaborative-filtering neighbors: cosine similarity on
     // the co-purchase counts — pair_n/√(cnt_a·cnt_b) — with each brand's
@@ -2275,6 +2367,54 @@ object StatsQueries {
          |       WHEN pval < $FdrAlpha AND s_stat < 0 THEN 'decreasing'
          |       ELSE 'none' END AS trend
          |FROM z5""".stripMargin,
+
+    "q197_theil_sen" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |t0 AS (SELECT MIN(d) AS d0 FROM day),
+        |dt AS (
+        |  SELECT CAST(date_diff('day', t0.d0, day.d) AS BIGINT) AS t, cents
+        |  FROM day CROSS JOIN t0),
+        |sl AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    quantile_cont(CAST(b.cents - a.cents AS DOUBLE) /
+        |                  CAST(b.t - a.t AS DOUBLE), 0.5) AS slope
+        |  FROM dt a JOIN dt b ON a.t < b.t)
+        |SELECT COUNT(*) AS n_days, MAX(sl.n_pairs) AS n_pairs,
+        |  MAX(sl.slope) AS slope_cents_per_day,
+        |  quantile_cont(CAST(dt.cents AS DOUBLE) - sl.slope * CAST(dt.t AS DOUBLE),
+        |                0.5) AS intercept_cents
+        |FROM dt CROSS JOIN sl""".stripMargin,
+
+    // The md5 cell uniform decodes with the q141 strpos-Horner recipe;
+    // the sign CASE, clamp and log are the identical scalar tree.
+    "q198_dp_release" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH cells AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS true_n
+         |  FROM events GROUP BY CAST(ts AS DATE), event_type),
+         |h AS (
+         |  SELECT day, event_type, true_n,
+         |    md5(CAST(day AS VARCHAR) || ':' || event_type) AS hx
+         |  FROM cells),
+         |uu AS (
+         |  SELECT day, event_type, true_n,
+         |    CAST($horner AS DOUBLE) / 4294967296.0 - 0.5 AS v
+         |  FROM h),
+         |nn AS (
+         |  SELECT day, event_type, true_n,
+         |    (CASE WHEN v >= 0 THEN -1.0 ELSE 1.0 END) *
+         |      ln(greatest(1.0 - 2.0 * abs(v), $DpMinMag)) / $DpEpsilon AS noise
+         |  FROM uu)
+         |SELECT day, event_type, true_n,
+         |  ROUND(true_n + noise, 6) + 0.0 AS noisy_n,
+         |  ROUND(abs(noise), 6) AS abs_err
+         |FROM nn ORDER BY day, event_type""".stripMargin
+    },
 
     "q194_item_item_cosine" ->
       """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand

@@ -909,6 +909,54 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
        else if (p < 0.05 && s < 0) "decreasing" else "none"))
   }
 
+  test("q197 Theil-Sen matches a brute-force pairwise-median recompute") {
+    import spark.implicits._
+    val row = q("q197_theil_sen").collect().head
+    val day = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate".cast("timestamp")).as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"d")
+      .select(datediff($"d", min($"d").over()).cast("long"), $"cents")
+      .as[(Long, Long)].collect()
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted; val pos = 0.5 * (s.size - 1)
+      val (i, f) = (pos.toInt, pos - pos.toInt)
+      if (i + 1 < s.size) s(i) + f * (s(i + 1) - s(i)) else s(i)
+    }
+    val slopes = for (i <- day.indices; j <- i + 1 until day.length)
+      yield (day(j)._2 - day(i)._2).toDouble / (day(j)._1 - day(i)._1)
+    assert(row.getLong(0) === day.length.toLong)
+    assert(row.getLong(1) === slopes.length.toLong)
+    val slope = median(slopes)
+    assert(math.abs(row.getDouble(2) - slope) < 1e-9 * math.abs(slope))
+    val icept = median(day.map { case (t, c) => c.toDouble - slope * t })
+    assert(math.abs(row.getDouble(3) - icept) < 1e-9 * math.abs(icept))
+  }
+
+  test("q198 DP release: noise replays exactly and has the Laplace scale") {
+    import spark.implicits._
+    val got = q("q198_dp_release").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.foreach { case (day, tpe, n, noisy, err) =>
+      val u = java.lang.Long.parseLong(md5hex(s"$day:$tpe").take(8), 16)
+        .toDouble / 4294967296.0
+      val v = u - 0.5
+      val noise = (if (v >= 0) -1.0 else 1.0) *
+        math.log(math.max(1.0 - 2.0 * math.abs(v), 2.3283064365386963e-10))
+      assert(math.abs(noisy - (n + noise)) < 1e-5, s"$day/$tpe noise replay")
+      assert(math.abs(err - math.abs(noise)) < 1e-5)
+    }
+    // utility accounting: the empirical error matches the Laplace(b=1)
+    // scale (mean |noise| = b), and the true counts are untouched
+    val meanErr = got.map(_._5).sum / got.length
+    assert(meanErr > 0.4 && meanErr < 2.0, s"mean |noise| $meanErr off-scale")
+    val total = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(got.map(_._3).sum === total)
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
