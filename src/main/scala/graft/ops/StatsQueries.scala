@@ -68,8 +68,12 @@ object StatsQueries {
 
   private val dec = DecimalType(38, 0)
 
-  /** q192: replicate count for the Poisson bootstrap. */
+  /** q192: replicate count for the Poisson bootstrap. Must stay a
+    * multiple of 4 — one md5 digest feeds four replicate lanes, and the
+    * oracle's range(0, B) only matches the Spark (B/4)×4 fan-out when
+    * the division is exact. */
   val BootstrapReps = 32
+  require(BootstrapReps % 4 == 0, "BootstrapReps must be a multiple of 4")
 
   /** q192: cumulative Poisson(1) probabilities P[W ≤ k] for k = 0..5,
     * kept as STRINGS so the Spark literal and the interpolated oracle SQL
@@ -103,6 +107,26 @@ object StatsQueries {
   val ErfA5 = "1.061405429"
   val Sqrt2 = "1.4142135623730951"
   val FdrAlpha = "0.05"
+
+  /** The ONE Spark-side definition of 2·(1−Φ(|z|)) via that polynomial
+    * (q195/q196 both call it — four hand-synced copies was the code-
+    * review finding): x = |z|/√2, t = 1/(1+p·x), pval = Horner(t)·e^(−x²). */
+  private def erfcPval(z: Column): Column = {
+    val x = abs(z) / lit(Sqrt2.toDouble)
+    val tv = lit(1.0) / (lit(1.0) + lit(ErfP.toDouble) * x)
+    ((((lit(ErfA5.toDouble) * tv + lit(ErfA4.toDouble)) * tv +
+      lit(ErfA3.toDouble)) * tv + lit(ErfA2.toDouble)) * tv +
+      lit(ErfA1.toDouble)) * tv * exp(-(x * x))
+  }
+
+  /** The matching ONE set of oracle-side stage expressions (interpolated
+    * into staged CTEs: x from a column named z, tv from x, pval from
+    * tv and x). */
+  private val SqlErfX = s"abs(z) / $Sqrt2"
+  private val SqlErfTv = s"1.0 / (1.0 + $ErfP * x)"
+  private val SqlErfPval =
+    s"((((($ErfA5 * tv + $ErfA4) * tv + $ErfA3) * tv + $ErfA2) * tv + " +
+      s"$ErfA1) * tv) * exp(-(x * x))"
 
   /** q198: privacy budget and the 2⁻³² log-argument clamp (a lattice-
     * edge md5 draw would otherwise send ln(0) to −∞). */
@@ -1311,11 +1335,14 @@ object StatsQueries {
       val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size)) {
         case ((c, k), rest) => when($"u" < lit(c.toDouble), lit(k)).otherwise(rest)
       }
+      // moneyOut, not a raw decimal→double CAST: DuckDB's decimal cast
+      // drifts ~1 ulp off the correctly-rounded value (Tables.scala's
+      // documented hazard), which could flip a ROUND(…,6) tie
       val means = reps.withColumn("w", w)
         .groupBy($"rep")
         .agg(sum($"w".cast("long") * $"o_totalprice".cast(money)).as("sv"),
           sum($"w".cast("long")).as("nv"))
-        .select(round($"sv".cast("double") / $"nv".cast("double"), 6).as("m"))
+        .select(round(moneyOut($"sv") / $"nv".cast("double"), 6).as("m"))
       val base = t(s, dir, "orders")
         .agg(count(lit(1)).as("n_orders"),
           sum($"o_totalprice".cast(money)).as("sp"))
@@ -1324,7 +1351,7 @@ object StatsQueries {
           count(lit(1)).as("b_reps"))
         .crossJoin(broadcast(base))
         .select($"n_orders", $"b_reps",
-          round($"sp".cast("double") / $"n_orders".cast("double"), 6)
+          round(moneyOut($"sp") / $"n_orders".cast("double"), 6)
             .as("mean_price"),
           element_at($"ci", 1).as("ci_lo"),
           element_at($"ci", 2).as("ci_hi"))
@@ -1392,10 +1419,10 @@ object StatsQueries {
       val ev = events(s, dir)
       val span = ev.agg(min($"ms").as("mn"), max($"ms").as("mx"))
         .select(expr("(mn + mx) div 2").as("cut"))
-      val byType = ev.crossJoin(broadcast(span))
+      val byType = Pin.lazily(ev.crossJoin(broadcast(span))
         .groupBy($"event_type")
         .agg(sum(when($"ms" < $"cut", 1L).otherwise(0L)).as("c1"),
-          sum(when($"ms" >= $"cut", 1L).otherwise(0L)).as("c2"))
+          sum(when($"ms" >= $"cut", 1L).otherwise(0L)).as("c2")))
       val tot = byType.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
       val pp = ($"c1" + $"c2").cast("double") / ($"n1" + $"n2").cast("double")
       val scored = byType.crossJoin(broadcast(tot))
@@ -1404,12 +1431,7 @@ object StatsQueries {
             $"c2".cast("double") / $"n2".cast("double")) /
             sqrt(pp * (lit(1.0) - pp) *
               (lit(1.0) / $"n1".cast("double") + lit(1.0) / $"n2".cast("double"))))
-        .withColumn("x", abs($"z") / lit(Sqrt2.toDouble))
-        .withColumn("tv", lit(1.0) / (lit(1.0) + lit(ErfP.toDouble) * $"x"))
-        .withColumn("pval",
-          ((((lit(ErfA5.toDouble) * $"tv" + lit(ErfA4.toDouble)) * $"tv" +
-            lit(ErfA3.toDouble)) * $"tv" + lit(ErfA2.toDouble)) * $"tv" +
-            lit(ErfA1.toDouble)) * $"tv" * exp(-($"x" * $"x")))
+        .withColumn("pval", erfcPval($"z"))
       val ranked = Pin.lazily(GlobalRank.withGlobalRank(scored,
         Seq($"pval".asc, $"event_type".asc), "rk", "m"))
       val kstar = ranked.agg(
@@ -1452,15 +1474,10 @@ object StatsQueries {
       val z = when($"s_stat" > 0, ($"s_stat" - 1).cast("double") / sqrt($"mkvar"))
         .when($"s_stat" < 0, ($"s_stat" + 1).cast("double") / sqrt($"mkvar"))
         .otherwise(lit(0.0))
-      val x = abs($"z") / lit(Sqrt2.toDouble)
-      val tv = lit(1.0) / (lit(1.0) + lit(ErfP.toDouble) * x)
-      val pv = ((((lit(ErfA5.toDouble) * tv + lit(ErfA4.toDouble)) * tv +
-        lit(ErfA3.toDouble)) * tv + lit(ErfA2.toDouble)) * tv +
-        lit(ErfA1.toDouble)) * tv * exp(-(x * x))
       sAgg.crossJoin(broadcast(nAgg)).crossJoin(broadcast(tieAgg))
         .withColumn("mkvar", varS)
         .withColumn("z", z)
-        .withColumn("pval", pv)
+        .withColumn("pval", erfcPval($"z"))
         .select($"n".as("n_days"), $"s_stat",
           (round($"z", 6) + lit(0d)).as("z_mk"),
           round($"pval", 6).as("p_value"),
@@ -2244,7 +2261,7 @@ object StatsQueries {
          |  FROM uu),
          |mm AS (
          |  SELECT rep,
-         |    ROUND(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) /
+         |    ROUND(${Tables.sqlMoneyOut("SUM(w * CAST(o_totalprice AS DECIMAL(18,4)))")} /
          |          CAST(SUM(w) AS DOUBLE), 6) AS m
          |  FROM wts GROUP BY rep),
          |base AS (
@@ -2252,7 +2269,7 @@ object StatsQueries {
          |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sp
          |  FROM orders)
          |SELECT base.n_orders, (SELECT COUNT(*) FROM mm) AS b_reps,
-         |  ROUND(CAST(base.sp AS DOUBLE) / CAST(base.n_orders AS DOUBLE), 6)
+         |  ROUND(${Tables.sqlMoneyOut("base.sp")} / CAST(base.n_orders AS DOUBLE), 6)
          |    AS mean_price,
          |  (SELECT quantile_cont(m, 0.025) FROM mm) AS ci_lo,
          |  (SELECT quantile_cont(m, 0.975) FROM mm) AS ci_hi
@@ -2307,13 +2324,9 @@ object StatsQueries {
          |         (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
          |         (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
          |  FROM bt CROSS JOIN tot),
-         |p1 AS (SELECT *, abs(z) / $Sqrt2 AS x FROM sc),
-         |p2 AS (SELECT *, 1.0 / (1.0 + $ErfP * x) AS tv FROM p1),
-         |p3 AS (
-         |  SELECT *,
-         |    ((((($ErfA5 * tv + $ErfA4) * tv + $ErfA3) * tv + $ErfA2) * tv +
-         |      $ErfA1) * tv) * exp(-(x * x)) AS pval
-         |  FROM p2),
+         |p1 AS (SELECT *, $SqlErfX AS x FROM sc),
+         |p2 AS (SELECT *, $SqlErfTv AS tv FROM p1),
+         |p3 AS (SELECT *, $SqlErfPval AS pval FROM p2),
          |rkt AS (
          |  SELECT event_type, c1, c2, z, pval,
          |    ROW_NUMBER() OVER (ORDER BY pval, event_type) AS rk,
@@ -2354,13 +2367,9 @@ object StatsQueries {
          |                 WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(mkvar)
          |                 ELSE 0.0 END AS z
          |  FROM zz),
-         |z3 AS (SELECT *, abs(z) / $Sqrt2 AS x FROM z2),
-         |z4 AS (SELECT *, 1.0 / (1.0 + $ErfP * x) AS tv FROM z3),
-         |z5 AS (
-         |  SELECT *,
-         |    ((((($ErfA5 * tv + $ErfA4) * tv + $ErfA3) * tv + $ErfA2) * tv +
-         |      $ErfA1) * tv) * exp(-(x * x)) AS pval
-         |  FROM z4)
+         |z3 AS (SELECT *, $SqlErfX AS x FROM z2),
+         |z4 AS (SELECT *, $SqlErfTv AS tv FROM z3),
+         |z5 AS (SELECT *, $SqlErfPval AS pval FROM z4)
          |SELECT n AS n_days, s_stat, ROUND(z, 6) + 0.0 AS z_mk,
          |  ROUND(pval, 6) AS p_value,
          |  CASE WHEN pval < $FdrAlpha AND s_stat > 0 THEN 'increasing'
