@@ -1573,6 +1573,83 @@ object StatsQueries {
         .orderBy($"day", $"event_type")
     },
 
+    // --------------------------------------------------- max drawdown
+    // Maximum drawdown of daily revenue — the ops-dashboard "worst slide
+    // from any peak" readout: max over ordered day pairs of
+    // (peak − trough), with the dates that realize it. Third rider on
+    // the calendar²-bounded day pair frame (q196/q197); everything is
+    // exact integer cents until the one mirrored relative division, and
+    // the realizing pair is TakeOrderedAndProject with (dd desc, peak,
+    // trough) tie-breaks — fully deterministic.
+    "q199_max_drawdown" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val a = day.select($"d".as("peak_day"), $"cents".as("xa"))
+      val b = day.select($"d".as("trough_day"), $"cents".as("xb"))
+      a.join(b, $"peak_day" < $"trough_day")
+        .select($"peak_day", $"trough_day", $"xa", $"xb",
+          ($"xa" - $"xb").as("dd"))
+        .orderBy($"dd".desc, $"peak_day".asc, $"trough_day".asc)
+        .limit(1)
+        .select($"peak_day", $"trough_day",
+          $"xa".as("peak_cents"), $"xb".as("trough_cents"),
+          $"dd".as("drawdown_cents"),
+          round($"dd".cast("double") / $"xa".cast("double"), 6)
+            .as("drawdown_frac"))
+    },
+
+    // -------------------------------------- quantile normalization
+    // Cross-source quantile normalization — the batch-effect correction
+    // for per-source scorer drift (one source's quality scores run hot,
+    // another's cold; mixing on raw scores then skews curation): every
+    // doc's score maps to the POOLED distribution's value at the doc's
+    // within-source relative rank, so all sources share one scale.
+    // Plan: TWO GlobalRank passes over the shared quality frame (the
+    // q183 two-ordering pattern) — (source, quality, doc_id) makes
+    // within-source ranks contiguous slices of one global rank (no
+    // per-source window, so a giant source cannot skew a partition),
+    // and (quality, doc_id) builds the pooled rank→value table. The
+    // audit output selects each source's decile rows by an EQUI-join on
+    // precomputed target ranks (the q126 recipe) and interpolates the
+    // pooled value lo + f·(hi−lo), emitted RAW. Rank products stay
+    // under 2⁶³ to ~3·10⁹ docs per table — beyond that, route the
+    // position product through DECIMAL (same bound family as q158).
+    "q200_quantile_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val sc0 = TextQueries.qualityScored(s, dir)
+        .select($"doc_id", $"source", $"quality")
+      val g = Pin.lazily(GlobalRank.withGlobalRank(sc0,
+        Seq($"source".asc, $"quality".asc, $"doc_id".asc), "grk", "n_all"))
+      val pooled = Pin.lazily(GlobalRank.withGlobalRank(sc0,
+        Seq($"quality".asc, $"doc_id".asc), "prk", "n_tot")
+        .select($"prk", $"quality".as("pq")))
+      val ss = g.groupBy($"source")
+        .agg(min($"grk").as("rk0"), count(lit(1)).as("n_s"))
+      val docs = g.join(broadcast(ss), "source")
+        .withColumn("rk_s", $"grk" - $"rk0" + 1)
+      val targets = ss.filter($"n_s" >= 2)
+        .crossJoin(broadcast((1 to 9).toDF("decile")))
+        .select($"source", $"decile",
+          (expr("(decile * (n_s - 1)) div 10") + 1).as("tr"))
+      val sel = docs
+        .join(broadcast(targets),
+          docs("source") === targets("source") && $"rk_s" === $"tr")
+        .drop(targets("source"))
+        .withColumn("pos",
+          (($"rk_s" - 1) * ($"n_all" - 1)).cast("double") /
+            ($"n_s" - 1).cast("double"))
+        .withColumn("t1", floor($"pos").cast("long") + 1)
+        .withColumn("f", $"pos" - floor($"pos"))
+        .withColumn("t2", least($"t1" + 1, $"n_all"))
+      sel
+        .join(pooled.select($"prk".as("t1"), $"pq".as("v1")), "t1")
+        .join(pooled.select($"prk".as("t2"), $"pq".as("v2")), "t2")
+        .select($"source", $"decile".cast("long").as("decile"),
+          $"n_s".as("n_docs"), $"quality".as("q_raw"),
+          ($"v1" + $"f" * ($"v2" - $"v1")).as("q_norm"))
+        .orderBy($"source", $"decile")
+    },
+
     // --------------------------------------------- item-item neighbors
     // Item-item collaborative-filtering neighbors: cosine similarity on
     // the co-purchase counts — pair_n/√(cnt_a·cnt_b) — with each brand's
@@ -2424,6 +2501,56 @@ object StatsQueries {
          |  ROUND(abs(noise), 6) AS abs_err
          |FROM nn ORDER BY day, event_type""".stripMargin
     },
+
+    "q199_max_drawdown" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE))
+        |SELECT a.d AS peak_day, b.d AS trough_day,
+        |  a.cents AS peak_cents, b.cents AS trough_cents,
+        |  a.cents - b.cents AS drawdown_cents,
+        |  ROUND(CAST(a.cents - b.cents AS DOUBLE) / CAST(a.cents AS DOUBLE), 6)
+        |    AS drawdown_frac
+        |FROM day a JOIN day b ON a.d < b.d
+        |ORDER BY drawdown_cents DESC, peak_day, trough_day
+        |LIMIT 1""".stripMargin,
+
+    // Shares TextQueries.qualityCteBody (the one SQL definition of the
+    // quality score) and replays both rankings as window functions.
+    "q200_quantile_normalize" ->
+      s"""WITH ${TextQueries.qualityCteBody},
+         |g AS (
+         |  SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (ORDER BY source, quality, doc_id) AS grk,
+         |    ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS prk,
+         |    COUNT(*) OVER () AS n_all
+         |  FROM scored),
+         |ss AS (SELECT source, MIN(grk) AS rk0, COUNT(*) AS n_s
+         |       FROM g GROUP BY source),
+         |docs AS (
+         |  SELECT g.*, g.grk - ss.rk0 + 1 AS rk_s, ss.n_s
+         |  FROM g JOIN ss USING (source)),
+         |tg AS (
+         |  SELECT source, d AS decile, 1 + (d * (n_s - 1)) // 10 AS tr
+         |  FROM ss CROSS JOIN range(1, 10) t(d)
+         |  WHERE n_s >= 2),
+         |sel AS (
+         |  SELECT d.source, t.decile, d.n_s, d.quality, d.n_all,
+         |    CAST((d.rk_s - 1) * (d.n_all - 1) AS DOUBLE) /
+         |      CAST(d.n_s - 1 AS DOUBLE) AS pos
+         |  FROM docs d JOIN tg t ON t.source = d.source AND d.rk_s = t.tr),
+         |s2 AS (
+         |  SELECT *, CAST(floor(pos) AS BIGINT) + 1 AS t1,
+         |    pos - floor(pos) AS f
+         |  FROM sel),
+         |s3 AS (SELECT s2.*, LEAST(t1 + 1, n_all) AS t2 FROM s2),
+         |pv AS (SELECT prk, quality AS pq FROM g)
+         |SELECT s3.source, CAST(s3.decile AS BIGINT) AS decile,
+         |  s3.n_s AS n_docs, s3.quality AS q_raw,
+         |  a.pq + s3.f * (b.pq - a.pq) AS q_norm
+         |FROM s3 JOIN pv a ON a.prk = s3.t1 JOIN pv b ON b.prk = s3.t2
+         |ORDER BY s3.source, decile""".stripMargin,
 
     "q194_item_item_cosine" ->
       """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand

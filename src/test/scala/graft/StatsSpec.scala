@@ -957,6 +957,64 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._3).sum === total)
   }
 
+  test("q199 max drawdown matches a brute-force pair scan") {
+    import spark.implicits._
+    val row = q("q199_max_drawdown").collect().head
+    val day = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate".cast("timestamp")).as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"d")
+      .as[(java.sql.Date, Long)].collect()
+    var best = (day(0)._1, day(0)._1, Long.MinValue)
+    for (i <- day.indices; j <- i + 1 until day.length) {
+      val dd = day(i)._2 - day(j)._2
+      if (dd > best._3) best = (day(i)._1, day(j)._1, dd)
+    }
+    assert(row.getDate(0).toString === best._1.toString)
+    assert(row.getDate(1).toString === best._2.toString)
+    assert(row.getLong(4) === best._3)
+    assert(row.getLong(4) === row.getLong(2) - row.getLong(3))
+    assert(math.abs(row.getDouble(5) -
+      best._3.toDouble / row.getLong(2)) < 1e-6)
+  }
+
+  test("q200 quantile normalization matches a driver replay and aligns sources") {
+    import spark.implicits._
+    val got = q("q200_quantile_normalize").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // replay the NORMALIZATION from the scored frame (the quality score
+    // itself is oracle-gated via q52/q68/q97)
+    val sc0 = graft.ops.TextQueries.qualityScored(spark, sf0001)
+      .select($"doc_id", $"source", $"quality")
+      .as[(Long, String, Double)].collect()
+    val pooled = sc0.sortBy(r => (r._3, r._1)).map(_._3)
+    val n = pooled.length
+    val bySource = sc0.groupBy(_._2)
+    got.keys.map(_._1).foreach { src =>
+      val rows = bySource(src).sortBy(r => (r._3, r._1))
+      val ns = rows.length
+      (1 to 9).foreach { d =>
+        val tr = 1 + (d * (ns - 1)) / 10
+        val (nd, qRaw, qNorm) = got((src, d.toLong))
+        assert(nd === ns.toLong)
+        assert(qRaw === rows(tr - 1)._3, s"$src decile $d raw")
+        val pos = (tr - 1).toDouble * (n - 1) / (ns - 1)
+        val (i, f) = (pos.toInt, pos - math.floor(pos))
+        val want = pooled(i) + f * (pooled(math.min(i + 1, n - 1)) - pooled(i))
+        assert(math.abs(qNorm - want) < 1e-12, s"$src decile $d norm")
+      }
+    }
+    // the operator's purpose: normalized deciles agree across sources
+    // at least as well as the raw ones do
+    (1 to 9).foreach { d =>
+      val cells = got.collect { case ((s2, dd), v) if dd == d => v }.toSeq
+      val rawSpread = cells.map(_._2).max - cells.map(_._2).min
+      val normSpread = cells.map(_._3).max - cells.map(_._3).min
+      assert(normSpread <= rawSpread + 1e-12, s"decile $d: $normSpread > $rawSpread")
+    }
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
