@@ -49,6 +49,37 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q189: query terms broadcast and both ranker pools ride GroupTopK heaps") {
+    val p = plan("q189_rrf_hybrid")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GroupTopK"), p)
+  }
+
+  test("q190/q199: top-k outputs plan as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q190_inet_rollup").contains("TakeOrderedAndProject"))
+    assert(plan("q199_max_drawdown").contains("TakeOrderedAndProject"))
+  }
+
+  test("q194: neighbor lists ride GroupTopK and the count dims broadcast") {
+    val p = plan("q194_item_item_cosine")
+    assert(p.contains("GroupTopK"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q197: the slope median is rank-selected, not a one-buffer percentile") {
+    val p = plan("q197_theil_sen")
+    // The day-frame intercept median may use percentile (control-plane
+    // sized: one partial + one final = 2 occurrences); the PAIR frame
+    // must not — its median arrives via the pinned GlobalRank frame
+    // (InMemoryTableScan here; the range exchange lives in the cache
+    // build) plus a rank-targeted select.
+    val nPct = "percentile\\(".r.findAllMatchIn(p).size
+    assert(nPct <= 2, s"pair-frame percentile crept back in ($nPct):\n$p")
+    // and the one that remains is the day-frame intercept, never the
+    // pair-slope column
+    assert(!p.contains("percentile(sl"), p)
+  }
+
   test("q52: the hash split is shuffle-free (no Exchange except the output sort)") {
     val p = plan("q52_train_val_split")
     // exactly one exchange: the rangepartitioning for the final ORDER BY
