@@ -133,6 +133,20 @@ object StatsQueries {
   val DpEpsilon = "1.0"
   val DpMinMag = "2.3283064365386963e-10"
 
+  /** q201: per-user contribution cap C (user-level sensitivity). */
+  val DpUserCap = "4"
+
+  /** q202: LTV curve horizon in age weeks (0-based, inclusive). */
+  val LtvMaxAgeWeeks = 12
+
+  /** q203: KMV (k-minimum-values) sketch size and the hash-space size.
+    * Hashes are the first 12 md5 hex chars → uniform on [0, 2⁴⁸); the
+    * estimator for a sketch that FILLED is (k−1)·M/h₍k₎ (Bar-Yossef et
+    * al. 2002), exact count otherwise. M stays a literal string so both
+    * engines parse the identical double. */
+  val KmvK = 128
+  val KmvM = "281474976710656e0"
+
   /** Exact money cents: 2-decimal doubles → BIGINT, rounding (not
     * truncating) so 123.45*100 == 12344.999… lands on 12345 in both
     * engines. */
@@ -1650,6 +1664,150 @@ object StatsQueries {
         .orderBy($"source", $"decile")
     },
 
+    // --------------------------------------- user-level DP release
+    // q198's release hardened to USER-level adjacency — the version that
+    // actually protects a person, and the part that's hard at scale:
+    // contribution bounding. Each user's events in a (day × type) cell
+    // clamp to C=4 BEFORE counting (one (user, cell) aggregate, then
+    // least(count, C) — both map-side combinable), so removing any one
+    // user changes the released count by at most C, and Laplace(C/ε)
+    // noise at ε=1 gives user-level ε-DP. The released frame reports
+    // both the clamped count and the clamp loss (true − bounded), the
+    // utility the analyst pays for the guarantee. Same md5 inverse-CDF
+    // noise as q198 (swap the uniform for a secure RNG in production;
+    // the pipeline is identical).
+    "q201_dp_user_level" -> { (s, dir) =>
+      import s.implicits._
+      val perUser = events(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type", $"user_id")
+        .agg(count(lit(1)).as("nu"))
+      val cells = perUser
+        .groupBy($"day", $"event_type")
+        .agg(sum($"nu").as("true_n"),
+          sum(least($"nu", lit(DpUserCap.toLong))).as("bounded_n"))
+      cells
+        .withColumn("u",
+          conv(substring(md5(concat($"day".cast("string"), lit(":"),
+            $"event_type", lit(":u"))), 1, 8), 16, 10).cast("long")
+            .cast("double") / lit(4294967296.0))
+        .withColumn("v", $"u" - lit(0.5))
+        .withColumn("noise",
+          when($"v" >= 0, lit(-1.0)).otherwise(lit(1.0)) *
+            log(greatest(lit(1.0) - lit(2.0) * abs($"v"),
+              lit(DpMinMag.toDouble))) *
+            (lit(DpUserCap.toDouble) / lit(DpEpsilon.toDouble)))
+        .select($"day", $"event_type", $"true_n", $"bounded_n",
+          ($"true_n" - $"bounded_n").as("clamp_loss"),
+          (round($"bounded_n" + $"noise", 6) + lit(0d)).as("noisy_n"))
+        .orderBy($"day", $"event_type")
+    },
+
+    // -------------------------------------------------- cohort LTV
+    // 13-week cohort LTV curves — the revenue companion to q48's
+    // retention counts: users cohort by first-activity week, purchase
+    // revenue accumulates per cohort over age weeks, per-user LTV
+    // divides by cohort size. Week indices are exact integer arithmetic
+    // off the global min day (calendar-week semantics differ between
+    // engines; day-diff `div 7` does not). Revenue is float event data,
+    // so the q36 policy applies: cells sum RAW doubles, the cumulative
+    // window adds those cells in the same deterministic age order in
+    // both engines, and ONE round(6) per output column absorbs the
+    // ~1e-9 order noise — never round-then-combine. Cells with no
+    // purchases are absent in both engines identically (the curve is a
+    // sparse frame; q61's spine densifies when a dashboard needs 0s).
+    // Scale: two user-granularity aggregates + one (cohort × ≤13) cell
+    // frame; the window partitions by cohort (bounded rows each).
+    "q202_cohort_ltv" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val base = ev.agg(min(to_date($"ts")).as("d0"))
+      val first = Pin.lazily(ev.groupBy($"user_id")
+        .agg(min(to_date($"ts")).as("fd")))
+      val rev = ev.filter($"event_type" === "purchase" && $"value".isNotNull)
+        .select($"user_id", to_date($"ts").as("day"), $"value")
+      val cohortSize = first.crossJoin(broadcast(base))
+        .groupBy(expr("datediff(fd, d0) div 7").as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val cells = rev.join(first, "user_id").crossJoin(broadcast(base))
+        .withColumn("cohort_week", expr("datediff(fd, d0) div 7"))
+        .withColumn("age_week", expr("datediff(day, fd) div 7"))
+        .filter($"age_week" <= LtvMaxAgeWeeks)
+        .groupBy($"cohort_week", $"age_week")
+        .agg(sum($"value").as("rev"))
+      val w = Window.partitionBy($"cohort_week").orderBy($"age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum", sum($"rev").over(w))
+        .join(broadcast(cohortSize), "cohort_week")
+        .select($"cohort_week".cast("long").as("cohort_week"),
+          $"age_week".cast("long").as("age_week"), $"cohort_users",
+          round($"rev", 6).as("week_revenue"),
+          round($"cum", 6).as("cum_revenue"),
+          round($"cum" / $"cohort_users", 6).as("ltv_per_user"))
+        .orderBy($"cohort_week", $"age_week")
+    },
+
+    // ------------------------------------------- KMV sketch overlap
+    // Month-over-month returning-customer estimation from k-minimum-value
+    // sketches — the mergeable-sketch answer to q173's exact self-join
+    // overlap. The scale thesis: exact distinct-intersection at 100 TB
+    // ships every key through a shuffle PER PAIR of periods; a KMV sketch
+    // ships k=128 hashes per month (GroupTopK bottom-k heaps — bounded
+    // map-side state, no sort), and ALL downstream set algebra runs at
+    // sketch granularity (months × k rows, control-plane). Union sketch
+    // per consecutive-month pair = k smallest of the merged hash sets;
+    // intersection via the inclusion ratio ρ = |both-member hashes in the
+    // union sketch|/k (Bar-Yossef et al.; Beyer et al. SIGMOD'07). A
+    // sketch that never filled (kn < k) holds the whole key set, so the
+    // estimator degrades to the EXACT count — both branches stated
+    // identically in the oracle. Same-customer rows hash identically
+    // across months, which is what makes the membership join exact.
+    "q203_kmv_monthly_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val mu = t(s, dir, "orders")
+        .select(date_trunc("month", $"o_orderdate").cast("date").as("m"),
+          $"o_custkey")
+        .distinct()
+        .withColumn("h",
+          conv(substring(md5(concat(lit("kmv:"), $"o_custkey".cast("string"))),
+            1, 12), 16, 10).cast("long"))
+      val sk = Pin.lazily(graft.plans.GroupTopK(mu,
+          Seq($"m"), Seq($"h".asc, $"o_custkey".asc), KmvK)
+        .select($"m", $"h"))
+      val st = sk.groupBy($"m").agg(count(lit(1)).as("kn"), max($"h").as("hk"))
+      def est(kn: Column, hk: Column): Column =
+        when(kn < lit(KmvK), kn.cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvM.toDouble) / hk)
+      val months = sk.select($"m").distinct()
+      val pairs = months.toDF("ma")
+        .join(months.toDF("mb"), add_months($"ma", 1) === $"mb")
+      // merged hash set per pair, then its k smallest: the pair window is
+      // ≤ 2k rows per partition by construction (two sketches), so the
+      // row_number is control-plane no matter the corpus size.
+      val mh = broadcast(pairs)
+        .join(sk, $"m" === $"ma" || $"m" === $"mb")
+        .select($"ma", $"mb", $"h").distinct()
+      val w = Window.partitionBy($"ma", $"mb").orderBy($"h")
+      val uk = mh.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= KmvK).select($"ma", $"mb", $"h")
+      val ag = uk
+        .join(sk.select($"m".as("ma"), $"h", lit(1L).as("ia")), Seq("ma", "h"), "left")
+        .join(sk.select($"m".as("mb"), $"h", lit(1L).as("ib")), Seq("mb", "h"), "left")
+        .groupBy($"ma", $"mb")
+        .agg(count(lit(1)).as("ku"), max($"h").as("hku"),
+          sum(coalesce($"ia", lit(0L)) * coalesce($"ib", lit(0L))).as("kboth"))
+      ag
+        .join(broadcast(st.select($"m".as("ma"), $"kn".as("kna"), $"hk".as("hka"))), "ma")
+        .join(broadcast(st.select($"m".as("mb"), $"kn".as("knb"), $"hk".as("hkb"))), "mb")
+        .select($"ma".as("month_a"), $"mb".as("month_b"),
+          round(est($"kna", $"hka"), 6).as("est_a"),
+          round(est($"knb", $"hkb"), 6).as("est_b"),
+          round(est($"ku", $"hku"), 6).as("est_union"),
+          round(($"kboth".cast("double") / $"ku") * est($"ku", $"hku"), 6)
+            .as("est_returning"),
+          round($"kboth".cast("double") / $"ku", 6).as("kmv_jaccard"))
+        .orderBy($"month_a")
+    },
+
     // --------------------------------------------- item-item neighbors
     // Item-item collaborative-filtering neighbors: cosine similarity on
     // the co-purchase counts — pair_n/√(cnt_a·cnt_b) — with each brand's
@@ -2551,6 +2709,121 @@ object StatsQueries {
          |  a.pq + s3.f * (b.pq - a.pq) AS q_norm
          |FROM s3 JOIN pv a ON a.prk = s3.t1 JOIN pv b ON b.prk = s3.t2
          |ORDER BY s3.source, decile""".stripMargin,
+
+    "q201_dp_user_level" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH pu AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type, user_id,
+         |    COUNT(*) AS nu
+         |  FROM events GROUP BY CAST(ts AS DATE), event_type, user_id),
+         |cells AS (
+         |  SELECT day, event_type,
+         |    CAST(SUM(nu) AS BIGINT) AS true_n,
+         |    CAST(SUM(LEAST(nu, $DpUserCap)) AS BIGINT) AS bounded_n
+         |  FROM pu GROUP BY day, event_type),
+         |h AS (
+         |  SELECT *, md5(CAST(day AS VARCHAR) || ':' || event_type || ':u') AS hx
+         |  FROM cells),
+         |uu AS (
+         |  SELECT day, event_type, true_n, bounded_n,
+         |    CAST($horner AS DOUBLE) / 4294967296.0 - 0.5 AS v
+         |  FROM h),
+         |nn AS (
+         |  SELECT day, event_type, true_n, bounded_n,
+         |    (CASE WHEN v >= 0 THEN -1.0 ELSE 1.0 END) *
+         |      ln(greatest(1.0 - 2.0 * abs(v), $DpMinMag)) *
+         |      ($DpUserCap / $DpEpsilon) AS noise
+         |  FROM uu)
+         |SELECT day, event_type, true_n, bounded_n,
+         |  true_n - bounded_n AS clamp_loss,
+         |  ROUND(bounded_n + noise, 6) + 0.0 AS noisy_n
+         |FROM nn ORDER BY day, event_type""".stripMargin
+    },
+
+    "q202_cohort_ltv" ->
+      s"""WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+         |f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd
+         |      FROM events GROUP BY user_id),
+         |cs AS (
+         |  SELECT CAST(date_diff('day', d0.d0, fd) AS BIGINT) // 7 AS cohort_week,
+         |    COUNT(*) AS cohort_users
+         |  FROM f CROSS JOIN d0 GROUP BY 1),
+         |rev AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, value
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |cells AS (
+         |  SELECT CAST(date_diff('day', d0.d0, f.fd) AS BIGINT) // 7 AS cohort_week,
+         |    CAST(date_diff('day', f.fd, r.day) AS BIGINT) // 7 AS age_week,
+         |    SUM(r.value) AS rev
+         |  FROM rev r JOIN f USING (user_id) CROSS JOIN d0
+         |  WHERE CAST(date_diff('day', f.fd, r.day) AS BIGINT) // 7 <= $LtvMaxAgeWeeks
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT cohort_week, age_week, rev,
+         |    SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_week
+         |                   ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM cells)
+         |SELECT c.cohort_week, c.age_week, s.cohort_users,
+         |  ROUND(c.rev, 6) AS week_revenue, ROUND(c.cum, 6) AS cum_revenue,
+         |  ROUND(c.cum / s.cohort_users, 6) AS ltv_per_user
+         |FROM cum c JOIN cs s USING (cohort_week)
+         |ORDER BY c.cohort_week, c.age_week""".stripMargin,
+
+    "q203_kmv_monthly_overlap" -> {
+      val horner = (1 to 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hex, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      val estA = s"CASE WHEN sa.kn < $KmvK THEN CAST(sa.kn AS DOUBLE) " +
+        s"ELSE ${KmvK - 1}e0 * $KmvM / sa.hk END"
+      val estB = s"CASE WHEN sb.kn < $KmvK THEN CAST(sb.kn AS DOUBLE) " +
+        s"ELSE ${KmvK - 1}e0 * $KmvM / sb.hk END"
+      val estU = s"CASE WHEN ag.ku < $KmvK THEN CAST(ag.ku AS DOUBLE) " +
+        s"ELSE ${KmvK - 1}e0 * $KmvM / ag.hku END"
+      s"""WITH mu AS (
+         |  SELECT DISTINCT date_trunc('month', o_orderdate) AS m, o_custkey
+         |  FROM orders),
+         |hx AS (
+         |  SELECT m, o_custkey,
+         |    md5('kmv:' || CAST(o_custkey AS VARCHAR)) AS hex
+         |  FROM mu),
+         |hv AS (SELECT m, o_custkey, CAST($horner AS BIGINT) AS h FROM hx),
+         |sk AS (
+         |  SELECT m, h FROM (
+         |    SELECT m, h,
+         |      row_number() OVER (PARTITION BY m ORDER BY h, o_custkey) AS rn
+         |    FROM hv) WHERE rn <= $KmvK),
+         |st AS (SELECT m, COUNT(*) AS kn, MAX(h) AS hk FROM sk GROUP BY m),
+         |mo AS (SELECT DISTINCT m FROM sk),
+         |pr AS (SELECT a.m AS ma, b.m AS mb FROM mo a
+         |       JOIN mo b ON a.m + INTERVAL 1 MONTH = b.m),
+         |mh AS (SELECT DISTINCT pr.ma, pr.mb, s.h
+         |       FROM pr JOIN sk s ON s.m = pr.ma OR s.m = pr.mb),
+         |uk AS (
+         |  SELECT ma, mb, h FROM (
+         |    SELECT ma, mb, h,
+         |      row_number() OVER (PARTITION BY ma, mb ORDER BY h) AS rn
+         |    FROM mh) WHERE rn <= $KmvK),
+         |fl AS (
+         |  SELECT u.ma, u.mb, u.h,
+         |    (CASE WHEN a.h IS NULL THEN 0 ELSE 1 END) *
+         |    (CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS bo
+         |  FROM uk u
+         |  LEFT JOIN sk a ON a.m = u.ma AND a.h = u.h
+         |  LEFT JOIN sk b ON b.m = u.mb AND b.h = u.h),
+         |ag AS (SELECT ma, mb, COUNT(*) AS ku, MAX(h) AS hku,
+         |         CAST(SUM(bo) AS BIGINT) AS kboth
+         |       FROM fl GROUP BY ma, mb)
+         |SELECT CAST(ag.ma AS DATE) AS month_a, CAST(ag.mb AS DATE) AS month_b,
+         |  ROUND($estA, 6) AS est_a,
+         |  ROUND($estB, 6) AS est_b,
+         |  ROUND($estU, 6) AS est_union,
+         |  ROUND((CAST(ag.kboth AS DOUBLE) / ag.ku) * ($estU), 6) AS est_returning,
+         |  ROUND(CAST(ag.kboth AS DOUBLE) / ag.ku, 6) AS kmv_jaccard
+         |FROM ag JOIN st sa ON sa.m = ag.ma JOIN st sb ON sb.m = ag.mb
+         |ORDER BY month_a""".stripMargin
+    },
 
     "q194_item_item_cosine" ->
       """WITH bb AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand

@@ -1015,6 +1015,132 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q201 user-level DP: contribution bounding and noise replay exactly") {
+    import spark.implicits._
+    val got = q("q201_dp_user_level").collect()
+      .map(r => ((r.getDate(0).toString, r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(to_date($"ts".cast("timestamp")).cast("string").as("day"),
+        $"event_type", $"user_id")
+      .as[(String, String, Long)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byCell = ev.groupBy(r => (r._1, r._2))
+    assert(got.keySet === byCell.keySet)
+    byCell.foreach { case (cell, rows) =>
+      val perUser = rows.groupBy(_._3).map(_._2.length.toLong)
+      val trueN = perUser.sum
+      val boundedN = perUser.map(math.min(_, 4L)).sum
+      val (gt, gb, gl, gn) = got(cell)
+      assert(gt === trueN && gb === boundedN && gl === trueN - boundedN)
+      val u = java.lang.Long.parseLong(
+        md5hex(s"${cell._1}:${cell._2}:u").take(8), 16).toDouble / 4294967296.0
+      val v = u - 0.5
+      val noise = (if (v >= 0) -1.0 else 1.0) *
+        math.log(math.max(1.0 - 2.0 * math.abs(v), 2.3283064365386963e-10)) * 4.0
+      assert(math.abs(gn - (boundedN + noise)) < 1e-5, s"$cell")
+    }
+    // the guarantee's price is visible and finite: bounded ≤ true, and
+    // the noise scale is C×q198's
+    assert(got.values.forall { case (t2, b, l, _) => b <= t2 && l === t2 - b })
+  }
+
+  test("q202 cohort LTV matches a driver replay and curves are nondecreasing") {
+    import spark.implicits._
+    val got = q("q202_cohort_ltv").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(to_date($"ts".cast("timestamp")).as("day"), $"user_id",
+        $"event_type", $"value")
+      .as[(java.sql.Date, Long, String, Option[Double])].collect()
+    val d0 = ev.map(_._1.toLocalDate).min
+    val fd = ev.groupBy(_._2).map { case (u, rs) =>
+      u -> rs.map(_._1.toLocalDate).min }
+    def weeks(a: java.time.LocalDate, b: java.time.LocalDate) =
+      java.time.temporal.ChronoUnit.DAYS.between(a, b) / 7
+    val cohortUsers = fd.values.groupBy(weeks(d0, _)).map { case (c, v) => c -> v.size }
+    val cells = ev.filter(r => r._3 == "purchase" && r._4.isDefined)
+      .map(r => ((weeks(d0, fd(r._2)), weeks(fd(r._2), r._1.toLocalDate)), r._4.get))
+      .filter(_._1._2 <= 12)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(got.map(_._1).toSet === cells.keySet)
+    got.groupBy(_._1._1).foreach { case (cohort, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      var cum = 0.0
+      sorted.foreach { case ((c, a), (nu, wr, cr, ltv)) =>
+        assert(nu === cohortUsers(c).toLong)
+        assert(math.abs(wr - cells((c, a))) < 1e-4, s"cell $c/$a")
+        cum += cells((c, a))
+        assert(math.abs(cr - cum) < 1e-4, s"cum $c/$a")
+        assert(math.abs(ltv - cum / nu) < 1e-4)
+      }
+      // money in, never out: the cumulative curve is nondecreasing
+      assert(sorted.map(_._2._3).toSeq.sliding(2).forall {
+        case Seq(x, y) => y >= x - 1e-9; case _ => true })
+    }
+  }
+
+  test("q203 KMV overlap: exact branch equals true set algebra; estimator branch is accurate") {
+    import spark.implicits._
+    // sf0.001: every monthly sketch holds < k customers, so the KMV
+    // estimates must DEGRADE TO EXACT counts — replay the set algebra.
+    val got = q("q203_kmv_monthly_overlap").collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val mu = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(date_trunc("month", $"o_orderdate").cast("date").cast("string").as("m"),
+        $"o_custkey")
+      .distinct().as[(String, Long)].collect()
+    val byMonth = mu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val months = byMonth.keys.toSeq.sorted
+    assert(byMonth.values.forall(_.size < StatsQueries.KmvK), "exact-branch premise")
+    val pairs = months.zip(months.tail).filter { case (a, b) =>
+      java.time.LocalDate.parse(a).plusMonths(1) == java.time.LocalDate.parse(b) }
+    assert(got.keySet === pairs.map(_._1).toSet)
+    pairs.foreach { case (a, b) =>
+      val (ea, eb, eu, er, ej) = got(a)
+      val (sa, sb) = (byMonth(a), byMonth(b))
+      val inter = (sa & sb).size.toDouble
+      val uni = (sa | sb).size.toDouble
+      assert(ea === sa.size.toDouble && eb === sb.size.toDouble)
+      if (uni < StatsQueries.KmvK) {
+        assert(eu === uni)
+        assert(math.abs(er - inter) < 1e-4, s"$a: est_returning $er vs exact $inter")
+        assert(math.abs(ej - inter / uni) < 1e-4)
+      }
+    }
+
+    // sf0.01: monthly distincts EXCEED k, so the (k−1)·M/h₍k₎ estimator is
+    // live — gate its accuracy against the exact counts (k=128 ⇒ relative
+    // standard error ≈ 1/√(k−2) ≈ 8.9%; 4σ bound per month, tighter in mean).
+    val big = StatsQueries.queries("q203_kmv_monthly_overlap")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getDate(0).toString, (r.getDouble(2), r.getDouble(5)))).toMap
+    val muB = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(date_trunc("month", $"o_orderdate").cast("date").cast("string").as("m"),
+        $"o_custkey")
+      .distinct().as[(String, Long)].collect()
+    val byMonthB = muB.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Most months exceed k (estimator live); a truncated edge month may
+    // not — those must hit the exact branch, asserted per month below.
+    assert(byMonthB.values.count(_.size > StatsQueries.KmvK) > byMonthB.size * 3 / 4,
+      "estimator-branch premise")
+    val errs = big.toSeq.map { case (m, (estA, estRet)) =>
+      val exactA = byMonthB(m).size.toDouble
+      if (byMonthB(m).size < StatsQueries.KmvK)
+        assert(estA === exactA, s"$m under k must be exact")
+      val nextM = java.time.LocalDate.parse(m).plusMonths(1).toString
+      val exactRet = (byMonthB(m) & byMonthB(nextM)).size.toDouble
+      assert(math.abs(estA - exactA) / exactA < 0.36, s"$m: est_a $estA vs $exactA")
+      assert(math.abs(estRet - exactRet) / exactRet.max(1.0) < 0.8,
+        s"$m: est_returning $estRet vs $exactRet")
+      math.abs(estA - exactA) / exactA
+    }
+    assert(errs.sum / errs.size < 0.12, s"mean distinct-count rel error ${errs.sum / errs.size}")
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
