@@ -30,6 +30,17 @@ object CoreQueries {
 
   private[ops] val SessionGapMs = 30L * 60 * 1000
 
+  /** q204 geo constants — literal strings so Spark and the oracle parse
+    * identical doubles. Box: lat ∈ [40, 50], lon ∈ [−10, 10] (a
+    * country-scale service area); cell edge 2°; search radius 120 km.
+    * Grid-completeness invariant: the narrowest cell dimension inside the
+    * box is 2° of longitude at lat 50° = 2·111.3195·cos(50°) ≈ 143.1 km
+    * > R, so a 3×3 neighborhood always covers the R-ball — the oracle is
+    * the BRUTE-FORCE all-pairs nearest, proving no candidate is missed. */
+  val GeoEarthKm = "6371.0088"
+  val GeoCellDeg = "2.0"
+  val GeoRadiusKm = "120.0"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------------- scans + hash agg
     // Flagship: TPC-H Q1-shaped pricing summary — scan, pushed filter,
@@ -811,6 +822,63 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct($"user_id").as("n_users"))
         .orderBy($"err_id")
+    },
+
+    // ------------------------------------------------------------ grid-binned spatial join
+    // Nearest-supplier-within-radius per customer — the 2-D analogue of
+    // q90's binned interval join, and the standard distributed spatial-
+    // join shape (grid partitioning, as in SpatialSpark/Magellan-style
+    // engines): quantize coordinates into δ=2° cells, explode each
+    // customer to its 3×3 neighbor cells (suppliers keep their ONE home
+    // cell, so no pair is generated twice), equi-join on the cell key,
+    // verify the exact haversine distance, then whole-row argmin per
+    // customer through GroupTopK k=1. The cell edge is chosen so the
+    // narrowest cell dimension (143 km at lat 50°) exceeds R=120 km —
+    // the 3×3 neighborhood provably covers the radius ball, which the
+    // brute-force all-pairs ORACLE re-proves at fixture scale. At 100 TB
+    // this is one equi-join shuffled by cell (naturally balanced unless
+    // geography is skewed — then ops/Salting applies to hot cells), never
+    // the BroadcastNestedLoopJoin a raw distance predicate would plan.
+    // Coordinates are md5-derived stand-ins (the fixtures carry no geo
+    // columns — the q190-addresses convention), shared with the oracle.
+    "q204_spatial_grid_join" -> { (s, dir) =>
+      import s.implicits._
+      val cell = lit(GeoCellDeg.toDouble)
+      def u(tag: String, key: Column, off: Int): Column =
+        conv(substring(md5(concat(lit(tag), key.cast("string"))), 1 + off, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0)
+      def lat(tag: String, key: Column): Column =
+        lit(40.0) + lit(10.0) * u(tag, key, 0)
+      def lon(tag: String, key: Column): Column =
+        lit(-10.0) + lit(20.0) * u(tag, key, 8)
+      val cust = t(s, dir, "customer")
+        .select($"c_custkey", lat("geo:c:", $"c_custkey").as("clat"),
+          lon("geo:c:", $"c_custkey").as("clon"))
+      val supp = t(s, dir, "supplier")
+        .select($"s_suppkey", lat("geo:s:", $"s_suppkey").as("slat"),
+          lon("geo:s:", $"s_suppkey").as("slon"))
+        .withColumn("cx", floor($"slon" / cell).cast("int"))
+        .withColumn("cy", floor($"slat" / cell).cast("int"))
+      val probes = cust
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("cx", floor($"clon" / cell).cast("int") + $"dx")
+        .withColumn("cy", floor($"clat" / cell).cast("int") + $"dy")
+      val rad = lit("0.017453292519943295".toDouble) // π/180, shared text
+      def hav(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+        val p1 = lat1 * rad; val p2 = lat2 * rad
+        val dp = (lat2 - lat1) * rad / lit(2.0)
+        val dl = (lon2 - lon1) * rad / lit(2.0)
+        lit(2.0) * lit(GeoEarthKm.toDouble) *
+          asin(sqrt(sin(dp) * sin(dp) + cos(p1) * cos(p2) * sin(dl) * sin(dl)))
+      }
+      val pairs = probes.join(supp, Seq("cx", "cy"))
+        .withColumn("dist_km", hav($"clat", $"clon", $"slat", $"slon"))
+        .filter($"dist_km" <= lit(GeoRadiusKm.toDouble))
+      graft.plans.GroupTopK(pairs, Seq($"c_custkey"),
+          Seq($"dist_km".asc, $"s_suppkey".asc), 1)
+        .select($"c_custkey", $"s_suppkey", round($"dist_km", 6).as("dist_km"))
+        .orderBy($"c_custkey")
     },
 
     // ------------------------------------------------------------ bucketed co-located join
@@ -2237,6 +2305,38 @@ object CoreQueries {
         | AND epoch_ms(e2.ts) < epoch_ms(e1.ts) + 600000
         |WHERE e1.event_type = 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Brute-force all-pairs nearest: deliberately STRONGER than replaying
+    // the grid — it re-proves the 3×3 neighborhood misses no candidate.
+    "q204_spatial_grid_join" -> {
+      def horner(col: String, from: Int): String = (from until from + 8)
+        .map(i => s"(strpos('0123456789abcdef', substr($col, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      def coords(table: String, key: String, tag: String, la: String,
+                 lo: String): String =
+        s"""SELECT $key,
+           |    40.0 + 10.0 * (CAST(${horner("hex", 1)} AS DOUBLE) / 4294967296.0) AS $la,
+           |    -10.0 + 20.0 * (CAST(${horner("hex", 9)} AS DOUBLE) / 4294967296.0) AS $lo
+           |  FROM (SELECT $key, md5('$tag' || CAST($key AS VARCHAR)) AS hex FROM $table)""".stripMargin
+      val rad = "0.017453292519943295"
+      s"""WITH cu AS (${coords("customer", "c_custkey", "geo:c:", "clat", "clon")}),
+         |su AS (${coords("supplier", "s_suppkey", "geo:s:", "slat", "slon")}),
+         |d AS (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |    2.0 * $GeoEarthKm * asin(sqrt(
+         |      sin((s.slat - c.clat) * $rad / 2.0) * sin((s.slat - c.clat) * $rad / 2.0) +
+         |      cos(c.clat * $rad) * cos(s.slat * $rad) *
+         |      sin((s.slon - c.clon) * $rad / 2.0) * sin((s.slon - c.clon) * $rad / 2.0)
+         |    )) AS dist_km
+         |  FROM cu c CROSS JOIN su s),
+         |r AS (
+         |  SELECT c_custkey, s_suppkey, dist_km,
+         |    row_number() OVER (PARTITION BY c_custkey
+         |                       ORDER BY dist_km, s_suppkey) AS rn
+         |  FROM d WHERE dist_km <= $GeoRadiusKm)
+         |SELECT c_custkey, s_suppkey, ROUND(dist_km, 6) AS dist_km
+         |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+    },
 
     "q91_bucketed_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,

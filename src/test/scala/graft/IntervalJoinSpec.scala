@@ -34,6 +34,46 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSuite {
       s"interval join fell back to an all-pairs plan:\n$p")
   }
 
+  test("q204 grid spatial join equals the naive all-pairs nearest-within-radius") {
+    import spark.implicits._
+    def u(tag: String, key: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(md5(concat(lit(tag), key.cast("string"))), 1 + off, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val rad = 0.017453292519943295
+    val cust = graft.ops.Tables.t(spark, sf0001, "customer")
+      .select($"c_custkey", (lit(40.0) + lit(10.0) * u("geo:c:", $"c_custkey", 0)).as("clat"),
+        (lit(-10.0) + lit(20.0) * u("geo:c:", $"c_custkey", 8)).as("clon"))
+    val supp = graft.ops.Tables.t(spark, sf0001, "supplier")
+      .select($"s_suppkey", (lit(40.0) + lit(10.0) * u("geo:s:", $"s_suppkey", 0)).as("slat"),
+        (lit(-10.0) + lit(20.0) * u("geo:s:", $"s_suppkey", 8)).as("slon"))
+    val cs = cust.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val ss = supp.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+      val dp = (la2 - la1) * rad / 2.0; val dl = (lo2 - lo1) * rad / 2.0
+      2.0 * 6371.0088 * math.asin(math.sqrt(
+        math.sin(dp) * math.sin(dp) +
+          math.cos(la1 * rad) * math.cos(la2 * rad) * math.sin(dl) * math.sin(dl)))
+    }
+    val naive = cs.flatMap { case (ck, la, lo) =>
+      val within = ss.map { case (sk, sla, slo) => (sk, hav(la, lo, sla, slo)) }
+        .filter(_._2 <= 120.0)
+      if (within.isEmpty) None
+      else Some((ck, within.minBy { case (sk, d) => (d, sk) }._1))
+    }.toMap
+    val got = SparkEntry.queries("q204_spatial_grid_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("q204 plans as a cell equi-join — no nested-loop, no cartesian") {
+    val p = SparkEntry.queries("q204_spatial_grid_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"spatial join fell back to an all-pairs plan:\n$p")
+    assert(p.contains("GroupTopK"), s"expected GroupTopK argmin:\n$p")
+  }
+
   test("q91 joins co-bucketed tables without shuffling either side") {
     // disable the size-based broadcast fallback so the property under test
     // (bucket co-location) is what the plan shows, as it would at scale —
