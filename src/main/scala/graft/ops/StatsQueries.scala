@@ -139,6 +139,14 @@ object StatsQueries {
   /** q202: LTV curve horizon in age weeks (0-based, inclusive). */
   val LtvMaxAgeWeeks = 12
 
+  /** q205: mSPRT mixture variance τ² (effect-size prior scale 0.05 on
+    * the proportion difference) and the always-valid rejection level.
+    * τ² is its OWN literal — writing τ·τ would multiply two DECIMAL
+    * literals on the DuckDB side and two doubles on the Spark side,
+    * which can differ in the last ulp. */
+  val MsprtTau2 = "0.0025"
+  val MsprtAlpha = "0.05"
+
   /** q203: KMV (k-minimum-values) sketch size and the hash-space size.
     * Hashes are the first 12 md5 hex chars → uniform on [0, 2⁴⁸); the
     * estimator for a sketch that FILLED is (k−1)·M/h₍k₎ (Bar-Yossef et
@@ -1746,6 +1754,75 @@ object StatsQueries {
         .orderBy($"cohort_week", $"age_week")
     },
 
+    // ------------------------------------- always-valid sequential test
+    // mSPRT (mixture sequential probability ratio test) over the A/B
+    // experiment q155 reads once at a fixed horizon: the always-valid
+    // p-value lets an experimenter PEEK DAILY and stop early without
+    // inflating false positives (Johari et al., "Peeking at A/B tests",
+    // KDD'17). Per calendar day d: cumulative per-arm users (first
+    // activity ≤ d) and conversions (3rd purchase ≤ d — q155's
+    // non-degenerate definition), the normal-approximation likelihood
+    // ratio against a N(0, τ²) effect mixture,
+    //   lnΛ_d = ½·ln(V/(V+τ²)) + δ²τ² / (2V(V+τ²)),  V = p̂(1−p̂)(1/n_a+1/n_b),
+    // and p_d = min(1, 1/max_{s≤d} Λ_s) — monotone by construction.
+    // Scale: ONE user-granularity aggregate, then everything runs on
+    // (day × arm) increments — cumulative sums and the running max are
+    // calendar-bounded theta-joins (the q199 day-pair idiom), never an
+    // unpartitioned window over data rows. Degenerate days (no
+    // conversions yet, or all users converted) NULL the ratio, stated
+    // identically in the oracle; the running max skips NULLs in both
+    // engines.
+    "q205_msprt_sequential" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir)
+      val purch3 = ev.filter($"event_type" === "purchase")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .filter($"rn" === 3).select($"user_id", to_date($"ts").as("cd"))
+      val users = ev.groupBy($"user_id").agg(min(to_date($"ts")).as("fd"))
+        .join(purch3, Seq("user_id"), "left")
+        .withColumn("arm",
+          when(substring(md5($"user_id".cast("string")), 1, 1) <= "7", "A")
+            .otherwise("B"))
+      val newU = users.groupBy($"fd", $"arm").agg(count(lit(1)).as("nn"))
+      val newC = users.filter($"cd".isNotNull)
+        .groupBy($"cd", $"arm").agg(count(lit(1)).as("nc"))
+      val spine = ev.select(to_date($"ts").as("d")).distinct()
+      val nCum = spine.join(newU, $"fd" <= $"d")
+        .groupBy($"d", $"arm").agg(sum($"nn").as("n"))
+      val cCum = spine.join(newC, $"cd" <= $"d")
+        .groupBy($"d", $"arm").agg(sum($"nc").as("c"))
+      val ds = nCum.join(cCum, Seq("d", "arm"), "left").na.fill(0L, Seq("c"))
+      val wide = ds.groupBy($"d").agg(
+        sum(when($"arm" === "A", $"n")).as("n_a"),
+        sum(when($"arm" === "A", $"c")).as("c_a"),
+        sum(when($"arm" === "B", $"n")).as("n_b"),
+        sum(when($"arm" === "B", $"c")).as("c_b"))
+      val t2 = lit(MsprtTau2.toDouble)
+      val p = ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b")
+      val v = p * (lit(1.0) - p) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")
+      val dl = $"c_a".cast("double") / $"n_a" - $"c_b".cast("double") / $"n_b"
+      val lam = wide.withColumn("dl", dl).withColumn("v", v)
+        .withColumn("log_lambda",
+          when($"n_a" > 0 && $"n_b" > 0 &&
+              $"c_a" + $"c_b" > 0 && $"c_a" + $"c_b" < $"n_a" + $"n_b",
+            lit(0.5) * log($"v" / ($"v" + t2)) +
+              $"dl" * $"dl" * t2 / (lit(2.0) * $"v" * ($"v" + t2))))
+      val run = lam.select($"d".as("d0"))
+        .join(lam.select($"d".as("d2"), $"log_lambda".as("ll2")), $"d2" <= $"d0")
+        .groupBy($"d0").agg(max($"ll2").as("max_ll"))
+      lam.join(run, $"d" === $"d0")
+        .select($"d".as("day"), $"n_a", $"c_a", $"n_b", $"c_b",
+          (round($"dl", 6) + lit(0d)).as("delta"),
+          (round($"log_lambda", 6) + lit(0d)).as("log_lambda"),
+          when($"max_ll".isNotNull,
+            round(least(lit(1.0), exp(-$"max_ll")), 6)).as("p_always"),
+          when($"max_ll".isNotNull,
+            when(exp(-$"max_ll") <= lit(MsprtAlpha.toDouble), 1L).otherwise(0L))
+            .as("rejected"))
+        .orderBy($"day")
+    },
+
     // ------------------------------------------- KMV sketch overlap
     // Month-over-month returning-customer estimation from k-minimum-value
     // sketches — the mergeable-sketch answer to q173's exact self-join
@@ -2770,6 +2847,65 @@ object StatsQueries {
          |  ROUND(c.cum / s.cohort_users, 6) AS ltv_per_user
          |FROM cum c JOIN cs s USING (cohort_week)
          |ORDER BY c.cohort_week, c.age_week""".stripMargin,
+
+    "q205_msprt_sequential" ->
+      s"""WITH p3 AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS cd FROM (
+         |    SELECT user_id, ts,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |    FROM events WHERE event_type = 'purchase') WHERE rn = 3),
+         |ua AS (
+         |  SELECT u.user_id, u.fd, p3.cd,
+         |    CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR)), 1, 1) <= '7'
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd
+         |        FROM events GROUP BY user_id) u
+         |  LEFT JOIN p3 USING (user_id)),
+         |nu AS (SELECT fd, arm, COUNT(*) AS nn FROM ua GROUP BY fd, arm),
+         |nc AS (SELECT cd, arm, COUNT(*) AS nc FROM ua
+         |       WHERE cd IS NOT NULL GROUP BY cd, arm),
+         |sp AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+         |ncum AS (SELECT sp.d, nu.arm, CAST(SUM(nn) AS BIGINT) AS n
+         |         FROM sp JOIN nu ON nu.fd <= sp.d GROUP BY sp.d, nu.arm),
+         |ccum AS (SELECT sp.d, nc.arm, CAST(SUM(nc.nc) AS BIGINT) AS c
+         |         FROM sp JOIN nc ON nc.cd <= sp.d GROUP BY sp.d, nc.arm),
+         |ds AS (SELECT ncum.d, ncum.arm, ncum.n, COALESCE(ccum.c, 0) AS c
+         |       FROM ncum LEFT JOIN ccum
+         |         ON ccum.d = ncum.d AND ccum.arm = ncum.arm),
+         |wide AS (
+         |  SELECT d,
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN c END) AS BIGINT) AS c_a,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN c END) AS BIGINT) AS c_b
+         |  FROM ds GROUP BY d),
+         |st AS (
+         |  SELECT *, CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b AS dl,
+         |    (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b) AS v
+         |  FROM wide),
+         |lam AS (
+         |  SELECT *,
+         |    CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+         |              AND c_a + c_b < n_a + n_b
+         |         THEN 0.5 * ln(v / (v + $MsprtTau2)) +
+         |              dl * dl * $MsprtTau2 / (2.0 * v * (v + $MsprtTau2))
+         |    END AS log_lambda
+         |  FROM st),
+         |run AS (
+         |  SELECT a.d AS d0, MAX(b.log_lambda) AS max_ll
+         |  FROM lam a JOIN lam b ON b.d <= a.d GROUP BY a.d)
+         |SELECT lam.d AS day, n_a, c_a, n_b, c_b,
+         |  ROUND(dl, 6) + 0.0 AS delta,
+         |  ROUND(log_lambda, 6) + 0.0 AS log_lambda,
+         |  CASE WHEN max_ll IS NOT NULL
+         |       THEN ROUND(LEAST(1.0, exp(-max_ll)), 6) END AS p_always,
+         |  CASE WHEN max_ll IS NOT NULL THEN
+         |    CAST(CASE WHEN exp(-max_ll) <= $MsprtAlpha THEN 1 ELSE 0 END AS BIGINT)
+         |  END AS rejected
+         |FROM lam JOIN run ON run.d0 = lam.d
+         |ORDER BY day""".stripMargin,
 
     "q203_kmv_monthly_overlap" -> {
       val horner = (1 to 12)

@@ -1141,6 +1141,60 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(errs.sum / errs.size < 0.12, s"mean distinct-count rel error ${errs.sum / errs.size}")
   }
 
+  test("q205 mSPRT: matches a driver replay and the always-valid p never increases") {
+    import spark.implicits._
+    val got = q("q205_msprt_sequential").collect()
+      .map(r => (r.getDate(0).toString, (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(6)).map(_ => r.getDouble(6)),
+        Option(r.get(7)).map(_ => r.getDouble(7)))))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // p_always is a running min by construction — must be nonincreasing
+    // over the days where it is defined
+    val ps = got.flatMap(_._2._6)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-9 }, ps.mkString(","))
+
+    // driver replay from the raw fixture
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(to_date($"ts".cast("timestamp")).as("day"), $"user_id",
+        $"event_type", $"event_id")
+      .as[(java.sql.Date, Long, String, Long)].collect()
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val arm = ev.map(_._2).distinct
+      .map(u => u -> (if (md5hex(u.toString).head <= '7') "A" else "B")).toMap
+    val fd = ev.groupBy(_._2).map { case (u, rs) => u -> rs.map(_._1.toString).min }
+    val cd = ev.filter(_._3 == "purchase").groupBy(_._2).flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._1.getTime, r._4))
+      if (sorted.length >= 3) Some(u -> sorted(2)._1.toString) else None
+    }
+    val days = ev.map(_._1.toString).distinct.sorted
+    val tau2 = 0.0025
+    var bestLl = Option.empty[Double]
+    days.zip(got).foreach { case (d, (gd, (na, ca, nb, cb, gll, gp))) =>
+      assert(gd === d)
+      def cnt(m: Map[Long, String], a: String) =
+        m.count { case (u, dd) => arm(u) == a && dd <= d }
+      assert(na === cnt(fd.toMap, "A") && nb === cnt(fd.toMap, "B"))
+      assert(ca === cnt(cd.toMap, "A") && cb === cnt(cd.toMap, "B"))
+      val ll = if (na > 0 && nb > 0 && ca + cb > 0 && ca + cb < na + nb) {
+        val p = (ca + cb).toDouble / (na + nb)
+        val v = p * (1.0 - p) * (1.0 / na + 1.0 / nb)
+        val dl = ca.toDouble / na - cb.toDouble / nb
+        Some(0.5 * math.log(v / (v + tau2)) + dl * dl * tau2 / (2.0 * v * (v + tau2)))
+      } else None
+      assert(ll.isDefined === gll.isDefined, s"day $d guard")
+      ll.zip(gll).foreach { case (e, g) => assert(math.abs(e - g) < 1e-5, s"day $d lnL") }
+      bestLl = (bestLl ++ ll).reduceOption(_ max _)
+      (bestLl, gp) match {
+        case (Some(m), Some(p)) =>
+          assert(math.abs(p - math.min(1.0, math.exp(-m))) < 1e-5, s"day $d p")
+        case (None, None) =>
+        case other => fail(s"day $d p definedness mismatch: $other")
+      }
+    }
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
