@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -150,7 +150,69 @@ object MultimodalQueries {
       .select($"doc_id", graft.functions.PHashFunctions.phash128($"payload").as("phash"))
   }
 
+  /** q206: aspect-ratio bucket ladder (the SDXL-style training-batch
+    * convention) and the geometric-midpoint cut points between adjacent
+    * rungs — all literal strings so Spark and DuckDB parse identical
+    * doubles, and assignment is pure threshold comparison (no argmin
+    * float ambiguity). */
+  val AspectLadder: Seq[String] =
+    Seq("0.5", "0.75", "1.0", "1.3333333333333333", "2.0")
+  val AspectCuts: Seq[String] = Seq("0.6123724356957945",
+    "0.8660254037844386", "1.1547005383792515", "1.632993161855452")
+
+  /** q206: fixed batch size and target pixel area (512²); per-rung target
+    * dims are floor(√(area·a)) × floor(√(area/a)), computed ONCE here in
+    * Scala and interpolated into both engines as integers. */
+  val AspectBatch = 32
+  val AspectArea = 262144.0
+  def aspectTargets(a: Double): (Long, Long) =
+    (math.floor(math.sqrt(AspectArea * a)).toLong,
+      math.floor(math.sqrt(AspectArea / a)).toLong)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -------------------------------------- aspect-bucket batching plan
+    // Aspect-ratio bucketed batching — how image-generation training
+    // actually feeds a GPU: images group into a fixed aspect ladder
+    // (each rung one resize target of equal pixel area), batches form
+    // WITHIN a rung so no sample is cropped to fit its batch, and the
+    // padding a ragged last batch wastes is the cost being planned.
+    // Per-row work is a metadata projection (md5-derived stand-in dims,
+    // the q190 convention — a real decoder's width/height lands in the
+    // same columns via decodeBatch); the aggregate is one 5-row groupBy.
+    // At 100 TB: map-only scan + a 5-group hash aggregate, no shuffle of
+    // payloads — the plan the metadata-beside-binary convention exists
+    // to make possible (the scan never touches the payload column).
+    "q206_aspect_bucket_batches" -> { (s, dir) =>
+      import s.implicits._
+      def hpart(off: Int): Column =
+        conv(substring(md5(concat(lit("img:"), $"doc_id".cast("string"))),
+          1 + off, 8), 16, 10).cast("long")
+      val dims = t(s, dir, "documents")
+        .select($"doc_id",
+          (lit(256L) + hpart(0) % 1792L).as("w"),
+          (lit(256L) + hpart(8) % 1792L).as("h"))
+        .withColumn("ar", $"w".cast("double") / $"h")
+      def ladder(out: Seq[Column]): Column =
+        AspectCuts.zip(out.init).foldRight(out.last) { case ((cut, v), rest) =>
+          when($"ar" < lit(cut.toDouble), v).otherwise(rest)
+        }
+      val assigned = dims
+        .withColumn("bucket_aspect", ladder(AspectLadder.map(a => lit(a.toDouble))))
+        .withColumn("target_w",
+          ladder(AspectLadder.map(a => lit(aspectTargets(a.toDouble)._1))))
+        .withColumn("target_h",
+          ladder(AspectLadder.map(a => lit(aspectTargets(a.toDouble)._2))))
+      assigned.groupBy($"bucket_aspect", $"target_w", $"target_h")
+        .agg(count(lit(1)).as("n_images"), avg($"ar").as("avg_ar"))
+        .withColumn("n_batches", expr(s"(n_images + ${AspectBatch - 1}) div $AspectBatch"))
+        .select($"bucket_aspect", $"target_w", $"target_h", $"n_images",
+          $"n_batches",
+          round(($"n_batches" * AspectBatch - $"n_images").cast("double") /
+            ($"n_batches" * AspectBatch), 6).as("pad_frac"),
+          round($"avg_ar", 6).as("avg_aspect"))
+        .orderBy($"bucket_aspect")
+    },
 
     // Perceptual-hash near-dup pairs over the BINARY payload column — the
     // multimodal twin of q33: 128-bit signature from phashDocs above,
@@ -216,6 +278,47 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q206_aspect_bucket_batches" -> {
+      def horner(from: Int): String = (from until from + 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hex, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      // e-notation forces DOUBLE (a plain decimal literal is DECIMAL in
+      // DuckDB); the digits match the Scala-side literals exactly.
+      val ladderSql = Seq("5e-1", "7.5e-1", "1e0", "1.3333333333333333e0", "2e0")
+      def caseOf(outs: Seq[String]): String =
+        AspectCuts.zip(outs.init).map { case (c, v) =>
+          s"WHEN ar < $c THEN $v"
+        }.mkString("CASE ", " ", s" ELSE ${outs.last} END")
+      val tw = AspectLadder.map(a => aspectTargets(a.toDouble)._1.toString)
+      val th = AspectLadder.map(a => aspectTargets(a.toDouble)._2.toString)
+      val b = AspectBatch
+      s"""WITH hx AS (
+         |  SELECT doc_id, md5('img:' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents),
+         |dims AS (
+         |  SELECT doc_id,
+         |    256 + (${horner(1)}) % 1792 AS w,
+         |    256 + (${horner(9)}) % 1792 AS h
+         |  FROM hx),
+         |ar AS (SELECT *, CAST(w AS DOUBLE) / h AS ar FROM dims),
+         |asg AS (
+         |  SELECT *,
+         |    ${caseOf(ladderSql)} AS bucket_aspect,
+         |    CAST(${caseOf(tw)} AS BIGINT) AS target_w,
+         |    CAST(${caseOf(th)} AS BIGINT) AS target_h
+         |  FROM ar),
+         |g AS (
+         |  SELECT bucket_aspect, target_w, target_h,
+         |    COUNT(*) AS n_images, AVG(ar) AS avg_ar
+         |  FROM asg GROUP BY 1, 2, 3)
+         |SELECT bucket_aspect, target_w, target_h, n_images,
+         |  (n_images + ${b - 1}) // $b AS n_batches,
+         |  ROUND(CAST(((n_images + ${b - 1}) // $b) * $b - n_images AS DOUBLE) /
+         |        (((n_images + ${b - 1}) // $b) * $b), 6) AS pad_frac,
+         |  ROUND(avg_ar, 6) AS avg_aspect
+         |FROM g ORDER BY bucket_aspect""".stripMargin
+    },
+
     "q42_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

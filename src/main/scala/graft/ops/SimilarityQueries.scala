@@ -41,6 +41,28 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding".cast(ArrayType(DoubleType)).as("emb"), $"label")
   }
 
+  /** (vec_id, band, bv) rows of the SrpBits-bit signed-random-projection
+    * signature, banded — the shared candidate spine of q121 (near-dup
+    * pairs) and q207 (hard negatives). All 16 sign bits of ⟨emb, H_b⟩
+    * come from ONE native codegen pass (functions.SrpSignature): each
+    * per-plane dot is the same sequential left fold as
+    * CosineSimilarity's loop and DuckDB's list_dot_product, so sign
+    * decisions are bit-identical across engines even at the boundary.
+    * Band values are pure bit arithmetic on the packed signature. */
+  private def srpBandRows(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val bands = (0 until SrpBits / SrpBandBits).map { j =>
+      struct(lit(j).as("band"),
+        shiftright($"sig", SrpBits - SrpBandBits * (j + 1))
+          .bitwiseAND(lit((1 << SrpBandBits) - 1)).as("bv"))
+    }
+    Pin.lazily(
+      e.withColumn("sig", VectorFunctions.srpSig($"emb"))
+        .select($"vec_id", explode(array(bands: _*)).as("bd"))
+        .select($"vec_id", $"bd.band".as("band"), $"bd.bv".as("bv")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // FIXTURE-ONLY EXACTNESS BASELINE — deliberately O(n²). Exact
@@ -380,23 +402,8 @@ object SimilarityQueries {
     // hash-checked; fixture-scale recall is pinned in VectorSpec.
     "q121_srp_lsh" -> { (s, dir) =>
       import s.implicits._
-      VectorFunctions.register(s)
       val e = embs(s, dir).select($"vec_id", $"emb")
-      // All 16 sign bits of ⟨emb, H_b⟩ in ONE native codegen pass
-      // (functions.SrpSignature): each per-plane dot is the same
-      // sequential left fold as CosineSimilarity's loop and DuckDB's
-      // list_dot_product, so sign decisions are bit-identical across
-      // engines even at the boundary. Band values are pure bit
-      // arithmetic on the packed signature.
-      val bands = (0 until SrpBits / SrpBandBits).map { j =>
-        struct(lit(j).as("band"),
-          shiftright($"sig", SrpBits - SrpBandBits * (j + 1))
-            .bitwiseAND(lit((1 << SrpBandBits) - 1)).as("bv"))
-      }
-      val sig = Pin.lazily(
-        e.withColumn("sig", VectorFunctions.srpSig($"emb"))
-          .select($"vec_id", explode(array(bands: _*)).as("bd"))
-          .select($"vec_id", $"bd.band".as("band"), $"bd.bv".as("bv")))
+      val sig = srpBandRows(s, e)
       val cand = sig.as("a").join(sig.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -409,6 +416,42 @@ object SimilarityQueries {
         .filter($"cos" >= SrpThreshold)
         .select($"vec_a", $"vec_b", $"n_bands", round($"cos", 6).as("cos_sim"))
         .orderBy($"vec_a", $"vec_b")
+    },
+
+    // -------------------------------------------- hard-negative mining
+    // Contrastive-training data prep: for each anchor, the most-similar
+    // vectors with a DIFFERENT label — the "hard negatives" that teach a
+    // metric model its decision boundary (easy negatives are information-
+    // free). Candidates come from the SAME SRP band spine as q121 — a
+    // hard negative is by definition close in embedding space, which is
+    // exactly what hyperplane-LSH collisions surface — so the n² pair
+    // space never materializes; label mismatch filters AFTER the
+    // candidate equi-join (cheap bit compare), exact cosine verifies, and
+    // per-anchor top-3 rides GroupTopK (bounded heaps, no window sort).
+    // Asymmetric pairs (both directions kept): every anchor needs ITS
+    // negatives regardless of id order. Fully oracle-replayed — the
+    // md5-derived hyperplanes make the whole pipeline SQL-expressible.
+    "q207_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val e = embs(s, dir)
+      val sig = srpBandRows(s, e.select($"vec_id", $"emb"))
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
+        .distinct()
+      val scored = cand
+        .join(e.select($"vec_id".as("anchor"), $"emb".as("emb_a"),
+          $"label".as("label_a")), "anchor")
+        .join(e.select($"vec_id".as("cand"), $"emb".as("emb_b"),
+          $"label".as("label_b")), "cand")
+        .filter($"label_a" =!= $"label_b")
+        .withColumn("cos", VectorFunctions.cosine($"emb_a", $"emb_b"))
+      graft.plans.GroupTopK(scored, Seq($"anchor"),
+          Seq($"cos".desc, $"cand".asc), 3)
+        .select($"anchor".as("vec_id"), $"cand".as("neg_id"),
+          $"label_b".as("neg_label"), round($"cos", 6).as("cos_sim"))
+        .orderBy($"vec_id", $"neg_id")
     },
 
     // Train/val embedding leakage — decontamination's semantic face: q53/q73
@@ -845,6 +888,52 @@ object SimilarityQueries {
          |JOIN e b ON b.vec_id = c.vec_b
          |WHERE ${cosExpr("a", "b")} >= $SrpThreshold
          |ORDER BY c.vec_a, c.vec_b""".stripMargin
+    },
+
+    // Same hyperplane/band spine as q121's oracle; asymmetric candidate
+    // pairs, label-mismatch filter, ROW_NUMBER replays GroupTopK's
+    // (cos DESC, cand) order.
+    "q207_hard_negatives" -> {
+      val v = (0 until 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * (1::BIGINT << ${4 * (7 - i)})")
+        .mkString(" +\n        |        ")
+      s"""WITH hd AS (
+         |  SELECT b, d,
+         |    md5('srp' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+         |  FROM range(0, ${VectorFunctions.SrpBits}) t1(b), range(0, ${VectorFunctions.SrpDim}) t2(d)),
+         |hu AS (
+         |  SELECT b, d,
+         |    CAST($v AS DOUBLE) / 2147483648.0 - 1.0 AS u
+         |  FROM hd),
+         |hp AS (SELECT b, list(u ORDER BY d) AS hv FROM hu GROUP BY b),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+         |      FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, b,
+         |    CASE WHEN list_dot_product(emb, hv) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN hp),
+         |bands AS (
+         |  SELECT vec_id, b // $SrpBandBits AS band,
+         |    CAST(SUM(bit * (1 << ($SrpBandBits - 1 - (b % $SrpBandBits)))) AS BIGINT) AS bv
+         |  FROM bits GROUP BY vec_id, b // $SrpBandBits),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS cand
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id <> b.vec_id),
+         |sc AS (
+         |  SELECT c.anchor, c.cand, eb.label AS neg_label,
+         |    ${cosExpr("ea", "eb")} AS cos
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.anchor
+         |  JOIN e eb ON eb.vec_id = c.cand
+         |  WHERE ea.label <> eb.label),
+         |rk AS (
+         |  SELECT anchor, cand, neg_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos DESC, cand) AS r
+         |  FROM sc)
+         |SELECT anchor AS vec_id, cand AS neg_id, neg_label,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM rk WHERE r <= 3 ORDER BY vec_id, neg_id""".stripMargin
     },
 
     // Norm factors in the same order as CosineSimilarity's loop

@@ -107,4 +107,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val nearBand = dists.count(_ <= 7)
     assert(nearBand > 0, "near-dup band empty at Hamming<=7 — threshold too tight for the 128-bit sketch")
   }
+
+  test("q206 aspect buckets: driver replay of dims, assignment, and batch math") {
+    val got = SparkEntry.queries("q206_aspect_bucket_batches")(spark, sf0001)
+      .collect().map(r => (r.getDouble(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val cuts = MultimodalQueries.AspectCuts.map(_.toDouble)
+    val ladder = MultimodalQueries.AspectLadder.map(_.toDouble)
+    val exp = ids.map { id =>
+      val hex = md5hex(s"img:$id")
+      val w = 256 + java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1792
+      val h = 256 + java.lang.Long.parseLong(hex.substring(8, 16), 16) % 1792
+      val ar = w.toDouble / h
+      ladder(cuts.indexWhere(ar < _) match { case -1 => ladder.length - 1; case i => i })
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (bucket, n) =>
+      val (tw, th, nImg, nBatch, pad) = got(bucket)
+      assert(nImg === n, s"bucket $bucket count")
+      assert(nBatch === (n + 31) / 32)
+      assert(math.abs(pad - (nBatch * 32 - n).toDouble / (nBatch * 32)) < 1e-6)
+      // equal-area targets: within one floor step of the 512x512 budget
+      assert(tw * th <= 262144 && (tw + 1) * (th + 1) > 262144, s"bucket $bucket area ${tw * th}")
+      assert(math.abs(tw.toDouble / th - bucket) < 0.01, s"bucket $bucket target aspect")
+    }
+    assert(got.values.map(_._3).sum === ids.length.toLong)
+  }
 }

@@ -462,4 +462,40 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     // Projecting onto the top component captures the most variance.
     assert(lam(0) > lam(graft.ops.SimilarityQueries.PcaK - 1))
   }
+
+  test("q207 hard negatives: top-3 per anchor, cross-label only, harder than random") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q207_hard_negatives")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val labelOf = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    // per-anchor: at most 3, labels all differ from the anchor's
+    rows.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.length <= 3)
+      ns.foreach { case (_, nid, nl, _) =>
+        assert(labelOf(nid) === nl && nl != labelOf(a), s"anchor $a neg $nid")
+      }
+    }
+    // hardness: reported negatives must be far more similar than the
+    // cross-label average (else the miner is returning random pairs)
+    val embOf = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val minedMean = rows.map(_._4).sum / rows.length
+    val ids = embOf.keys.toArray.sorted
+    val rnd = new scala.util.Random(7)
+    val randPairs = Array.fill(2000) {
+      val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length)); (a, b)
+    }.filter { case (a, b) => a != b && labelOf(a) != labelOf(b) }
+    val randMean = randPairs.map { case (a, b) => cos(embOf(a), embOf(b)) }.sum / randPairs.length
+    assert(minedMean > randMean + 0.05,
+      s"mined negatives (mean cos $minedMean) not harder than random ($randMean)")
+  }
 }
