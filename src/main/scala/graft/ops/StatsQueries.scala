@@ -1754,6 +1754,90 @@ object StatsQueries {
         .orderBy($"cohort_week", $"age_week")
     },
 
+    // --------------------------------------- inter-rater agreement
+    // Cohen's kappa between two independent document raters — the
+    // labeling-pipeline QA statistic: when two annotators (here two
+    // deterministic heuristic raters: a length/word-count rater and a
+    // punctuation/uppercase-density rater) binary-label the same corpus,
+    // kappa measures agreement BEYOND what their marginal rates produce
+    // by chance: κ = (p_o − p_e)/(1 − p_e). Rater predicates are pure
+    // integer comparisons (cross-multiplied ratios — no float in the
+    // labels); the 2×2 table is one map-side-combinable aggregate;
+    // marginal products route through DECIMAL(38,0)/HUGEINT before the
+    // one float division (LONG·LONG overflows at corpus scale). One row
+    // out. The chance-agreement guard (p_e < 1) is stated identically in
+    // the oracle.
+    "q208_cohens_kappa" -> { (s, dir) =>
+      import s.implicits._
+      val lab = t(s, dir, "documents").select(
+        (length($"text") >= 300 && size(split($"text", " ")) >= 60)
+          .cast("long").as("r1"),
+        (regexp_count($"text", lit("[.!?,;:]")) * 50 <= length($"text") &&
+          regexp_count($"text", lit("[A-Z]")) * 5 <= length($"text"))
+          .cast("long").as("r2"))
+      val c = lab.agg(count(lit(1)).as("n"),
+        sum($"r1" * $"r2").as("n11"),
+        sum($"r1" * (lit(1L) - $"r2")).as("n10"),
+        sum((lit(1L) - $"r1") * $"r2").as("n01"),
+        sum((lit(1L) - $"r1") * (lit(1L) - $"r2")).as("n00"))
+      val po = ($"n11" + $"n00").cast("double") / $"n"
+      val pe = (($"n11" + $"n10").cast(dec) * ($"n11" + $"n01").cast(dec) +
+        ($"n01" + $"n00").cast(dec) * ($"n10" + $"n00").cast(dec))
+        .cast("double") / ($"n".cast("double") * $"n".cast("double"))
+      c.select($"n", $"n11", $"n10", $"n01", $"n00",
+          round(po, 6).as("p_observed"),
+          round(pe, 6).as("p_expected"),
+          when(pe < lit(1.0),
+            (round((po - pe) / (lit(1.0) - pe), 6) + lit(0d))).as("kappa"))
+    },
+
+    // ----------------------------------- additive seasonal decomposition
+    // Classical decomposition of daily revenue: trend = centered 7-day
+    // moving average (full windows only), seasonal = day-of-week mean of
+    // the detrended series, residual = the rest — the explainable split
+    // behind q177's seasonality readout and the input shape anomaly
+    // monitors want (alert on RESIDUAL, not raw, or every Sunday pages).
+    // Runs entirely on the memoized day-cents frame: the centered window
+    // and the dow means are calendar-bounded theta-joins/aggregates (the
+    // q199 idiom — no unpartitioned window). Day-of-week comes from
+    // datediff-mod-7 off a fixed epoch, NOT dayofweek() (engines disagree
+    // on week-start conventions). ALL outputs are exact e4 fixed-point
+    // integers (q164's idiom): trend = sw/7, seasonal = Σdet7/(7n),
+    // residual = (det7·n − Σdet7)/(7n), each as ⌊·10⁴⌋-toward-zero via
+    // DECIMAL num − num%den — float rounding at revenue magnitude (1e8
+    // cents) exceeds double's 15.9 significant digits at a 1e-6 grain,
+    // so a ROUND(…,6) formulation hash-diverges; integers cannot.
+    "q209_seasonal_decompose" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val tr = day.select($"d".as("d0"))
+        .join(day.select($"d".as("d2"), $"cents".as("c2")),
+          datediff($"d2", $"d0") >= -3 && datediff($"d2", $"d0") <= 3)
+        .groupBy($"d0")
+        .agg(count(lit(1)).as("nw"), sum($"c2").as("sw"))
+        .filter($"nw" === 7)
+        .select($"d0", $"sw")
+      val det = day.join(tr, $"d" === $"d0")
+        .select($"d", $"cents",
+          (datediff($"d", lit("1995-01-01").cast("date")) % 7).as("dow"),
+          $"sw", ($"cents" * 7 - $"sw").as("det7"))
+      val sea = det.groupBy($"dow")
+        .agg(count(lit(1)).as("nd"), sum($"det7").as("sum7"))
+      // truncate-toward-zero division (DuckDB's `//` semantics on
+      // negatives — pmod would FLOOR and diverge on negative numerators)
+      def tdiv(num: Column, den: Column): Column =
+        ((num - (num % den)) / den).cast("long")
+      det.join(broadcast(sea), "dow")
+        .select($"d".as("day"), $"cents",
+          tdiv($"sw".cast(dec) * lit(10000L), lit(7L).cast(dec)).as("trend_e4"),
+          $"dow".cast("long").as("dow"),
+          tdiv($"sum7".cast(dec) * lit(10000L), ($"nd" * 7).cast(dec))
+            .as("seasonal_e4"),
+          tdiv(($"det7".cast(dec) * $"nd" - $"sum7") * lit(10000L),
+            ($"nd" * 7).cast(dec)).as("residual_e4"))
+        .orderBy($"day")
+    },
+
     // ------------------------------------- always-valid sequential test
     // mSPRT (mixture sequential probability ratio test) over the A/B
     // experiment q155 reads once at a fixed horizon: the always-valid
@@ -2847,6 +2931,61 @@ object StatsQueries {
          |  ROUND(c.cum / s.cohort_users, 6) AS ltv_per_user
          |FROM cum c JOIN cs s USING (cohort_week)
          |ORDER BY c.cohort_week, c.age_week""".stripMargin,
+
+    "q208_cohens_kappa" ->
+      """WITH lab AS (
+        |  SELECT
+        |    CAST(length(text) >= 300 AND
+        |         len(string_split(text, ' ')) >= 60 AS BIGINT) AS r1,
+        |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) * 50 <= length(text) AND
+        |         len(regexp_extract_all(text, '[A-Z]')) * 5 <= length(text) AS BIGINT) AS r2
+        |  FROM documents),
+        |c AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(r1 * r2) AS BIGINT) AS n11,
+        |    CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - r1) * r2) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+        |  FROM lab),
+        |k AS (
+        |  SELECT *,
+        |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |    CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+        |         CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        |  FROM c)
+        |SELECT n, n11, n10, n01, n00,
+        |  ROUND(po, 6) AS p_observed,
+        |  ROUND(pe, 6) AS p_expected,
+        |  CASE WHEN pe < 1.0
+        |       THEN ROUND((po - pe) / (1.0 - pe), 6) + 0.0 END AS kappa
+        |FROM k""".stripMargin,
+
+    "q209_seasonal_decompose" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |tr AS (
+        |  SELECT a.d AS d0, CAST(SUM(b.cents) AS BIGINT) AS sw
+        |  FROM day a JOIN day b
+        |    ON date_diff('day', a.d, b.d) BETWEEN -3 AND 3
+        |  GROUP BY a.d HAVING COUNT(*) = 7),
+        |det AS (
+        |  SELECT day.d, day.cents,
+        |    CAST(date_diff('day', DATE '1995-01-01', day.d) AS BIGINT) % 7 AS dow,
+        |    sw, day.cents * 7 - sw AS det7
+        |  FROM day JOIN tr ON tr.d0 = day.d),
+        |sea AS (SELECT dow, COUNT(*) AS nd, CAST(SUM(det7) AS BIGINT) AS sum7
+        |        FROM det GROUP BY dow)
+        |SELECT det.d AS day, det.cents,
+        |  CAST((CAST(sw AS HUGEINT) * 10000) // 7 AS BIGINT) AS trend_e4,
+        |  det.dow,
+        |  CAST((CAST(sum7 AS HUGEINT) * 10000) // (nd * 7) AS BIGINT) AS seasonal_e4,
+        |  CAST(((CAST(det7 AS HUGEINT) * nd - sum7) * 10000) // (nd * 7) AS BIGINT)
+        |    AS residual_e4
+        |FROM det JOIN sea ON sea.dow = det.dow
+        |ORDER BY day""".stripMargin,
 
     "q205_msprt_sequential" ->
       s"""WITH p3 AS (

@@ -21,6 +21,12 @@ object TextQueries {
   private def hits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(1)))
 
+  /** q210: Flesch reading-ease coefficients — literal strings shared with
+    * the oracle (the PoissonCdf convention). */
+  val Flesch0 = "206.835"
+  val Flesch1 = "1.015"
+  val Flesch2 = "84.6"
+
   private val En = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "was")
   private val De = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den")
   private val Fr = Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour")
@@ -163,6 +169,44 @@ object TextQueries {
     // anywhere: at 100 TB this is a pure map stage, and `keep` lands
     // pushdown-ready next to the doc key. All shares are IEEE divisions
     // of exact integers — bit-identical in DuckDB, no rounding needed.
+    // ----------------------------------------------- readability scoring
+    // Flesch reading-ease per source — the curation quality axis q38/q109
+    // don't cover: sentence and syllable structure. Heuristics chosen for
+    // exact cross-engine parity: sentences = runs of [.!?] (min 1 per
+    // doc), syllables = vowel-group runs [aeiouy]+ over the lowercased
+    // text (spaces break groups, so cross-word runs can't merge). The
+    // per-source aggregates keep the moment discipline: words/sentences/
+    // syllables are EXACT integer sums; words-per-sentence and
+    // syllables-per-word are ratios of those sums (one float division);
+    // only mean Flesch — intrinsically a mean of per-doc nonlinear
+    // ratios — sums doubles, at O(1) magnitude where round(6) is safe.
+    // Scale: map-only regexp projections, one tiny per-source aggregate.
+    "q210_readability" -> { (s, dir) =>
+      import s.implicits._
+      val per = t(s, dir, "documents").select($"source",
+        size(split($"text", " ")).cast("long").as("w"),
+        greatest(lit(1L), regexp_count($"text", lit("[.!?]+")).cast("long")).as("sn"),
+        regexp_count(lower($"text"), lit("[aeiouy]+")).cast("long").as("sy"))
+      val fl = per.withColumn("flesch",
+        lit(Flesch0.toDouble) -
+          lit(Flesch1.toDouble) * ($"w".cast("double") / $"sn") -
+          lit(Flesch2.toDouble) * ($"sy".cast("double") / $"w"))
+      fl.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"flesch" >= 60.0, 1L).otherwise(0L)).as("easy_docs"),
+          sum($"w").as("n_words"), sum($"sn").as("n_sentences"),
+          sum($"sy").as("n_syllables"),
+          avg($"flesch").as("af"))
+        .select($"source", $"n_docs", $"easy_docs", $"n_words",
+          $"n_sentences", $"n_syllables",
+          round($"n_words".cast("double") / $"n_sentences", 6)
+            .as("words_per_sentence"),
+          round($"n_syllables".cast("double") / $"n_words", 6)
+            .as("syllables_per_word"),
+          (round($"af", 6) + lit(0d)).as("avg_flesch"))
+        .orderBy($"source")
+    },
+
     "q109_gopher_rules" -> { (s, dir) =>
       import s.implicits._
       val top2 = expr(
@@ -1027,6 +1071,28 @@ object TextQueries {
     4 -> Seq("vector", "scan"))
 
   val oracles: Map[String, String] = Map(
+
+    "q210_readability" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS sn,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+         |  FROM documents),
+         |fl AS (
+         |  SELECT *,
+         |    $Flesch0 - $Flesch1 * (CAST(w AS DOUBLE) / sn) -
+         |      $Flesch2 * (CAST(sy AS DOUBLE) / w) AS flesch
+         |  FROM per)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN flesch >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS easy_docs,
+         |  CAST(SUM(w) AS BIGINT) AS n_words,
+         |  CAST(SUM(sn) AS BIGINT) AS n_sentences,
+         |  CAST(SUM(sy) AS BIGINT) AS n_syllables,
+         |  ROUND(CAST(SUM(w) AS DOUBLE) / SUM(sn), 6) AS words_per_sentence,
+         |  ROUND(CAST(SUM(sy) AS DOUBLE) / SUM(w), 6) AS syllables_per_word,
+         |  ROUND(AVG(flesch), 6) + 0.0 AS avg_flesch
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin,
 
     // Chars via regexp_extract_all('[\s\S]') — RE2's any-char including
     // newlines, matching Spark's empty-pattern split code-unit-for-unit

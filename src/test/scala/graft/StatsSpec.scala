@@ -1195,6 +1195,94 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q208 Cohen's kappa matches an exact driver recompute of both raters") {
+    import spark.implicits._
+    val r = q("q208_cohens_kappa").collect().head
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"text").as[String].collect()
+    def r1(t: String) = t.length >= 300 && t.split(" ", -1).length >= 60
+    def r2(t: String) = "[.!?,;:]".r.findAllIn(t).size * 50 <= t.length &&
+      "[A-Z]".r.findAllIn(t).size * 5 <= t.length
+    val labs = docs.map(t => (r1(t), r2(t)))
+    val n = labs.length.toLong
+    val n11 = labs.count { case (a, b) => a && b }.toLong
+    val n10 = labs.count { case (a, b) => a && !b }.toLong
+    val n01 = labs.count { case (a, b) => !a && b }.toLong
+    val n00 = labs.count { case (a, b) => !a && !b }.toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((n, n11, n10, n01, n00)))
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) + (n01 + n00).toDouble * (n10 + n00)) /
+      (n.toDouble * n)
+    assert(math.abs(r.getDouble(5) - po) < 1e-6)
+    assert(math.abs(r.getDouble(6) - pe) < 1e-6)
+    val kappa = r.getDouble(7)
+    assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-5)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
+  test("q209 seasonal decomposition: exact e4 integers replay and recompose") {
+    import spark.implicits._
+    val got = q("q209_seasonal_decompose").collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.nonEmpty)
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val days = cents.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDate) => d.toString))
+    val full = days.filter(d => (-3 to 3).forall(o => cents.contains(d.plusDays(o))))
+    assert(got.map(_._1).toSet === full.map(_.toString).toSet)
+    val epoch = java.time.LocalDate.parse("1995-01-01")
+    def dow(d: java.time.LocalDate) =
+      java.time.temporal.ChronoUnit.DAYS.between(epoch, d) % 7
+    val det7 = full.map(d => d ->
+      (BigInt(cents(d)) * 7 - (-3 to 3).map(o => BigInt(cents(d.plusDays(o)))).sum)).toMap
+    val byDow = full.groupBy(dow)
+    def tdiv(num: BigInt, den: BigInt) = num / den // BigInt / truncates toward zero
+    got.foreach { case (ds, (c, tre4, gdow, sea4, res4)) =>
+      val d = java.time.LocalDate.parse(ds)
+      assert(c === cents(d) && gdow === dow(d))
+      val sw = (-3 to 3).map(o => BigInt(cents(d.plusDays(o)))).sum
+      assert(tre4 === tdiv(sw * 10000, 7).toLong, s"$ds trend")
+      val peers = byDow(dow(d))
+      val nd = BigInt(peers.size)
+      val sum7 = peers.map(det7).sum
+      assert(sea4 === tdiv(sum7 * 10000, nd * 7).toLong, s"$ds seasonal")
+      assert(res4 === tdiv((det7(d) * nd - sum7) * 10000, nd * 7).toLong, s"$ds residual")
+      // decomposition recomposes: trend + seasonal + residual ≈ cents
+      // (each e4 term truncated, so within 3 ulps of the e4 grain)
+      assert(math.abs((tre4 + sea4 + res4) - c * 10000L) <= 3, s"$ds recompose")
+    }
+  }
+
+  test("q210 readability matches a driver recompute per source") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q210_readability")(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(8)))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val exp = docs.groupBy(_._1).map { case (src, rows) =>
+      val per = rows.map { case (_, t) =>
+        val w = t.split(" ", -1).length.toLong
+        val sn = math.max(1L, "[.!?]+".r.findAllIn(t).size.toLong)
+        val sy = "[aeiouy]+".r.findAllIn(t.toLowerCase).size.toLong
+        (w, sn, sy, 206.835 - 1.015 * (w.toDouble / sn) - 84.6 * (sy.toDouble / w))
+      }
+      src -> (rows.length.toLong, per.count(_._4 >= 60.0).toLong,
+        per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum,
+        per.map(_._4).sum / per.length)
+    }
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (src, (n, easy, w, sn, sy, af)) =>
+      val (gn, geasy, gw, gsn, gsy, gaf) = got(src)
+      assert(gn === n && geasy === easy && gw === w && gsn === sn && gsy === sy, src)
+      assert(math.abs(gaf - af) < 1e-4, s"$src flesch $gaf vs $af")
+    }
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
