@@ -139,6 +139,14 @@ object StatsQueries {
   /** q202: LTV curve horizon in age weeks (0-based, inclusive). */
   val LtvMaxAgeWeeks = 12
 
+  /** q211: Holt double-exponential smoothing parameters. Each complement
+    * is its OWN literal — computing 1−α in an engine would produce a
+    * double that need not equal the parsed "0.7". */
+  val HoltAlpha = "0.3"
+  val Holt1mA = "0.7"
+  val HoltBeta = "0.1"
+  val Holt1mB = "0.9"
+
   /** q205: mSPRT mixture variance τ² (effect-size prior scale 0.05 on
     * the proportion difference) and the always-valid rejection level.
     * τ² is its OWN literal — writing τ·τ would multiply two DECIMAL
@@ -1754,6 +1762,138 @@ object StatsQueries {
         .orderBy($"cohort_week", $"age_week")
     },
 
+    // --------------------------------- Holt double-exponential smoothing
+    // Holt's linear-trend smoothing over daily revenue — the forecasting
+    // step up from q164's level-only EWMA (a trending series lags a
+    // level-only smoother by trend/α forever; Holt tracks the slope).
+    // Per day: level, trend, the one-step-ahead fit l+b, and its error —
+    // the residual stream forecast monitors alert on (q184 benchmarks
+    // the naive baselines this must beat). The recursion is inherently
+    // sequential, so it FOLDS ON THE DRIVER over the collected day frame
+    // — the q157/q175 convention: day-granularity is control-plane at
+    // any corpus size; the corpus-scale work (the daily aggregate) stays
+    // distributed and memoized. The oracle replays the identical fold as
+    // a recursive CTE — same literals (α, 1−α, β, 1−β each parsed, never
+    // derived), same operation order, so every raw double matches
+    // bit-wise. Outputs quantize ENGINE-SIDE as floor(x·100) fixed-point
+    // (e2 of a cent): a decimal ROUND at 1e8-cents magnitude sits past
+    // double's reliable digits and the engines' rounding paths diverge
+    // on near-boundary values (measured — Spark rounds the exact double,
+    // DuckDB rounds a double·10⁶ product); floor of the identical
+    // double·100 product is deterministic in both.
+    "q211_holt_smoothing" -> { (s, dir) =>
+      import s.implicits._
+      val lt = dailyRevenueCents(s, dir).orderBy($"d").collect()
+        .map(r => (r.getDate(0), r.getLong(1)))
+      val (al, a1) = (HoltAlpha.toDouble, Holt1mA.toDouble)
+      val (be, b1) = (HoltBeta.toDouble, Holt1mB.toDouble)
+      var l = lt(0)._2.toDouble
+      var b = lt(1)._2.toDouble - lt(0)._2.toDouble
+      val rows = lt.zipWithIndex.map { case ((d, c), i) =>
+        if (i == 0) (d, c, l, b, Option.empty[Double], Option.empty[Double])
+        else {
+          val y = c.toDouble
+          val fitted = l + b
+          val l2 = al * y + a1 * (l + b)
+          val b2 = be * (l2 - l) + b1 * b
+          l = l2; b = b2
+          (d, c, l, b, Some(fitted), Some(y - fitted))
+        }
+      }
+      s.createDataFrame(rows.toIndexedSeq)
+        .toDF("day", "cents", "l", "b", "f", "e")
+        .select($"day", $"cents",
+          floor($"l" * 100).cast("long").as("level_e2"),
+          floor($"b" * 100).cast("long").as("trend_e2"),
+          floor($"f" * 100).cast("long").as("fitted_e2"),
+          floor($"e" * 100).cast("long").as("err_e2"))
+        .orderBy($"day")
+    },
+
+    // ------------------------------------------ sequential brand rules
+    // Temporal association rules "first bought A, LATER first bought B"
+    // — the sequence-mining face of q158's (unordered) basket rules:
+    // co-occurrence says A and B sell together, the sequence says which
+    // one RECRUITS the other (cross-sell direction). Per (customer,
+    // brand): first-purchase date — ONE digest-granularity aggregate —
+    // then a per-customer self-join whose fan-out is bounded by
+    // brands-per-customer² (tens), never corpus². Rule stats stay exact
+    // integers: n_seq (customers where first(A) strictly precedes
+    // first(B); same-day excluded, stated identically), confidence =
+    // n_seq/n_A, and lift against the base rate P(B)·n_A via ONE
+    // mirrored float expression. Min support 5 customers.
+    "q212_sequential_rules" -> { (s, dir) =>
+      import s.implicits._
+      val firsts = Pin.lazily(t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey".as("cust"), $"p_brand".as("brand"))
+        .agg(min(to_date($"o_orderdate")).as("fd")))
+      val nCust = firsts.select($"cust").distinct()
+        .agg(count(lit(1)).as("n_cust"))
+      val nBrand = firsts.groupBy($"brand").agg(count(lit(1)).as("n_br"))
+      val seqs = firsts.as("a").join(firsts.as("b"),
+          $"a.cust" === $"b.cust" && $"a.fd" < $"b.fd" &&
+            $"a.brand" =!= $"b.brand")
+        .groupBy($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
+        .agg(count(lit(1)).as("n_seq"))
+        .filter($"n_seq" >= 5)
+      seqs
+        .join(broadcast(nBrand.toDF("brand_a", "n_a")), "brand_a")
+        .join(broadcast(nBrand.toDF("brand_b", "n_b")), "brand_b")
+        .crossJoin(broadcast(nCust))
+        .select($"brand_a", $"brand_b", $"n_seq", $"n_a", $"n_b",
+          round($"n_seq".cast("double") / $"n_a", 6).as("confidence"),
+          round(($"n_seq".cast("double") / $"n_a") /
+            ($"n_b".cast("double") / $"n_cust"), 6).as("lift"))
+        .orderBy($"brand_a", $"brand_b")
+    },
+
+    // ------------------------------------------------- uplift deciles
+    // Uplift (incrementality) by targeting decile — the experimentation
+    // readout that tells a growth team WHO to treat: users rank by an
+    // observable targeting score (click engagement), and within each
+    // decile the treated−control conversion gap estimates the treatment
+    // effect for that segment; the cumulative curve is the Qini-style
+    // "treat the top k deciles" payoff. Ranking rides GlobalRank +
+    // ntileFromRank (the q45 recipe — no unpartitioned window; NTILE
+    // semantics match exactly). All counts are exact integers; the two
+    // rate gaps are the only floats, mirrored and NULL-guarded when a
+    // decile lacks an arm. Cumulation is a ≤10-row theta-join.
+    "q213_uplift_deciles" -> { (s, dir) =>
+      import s.implicits._
+      val users = events(s, dir).groupBy($"user_id").agg(
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("clicks"))
+        .select($"user_id",
+          when($"purchases" >= 3, 1L).otherwise(0L).as("conv"),
+          $"clicks",
+          when(substring(md5($"user_id".cast("string")), 1, 1) <= "7", 1L)
+            .otherwise(0L).as("treated"))
+      val ranked = GlobalRank.withGlobalRank(users,
+        Seq($"clicks".desc, $"user_id".asc), "rk", "n_total")
+      val dec = ranked
+        .withColumn("decile", GlobalRank.ntileFromRank($"rk", $"n_total", 10))
+        .groupBy($"decile").agg(
+          sum($"treated").as("n_t"),
+          sum($"treated" * $"conv").as("c_t"),
+          sum(lit(1L) - $"treated").as("n_c"),
+          sum((lit(1L) - $"treated") * $"conv").as("c_c"))
+      val cum = dec.select($"decile".as("d0"))
+        .join(dec.toDF("d2", "nt2", "ct2", "nc2", "cc2"), $"d2" <= $"d0")
+        .groupBy($"d0").agg(sum($"nt2").as("cnt"), sum($"ct2").as("cct"),
+          sum($"nc2").as("cnc"), sum($"cc2").as("ccc"))
+      dec.join(cum, $"decile" === $"d0")
+        .select($"decile", $"n_t", $"c_t", $"n_c", $"c_c",
+          when($"n_t" > 0 && $"n_c" > 0,
+            round($"c_t".cast("double") / $"n_t" -
+              $"c_c".cast("double") / $"n_c", 6) + lit(0d)).as("uplift"),
+          when($"cnt" > 0 && $"cnc" > 0,
+            round($"cct".cast("double") / $"cnt" -
+              $"ccc".cast("double") / $"cnc", 6) + lit(0d)).as("cum_uplift"))
+        .orderBy($"decile")
+    },
+
     // --------------------------------------- inter-rater agreement
     // Cohen's kappa between two independent document raters — the
     // labeling-pipeline QA statistic: when two annotators (here two
@@ -2931,6 +3071,98 @@ object StatsQueries {
          |  ROUND(c.cum / s.cohort_users, 6) AS ltv_per_user
          |FROM cum c JOIN cs s USING (cohort_week)
          |ORDER BY c.cohort_week, c.age_week""".stripMargin,
+
+    "q211_holt_smoothing" ->
+      s"""WITH RECURSIVE day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+         |dd AS (
+         |  SELECT row_number() OVER (ORDER BY d) AS i, d, cents,
+         |    CAST(cents AS DOUBLE) AS y
+         |  FROM day),
+         |h AS (
+         |  SELECT 1::BIGINT AS i, y AS l,
+         |    (SELECT y FROM dd WHERE i = 2) - y AS b
+         |  FROM dd WHERE i = 1
+         |  UNION ALL
+         |  SELECT dd.i,
+         |    $HoltAlpha * dd.y + $Holt1mA * (h.l + h.b) AS l,
+         |    $HoltBeta * (($HoltAlpha * dd.y + $Holt1mA * (h.l + h.b)) - h.l) +
+         |      $Holt1mB * h.b AS b
+         |  FROM h JOIN dd ON dd.i = h.i + 1)
+         |SELECT dd.d AS day, dd.cents,
+         |  CAST(floor(h.l * 100) AS BIGINT) AS level_e2,
+         |  CAST(floor(h.b * 100) AS BIGINT) AS trend_e2,
+         |  CASE WHEN hp.i IS NOT NULL
+         |       THEN CAST(floor((hp.l + hp.b) * 100) AS BIGINT) END AS fitted_e2,
+         |  CASE WHEN hp.i IS NOT NULL
+         |       THEN CAST(floor((dd.y - (hp.l + hp.b)) * 100) AS BIGINT) END AS err_e2
+         |FROM dd JOIN h ON h.i = dd.i
+         |LEFT JOIN h hp ON hp.i = dd.i - 1
+         |ORDER BY day""".stripMargin,
+
+    "q213_uplift_deciles" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3
+        |         THEN 1 ELSE 0 END AS conv,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |         THEN 1 ELSE 0 END AS treated
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT *, CAST(NTILE(10) OVER (ORDER BY clicks DESC, user_id) AS BIGINT)
+        |    AS decile
+        |  FROM u),
+        |g AS (
+        |  SELECT decile,
+        |    CAST(SUM(treated) AS BIGINT) AS n_t,
+        |    CAST(SUM(treated * conv) AS BIGINT) AS c_t,
+        |    CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+        |    CAST(SUM((1 - treated) * conv) AS BIGINT) AS c_c
+        |  FROM d GROUP BY decile),
+        |cu AS (
+        |  SELECT a.decile AS d0,
+        |    CAST(SUM(b.n_t) AS BIGINT) AS cnt, CAST(SUM(b.c_t) AS BIGINT) AS cct,
+        |    CAST(SUM(b.n_c) AS BIGINT) AS cnc, CAST(SUM(b.c_c) AS BIGINT) AS ccc
+        |  FROM g a JOIN g b ON b.decile <= a.decile GROUP BY a.decile)
+        |SELECT g.decile, n_t, c_t, n_c, c_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0
+        |       THEN ROUND(CAST(c_t AS DOUBLE) / n_t -
+        |                  CAST(c_c AS DOUBLE) / n_c, 6) + 0.0 END AS uplift,
+        |  CASE WHEN cnt > 0 AND cnc > 0
+        |       THEN ROUND(CAST(cct AS DOUBLE) / cnt -
+        |                  CAST(ccc AS DOUBLE) / cnc, 6) + 0.0 END AS cum_uplift
+        |FROM g JOIN cu ON cu.d0 = g.decile
+        |ORDER BY g.decile""".stripMargin,
+
+    "q212_sequential_rules" ->
+      """WITH f AS (
+        |  SELECT o.o_custkey AS cust, p.p_brand AS brand,
+        |    MIN(CAST(o.o_orderdate AS DATE)) AS fd
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_custkey, p.p_brand),
+        |nc AS (SELECT COUNT(DISTINCT cust) AS n_cust FROM f),
+        |nb AS (SELECT brand, COUNT(*) AS n_br FROM f GROUP BY brand),
+        |sq AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_seq
+        |  FROM f a JOIN f b
+        |    ON a.cust = b.cust AND a.fd < b.fd AND a.brand <> b.brand
+        |  GROUP BY a.brand, b.brand
+        |  HAVING COUNT(*) >= 5)
+        |SELECT sq.brand_a, sq.brand_b, sq.n_seq,
+        |  na.n_br AS n_a, nbb.n_br AS n_b,
+        |  ROUND(CAST(sq.n_seq AS DOUBLE) / na.n_br, 6) AS confidence,
+        |  ROUND((CAST(sq.n_seq AS DOUBLE) / na.n_br) /
+        |        (CAST(nbb.n_br AS DOUBLE) / nc.n_cust), 6) AS lift
+        |FROM sq
+        |JOIN nb na ON na.brand = sq.brand_a
+        |JOIN nb nbb ON nbb.brand = sq.brand_b
+        |CROSS JOIN nc
+        |ORDER BY sq.brand_a, sq.brand_b""".stripMargin,
 
     "q208_cohens_kappa" ->
       """WITH lab AS (

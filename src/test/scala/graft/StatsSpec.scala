@@ -1283,6 +1283,99 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q211 Holt fold tracks the exact-rational recursion within an e2 ulp") {
+    import spark.implicits._
+    val got = q("q211_holt_smoothing").collect()
+      .map(r => (r.getDate(0).toString, (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.length > 100)
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+      .orderBy($"d").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(got.map(_._1).toSeq === cents.map(_._1).toSeq)
+    // exact-rational replay: α=3/10, β=1/10 as BigDecimals with unlimited
+    // scale — a DIFFERENT arithmetic path that bounds the double fold's
+    // accumulated drift (the oracle only proves both engines drift
+    // identically; this proves the drift is negligible)
+    val mc = new java.math.MathContext(60)
+    var l = BigDecimal(cents(0)._2)
+    var b = BigDecimal(cents(1)._2) - BigDecimal(cents(0)._2)
+    val (a3, a7, b1, b9) = (BigDecimal(3), BigDecimal(7), BigDecimal(1), BigDecimal(9))
+    got.zipWithIndex.foreach { case ((ds, (c, le2, te2)), i) =>
+      assert(c === cents(i)._2, ds)
+      if (i > 0) {
+        val y = BigDecimal(c)
+        val l2 = (a3 * y + a7 * (l + b))(mc) / 10
+        val b2 = (b1 * (l2 - l) + b9 * b)(mc) / 10
+        l = l2; b = b2
+      }
+      assert((BigDecimal(le2) - l * 100).abs <= 1, s"$ds level drift")
+      assert((BigDecimal(te2) - b * 100).abs <= 1, s"$ds trend drift")
+    }
+  }
+
+  test("q212 sequential rules match an exact driver recompute") {
+    import spark.implicits._
+    val got = q("q212_sequential_rules").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val firsts = li.map { case (ok, pk) =>
+      val (cust, d) = ord(ok); ((cust, brandOf(pk)), d)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val nBr = firsts.keys.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+    val nCust = firsts.keys.map(_._1).toSeq.distinct.size.toLong
+    val byCust = firsts.toSeq.map { case ((c, b), d) => (c, b, d) }.groupBy(_._1)
+    val seq = byCust.values.flatMap { rows =>
+      for (a <- rows; b <- rows if a._2 != b._2 && a._3 < b._3)
+        yield (a._2, b._2)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 5)
+    assert(got.keySet === seq.keySet)
+    seq.foreach { case ((ba, bb), n) =>
+      val (gn, gna, gnb, conf, lift) = got((ba, bb))
+      assert(gn === n && gna === nBr(ba) && gnb === nBr(bb), s"$ba->$bb")
+      assert(math.abs(conf - n.toDouble / nBr(ba)) < 1e-6)
+      assert(math.abs(lift - (n.toDouble / nBr(ba)) / (nBr(bb).toDouble / nCust)) < 1e-5)
+    }
+  }
+
+  test("q213 uplift deciles match an exact driver recompute of the NTILE split") {
+    import spark.implicits._
+    val got = q("q213_uplift_deciles").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val users = ev.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.count(_._2 == "purchase") >= 3, rs.count(_._2 == "click").toLong,
+        md5hex(u.toString).head <= '7')
+    }.toArray.sortBy { case (u, _, clicks, _) => (-clicks, u) }
+    val n = users.length
+    val (qn, rr) = (n / 10, n % 10)
+    val decOf = users.zipWithIndex.map { case ((u, conv, _, tr), idx) =>
+      val rank = idx + 1
+      val cut = rr * (qn + 1)
+      val d = if (rank <= cut) (rank + qn) / (qn + 1) else rr + (rank - cut + qn - 1) / qn
+      (d.toLong, conv, tr)
+    }
+    val exp = decOf.groupBy(_._1).map { case (d, rs) =>
+      d -> (rs.count(_._3).toLong, rs.count(r => r._3 && r._2).toLong,
+        rs.count(!_._3).toLong, rs.count(r => !r._3 && r._2).toLong)
+    }
+    assert(got.keySet === exp.keySet && got.keySet === (1L to 10L).toSet)
+    exp.foreach { case (d, e) => assert(got(d) === e, s"decile $d") }
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
