@@ -1810,6 +1810,116 @@ object StatsQueries {
         .orderBy($"day")
     },
 
+    // ------------------------------------ Bayesian A/B posterior readout
+    // Thompson-sampling-style decision readout for the q155 experiment:
+    // Beta(1+c, 1+n−c) posteriors per arm, P(A beats B) via the normal
+    // approximation Φ((μA−μB)/√(vA+vB)) through the SHARED A&S erf
+    // polynomial (the q195/q196 machinery), and the ship/continue call at
+    // 95%. Posterior moments are closed-form rationals of the exact
+    // integer counts — μ = (1+c)/(2+n), v = (1+c)(1+n−c)/((2+n)²(3+n)) —
+    // stated identically in both engines with the denominator kept in
+    // DOUBLE (its integer form overflows LONG at ~10⁹ users/arm). One
+    // user-granularity aggregate; everything after is a 1-row fold.
+    "q216_bayes_ab" -> { (s, dir) =>
+      import s.implicits._
+      val users = events(s, dir).groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("p"))
+        .select(when($"p" >= 3, 1L).otherwise(0L).as("conv"),
+          when(substring(md5($"user_id".cast("string")), 1, 1) <= "7", 1L)
+            .otherwise(0L).as("ta"))
+      val c = users.agg(
+        sum($"ta").as("n_a"), sum($"ta" * $"conv").as("c_a"),
+        sum(lit(1L) - $"ta").as("n_b"),
+        sum((lit(1L) - $"ta") * $"conv").as("c_b"))
+      def mu(n: Column, cc: Column) =
+        (cc + lit(1L)).cast("double") / (n + lit(2L))
+      def vr(n: Column, cc: Column) =
+        (cc + lit(1L)).cast("double") * (n - cc + lit(1L)) /
+          ((n + lit(2L)).cast("double") * (n + lit(2L)) * (n + lit(3L)))
+      val zd = (mu($"n_a", $"c_a") - mu($"n_b", $"c_b")) /
+        sqrt(vr($"n_a", $"c_a") + vr($"n_b", $"c_b"))
+      val base = c.withColumn("zd", zd)
+      val withP = base.withColumn("pval", erfcPval($"zd"))
+        .withColumn("pab",
+          when($"zd" >= 0, lit(1.0) - $"pval" / lit(2.0))
+            .otherwise($"pval" / lit(2.0)))
+      withP.select($"n_a", $"c_a", $"n_b", $"c_b",
+        round(mu($"n_a", $"c_a"), 6).as("post_mean_a"),
+        round(mu($"n_b", $"c_b"), 6).as("post_mean_b"),
+        (round($"zd", 6) + lit(0d)).as("z_diff"),
+        round($"pab", 6).as("p_a_beats_b"),
+        when($"pab" >= lit(0.95), lit("ship_A"))
+          .when($"pab" <= lit(0.05), lit("ship_B"))
+          .otherwise(lit("continue")).as("decision"))
+    },
+
+    // --------------------------------------- smoothed target encoding
+    // Target encoding with additive (m-estimate) smoothing — the feature-
+    // engineering primitive that turns a high-cardinality category into a
+    // numeric feature without leaking small-sample noise: enc(cat) =
+    // (S_cat + m·prior)/(n_cat + m), prior = global mean, m = 50 virtual
+    // rows. Everything stays EXACT integers: with prior = Sg/Ng, enc =
+    // (S·Ng + m·Sg)/(Ng·(n + m)) — one DECIMAL/HUGEINT rational per
+    // category, truncated to e4 fixed point (the q209/q211 discipline).
+    // Cost: one map-combinable per-category aggregate + a broadcast
+    // 1-row global frame; the encoding table is category-granularity and
+    // broadcasts back to any training scan for free.
+    "q214_target_encoding" -> { (s, dir) =>
+      import s.implicits._
+      val m = 50L
+      val rows = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .select($"p_brand".as("brand"), cents($"l_extendedprice").as("c"))
+      val per = rows.groupBy($"brand")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+      val g = per.agg(sum($"n").as("ng"), sum($"sc").as("sg"))
+      def tdiv(num: Column, den: Column): Column =
+        ((num - (num % den)) / den).cast("long")
+      per.crossJoin(broadcast(g))
+        .select($"brand", $"n", $"sc",
+          tdiv($"sc".cast(dec) * lit(10000L), $"n".cast(dec)).as("mean_e4"),
+          tdiv(($"sc".cast(dec) * $"ng" + lit(m).cast(dec) * $"sg") * lit(10000L),
+            $"ng".cast(dec) * ($"n" + lit(m))).as("enc_e4"))
+        .orderBy($"brand")
+    },
+
+    // ------------------------------------ price–volume–mix decomposition
+    // Revenue-bridge decomposition between two years — the BI "waterfall"
+    // that explains WHERE a revenue delta came from: per brand,
+    // price effect = S₁ − S₀·Q₁/Q₀ (what revenue would have moved had
+    // volume stayed on old prices) and volume effect = S₀·(Q₁−Q₀)/Q₀,
+    // summing exactly to ΔS (up to the two e4 truncations, gated in the
+    // spec). All moments are exact integer (cents, quantity) sums from
+    // ONE map-combinable aggregate per (brand, year); the rationals go
+    // through DECIMAL/HUGEINT e4 floor division — no float anywhere.
+    "q215_price_volume_mix" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .withColumn("yr", year($"o_orderdate"))
+        .filter($"yr" === 1995 || $"yr" === 1996)
+        .groupBy($"p_brand".as("brand"), $"yr")
+        .agg(sum(cents($"l_extendedprice")).as("s"),
+          sum($"l_quantity".cast("long")).as("q"))
+      val w = li.groupBy($"brand").agg(
+        sum(when($"yr" === 1995, $"s")).as("s0"),
+        sum(when($"yr" === 1995, $"q")).as("q0"),
+        sum(when($"yr" === 1996, $"s")).as("s1"),
+        sum(when($"yr" === 1996, $"q")).as("q1"))
+        .filter($"s0".isNotNull && $"q0".isNotNull && $"s1".isNotNull &&
+          $"q1".isNotNull && $"q0" > 0)
+      def tdiv(num: Column, den: Column): Column =
+        ((num - (num % den)) / den).cast("long")
+      w.select($"brand", $"s0", $"q0", $"s1", $"q1",
+          ($"s1" - $"s0").as("delta_cents"),
+          tdiv(($"s1".cast(dec) * $"q0" - $"s0".cast(dec) * $"q1") * lit(10000L),
+            $"q0".cast(dec)).as("price_effect_e4"),
+          tdiv($"s0".cast(dec) * ($"q1" - $"q0") * lit(10000L),
+            $"q0".cast(dec)).as("volume_effect_e4"))
+        .orderBy($"brand")
+    },
+
     // ------------------------------------------ sequential brand rules
     // Temporal association rules "first bought A, LATER first bought B"
     // — the sequence-mining face of q158's (unordered) basket rules:
@@ -3101,6 +3211,89 @@ object StatsQueries {
          |FROM dd JOIN h ON h.i = dd.i
          |LEFT JOIN h hp ON hp.i = dd.i - 1
          |ORDER BY day""".stripMargin,
+
+    "q216_bayes_ab" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3
+         |         THEN 1 ELSE 0 END AS conv,
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         |         THEN 1 ELSE 0 END AS ta
+         |  FROM events GROUP BY user_id),
+         |c AS (
+         |  SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+         |    CAST(SUM(ta * conv) AS BIGINT) AS c_a,
+         |    CAST(SUM(1 - ta) AS BIGINT) AS n_b,
+         |    CAST(SUM((1 - ta) * conv) AS BIGINT) AS c_b
+         |  FROM u),
+         |zz AS (
+         |  SELECT *,
+         |    (CAST(c_a + 1 AS DOUBLE) / (n_a + 2) - CAST(c_b + 1 AS DOUBLE) / (n_b + 2)) /
+         |    sqrt(
+         |      CAST(c_a + 1 AS DOUBLE) * (n_a - c_a + 1) /
+         |        (CAST(n_a + 2 AS DOUBLE) * (n_a + 2) * (n_a + 3)) +
+         |      CAST(c_b + 1 AS DOUBLE) * (n_b - c_b + 1) /
+         |        (CAST(n_b + 2 AS DOUBLE) * (n_b + 2) * (n_b + 3))) AS zd
+         |  FROM c),
+         |z1 AS (SELECT *, zd AS z FROM zz),
+         |z3 AS (SELECT *, $SqlErfX AS x FROM z1),
+         |z4 AS (SELECT *, $SqlErfTv AS tv FROM z3),
+         |z5 AS (SELECT *, $SqlErfPval AS pval FROM z4),
+         |pp AS (
+         |  SELECT *, CASE WHEN zd >= 0 THEN 1.0 - pval / 2.0
+         |                 ELSE pval / 2.0 END AS pab
+         |  FROM z5)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  ROUND(CAST(c_a + 1 AS DOUBLE) / (n_a + 2), 6) AS post_mean_a,
+         |  ROUND(CAST(c_b + 1 AS DOUBLE) / (n_b + 2), 6) AS post_mean_b,
+         |  ROUND(zd, 6) + 0.0 AS z_diff,
+         |  ROUND(pab, 6) AS p_a_beats_b,
+         |  CASE WHEN pab >= 0.95 THEN 'ship_A'
+         |       WHEN pab <= 0.05 THEN 'ship_B'
+         |       ELSE 'continue' END AS decision
+         |FROM pp""".stripMargin,
+
+    "q214_target_encoding" ->
+      """WITH r AS (
+        |  SELECT p.p_brand AS brand,
+        |    CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |per AS (SELECT brand, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc
+        |        FROM r GROUP BY brand),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(sc) AS BIGINT) AS sg
+        |      FROM per)
+        |SELECT brand, n, sc,
+        |  CAST((CAST(sc AS HUGEINT) * 10000) // n AS BIGINT) AS mean_e4,
+        |  CAST(((CAST(sc AS HUGEINT) * ng + CAST(50 AS HUGEINT) * sg) * 10000) //
+        |       (CAST(ng AS HUGEINT) * (n + 50)) AS BIGINT) AS enc_e4
+        |FROM per CROSS JOIN g ORDER BY brand""".stripMargin,
+
+    "q215_price_volume_mix" ->
+      """WITH li AS (
+        |  SELECT p.p_brand AS brand, year(o.o_orderdate) AS yr,
+        |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE year(o.o_orderdate) IN (1995, 1996)
+        |  GROUP BY p.p_brand, year(o.o_orderdate)),
+        |w AS (
+        |  SELECT brand,
+        |    CAST(SUM(CASE WHEN yr = 1995 THEN s END) AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN yr = 1995 THEN q END) AS BIGINT) AS q0,
+        |    CAST(SUM(CASE WHEN yr = 1996 THEN s END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN yr = 1996 THEN q END) AS BIGINT) AS q1
+        |  FROM li GROUP BY brand)
+        |SELECT brand, s0, q0, s1, q1, s1 - s0 AS delta_cents,
+        |  CAST(((CAST(s1 AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * q1) * 10000) //
+        |       q0 AS BIGINT) AS price_effect_e4,
+        |  CAST((CAST(s0 AS HUGEINT) * (q1 - q0) * 10000) // q0 AS BIGINT)
+        |    AS volume_effect_e4
+        |FROM w
+        |WHERE s0 IS NOT NULL AND q0 IS NOT NULL AND s1 IS NOT NULL
+        |  AND q1 IS NOT NULL AND q0 > 0
+        |ORDER BY brand""".stripMargin,
 
     "q213_uplift_deciles" ->
       """WITH u AS (

@@ -1376,6 +1376,83 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     exp.foreach { case (d, e) => assert(got(d) === e, s"decile $d") }
   }
 
+  test("q214 target encoding: exact replay and shrinkage toward the prior") {
+    import spark.implicits._
+    val got = q("q214_target_encoding").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_partkey", round($"l_extendedprice" * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val per = li.map { case (pk, c) => (brandOf(pk), c) }.groupBy(_._1)
+      .map { case (b, v) => b -> (v.size.toLong, v.map(x => BigInt(x._2)).sum) }
+    val ng = BigInt(per.values.map(_._1).sum)
+    val sg = per.values.map(_._2).sum
+    assert(got.keySet === per.keySet)
+    per.foreach { case (b, (n, sc)) =>
+      val (gn, gsc, mean4, enc4) = got(b)
+      assert(gn === n && BigInt(gsc) === sc, b)
+      assert(BigInt(mean4) === sc * 10000 / n, s"$b mean")
+      assert(BigInt(enc4) === (sc * ng + 50 * sg) * 10000 / (ng * (n + 50)), s"$b enc")
+      // shrinkage: the encoding sits strictly between the raw category
+      // mean and the global mean (within the e4 truncation grain)
+      val gmean4 = sg * 10000 / ng
+      val (lo, hi) = if (BigInt(mean4) < gmean4) (BigInt(mean4), gmean4)
+        else (gmean4, BigInt(mean4))
+      assert(BigInt(enc4) >= lo - 1 && BigInt(enc4) <= hi + 1, s"$b shrinkage")
+    }
+  }
+
+  test("q215 price-volume-mix: effects recompose to the revenue delta") {
+    import spark.implicits._
+    val got = q("q215_price_volume_mix").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (s0, q0, s1, q1) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        BigInt(r.getLong(3)), BigInt(r.getLong(4)))
+      val delta = r.getLong(5)
+      val (pe, ve) = (BigInt(r.getLong(6)), BigInt(r.getLong(7)))
+      assert(BigInt(delta) === s1 - s0)
+      assert(pe === (s1 * q0 - s0 * q1) * 10000 / q0, s"${r.getString(0)} price")
+      assert(ve === s0 * (q1 - q0) * 10000 / q0, s"${r.getString(0)} volume")
+      // the decomposition is exact up to the two e4 truncations
+      assert((pe + ve - BigInt(delta) * 10000).abs <= 2, s"${r.getString(0)} recompose")
+    }
+  }
+
+  test("q216 Bayesian A/B readout matches a driver recompute through the erf polynomial") {
+    import spark.implicits._
+    val r = q("q216_bayes_ab").collect().head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val us = ev.groupBy(_._1).toSeq.map { case (u, rs) =>
+      (md5hex(u.toString).head <= '7', rs.count(_._2 == "purchase") >= 3) }
+    assert(na === us.count(_._1).toLong && ca === us.count(x => x._1 && x._2).toLong)
+    assert(nb === us.count(!_._1).toLong && cb === us.count(x => !x._1 && x._2).toLong)
+    def mu(n: Long, c: Long) = (c + 1).toDouble / (n + 2)
+    def vr(n: Long, c: Long) =
+      (c + 1).toDouble * (n - c + 1) / ((n + 2).toDouble * (n + 2) * (n + 3))
+    val zd = (mu(na, ca) - mu(nb, cb)) / math.sqrt(vr(na, ca) + vr(nb, cb))
+    val x = math.abs(zd) / 1.4142135623730951
+    val tv = 1.0 / (1.0 + 0.3275911 * x)
+    val pval = ((((1.061405429 * tv - 1.453152027) * tv + 1.421413741) * tv -
+      0.284496736) * tv + 0.254829592) * tv * math.exp(-(x * x))
+    val pab = if (zd >= 0) 1.0 - pval / 2.0 else pval / 2.0
+    assert(math.abs(r.getDouble(4) - mu(na, ca)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - mu(nb, cb)) < 1e-6)
+    assert(math.abs(r.getDouble(6) - zd) < 1e-5)
+    assert(math.abs(r.getDouble(7) - pab) < 1e-5)
+    val dec = r.getString(8)
+    val gp = r.getDouble(7)
+    assert(if (gp >= 0.95) dec == "ship_A"
+      else if (gp <= 0.05) dec == "ship_B" else dec == "continue")
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
