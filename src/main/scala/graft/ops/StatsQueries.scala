@@ -921,6 +921,43 @@ object StatsQueries {
         .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
     },
 
+    // --------------------------------------------------- l-diversity
+    // l-diversity audit over q176's quasi-identifier groups: k-anonymity
+    // (group size ≥ k) still leaks when a small group is HOMOGENEOUS in
+    // the sensitive attribute — every member shares it, so linkage
+    // reveals it without identifying the row. Per QI group: distinct
+    // sensitive values (the sensitive stand-in: the customer's spend
+    // band, coarsened order total), distinct-l, and entropy-l via exact
+    // integer share terms (Σ cnt·ln(cnt) at group granularity, one float
+    // ln mirrored). Groups failing distinct-l < 2 are the finding. Two
+    // stacked aggregates, both map-combinable; group-granularity output.
+    "q217_l_diversity" -> { (s, dir) =>
+      import s.implicits._
+      val spend = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(sum(cents($"o_totalprice")).as("sp"))
+        .select($"o_custkey",
+          floor($"sp".cast("double") / 10000000.0).cast("long").as("spend_band"))
+      val rows = t(s, dir, "customer")
+        .join(spend, $"c_custkey" === $"o_custkey", "inner")
+        .select($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"),
+          $"spend_band")
+      val per = rows.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band",
+          $"spend_band")
+        .agg(count(lit(1)).as("cnt"))
+      per.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(sum($"cnt").as("group_size"),
+          count(lit(1)).as("distinct_l"),
+          sum($"cnt".cast("double") * log($"cnt".cast("double"))).as("slog"))
+        .select($"c_nationkey", $"c_mktsegment", $"bal_band",
+          $"group_size", $"distinct_l",
+          // entropy-l = exp(H) with H = ln(n) − Σ cnt·ln(cnt)/n
+          round(exp(log($"group_size".cast("double")) -
+            $"slog" / $"group_size"), 6).as("entropy_l"),
+          ($"distinct_l" < 2).as("homogeneous"))
+        .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+    },
+
     // ----------------------------------------------- day-of-week index
     // Weekly seasonality: average revenue per weekday over the overall
     // daily average (index 1.0 = a flat week) — the calendar complement
@@ -3211,6 +3248,30 @@ object StatsQueries {
          |FROM dd JOIN h ON h.i = dd.i
          |LEFT JOIN h hp ON hp.i = dd.i - 1
          |ORDER BY day""".stripMargin,
+
+    "q217_l_diversity" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS DOUBLE) / 10000000.0) AS BIGINT) AS spend_band
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band, spend_band
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |per AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, spend_band,
+        |    COUNT(*) AS cnt
+        |  FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, c_mktsegment, bal_band,
+        |  CAST(SUM(cnt) AS BIGINT) AS group_size,
+        |  COUNT(*) AS distinct_l,
+        |  ROUND(exp(ln(CAST(SUM(cnt) AS DOUBLE)) -
+        |    SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) / SUM(cnt)), 6)
+        |    AS entropy_l,
+        |  COUNT(*) < 2 AS homogeneous
+        |FROM per GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q216_bayes_ab" ->
       s"""WITH u AS (

@@ -1453,6 +1453,43 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       else if (gp <= 0.05) dec == "ship_B" else dec == "continue")
   }
 
+  test("q217 l-diversity: entropy-l bounded by distinct-l and replayed exactly") {
+    import spark.implicits._
+    val got = q("q217_l_diversity").collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+    assert(got.nonEmpty)
+    got.foreach { case (k, (gs, dl, el, homog)) =>
+      assert(dl >= 1 && dl <= gs, k)
+      // entropy-l is maximized (=distinct_l) under a uniform split and
+      // minimized (→1) under homogeneity
+      assert(el >= 1.0 - 1e-6 && el <= dl + 1e-6, s"$k entropy_l $el vs distinct $dl")
+      assert(homog === (dl < 2), k)
+    }
+    // driver replay on one group family: recompute from raw tables
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy($"o_custkey").agg(sum(round($"o_totalprice" * 100).cast("long")).as("sp"))
+      .collect().map(r => r.getLong(0) -> math.floor(r.getLong(1).toDouble / 1e7).toLong)
+      .toMap
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"c_acctbal")
+      .collect().filter(r => spend.contains(r.getLong(0)))
+      .map(r => ((r.getInt(1), r.getString(2), math.floor(r.getDouble(3) / 1000.0).toLong),
+        spend(r.getLong(0))))
+    val exp = cust.groupBy(_._1).map { case (k, vs) =>
+      val cnts = vs.groupBy(_._2).map(_._2.length)
+      val n = cnts.sum.toDouble
+      val h = math.log(n) - cnts.map(c => c * math.log(c.toDouble)).sum / n
+      k -> (cnts.sum.toLong, cnts.size.toLong, math.exp(h))
+    }
+    assert(got.map(_._1).toSet === exp.keySet)
+    got.foreach { case (k, (gs, dl, el, _)) =>
+      val (en, edl, eel) = exp(k)
+      assert(gs === en && dl === edl, k)
+      assert(math.abs(el - eel) < 1e-5, s"$k entropy")
+    }
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
