@@ -921,6 +921,57 @@ object StatsQueries {
         .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
     },
 
+    // ------------------------------------------- consistent hashing
+    // Consistent-hash ring assignment + rebalance audit — the shard-map
+    // op behind every distributed KV/cache tier: 8 shards × 4 virtual
+    // nodes on a 2⁴⁸ md5 ring, each key owned by the first vnode
+    // clockwise; then shard s3 is removed and the audit measures what
+    // MOVED — consistent hashing's contract is that only the removed
+    // shard's keys move (≈1/8, vs rehash-everything's 7/8), which the
+    // spec gates. The ring is 32 broadcast rows; both assignment passes
+    // are key-scan × tiny-ring joins reduced by min() — scan-bound at
+    // any key count, no shuffle of the ring. Exact integer counts; the
+    // one float is the moved fraction.
+    "q218_consistent_hash" -> { (s, dir) =>
+      import s.implicits._
+      def ring(drop: Option[String]): DataFrame = {
+        val vn = (0 until 8).flatMap { sh =>
+          (0 until 4).map(i => (s"s$sh", i))
+        }.filterNot { case (shd, _) => drop.contains(shd) }
+        broadcast(vn.toDF("shard", "vi")
+          .withColumn("vpos", conv(substring(
+            md5(concat(lit("vn:"), $"shard", lit(":"), $"vi".cast("string"))),
+            1, 12), 16, 10).cast("long")))
+      }
+      val keys = Pin.lazily(t(s, dir, "customer")
+        .select($"c_custkey".as("k"),
+          conv(substring(md5(concat(lit("k:"), $"c_custkey".cast("string"))),
+            1, 12), 16, 10).cast("long").as("kpos")))
+      def assign(r: DataFrame, col: String): DataFrame = {
+        val m = keys.crossJoin(r)
+          .groupBy($"k")
+          .agg(min(when($"vpos" >= $"kpos", $"vpos")).as("cand"),
+            min($"vpos").as("fb"))
+          .select($"k", coalesce($"cand", $"fb").as("apos"))
+        m.join(r.select($"shard".as(col), $"vpos"), $"apos" === $"vpos")
+          .select($"k", org.apache.spark.sql.functions.col(col))
+      }
+      val before = assign(ring(None), "shard_before")
+      val after = assign(ring(Some("s3")), "shard_after")
+      val j = Pin.lazily(before.join(after, "k")
+        .withColumn("moved", ($"shard_before" =!= $"shard_after").cast("long")))
+      val tot = j.agg(count(lit(1)).as("n_keys"), sum($"moved").as("n_moved"))
+      j.groupBy($"shard_after".as("shard"))
+        .agg(count(lit(1)).as("n_after"), sum($"moved").as("moved_in"))
+        .join(j.groupBy($"shard_before".as("shard"))
+          .agg(count(lit(1)).as("n_before")), Seq("shard"), "full_outer")
+        .na.fill(0L, Seq("n_after", "moved_in", "n_before"))
+        .crossJoin(broadcast(tot))
+        .select($"shard", $"n_before", $"n_after", $"moved_in",
+          round($"n_moved".cast("double") / $"n_keys", 6).as("moved_frac"))
+        .orderBy($"shard")
+    },
+
     // --------------------------------------------------- l-diversity
     // l-diversity audit over q176's quasi-identifier groups: k-anonymity
     // (group size ≥ k) still leaks when a small group is HOMOGENEOUS in
@@ -3248,6 +3299,58 @@ object StatsQueries {
          |FROM dd JOIN h ON h.i = dd.i
          |LEFT JOIN h hp ON hp.i = dd.i - 1
          |ORDER BY day""".stripMargin,
+
+    "q218_consistent_hash" -> {
+      def horner(col: String): String = (1 to 12)
+        .map(i => s"(strpos('0123456789abcdef', substr($col, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH vn AS (
+         |  SELECT 's' || CAST(t.s AS VARCHAR) AS shard, t.i AS vi,
+         |    CAST(${horner("hx")} AS BIGINT) AS vpos
+         |  FROM (SELECT s.s AS s, i.i AS i,
+         |          md5('vn:s' || CAST(s.s AS VARCHAR) || ':' ||
+         |              CAST(i.i AS VARCHAR)) AS hx
+         |        FROM range(0, 8) s(s), range(0, 4) i(i)) t),
+         |k AS (
+         |  SELECT c_custkey AS k, CAST(${horner("hk")} AS BIGINT) AS kpos
+         |  FROM (SELECT c_custkey,
+         |          md5('k:' || CAST(c_custkey AS VARCHAR)) AS hk
+         |        FROM customer)),
+         |a0 AS (
+         |  SELECT k.k,
+         |    COALESCE(MIN(CASE WHEN vn.vpos >= k.kpos THEN vn.vpos END),
+         |             MIN(vn.vpos)) AS apos
+         |  FROM k CROSS JOIN vn GROUP BY k.k, k.kpos),
+         |b0 AS (SELECT a0.k, vn.shard AS shard_before
+         |       FROM a0 JOIN vn ON vn.vpos = a0.apos),
+         |vn2 AS (SELECT * FROM vn WHERE shard <> 's3'),
+         |a1 AS (
+         |  SELECT k.k,
+         |    COALESCE(MIN(CASE WHEN vn2.vpos >= k.kpos THEN vn2.vpos END),
+         |             MIN(vn2.vpos)) AS apos
+         |  FROM k CROSS JOIN vn2 GROUP BY k.k, k.kpos),
+         |b1 AS (SELECT a1.k, vn2.shard AS shard_after
+         |       FROM a1 JOIN vn2 ON vn2.vpos = a1.apos),
+         |j AS (
+         |  SELECT b0.k, shard_before, shard_after,
+         |    CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END AS moved
+         |  FROM b0 JOIN b1 ON b1.k = b0.k),
+         |tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(moved) AS BIGINT) AS n_moved
+         |        FROM j),
+         |ga AS (SELECT shard_after AS shard, COUNT(*) AS n_after,
+         |         CAST(SUM(moved) AS BIGINT) AS moved_in
+         |       FROM j GROUP BY shard_after),
+         |gb AS (SELECT shard_before AS shard, COUNT(*) AS n_before
+         |       FROM j GROUP BY shard_before)
+         |SELECT COALESCE(ga.shard, gb.shard) AS shard,
+         |  CAST(COALESCE(gb.n_before, 0) AS BIGINT) AS n_before,
+         |  CAST(COALESCE(ga.n_after, 0) AS BIGINT) AS n_after,
+         |  CAST(COALESCE(ga.moved_in, 0) AS BIGINT) AS moved_in,
+         |  ROUND(CAST(tot.n_moved AS DOUBLE) / tot.n_keys, 6) AS moved_frac
+         |FROM ga FULL OUTER JOIN gb ON gb.shard = ga.shard
+         |CROSS JOIN tot
+         |ORDER BY shard""".stripMargin
+    },
 
     "q217_l_diversity" ->
       """WITH spend AS (

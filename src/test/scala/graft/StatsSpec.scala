@@ -1490,6 +1490,43 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q218 consistent hashing: only the removed shard's keys move, replayed exactly") {
+    import spark.implicits._
+    val got = q("q218_consistent_hash").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === (0 until 8).map(i => s"s$i").toSet)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pos(s: String) = java.lang.Long.parseLong(md5hex(s).take(12), 16)
+    val ring = for (sh <- 0 until 8; i <- 0 until 4)
+      yield (s"s$sh", pos(s"vn:s$sh:$i"))
+    def assign(r: Seq[(String, Long)], kp: Long): String = {
+      val ge = r.filter(_._2 >= kp)
+      (if (ge.nonEmpty) ge.minBy(_._2) else r.minBy(_._2))._1
+    }
+    val keys = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+    val ring2 = ring.filterNot(_._1 == "s3")
+    val asg = keys.map { k =>
+      val kp = pos(s"k:$k")
+      (assign(ring, kp), assign(ring2, kp))
+    }
+    // consistent-hashing contract: a key moves IFF it was on the removed
+    // shard, and the removed shard held roughly 1/8 of the keys
+    asg.foreach { case (b, a) => assert((b != a) === (b == "s3")) }
+    val moved = asg.count(_._1 == "s3")
+    assert(moved > 0 && moved < keys.length / 3, s"moved $moved of ${keys.length}")
+    (0 until 8).map(i => s"s$i").foreach { sh =>
+      val (nb, na, mi, mf) = got(sh)
+      assert(nb === asg.count(_._1 == sh).toLong, s"$sh before")
+      assert(na === asg.count(_._2 == sh).toLong, s"$sh after")
+      assert(mi === asg.count(p => p._1 != p._2 && p._2 == sh).toLong, s"$sh moved_in")
+      assert(math.abs(mf - moved.toDouble / keys.length) < 1e-6)
+    }
+    assert(got("s3")._2 === 0L && got("s3")._3 === 0L)
+  }
+
   test("q192 Poisson bootstrap: CI brackets the point estimate and matches a driver replay") {
     import spark.implicits._
     val row = q("q192_poisson_bootstrap").collect().head
