@@ -2367,6 +2367,134 @@ object StatsQueries {
           sum(when($"c_acctbal" > $"p99", 1L).otherwise(0L)).as("n_capped"),
           max($"med").as("med"), max($"p99").as("p99"))
         .orderBy($"c_mktsegment")
+    },
+
+    // --------------------------------------------- sweep-line concurrency
+    // Peak concurrent sessions per calendar day — the classic interval
+    // sweep-line, distributed. Session intervals come from the SHARED
+    // sessionization (q15's exact frame, so the two can never drift);
+    // boundaries collapse to a per-millisecond (n_start, n_end) frame —
+    // session-boundary granularity, ≪ event granularity — and the one
+    // global running sum rides GlobalRank's two-pass prefix machinery,
+    // never an unpartitioned data-row window. Concurrency is inclusive
+    // ([start, end]): active(ms) = Σ_{m≤ms} starts − Σ_{m<ms} ends
+    //                            = prefix(starts − ends) + ends(ms),
+    // one prefix sum plus a local term. Peak day/instant selection is
+    // two day-granularity aggregates (max, then min-ms at max) — no
+    // argmax window, fully deterministic under ties.
+    "q219_max_concurrency" -> { (s, dir) =>
+      import s.implicits._
+      val iv = CoreQueries.sessionized(s, dir)
+        .groupBy($"user_id", $"sess_seq")
+        .agg(min($"ms").as("sms"), max($"ms").as("ems"))
+      val st = iv.groupBy($"sms".as("ms")).agg(count(lit(1)).as("n_start"))
+      val en = iv.groupBy($"ems".as("ms")).agg(count(lit(1)).as("n_end"))
+      val pts = st.join(en, Seq("ms"), "full_outer")
+        .na.fill(0L, Seq("n_start", "n_end"))
+      val act = Pin.lazily(GlobalRank.withGlobalPrefixSum(
+          pts, Seq($"ms"), $"n_start" - $"n_end", "rk", "nn", "cum_d", "tot")
+        .select($"ms", to_date(timestamp_millis($"ms")).as("d"),
+          ($"cum_d" + $"n_end").as("active")))
+      val peak = act.groupBy($"d").agg(max($"active").as("peak"))
+      act.join(broadcast(peak), Seq("d"))
+        .filter($"active" === $"peak")
+        .groupBy($"d").agg(max($"peak").as("peak"), min($"ms").as("peak_ms"))
+        .orderBy($"d")
+    },
+
+    // --------------------------------------------------- BFS hop distance
+    // Single-source shortest hop distance over the brand co-purchase
+    // graph (the q158/q165/q170 edge spine, pair_n ≥ 10, both
+    // directions) — frontier-expansion BFS, the Pregel shape: each round
+    // is one frontier⋈edges shuffle at edge granularity plus an anti-join
+    // against the visited set; rounds are bounded by the graph diameter
+    // (cap 6). The driver-side emptiness probe per round is the same
+    // convergence pattern as q47's connected components. The fixture
+    // graph is brand-granularity, but every per-round operation is a
+    // distributed join — the identical plan runs on a billion-node
+    // co-occurrence graph, where frontier and visited frames stay
+    // node-granularity and edges never replicate.
+    "q220_brand_bfs" -> { (s, dir) =>
+      import s.implicits._
+      val pc = brandPairCounts(s, dir).filter($"pair_n" >= 10)
+      val edges = Pin.lazily(pc.select($"brand_a".as("src"), $"brand_b".as("dst"))
+        .union(pc.select($"brand_b".as("src"), $"brand_a".as("dst"))))
+      var dist = Pin.lazily(Seq(("Brand#1", 0L)).toDF("brand", "dist"))
+      var frontier = dist.select($"brand")
+      var depth = 0L
+      var done = false
+      while (!done && depth < 6) {
+        val next = Pin.lazily(frontier.join(edges, $"brand" === $"src")
+          .select($"dst".as("brand")).distinct()
+          .join(dist.select($"brand".as("vb")), $"brand" === $"vb", "left_anti")
+          .withColumn("dist", lit(depth + 1L)))
+        if (next.isEmpty) done = true
+        else {
+          dist = Pin.lazily(dist.union(next))
+          frontier = next.select($"brand")
+          depth += 1
+        }
+      }
+      t(s, dir, "part").select($"p_brand".as("brand")).distinct()
+        .join(dist, Seq("brand"), "left_outer")
+        .orderBy($"brand")
+    },
+
+    // ---------------------------------------------- Shapley attribution
+    // Exact Shapley-value channel attribution (Shapley 1953 applied to
+    // conversion journeys): channels are the four non-purchase event
+    // types; a user's coalition is the SET of channels they touched
+    // (bitmask), the characteristic function v(S) is the observed
+    // ≥3-purchase conversion rate of users with exactly that set (0 for
+    // unobserved sets), and φ_i = Σ_{S∌i} |S|!(n−1−|S|)!/n!·(v(S∪i)−v(S))
+    // is computed EXACTLY over the 16-subset control-plane frame.
+    // Float discipline: v(S) is held as exact e6 fixed point
+    // ((conv·10⁶) div users — truncating integer division, mirroring
+    // DuckDB //), weights as 24·w integers, so the Shapley sum is an
+    // exact BIGINT in any order; ONE float division at the end (and a
+    // −0.0 guard, since channel contributions can be negative). Scale:
+    // one user-granularity aggregate, then everything is ≤16-row algebra.
+    "q221_shapley_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val per = events(s, dir).groupBy($"user_id").agg(
+          max(when($"event_type" === "view", 1L).otherwise(0L)).as("bv"),
+          max(when($"event_type" === "click", 1L).otherwise(0L)).as("bc"),
+          max(when($"event_type" === "signup", 1L).otherwise(0L)).as("bs"),
+          max(when($"event_type" === "error", 1L).otherwise(0L)).as("be"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(($"bv" + $"bc" * 2 + $"bs" * 4 + $"be" * 8).as("mask"),
+          when($"np" >= 3, 1L).otherwise(0L).as("conv"))
+      val obs = per.groupBy($"mask")
+        .agg(count(lit(1)).as("n_u"), sum($"conv").as("n_c"))
+      val v6 = broadcast(s.range(16).select($"id".as("m"))
+        .join(obs, $"m" === $"mask", "left_outer")
+        .select($"m",
+          coalesce(expr("(n_c * 1000000) div n_u"), lit(0L)).as("v6"),
+          coalesce($"n_u", lit(0L)).as("n_u"),
+          coalesce($"n_c", lit(0L)).as("n_c")))
+      val ch = Seq(("view", 1L), ("click", 2L), ("signup", 4L), ("error", 8L))
+        .toDF("channel", "bit")
+      val terms = ch.crossJoin(v6.select($"m", $"v6"))
+        .filter($"m".bitwiseAND($"bit") === 0)
+        .withColumn("ssz", $"m".bitwiseAND(lit(1L)) +
+          shiftright($"m", 1).bitwiseAND(lit(1L)) +
+          shiftright($"m", 2).bitwiseAND(lit(1L)) +
+          shiftright($"m", 3).bitwiseAND(lit(1L)))
+        .withColumn("w24", when($"ssz" === 0, 6L).when($"ssz" === 3, 6L)
+          .otherwise(2L))
+        .join(v6.select($"m".as("msi"), $"v6".as("v6_si")),
+          $"msi" === $"m" + $"bit")
+      val touch = ch.crossJoin(v6)
+        .filter($"m".bitwiseAND($"bit") =!= 0)
+        .groupBy($"channel")
+        .agg(sum($"n_u").as("n_users"), sum($"n_c").as("n_conv"))
+      terms.groupBy($"channel", $"bit")
+        .agg(sum($"w24" * ($"v6_si" - $"v6")).as("phi24e6"))
+        .join(touch, Seq("channel"))
+        .select($"channel", $"n_users", $"n_conv",
+          (round($"phi24e6".cast("double") / lit(24000000.0), 6) + lit(0d))
+            .as("shapley"))
+        .orderBy($"channel")
     }
   )
 
@@ -3723,6 +3851,102 @@ object StatsQueries {
         |  MAX(th.med) AS med, MAX(th.p99) AS p99
         |FROM customer c JOIN th USING (c_mktsegment)
         |GROUP BY c.c_mktsegment
-        |ORDER BY c.c_mktsegment""".stripMargin
+        |ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q219_max_concurrency" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, ms,
+         |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= ${CoreQueries.SessionGapMs} THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+         |  FROM g),
+         |iv AS (SELECT user_id, sess_seq, MIN(ms) AS sms, MAX(ms) AS ems
+         |       FROM x GROUP BY user_id, sess_seq),
+         |st AS (SELECT sms AS ms, COUNT(*) AS n_start FROM iv GROUP BY sms),
+         |en AS (SELECT ems AS ms, COUNT(*) AS n_end FROM iv GROUP BY ems),
+         |pts AS (
+         |  SELECT COALESCE(st.ms, en.ms) AS ms,
+         |    COALESCE(st.n_start, 0) AS n_start, COALESCE(en.n_end, 0) AS n_end
+         |  FROM st FULL OUTER JOIN en ON en.ms = st.ms),
+         |a AS (
+         |  SELECT ms, CAST(epoch_ms(ms) AS DATE) AS d,
+         |    CAST(n_end + SUM(n_start - n_end)
+         |      OVER (ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS active
+         |  FROM pts),
+         |pk AS (SELECT d, MAX(active) AS peak FROM a GROUP BY d)
+         |SELECT pk.d, pk.peak, MIN(a.ms) AS peak_ms
+         |FROM pk JOIN a ON a.d = pk.d AND a.active = pk.peak
+         |GROUP BY pk.d, pk.peak ORDER BY pk.d""".stripMargin,
+
+    "q220_brand_bfs" ->
+      """WITH RECURSIVE bb AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pr AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_n
+        |  FROM bb a JOIN bb b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY a.brand, b.brand),
+        |e AS (
+        |  SELECT brand_a AS src, brand_b AS dst FROM pr WHERE pair_n >= 10
+        |  UNION ALL
+        |  SELECT brand_b AS src, brand_a AS dst FROM pr WHERE pair_n >= 10),
+        |r AS (
+        |  SELECT 'Brand#1' AS brand, 0 AS dist
+        |  UNION
+        |  SELECT e.dst AS brand, r.dist + 1 AS dist
+        |  FROM r JOIN e ON e.src = r.brand WHERE r.dist < 6),
+        |d AS (SELECT brand, MIN(dist) AS dist FROM r GROUP BY brand)
+        |SELECT p.brand, CAST(d.dist AS BIGINT) AS dist
+        |FROM (SELECT DISTINCT p_brand AS brand FROM part) p
+        |LEFT JOIN d ON d.brand = p.brand
+        |ORDER BY p.brand""".stripMargin,
+
+    "q221_shapley_attribution" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 1 +
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 2 +
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4 +
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 8 AS mask,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |obs AS (SELECT mask, COUNT(*) AS n_u, SUM(conv) AS n_c
+        |        FROM per GROUP BY mask),
+        |v6 AS (
+        |  SELECT m.range AS m,
+        |    COALESCE((obs.n_c * 1000000) // obs.n_u, 0) AS v6,
+        |    COALESCE(obs.n_u, 0) AS n_u, COALESCE(obs.n_c, 0) AS n_c
+        |  FROM range(0, 16) m LEFT JOIN obs ON obs.mask = m.range),
+        |ch AS (
+        |  SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4),
+        |                        ('error', 8)) AS t(channel, bit)),
+        |terms AS (
+        |  SELECT ch.channel, ch.bit, v.m, v.v6,
+        |    ((v.m & 1) + ((v.m >> 1) & 1) + ((v.m >> 2) & 1) + ((v.m >> 3) & 1)) AS ssz,
+        |    si.v6 AS v6_si
+        |  FROM ch CROSS JOIN v6 v
+        |  JOIN v6 si ON si.m = v.m + ch.bit
+        |  WHERE (v.m & ch.bit) = 0),
+        |phi AS (
+        |  SELECT channel,
+        |    CAST(SUM((CASE WHEN ssz IN (0, 3) THEN 6 ELSE 2 END) * (v6_si - v6))
+        |      AS BIGINT) AS phi24e6
+        |  FROM terms GROUP BY channel),
+        |touch AS (
+        |  SELECT ch.channel,
+        |    CAST(SUM(v.n_u) AS BIGINT) AS n_users,
+        |    CAST(SUM(v.n_c) AS BIGINT) AS n_conv
+        |  FROM ch CROSS JOIN v6 v WHERE (v.m & ch.bit) <> 0
+        |  GROUP BY ch.channel)
+        |SELECT phi.channel, touch.n_users, touch.n_conv,
+        |  ROUND(CAST(phi.phi24e6 AS DOUBLE) / 24000000.0, 6) + 0.0 AS shapley
+        |FROM phi JOIN touch ON touch.channel = phi.channel
+        |ORDER BY phi.channel""".stripMargin
   )
 }

@@ -1572,4 +1572,116 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     // estimate; the spread is the bootstrap's sampling noise
     assert(reps.forall(m => math.abs(m - meanPrice) / meanPrice < 0.2))
   }
+
+  test("q219 max concurrency: sweep-line peaks match a driver interval replay") {
+    import spark.implicits._
+    val got = q("q219_max_concurrency").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // driver replay: sessionize, then a literal per-ms sweep
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .select($"user_id", $"ms", $"event_id").as[(Long, Long, Long)]
+      .collect().sortBy(e => (e._1, e._2, e._3))
+    val iv = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (start, prev) = (sorted.head._2, sorted.head._2)
+      for (e <- sorted.tail) {
+        if (e._2 - prev >= 30L * 60 * 1000) { bounds += ((start, prev)); start = e._2 }
+        prev = e._2
+      }
+      bounds += ((start, prev))
+      bounds
+    }.toSeq
+    val points = (iv.map(_._1) ++ iv.map(_._2)).distinct.sorted
+    val active = points.map { ms =>
+      ms -> iv.count { case (s0, e0) => s0 <= ms && ms <= e0 }.toLong
+    }
+    val byDay = active.groupBy { case (ms, _) =>
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.toString
+    }
+    val exp = byDay.map { case (d, pts) =>
+      val peak = pts.map(_._2).max
+      (d, peak, pts.filter(_._2 == peak).map(_._1).min)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === exp)
+    assert(got.forall(_._2 >= 1L))
+  }
+
+  test("q220 brand BFS: hop distances match a driver BFS and respect the triangle rule") {
+    import spark.implicits._
+    val got = q("q220_brand_bfs").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // rebuild the edge spine exactly as q158/q165 do
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val baskets = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+    val pairN = scala.collection.mutable.Map.empty[(String, String), Long]
+    baskets.groupBy(_._1).values.foreach { bs =>
+      val brands = bs.map(_._2).distinct
+      for (a <- brands; b <- brands if a < b)
+        pairN((a, b)) = pairN.getOrElse((a, b), 0L) + 1
+    }
+    val adj = pairN.filter(_._2 >= 10).keys
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dist = scala.collection.mutable.Map("Brand#1" -> 0L)
+    var frontier = Set("Brand#1")
+    var d = 0L
+    while (frontier.nonEmpty && d < 6) {
+      d += 1
+      frontier = frontier.flatMap(b => adj.getOrElse(b, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(b => dist(b) = d)
+    }
+    assert(got.keySet === brandOf.values.toSet)
+    got.foreach { case (b, dd) => assert(dd === dist.get(b), b) }
+    // BFS sanity: every edge spans at most one level
+    pairN.filter(_._2 >= 10).keys.foreach { case (a, b) =>
+      (dist.get(a), dist.get(b)) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) <= 1, (a, b))
+        case (None, None) => ()
+        case other => fail(s"edge $a-$b half-reached: $other")
+      }
+    }
+  }
+
+  test("q221 Shapley attribution: exact fixed-point phis match a driver replay and satisfy efficiency") {
+    import spark.implicits._
+    val got = q("q221_shapley_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq.sorted === Seq("click", "error", "signup", "view"))
+    // driver replay with the SAME e6 fixed-point arithmetic
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val bits = Map("view" -> 1L, "click" -> 2L, "signup" -> 4L, "error" -> 8L)
+    val per = ev.groupBy(_._1).values.map { es =>
+      val types = es.map(_._2).toSet
+      val mask = bits.collect { case (t0, b) if types(t0) => b }.sum
+      (mask, if (es.count(_._2 == "purchase") >= 3) 1L else 0L)
+    }.toSeq
+    val byMask = per.groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    def v6(m: Long): Long =
+      byMask.get(m).map { case (nu, nc) => nc * 1000000L / nu }.getOrElse(0L)
+    val w24 = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    got.foreach { case (ch, nUsers, nConv, shap) =>
+      val bit = bits(ch)
+      val phi = (0L until 16L).filter(m => (m & bit) == 0).map { m =>
+        w24(java.lang.Long.bitCount(m)) * (v6(m + bit) - v6(m))
+      }.sum
+      assert(math.abs(shap - phi.toDouble / 24e6) < 1e-6, ch)
+      val touching = (0L until 16L).filter(m => (m & bit) != 0)
+      assert(nUsers === touching.map(m => byMask.get(m).map(_._1).getOrElse(0L)).sum, ch)
+      assert(nConv === touching.map(m => byMask.get(m).map(_._2).getOrElse(0L)).sum, ch)
+    }
+    // efficiency (up to the four e6 truncations + 6dp rounds):
+    // Σφ_i = v(full) − v(∅)
+    val total = got.map(_._4).sum
+    assert(math.abs(total - (v6(15L) - v6(0L)).toDouble / 1e6) < 5e-6)
+  }
 }
