@@ -144,6 +144,51 @@ object GlobalRank {
   }
 
   /**
+   * [[withGlobalRank]] plus an EXCLUSIVE running maximum of `value` (LONG)
+   * over the same total order: `prefixCol` = max(value) over rows ranked
+   * STRICTLY BEFORE this row, NULL for the global first row. The
+   * distributed-cummax shape behind skyline/Pareto-frontier scans (a point
+   * survives iff no earlier point beats it) and high-water-mark analyses —
+   * exclusive because the row must not shadow itself.
+   *
+   * Same two-pass skeleton as [[withGlobalPrefixSum]]: the control-plane
+   * frame carries each partition's max, whose EXCLUSIVE prefix max over
+   * ≤`partitions` rows broadcasts back as the partition's carry-in; within
+   * a partition the running max window excludes the current row. `greatest`
+   * combines the two (it ignores NULLs unless both sides are NULL — exactly
+   * the first-row semantics wanted). Max is idempotent and
+   * order-insensitive, so the result is deterministic under any
+   * partitioning, like the integer prefix sums.
+   */
+  def withGlobalPrefixMax(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      rankCol: String,
+      nCol: String,
+      prefixCol: String,
+      partitions: Int = 32): DataFrame = {
+    val tagged = tagByRange(df.withColumn("_gm_v", value.cast("long")), order, partitions)
+    val counts = tagged.groupBy(col("_gr_pid"))
+      .agg(max(col("_gr_lrn")).as("_gr_cnt"), max(col("_gm_v")).as("_gm_pmax"))
+    val offsets = counts
+      .withColumn("_gr_off", coalesce(sum(col("_gr_cnt")).over(wPrefix), lit(0L)))
+      .withColumn("_gr_n", sum(col("_gr_cnt")).over(wAll))
+      .withColumn("_gm_voff", max(col("_gm_pmax")).over(wPrefix))
+      .select(col("_gr_pid"), col("_gr_off"), col("_gr_n"), col("_gm_voff"))
+
+    val wLocalExcl = Window.partitionBy(col("_gr_pid")).orderBy(col("_gr_lrn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .join(broadcast(offsets), "_gr_pid")
+      .withColumn(rankCol, col("_gr_lrn") + col("_gr_off"))
+      .withColumn(nCol, col("_gr_n"))
+      .withColumn(prefixCol, greatest(
+        max(col("_gm_v")).over(wLocalExcl), col("_gm_voff")))
+      .drop("_gr_pid", "_gr_lrn", "_gr_off", "_gr_n", "_gm_v", "_gm_voff")
+  }
+
+  /**
    * Exact long floor-division. Subtracting the modulo first makes the
    * numerator an exact multiple, so the double division (Spark's `/` on
    * longs) has an integer true quotient and IEEE rounds it exactly — naive

@@ -2495,6 +2495,154 @@ object StatsQueries {
           (round($"phi24e6".cast("double") / lit(24000000.0), 6) + lit(0d))
             .as("shapley"))
         .orderBy($"channel")
+    },
+
+    // ----------------------------------------------- mutual information
+    // Mutual information between event type and day-of-week — the
+    // information-theoretic complement to q160's chi-square (chi-square
+    // detects dependence; MI quantifies it in nats). q160's per-cell
+    // discipline: output each cell's contribution (c/N)·ln(c·N/(c_x·c_y))
+    // rather than a float SUM whose accumulation order differs between
+    // engines. Exact integer counts throughout; the count products go
+    // DECIMAL→double (c_x·c_y overflows LONG at ~3·10⁹ rows per
+    // marginal); ONE mirrored float expression per cell with the −0.0
+    // guard (independent cells contribute exactly 0). One fact scan;
+    // marginals re-aggregate the pinned ≤35-cell frame.
+    "q222_mutual_information" -> { (s, dir) =>
+      import s.implicits._
+      val cells = Pin.lazily(events(s, dir)
+        .groupBy($"event_type", weekday(to_date($"ts")).as("dow"))
+        .agg(count(lit(1)).as("obs")))
+      val mx = cells.groupBy($"event_type").agg(sum($"obs").as("n_x"))
+      val my = cells.groupBy($"dow").agg(sum($"obs").as("n_y"))
+      val nn = cells.agg(sum($"obs").as("n_tot"))
+      cells.join(broadcast(mx), "event_type")
+        .join(broadcast(my), "dow")
+        .crossJoin(broadcast(nn))
+        .select($"event_type", $"dow".cast("long").as("dow"), $"obs",
+          $"n_x", $"n_y",
+          (round(($"obs".cast("double") / $"n_tot") *
+            log(($"obs".cast(dec) * $"n_tot").cast("double") /
+              ($"n_x".cast(dec) * $"n_y").cast("double")), 6) + lit(0d))
+            .as("mi_term"))
+        .orderBy($"event_type", $"dow")
+    },
+
+    // ------------------------------------------------- Pareto frontier
+    // Skyline query over parts (minimize retail price, maximize size):
+    // a point is dominated iff some part is ≤ price and ≥ size with one
+    // strict. The scale-true plan is O(n log n), never the all-pairs
+    // dominance test: collapse to the distinct (price, size) frame, then
+    // per price the max size, then ONE exclusive global prefix max over
+    // prices ([[GlobalRank.withGlobalPrefixMax]] — the two-pass
+    // distributed cummax, no unpartitioned data-row window). A pair
+    // survives iff its size beats every strictly-cheaper price's best
+    // size AND is its own price's best. The DuckDB oracle mirrors the
+    // same prefix-max form (their window over the price-granularity
+    // frame), proving the sweep equals the dominance definition.
+    "q223_pareto_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val pp = Pin.lazily(t(s, dir, "part")
+        .groupBy(cents($"p_retailprice").as("price_c"),
+          $"p_size".cast("long").as("p_size"))
+        .agg(count(lit(1)).as("n_parts")))
+      val pm = pp.groupBy($"price_c").agg(max($"p_size").as("pmax"))
+      val cm = GlobalRank.withGlobalPrefixMax(
+        pm, Seq($"price_c"), $"pmax", "prk", "pn", "cmax_lt")
+      pp.join(cm.select($"price_c", $"pmax", $"cmax_lt"), "price_c")
+        .filter(($"cmax_lt".isNull || $"cmax_lt" < $"p_size") &&
+          $"p_size" === $"pmax")
+        .select($"price_c", $"p_size", $"n_parts")
+        .orderBy($"price_c")
+    },
+
+    // ---------------------------------------------- Neyman allocation
+    // Optimal stratified-sample allocation (Neyman 1934): allocate a
+    // fixed budget n=1000 across market-segment strata ∝ N_h·S_h, so
+    // high-variance strata get proportionally more samples than
+    // proportional allocation would give. Float discipline: S_h comes
+    // from exact DECIMAL moments (Σv and Σv² in cents — Σv² overflows
+    // LONG at per-customer spends ~10⁹ cents) via ONE mirrored
+    // sqrt(num/den); then S_h is quantized to e2 fixed point with
+    // floor(sd·100) — floor of the identical double is engine-safe where
+    // a float SUM across strata would not be — making N_h·sd_e2 and its
+    // stratum total EXACT BIGINTs, so shares and the integer allocation
+    // ((n·w_h) div W, truncating like DuckDB //) are order-free.
+    "q224_neyman_allocation" -> { (s, dir) =>
+      import s.implicits._
+      val spend = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(sum(cents($"o_totalprice")).as("v"))
+      val strata = Pin.lazily(t(s, dir, "customer")
+        .join(spend, $"c_custkey" === $"o_custkey", "left_outer")
+        .select($"c_mktsegment", coalesce($"v", lit(0L)).as("v"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_h"),
+          sum($"v".cast(dec)).as("sv"),
+          sum($"v".cast(dec) * $"v").as("sv2"))
+        .filter($"n_h" >= 2)
+        .select($"c_mktsegment", $"n_h",
+          floor(sqrt(
+            (($"n_h" * $"sv2" - $"sv" * $"sv").cast("double")) /
+              (($"n_h".cast(dec) * ($"n_h" - 1)).cast("double"))) * 100.0)
+            .cast("long").as("sd_e2"))
+        .withColumn("nshs", $"n_h" * $"sd_e2"))
+      val tot = strata.agg(sum($"nshs").as("w_tot"))
+      strata.crossJoin(broadcast(tot))
+        .select($"c_mktsegment", $"n_h",
+          round($"sd_e2".cast("double") / 100.0, 6).as("sd"),
+          round($"nshs".cast("double") / $"w_tot", 6).as("share"),
+          expr("(1000 * nshs) div w_tot").as("alloc_n"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // ------------------------------------------------------ BM25 ranking
+    // Okapi BM25 retrieval (Robertson–Spärck Jones) for a fixed 3-term
+    // query over the document corpus — the ranking face of the retrieval
+    // family (q50 TF-IDF features, q189 RRF fusion): per term,
+    // idf·tf·(k₁+1)/(tf + k₁·(1−b+b·len/avgdl)) with k₁=1.2, b=0.75.
+    // Exact ingredients (tf, df, len, Σlen, N) are integer aggregates;
+    // per-term scores are mirrored float expressions; the 3-term total is
+    // summed in FIXED LITERAL ORDER (s_spark + s_join + s_window) via a
+    // pivot to columns — a float SUM over term rows would accumulate in
+    // engine-dependent order. Top-10 ships via TakeOrderedAndProject on
+    // the raw double (round only on output). Scale: tf frame is
+    // (doc × query-term) granularity; df/avgdl are broadcast scalars.
+    "q225_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("spark", "join", "window")
+      val docs = Pin.lazily(t(s, dir, "documents")
+        .select($"doc_id", split(lower($"text"), " ").as("ws"))
+        .select($"doc_id", size($"ws").cast("long").as("dl"), $"ws"))
+      val tok = docs.select($"doc_id", explode($"ws").as("token"))
+        .filter($"token".isin(terms: _*))
+      val stats = tok.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+      val corpus = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val perTerm = tok.groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(stats), "token")
+        .join(docs.select($"doc_id", $"dl"), "doc_id")
+        .crossJoin(broadcast(corpus))
+        .select($"doc_id", $"token", $"tf",
+          (log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+            $"tf".cast("double") * (lit(1.2) + lit(1.0)) /
+            ($"tf".cast("double") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * $"dl".cast("double") * $"n_docs" / $"sum_dl")))
+            .as("sc"))
+      val piv = perTerm.groupBy($"doc_id")
+        .pivot("token", terms)
+        .agg(first($"sc").as("sc"), first($"tf").as("tf"))
+      docs.select($"doc_id", $"dl")
+        .join(piv, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"dl",
+          coalesce(col("spark_tf"), lit(0L)).as("tf_spark"),
+          coalesce(col("join_tf"), lit(0L)).as("tf_join"),
+          coalesce(col("window_tf"), lit(0L)).as("tf_window"),
+          (coalesce(col("spark_sc"), lit(0.0)) +
+            coalesce(col("join_sc"), lit(0.0)) +
+            coalesce(col("window_sc"), lit(0.0))).as("score_raw"))
+        .orderBy($"score_raw".desc, $"doc_id").limit(10)
+        .select($"doc_id", $"dl", $"tf_spark", $"tf_join", $"tf_window",
+          round($"score_raw", 6).as("score"))
     }
   )
 
@@ -3947,6 +4095,116 @@ object StatsQueries {
         |SELECT phi.channel, touch.n_users, touch.n_conv,
         |  ROUND(CAST(phi.phi24e6 AS DOUBLE) / 24000000.0, 6) + 0.0 AS shapley
         |FROM phi JOIN touch ON touch.channel = phi.channel
-        |ORDER BY phi.channel""".stripMargin
+        |ORDER BY phi.channel""".stripMargin,
+
+    "q222_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT event_type, (isodow(CAST(ts AS DATE)) - 1) AS dow,
+        |    COUNT(*) AS obs
+        |  FROM events GROUP BY event_type, (isodow(CAST(ts AS DATE)) - 1)),
+        |mx AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS n_x
+        |       FROM cells GROUP BY event_type),
+        |my AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS n_y
+        |       FROM cells GROUP BY dow),
+        |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells)
+        |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.obs,
+        |  mx.n_x, my.n_y,
+        |  ROUND((CAST(c.obs AS DOUBLE) / n_tot) *
+        |    LN(CAST(CAST(c.obs AS HUGEINT) * n_tot AS DOUBLE) /
+        |       CAST(CAST(mx.n_x AS HUGEINT) * my.n_y AS DOUBLE)), 6) + 0.0
+        |    AS mi_term
+        |FROM cells c
+        |JOIN mx ON mx.event_type = c.event_type
+        |JOIN my ON my.dow = c.dow
+        |CROSS JOIN nn
+        |ORDER BY c.event_type, c.dow""".stripMargin,
+
+    "q223_pareto_frontier" ->
+      """WITH pp AS (
+        |  SELECT CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS p_size, COUNT(*) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |pm AS (SELECT price_c, MAX(p_size) AS pmax FROM pp GROUP BY price_c),
+        |cm AS (
+        |  SELECT price_c, pmax,
+        |    MAX(pmax) OVER (ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmax_lt
+        |  FROM pm)
+        |SELECT pp.price_c, pp.p_size, pp.n_parts
+        |FROM pp JOIN cm ON cm.price_c = pp.price_c
+        |WHERE (cm.cmax_lt IS NULL OR cm.cmax_lt < pp.p_size)
+        |  AND pp.p_size = cm.pmax
+        |ORDER BY pp.price_c""".stripMargin,
+
+    "q224_neyman_allocation" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY o_custkey),
+        |strata AS (
+        |  SELECT c.c_mktsegment, COUNT(*) AS n_h,
+        |    CAST(SUM(CAST(COALESCE(s.v, 0) AS HUGEINT)) AS HUGEINT) AS sv,
+        |    CAST(SUM(CAST(COALESCE(s.v, 0) AS HUGEINT) * COALESCE(s.v, 0))
+        |      AS HUGEINT) AS sv2
+        |  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment HAVING COUNT(*) >= 2),
+        |sd AS (
+        |  SELECT c_mktsegment, n_h,
+        |    CAST(FLOOR(SQRT(
+        |      CAST(n_h * sv2 - sv * sv AS DOUBLE) /
+        |      CAST(CAST(n_h AS HUGEINT) * (n_h - 1) AS DOUBLE)) * 100.0)
+        |      AS BIGINT) AS sd_e2
+        |  FROM strata),
+        |w AS (SELECT c_mktsegment, n_h, sd_e2, n_h * sd_e2 AS nshs FROM sd),
+        |tot AS (SELECT CAST(SUM(nshs) AS BIGINT) AS w_tot FROM w)
+        |SELECT w.c_mktsegment, w.n_h,
+        |  ROUND(CAST(w.sd_e2 AS DOUBLE) / 100.0, 6) AS sd,
+        |  ROUND(CAST(w.nshs AS DOUBLE) / w_tot, 6) AS share,
+        |  CAST((1000 * w.nshs) // w_tot AS BIGINT) AS alloc_n
+        |FROM w CROSS JOIN tot
+        |ORDER BY w.c_mktsegment""".stripMargin,
+
+    "q225_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS ws
+        |  FROM documents),
+        |docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+        |tok AS (
+        |  SELECT doc_id, unnest(ws) AS token FROM d),
+        |ft AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'join', 'window')
+        |       GROUP BY doc_id, token),
+        |st AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+        |       WHERE token IN ('spark', 'join', 'window') GROUP BY token),
+        |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+        |           FROM docs),
+        |per AS (
+        |  SELECT ft.doc_id, ft.token, ft.tf,
+        |    LN((n_docs - df + 0.5) / (df + 0.5)) * CAST(ft.tf AS DOUBLE) *
+        |      (1.2 + 1.0) /
+        |      (CAST(ft.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+        |        0.75 * CAST(docs.dl AS DOUBLE) * n_docs / sum_dl)) AS sc
+        |  FROM ft JOIN st ON st.token = ft.token
+        |  JOIN docs ON docs.doc_id = ft.doc_id
+        |  CROSS JOIN corpus),
+        |piv AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN token = 'spark' THEN sc END) AS spark_sc,
+        |    MAX(CASE WHEN token = 'join' THEN sc END) AS join_sc,
+        |    MAX(CASE WHEN token = 'window' THEN sc END) AS window_sc,
+        |    MAX(CASE WHEN token = 'spark' THEN tf END) AS spark_tf,
+        |    MAX(CASE WHEN token = 'join' THEN tf END) AS join_tf,
+        |    MAX(CASE WHEN token = 'window' THEN tf END) AS window_tf
+        |  FROM per GROUP BY doc_id)
+        |SELECT docs.doc_id, docs.dl,
+        |  CAST(COALESCE(piv.spark_tf, 0) AS BIGINT) AS tf_spark,
+        |  CAST(COALESCE(piv.join_tf, 0) AS BIGINT) AS tf_join,
+        |  CAST(COALESCE(piv.window_tf, 0) AS BIGINT) AS tf_window,
+        |  ROUND(COALESCE(piv.spark_sc, 0.0) + COALESCE(piv.join_sc, 0.0) +
+        |        COALESCE(piv.window_sc, 0.0), 6) AS score
+        |FROM docs LEFT JOIN piv ON piv.doc_id = docs.doc_id
+        |ORDER BY (COALESCE(piv.spark_sc, 0.0) + COALESCE(piv.join_sc, 0.0) +
+        |          COALESCE(piv.window_sc, 0.0)) DESC, docs.doc_id
+        |LIMIT 10""".stripMargin
   )
 }

@@ -60,6 +60,25 @@ class GlobalRankSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("withGlobalPrefixMax equals the unpartitioned exclusive running-max window") {
+    import spark.implicits._
+    val w = Window.orderBy($"v", $"id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    for (parts <- Seq(1, 3, 4, 7)) {
+      val df = fixture(53).withColumn("wt", ($"id" * 37) % 29)
+      val expected = df
+        .withColumn("cm_w", max($"wt").over(w))
+        .select($"id", $"cm_w")
+      val got = GlobalRank.withGlobalPrefixMax(df, Seq($"v", $"id"), $"wt",
+        "rk", "n_total", "cm", partitions = parts)
+      // null-safe compare: the global first row is NULL on both sides
+      val diff = got.join(expected, "id")
+        .filter(!($"cm" <=> $"cm_w")).count()
+      assert(diff === 0, s"prefix-max mismatch at partitions=$parts")
+      assert(got.filter($"rk" === 1).select($"cm").head().isNullAt(0))
+    }
+  }
+
   test("ntileFromRank matches SQL NTILE for every n in 1..40 (k=10)") {
     import spark.implicits._
     for (n <- Seq(1, 3, 9, 10, 11, 19, 20, 21, 26, 37, 40)) {

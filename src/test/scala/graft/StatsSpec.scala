@@ -1684,4 +1684,126 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     val total = got.map(_._4).sum
     assert(math.abs(total - (v6(15L) - v6(0L)).toDouble / 1e6) < 5e-6)
   }
+
+  test("q222 mutual information: per-cell terms match a driver replay and sum to nonnegative MI") {
+    import spark.implicits._
+    val got = q("q222_mutual_information").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(got.nonEmpty)
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .select($"event_type", $"ms").as[(String, Long)].collect()
+      .map { case (et, ms) =>
+        (et, java.time.Instant.ofEpochMilli(ms)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+          .getDayOfWeek.getValue.toLong - 1L)
+      }
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nx = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ny = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = ev.length.toLong
+    assert(got.map(_._1).toSet === cells.keySet)
+    got.foreach { case (k @ (et, dow), (obs, gx, gy, term)) =>
+      assert(obs === cells(k) && gx === nx(et) && gy === ny(dow), k)
+      val exp = (obs.toDouble / n) *
+        math.log(obs.toDouble * n / (gx.toDouble * gy))
+      assert(math.abs(term - exp) < 1e-5, s"$k term $term vs $exp")
+    }
+    // MI = Σ terms ≥ 0 (Gibbs), up to per-cell rounding
+    assert(got.map(_._2._4).sum >= -1e-4 * got.length)
+  }
+
+  test("q223 Pareto frontier: sweep output equals the brute-force dominance definition") {
+    import spark.implicits._
+    val got = q("q223_pareto_frontier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_retailprice", $"p_size").collect()
+      .map(r => (math.round(r.getDouble(0) * 100), r.getInt(1).toLong))
+    val pairs = parts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val frontier = pairs.keys.filter { case (p, sz) =>
+      !pairs.keys.exists { case (p2, sz2) =>
+        p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz)
+      }
+    }.toSeq.sorted
+    assert(got.map(t0 => (t0._1, t0._2)).toSeq === frontier)
+    got.foreach { case (p, sz, np) => assert(np === pairs((p, sz))) }
+    // frontier is strictly increasing in size as price rises
+    got.sliding(2).foreach {
+      case Array((p1, s1, _), (p2, s2, _)) =>
+        assert(p1 < p2 && s1 < s2)
+      case _ => ()
+    }
+  }
+
+  test("q224 Neyman allocation: exact fixed-point shares match a driver replay") {
+    import spark.implicits._
+    val got = q("q224_neyman_allocation").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy($"o_custkey").agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)].collect()
+      .map { case (ck, seg) => (seg, spend.getOrElse(ck, 0L)) }
+    val exp = cust.groupBy(_._1).view.mapValues { vs =>
+      val xs = vs.map(_._2.toDouble)
+      val n = xs.length
+      val (sv, sv2) = (vs.map(v => BigInt(v._2)).sum,
+        vs.map(v => BigInt(v._2) * BigInt(v._2)).sum)
+      val sd = math.sqrt((BigInt(n) * sv2 - sv * sv).toDouble /
+        (BigInt(n) * BigInt(n - 1)).toDouble)
+      (n.toLong, math.floor(sd * 100.0).toLong)
+    }.toMap.filter(_._2._1 >= 2)
+    val wTot = exp.map { case (_, (n, sd2)) => n * sd2 }.sum
+    assert(got.map(_._1).toSet === exp.keySet)
+    got.foreach { case (seg, (n, sd, share, alloc)) =>
+      val (en, esd2) = exp(seg)
+      assert(n === en, seg)
+      assert(math.abs(sd - esd2.toDouble / 100.0) < 1e-9, seg)
+      assert(math.abs(share - (en * esd2).toDouble / wTot) < 1e-6, seg)
+      assert(alloc === 1000L * (en * esd2) / wTot, seg)
+    }
+    // allocations use the full budget up to truncation
+    val at = got.map(_._2._4).sum
+    assert(at > 1000L - got.length && at <= 1000L)
+  }
+
+  test("q225 BM25: scores match a driver replay and ranking is by the raw double") {
+    import spark.implicits._
+    val got = q("q225_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length === 10)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, tx) => id -> tx.toLowerCase.split(" ", -1).toSeq }
+    val terms = Seq("spark", "join", "window")
+    val nDocs = docs.length
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val dfm = terms.map(t0 => t0 -> docs.count(_._2.contains(t0)).toLong).toMap
+    def bm25(ws: Seq[String]): Double = {
+      val dl = ws.length
+      terms.map { t0 =>
+        val tf = ws.count(_ == t0).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = dfm(t0).toDouble
+          math.log((nDocs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.toDouble * nDocs / sumDl))
+        }
+      }.sum
+    }
+    val exp = docs.map { case (id, ws) => (id, ws, bm25(ws)) }
+      .sortBy { case (id, _, s0) => (-s0, id) }.take(10)
+    assert(got.map(_._1).toSeq === exp.map(_._1).toSeq)
+    got.zip(exp).foreach { case ((id, dl, ts0, tj, tw, sc), (eid, ws, es)) =>
+      assert(dl === ws.length.toLong, id)
+      assert(ts0 === ws.count(_ == "spark").toLong, id)
+      assert(tj === ws.count(_ == "join").toLong, id)
+      assert(tw === ws.count(_ == "window").toLong, id)
+      assert(math.abs(sc - es) < 1e-5, s"$id score $sc vs $es")
+    }
+  }
 }
