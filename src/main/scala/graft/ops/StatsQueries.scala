@@ -2643,6 +2643,39 @@ object StatsQueries {
         .orderBy($"score_raw".desc, $"doc_id").limit(10)
         .select($"doc_id", $"dl", $"tf_spark", $"tf_join", $"tf_window",
           round($"score_raw", 6).as("score"))
+    },
+
+    // ------------------------------------------ Jaro–Winkler ER blocking
+    // Blocked entity resolution over part names with the native
+    // [[graft.functions.JaroWinkler]] codegen expression (the
+    // record-linkage scorer Spark lacks; its semantics are pinned
+    // bit-for-bit to DuckDB's jaro_winkler_similarity, so the raw-double
+    // ≥0.85 threshold cannot flip rows between engines). The classic
+    // blocking shape: collapse to NAME granularity first (names ≪ rows —
+    // the entity-resolution working set), block on the first name token,
+    // and score only within-block pairs via the block equi-join — never
+    // an all-pairs cross product. Complements q166's sorted-neighborhood
+    // (window-based) and q84's edit-distance verify (Levenshtein): this
+    // is the third classic candidate-generation strategy with the
+    // third classic scorer. Hot blocks are the known blocking caveat —
+    // profile with q87 and salt (ops/Salting) or widen the key if one
+    // block dominates.
+    "q226_jw_blocking" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.StringSimilarity.register(s)
+      val names = Pin.lazily(t(s, dir, "part")
+        .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", split($"p_name", " ").getItem(0)))
+      val a = names.select($"blk", $"p_name".as("name_a"), $"n_parts".as("parts_a"))
+      val b = names.select($"blk", $"p_name".as("name_b"), $"n_parts".as("parts_b"))
+      a.join(b, Seq("blk"))
+        .filter($"name_a" < $"name_b")
+        .withColumn("jw", graft.functions.StringSimilarity
+          .jaroWinkler($"name_a", $"name_b"))
+        .filter($"jw" >= 0.85)
+        .select($"blk", $"name_a", $"name_b", $"parts_a", $"parts_b",
+          round($"jw", 6).as("jw"))
+        .orderBy($"blk", $"name_a", $"name_b")
     }
   )
 
@@ -4205,6 +4238,19 @@ object StatsQueries {
         |FROM docs LEFT JOIN piv ON piv.doc_id = docs.doc_id
         |ORDER BY (COALESCE(piv.spark_sc, 0.0) + COALESCE(piv.join_sc, 0.0) +
         |          COALESCE(piv.window_sc, 0.0)) DESC, docs.doc_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "q226_jw_blocking" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n_parts,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+        |  a.n_parts AS parts_a, b.n_parts AS parts_b,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM names a JOIN names b
+        |  ON b.blk = a.blk AND a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        |ORDER BY a.blk, a.p_name, b.p_name""".stripMargin
   )
 }

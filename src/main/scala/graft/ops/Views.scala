@@ -26,6 +26,7 @@ object Views {
     graft.functions.FrequentItems.register(spark)
     graft.functions.CountMin.register(spark)
     graft.functions.PHashFunctions.register(spark)
+    graft.functions.StringSimilarity.register(spark)
     tables.foreach { name =>
       val df = if (name == "events") Tables.events(spark, dir)
                else Tables.t(spark, dir, name)
