@@ -2676,6 +2676,97 @@ object StatsQueries {
         .select($"blk", $"name_a", $"name_b", $"parts_a", $"parts_b",
           round($"jw", 6).as("jw"))
         .orderBy($"blk", $"name_a", $"name_b")
+    },
+
+    // ------------------------------------------------- compaction plan
+    // Small-file compaction planning — the maintenance operator behind
+    // every partitioned warehouse (and exactly what Spark's own file
+    // coalescing does at read time): pack per-day event partitions, in
+    // day order, into output files of ~target rows via next-fit on the
+    // EXCLUSIVE prefix sum: file_id = (Σ rows before this day) div
+    // target. Pure integer arithmetic over the day-granularity frame;
+    // the one global cumsum is GlobalRank's two-pass prefix — at any
+    // corpus scale the plan frame is bounded by distinct partition keys,
+    // never rows. A single day larger than target stays one (oversized)
+    // file — next-fit never splits a partition, matching the "compact
+    // without rewriting hot partitions" contract.
+    "q227_compaction_plan" -> { (s, dir) =>
+      import s.implicits._
+      val target = 500L
+      val days = events(s, dir)
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n_rows"))
+      GlobalRank.withGlobalPrefixSum(
+          days, Seq($"d"), $"n_rows", "rk", "nd", "cum", "tot")
+        .withColumn("file_id", expr(s"(cum - n_rows) div $target"))
+        .groupBy($"file_id")
+        .agg(count(lit(1)).as("n_days"), min($"d").as("day_min"),
+          max($"d").as("day_max"), sum($"n_rows").as("n_rows"))
+        .orderBy($"file_id")
+    },
+
+    // ------------------------------------------ dictionary-encoding advisor
+    // Storage-layout advisor: for each low-cardinality string column,
+    // estimate the dictionary-encoding win — plain bytes = Σ len(value)
+    // vs dict bytes = Σ len(distinct values) + n·⌈log₂ ndv⌉/8. The bit
+    // width comes from length(bin(ndv−1)) — INTEGER string length of the
+    // binary representation, not a float log whose ceil could sit on a
+    // power-of-two boundary. Per column: one full aggregate + one
+    // distinct aggregate, unioned at column granularity (5 rows out).
+    // One float division (the ratio) per row, mirrored.
+    "q228_dict_encoding_advisor" -> { (s, dir) =>
+      import s.implicits._
+      def advise(table: String, column: String): DataFrame = {
+        val src = t(s, dir, table).select(col(column).as("v"))
+        val full = src.agg(count(lit(1)).as("n"),
+          sum(length($"v")).cast("long").as("plain_bytes"))
+        val dict = src.distinct().agg(count(lit(1)).as("ndv"),
+          sum(length($"v")).cast("long").as("dict_values_bytes"))
+        full.crossJoin(dict)
+          .select(lit(table).as("tbl"), lit(column).as("col_name"),
+            $"n", $"ndv", $"plain_bytes", $"dict_values_bytes",
+            when($"ndv" <= 1, lit(1L))
+              .otherwise(length(bin($"ndv" - 1)).cast("long")).as("code_bits"))
+          .withColumn("dict_bytes",
+            $"dict_values_bytes" + expr("(n * code_bits + 7) div 8"))
+          .select($"tbl", $"col_name", $"n", $"ndv", $"plain_bytes",
+            $"code_bits", $"dict_bytes",
+            round($"dict_bytes".cast("double") / $"plain_bytes", 6)
+              .as("size_ratio"))
+      }
+      advise("orders", "o_orderpriority")
+        .union(advise("orders", "o_orderstatus"))
+        .union(advise("customer", "c_mktsegment"))
+        .union(advise("part", "p_brand"))
+        .union(advise("part", "p_type"))
+        .orderBy($"tbl", $"col_name")
+    },
+
+    // ------------------------------------------ partition-layout advisor
+    // Which partition key should a 100 TB events table use? For each
+    // candidate (event_type, event day, a 64-way user-hash bucket):
+    // distinct partition count, rows in the largest partition, and the
+    // skew ratio max·ndv/n (1 = perfectly balanced). The q87 join-skew
+    // profile generalized to LAYOUT choice: high ndv with low skew
+    // prunes well and writes balanced files; low ndv (event_type) means
+    // giant partitions; hash buckets trade pruning for balance. One
+    // aggregate per candidate at partition-key granularity, unioned into
+    // a 3-row advisory. Exact integers + one mirrored float each.
+    "q229_partition_layout_advisor" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Pin.lazily(events(s, dir)
+        .select($"event_type", to_date($"ts").as("d"), $"user_id"))
+      def profile(name: String, key: Column): DataFrame =
+        ev.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_parts"), sum($"cnt").as("n_rows"),
+            max($"cnt").as("max_part"))
+          .select(lit(name).as("candidate"), $"n_parts", $"n_rows", $"max_part",
+            round(($"max_part".cast(dec) * $"n_parts").cast("double") /
+              $"n_rows".cast("double"), 6).as("skew_ratio"))
+      profile("event_type", $"event_type")
+        .union(profile("event_day", $"d".cast("string")))
+        .union(profile("user_bucket64", pmod($"user_id", lit(64L)).cast("string")))
+        .orderBy($"candidate")
     }
   )
 
@@ -4251,6 +4342,62 @@ object StatsQueries {
         |FROM names a JOIN names b
         |  ON b.blk = a.blk AND a.p_name < b.p_name
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
-        |ORDER BY a.blk, a.p_name, b.p_name""".stripMargin
+        |ORDER BY a.blk, a.p_name, b.p_name""".stripMargin,
+
+    "q227_compaction_plan" ->
+      """WITH days AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_rows
+        |  FROM events GROUP BY CAST(ts AS DATE)),
+        |c AS (
+        |  SELECT d, n_rows,
+        |    SUM(n_rows) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM days)
+        |SELECT CAST((cum - n_rows) // 500 AS BIGINT) AS file_id,
+        |  COUNT(*) AS n_days, MIN(d) AS day_min, MAX(d) AS day_max,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+        |FROM c GROUP BY CAST((cum - n_rows) // 500 AS BIGINT)
+        |ORDER BY file_id""".stripMargin,
+
+    "q228_dict_encoding_advisor" -> {
+      def one(table: String, column: String): String =
+        s"""SELECT '$table' AS tbl, '$column' AS col_name, f.n, d.ndv,
+           |  f.plain_bytes,
+           |  CASE WHEN d.ndv <= 1 THEN 1
+           |       ELSE CAST(LENGTH(bin(d.ndv - 1)) AS BIGINT) END AS code_bits,
+           |  d.dict_values_bytes +
+           |    (f.n * (CASE WHEN d.ndv <= 1 THEN 1
+           |            ELSE CAST(LENGTH(bin(d.ndv - 1)) AS BIGINT) END) + 7) // 8
+           |    AS dict_bytes,
+           |  ROUND(CAST(d.dict_values_bytes +
+           |    (f.n * (CASE WHEN d.ndv <= 1 THEN 1
+           |            ELSE CAST(LENGTH(bin(d.ndv - 1)) AS BIGINT) END) + 7) // 8
+           |    AS DOUBLE) / f.plain_bytes, 6) AS size_ratio
+           |FROM (SELECT COUNT(*) AS n,
+           |        CAST(SUM(LENGTH($column)) AS BIGINT) AS plain_bytes
+           |      FROM $table) f
+           |CROSS JOIN (SELECT COUNT(*) AS ndv,
+           |        CAST(SUM(LENGTH(v)) AS BIGINT) AS dict_values_bytes
+           |      FROM (SELECT DISTINCT $column AS v FROM $table)) d""".stripMargin
+      Seq(("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+        ("customer", "c_mktsegment"), ("part", "p_brand"), ("part", "p_type"))
+        .map((one _).tupled)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+    },
+
+    "q229_partition_layout_advisor" -> {
+      def one(name: String, keyExpr: String): String =
+        s"""SELECT '$name' AS candidate, COUNT(*) AS n_parts,
+           |  CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_part,
+           |  ROUND(CAST(CAST(MAX(cnt) AS HUGEINT) * COUNT(*) AS DOUBLE) /
+           |        CAST(SUM(cnt) AS DOUBLE), 6) AS skew_ratio
+           |FROM (SELECT $keyExpr AS k, COUNT(*) AS cnt
+           |      FROM events GROUP BY $keyExpr)""".stripMargin
+      Seq(("event_type", "event_type"),
+        ("event_day", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
+        ("user_bucket64", "CAST(user_id % 64 AS VARCHAR)"))
+        .map((one _).tupled)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+    }
   )
 }

@@ -1806,4 +1806,88 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(sc - es) < 1e-5, s"$id score $sc vs $es")
     }
   }
+
+  test("q227 compaction plan: next-fit packing replayed from the raw day counts") {
+    import spark.implicits._
+    val got = q("q227_compaction_plan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString,
+        r.getDate(3).toString, r.getLong(4)))
+    val days = graft.ops.Tables.events(spark, sf0001)
+      .select($"ms").as[Long].collect()
+      .groupBy(ms => java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      .view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    var cum = 0L
+    val assigned = days.map { case (d, n) =>
+      val fid = cum / 500L; cum += n; (fid, d, n)
+    }
+    val exp = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (fid, ds) =>
+      (fid, ds.size.toLong, ds.map(_._2).min, ds.map(_._2).max, ds.map(_._3).sum)
+    }
+    assert(got.toSeq === exp)
+    // files respect the day ordering: ranges never interleave
+    got.sliding(2).foreach {
+      case Array((_, _, _, max1, _), (_, _, min2, _, _)) => assert(max1 < min2)
+      case _ => ()
+    }
+    // every file except possibly the last was CLOSED because it reached
+    // target — its rows are ≥ 500 − (largest day it might have missed);
+    // the structural invariant worth pinning is total conservation
+    assert(got.map(_._5).sum === days.map(_._2).sum)
+  }
+
+  test("q228 dict advisor: byte model replayed from raw distinct scans") {
+    import spark.implicits._
+    val got = q("q228_dict_encoding_advisor").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7))))
+      .toMap
+    val cols = Seq(("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+      ("customer", "c_mktsegment"), ("part", "p_brand"), ("part", "p_type"))
+    assert(got.keySet === cols.toSet)
+    cols.foreach { case k @ (tbl, cn) =>
+      val vs = spark.read.parquet(s"$sf0001/$tbl.parquet")
+        .select(col(cn).cast("string")).as[String].collect()
+      val dv = vs.distinct
+      val bits = if (dv.length <= 1) 1L
+        else java.lang.Long.toBinaryString(dv.length - 1L).length.toLong
+      val plain = vs.map(_.length.toLong).sum
+      val dictB = dv.map(_.length.toLong).sum + (vs.length * bits + 7) / 8
+      val (n, ndv, pb, cb, db, ratio) = got(k)
+      assert(n === vs.length.toLong && ndv === dv.length.toLong, k)
+      assert(pb === plain && cb === bits && db === dictB, k)
+      assert(math.abs(ratio - dictB.toDouble / plain) < 1e-6, k)
+      // the advisor's point: these candidates all dictionary-compress
+      assert(ratio < 1.0, k)
+    }
+  }
+
+  test("q229 layout advisor: candidate profiles replayed; hash bucket balances best") {
+    import spark.implicits._
+    val got = q("q229_partition_layout_advisor").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .select($"event_type", $"ms", $"user_id")
+      .as[(String, Long, Long)].collect()
+    def prof(key: ((String, Long, Long)) => String): (Long, Long, Long, Double) = {
+      val cnts = ev.groupBy(key).view.mapValues(_.length.toLong).values.toSeq
+      (cnts.size.toLong, cnts.sum, cnts.max,
+        cnts.max.toDouble * cnts.size / cnts.sum)
+    }
+    val exp = Map(
+      "event_type" -> prof(_._1),
+      "event_day" -> prof(e => java.time.Instant.ofEpochMilli(e._2)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString),
+      "user_bucket64" -> prof(e => (e._3 % 64).toString))
+    assert(got.keySet === exp.keySet)
+    got.foreach { case (k, (np, nr, mp, sk)) =>
+      val (enp, enr, emp, esk) = exp(k)
+      assert(np === enp && nr === enr && mp === emp, k)
+      assert(math.abs(sk - esk) < 1e-6, k)
+    }
+    // sanity of the advisory itself: every candidate covers all rows
+    assert(got.values.map(_._2).toSet.size === 1)
+  }
 }
