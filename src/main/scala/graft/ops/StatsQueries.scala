@@ -168,6 +168,30 @@ object StatsQueries {
     * engines. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** q232: GESD rounds and the fixed flagging threshold (literal string,
+    * the PoissonCdf convention — the textbook t-based λ_i needs an
+    * inverse-t CDF neither engine ships; a fixed 3σ gate keeps the
+    * statistic exact and the flag mirrored). */
+  val GesdRounds = 4
+  val GesdThreshold = "3.0"
+
+  /** q233: split-conformal miscoverage level (q̂ = the ⌈(1−α)(n+1)⌉-th
+    * smallest calibration residual — an exact order statistic, never an
+    * interpolated percentile). */
+  val ConformalAlpha = "0.1"
+
+  /** q236: NDCG@5 position weights 1/log₂(p+1) and their prefix sums
+    * (the ideal DCG for k relevant items), as literal strings — neither
+    * engine's log2 is pinned to correctly-rounded, so no log is ever
+    * evaluated at query time (the PoissonCdf convention). */
+  val NdcgW: Seq[String] = Seq(
+    "1.0", "0.6309297535714575", "0.5",
+    "0.43067655807339306", "0.38685280723454163")
+  val NdcgIdcg: Seq[String] = Seq(
+    "1.0", "1.6309297535714575", "2.1309297535714578",
+    "2.5616063116448506", "2.9484591188793923")
+  val NdcgK = 5
+
   // Shared pinned frames are MEMOIZED per (application, fixture dir) —
   // the covStats/q91-layout lesson: q163/q164/q169/q177/q184 share the
   // day frame and q158/q165/q170 share the basket + pair frames; a
@@ -2767,6 +2791,118 @@ object StatsQueries {
         .union(profile("event_day", $"d".cast("string")))
         .union(profile("user_bucket64", pmod($"user_id", lit(64L)).cast("string")))
         .orderBy($"candidate")
+    },
+
+    // ------------------------------------------ isotonic calibration (PAV)
+    // Pool-adjacent-violators isotonic regression of the return rate
+    // against quantity bins — the calibration step q97's binned reliability
+    // readout stops short of: the LEAST-SQUARES monotone fit, via the
+    // closed minimax form iso(k) = max_{i≤k} min_{j≥k} mean(y over bins
+    // i..j), which equals the PAV solution exactly (Ayer et al. 1955) and
+    // needs no sequential pooling loop. Scale shape: ONE data-wide
+    // aggregate to B=10 bin rows; the interval means and the minimax are
+    // B³ work over broadcast control-plane frames — corpus size never
+    // appears after the first groupBy. Interval means are single float
+    // divisions of exact BIGINT interval sums; min/max over identical
+    // doubles are engine-order-free.
+    "q230_isotonic_calibration" -> { (s, dir) =>
+      import s.implicits._
+      val b = Pin.lazily(t(s, dir, "lineitem")
+        .select(expr("(cast(l_quantity as bigint) - 1) div 5").as("bin"),
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("y"))
+        .groupBy($"bin").agg(sum($"y").as("pos"), count(lit(1)).as("n")))
+      val iv = b.select($"bin".as("i"))
+        .crossJoin(broadcast(b.select($"bin".as("j"))))
+        .filter($"i" <= $"j")
+        .join(broadcast(b), $"bin".between($"i", $"j"))
+        .groupBy($"i", $"j")
+        .agg((sum($"pos").cast("double") / sum($"n").cast("double")).as("mean"))
+      val iso = b.select($"bin".as("k"))
+        .join(broadcast(iv), $"i" <= $"k" && $"k" <= $"j")
+        .groupBy($"k", $"i").agg(min($"mean").as("mn"))
+        .groupBy($"k").agg(max($"mn").as("iso_rate"))
+      b.join(broadcast(iso), $"bin" === $"k")
+        .select($"bin", $"n", $"pos",
+          round($"pos".cast("double") / $"n".cast("double"), 6).as("raw_rate"),
+          round($"iso_rate", 6).as("iso_rate"))
+        .orderBy($"bin")
+    },
+
+    // ------------------------------------- empirical-Bayes rate shrinkage
+    // Beta-binomial shrinkage of per-brand return rates toward the grand
+    // mean — the small-sample fix for ranking segments by a rate (a brand
+    // with 3/5 returns must not outrank one with 400/1000): method-of-
+    // moments prior strength s = m(1−m)/v − 1 from the brand-level mean
+    // and variance of raw rates, then shrunk = (x + m·s)/(n + s). The
+    // James-Stein-flavored complement to q214's m-estimate target encoding
+    // (fixed smoothing m=100 there; the prior strength here is ESTIMATED
+    // from the between-brand spread). One fact-wide aggregate to ≤25
+    // brand rows; the prior is a 1-row fold over those, broadcast back.
+    // Degenerate v=0 (all brands identical) yields NULL shrinkage rather
+    // than a fabricated prior.
+    "q231_eb_shrinkage" -> { (s, dir) =>
+      import s.implicits._
+      val br = Pin.lazily(t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("x"),
+          count(lit(1)).as("n"))
+        .withColumn("p", $"x".cast("double") / $"n".cast("double")))
+      val pri = br
+        .agg(count(lit(1)).cast("double").as("k"),
+          sum($"p").as("sp"), sum($"p" * $"p").as("spp"))
+        .select(($"sp" / $"k").as("m"),
+          (($"spp" - $"sp" * $"sp" / $"k") / $"k").as("v"))
+        .select($"m", $"v",
+          when($"v" > 0, $"m" * (lit(1.0) - $"m") / $"v" - lit(1.0)).as("s"))
+      br.crossJoin(broadcast(pri))
+        .select($"p_brand", $"n", $"x",
+          round($"p", 6).as("raw_rate"),
+          round($"s", 6).as("prior_strength"),
+          round(($"x".cast("double") + $"m" * $"s") /
+            ($"n".cast("double") + $"s"), 6).as("shrunk_rate"))
+        .orderBy($"p_brand")
+    },
+
+    // ---------------------------------------------- GESD outlier rounds
+    // Generalized extreme studentized deviate on daily revenue — the
+    // masking-proof upgrade to q98's single-pass z-scan: remove the most
+    // extreme day, RECOMPUTE mean/sd without it, repeat (one giant outlier
+    // inflates sd enough to hide a second; q98 would miss it, round 2
+    // here sees it). Four rounds over the calendar-bounded day frame,
+    // driver-side like q211's Holt recursion (the frame is control-plane
+    // at any corpus size; only the one orders-wide aggregate inside
+    // dailyRevenueCents touches data). Moments are exact BigInt sums
+    // (Σx² at 10⁹-cents days overflows LONG — both engines carry it in
+    // arbitrary precision and round once to double, identically); the
+    // statistic |x−x̄|/s and its 3σ flag are the mirrored float tail.
+    // Fixed threshold, not the t-based λ_i: neither engine ships an
+    // inverse-t CDF, and a literal gate keeps the flag engine-mirrored.
+    "q232_gesd_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir).orderBy($"d").collect()
+        .map(r => (r.getDate(0), r.getLong(1)))
+      var remaining = day.toVector
+      val out = Vector.newBuilder[(Int, java.sql.Date, Long, Double, Boolean)]
+      for (rnd <- 1 to GesdRounds) {
+        val n = remaining.size.toDouble
+        val sD = remaining.iterator.map(x => BigInt(x._2)).sum.toDouble
+        val qD = remaining.iterator.map(x => BigInt(x._2) * BigInt(x._2))
+          .sum.toDouble
+        val mean = sD / n
+        val sd = math.sqrt((qD - sD * sD / n) / (n - 1.0))
+        val (bd, bc) = remaining
+          .minBy { case (d, c) => (-math.abs(c.toDouble - mean), d.getTime) }
+        val rstat = math.abs(bc.toDouble - mean) / sd
+        out += ((rnd, bd, bc, rstat, rstat > GesdThreshold.toDouble))
+        remaining = remaining.filterNot(_._1 == bd)
+      }
+      s.createDataFrame(out.result())
+        .toDF("round_i", "day", "cents", "rs", "flag")
+        .select($"round_i", $"day", $"cents",
+          (round($"rs", 6) + lit(0d)).as("r_stat"),
+          $"flag".as("is_outlier"))
+        .orderBy($"round_i")
     }
   )
 
@@ -4398,6 +4534,91 @@ object StatsQueries {
         ("user_bucket64", "CAST(user_id % 64 AS VARCHAR)"))
         .map((one _).tupled)
         .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+    },
+
+    // Minimax identity replayed directly; l_quantity is integer-valued
+    // (1..50) so the BIGINT cast is exact in both engines.
+    "q230_isotonic_calibration" ->
+      """WITH b AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT i.bin AS i, j.bin AS j,
+        |    CAST(SUM(m.pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS mean
+        |  FROM b i JOIN b j ON i.bin <= j.bin
+        |  JOIN b m ON m.bin BETWEEN i.bin AND j.bin
+        |  GROUP BY i.bin, j.bin),
+        |mi AS (
+        |  SELECT k.bin AS k, iv.i, MIN(iv.mean) AS mn
+        |  FROM b k JOIN iv ON iv.i <= k.bin AND k.bin <= iv.j
+        |  GROUP BY k.bin, iv.i),
+        |iso AS (SELECT k, MAX(mn) AS iso_rate FROM mi GROUP BY k)
+        |SELECT b.bin, b.n, b.pos,
+        |  ROUND(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+        |  ROUND(iso.iso_rate, 6) AS iso_rate
+        |FROM b JOIN iso ON b.bin = iso.k
+        |ORDER BY b.bin""".stripMargin,
+
+    "q231_eb_shrinkage" ->
+      """WITH br AS (
+        |  SELECT p_brand,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x,
+        |    COUNT(*) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |pp AS (SELECT p_brand, x, n,
+        |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM br),
+        |pri AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(p) AS sp,
+        |    SUM(p * p) AS spp
+        |  FROM pp),
+        |mv AS (SELECT sp / k AS m, (spp - sp * sp / k) / k AS v FROM pri),
+        |sx AS (SELECT m, v,
+        |  CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 ELSE NULL END AS s
+        |  FROM mv)
+        |SELECT p_brand, n, x, ROUND(p, 6) AS raw_rate,
+        |  ROUND(s, 6) AS prior_strength,
+        |  ROUND((CAST(x AS DOUBLE) + m * s) / (CAST(n AS DOUBLE) + s), 6)
+        |    AS shrunk_rate
+        |FROM pp CROSS JOIN sx ORDER BY p_brand""".stripMargin,
+
+    // Four unrolled remove-recompute rounds; Σx² rides HUGEINT (exact)
+    // and rounds to double once, matching the Spark side's BigInt path.
+    "q232_gesd_outliers" -> {
+      def stats(src: String, id: Int): String =
+        s"""s$id AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |  CAST(SUM(cents) AS DOUBLE) AS s,
+           |  CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS q
+           |  FROM $src)""".stripMargin
+      def pick(src: String, id: Int): String =
+        s"""o$id AS (SELECT d, cents,
+           |  ABS(CAST(cents AS DOUBLE) - s / n) /
+           |    sqrt((q - s * s / n) / (n - 1.0)) AS r
+           |  FROM $src, s$id
+           |  ORDER BY ABS(CAST(cents AS DOUBLE) - s / n) DESC, d LIMIT 1)""".stripMargin
+      def excl(prev: String, id: Int): String =
+        s"d$id AS (SELECT $prev.* FROM $prev WHERE d NOT IN (SELECT d FROM o${id - 1}))"
+      val rounds = (1 to GesdRounds).map { i =>
+        val src = if (i == 1) "day" else s"d$i"
+        val pieces = Seq(
+          if (i == 1) "" else excl(if (i == 2) "day" else s"d${i - 1}", i),
+          stats(src, i), pick(src, i))
+        pieces.filter(_.nonEmpty).mkString(",\n")
+      }.mkString(",\n")
+      val sel = (1 to GesdRounds).map { i =>
+        s"""SELECT $i AS round_i, d AS day, cents,
+           |  ROUND(r, 6) + 0.0 AS r_stat, r > $GesdThreshold AS is_outlier
+           |FROM o$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+         |$rounds
+         |$sel
+         |ORDER BY round_i""".stripMargin
     }
   )
 }

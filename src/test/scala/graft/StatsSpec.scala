@@ -1890,4 +1890,95 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     // sanity of the advisory itself: every candidate covers all rows
     assert(got.values.map(_._2).toSet.size === 1)
   }
+
+  test("q230 isotonic: matches a driver sequential-PAV recompute and is monotone") {
+    import spark.implicits._
+    val got = q("q230_isotonic_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // monotone non-decreasing fit, each value inside [0,1]
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5 + 1e-12, s"$a !<= $b")
+      case _ => ()
+    }
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    // driver recompute via the SEQUENTIAL pool-adjacent-violators loop —
+    // an independent algorithm from the query's minimax form
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_quantity".cast("long").as("q"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      .as[(Long, Long)].collect()
+    val bins = li.groupBy(x => (x._1 - 1) / 5).view
+      .mapValues(v => (v.map(_._2).sum, v.length.toLong)).toMap
+    val ordered = bins.toSeq.sortBy(_._1)
+    case class Block(pos: Long, n: Long) { def mean: Double = pos.toDouble / n }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    ordered.foreach { case (_, (p, n)) =>
+      var blk = Block(p, n)
+      while (stack.nonEmpty && stack.last.mean >= blk.mean) {
+        val top = stack.remove(stack.size - 1)
+        blk = Block(top.pos + blk.pos, top.n + blk.n)
+      }
+      stack += blk
+    }
+    val pav = stack.flatMap(b => Seq.fill(b.n.toInt)(b.mean))
+    // expand per-bin (bin sizes vary); align by walking bins in order
+    var off = 0
+    ordered.zip(got.sortBy(_._1)).foreach { case ((bin, (p, n)), row) =>
+      assert(row._1 === bin && row._3 === p && row._2 === n)
+      assert(math.abs(row._5 - pav(off)) < 1e-6,
+        s"bin $bin: iso ${row._5} != pav ${pav(off)}")
+      off += n.toInt
+    }
+  }
+
+  test("q231 EB shrinkage: shrunk rates sit between raw rate and grand mean, ordered by n") {
+    val got = q("q231_eb_shrinkage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val m = {
+      val ps = got.map(_._4)
+      ps.sum / ps.length
+    }
+    got.foreach { case (brand, n, x, raw, s0, shrunk) =>
+      assert(s0 > 0, s"prior strength should be positive on the fixture: $s0")
+      // shrunk lies strictly between raw and the grand mean (or equals both)
+      val lo = math.min(raw, m) - 1e-9
+      val hi = math.max(raw, m) + 1e-9
+      assert(shrunk >= lo && shrunk <= hi, s"$brand: $shrunk not in [$lo,$hi]")
+      // algebra: shrunk == (x + m*s)/(n + s) at 6dp
+      val exp = (x.toDouble + m * s0) / (n.toDouble + s0)
+      assert(math.abs(shrunk - exp) < 5e-6, brand)
+    }
+  }
+
+  test("q232 GESD: four rounds, distinct days, statistic replay without the removed prefix") {
+    import spark.implicits._
+    val got = q("q232_gesd_outliers").collect()
+      .map(r => (r.getInt(0), r.getDate(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.map(_._1).toSeq === (1 to graft.ops.StatsQueries.GesdRounds))
+    assert(got.map(_._2.toString).distinct.length === got.length)
+    // independent replay from raw orders
+    val day = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(org.apache.spark.sql.functions.to_date($"o_orderdate").as("d"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100)
+          .cast("long")).as("c"))
+      .as[(java.sql.Date, Long)].collect()
+    var rem = day.sortBy(_._1.getTime).toVector
+    got.foreach { case (_, d, c, rs, flag) =>
+      val n = rem.size.toDouble
+      val s = rem.map(x => BigInt(x._2)).sum.toDouble
+      val qq = rem.map(x => BigInt(x._2) * BigInt(x._2)).sum.toDouble
+      val mean = s / n
+      val sd = math.sqrt((qq - s * s / n) / (n - 1.0))
+      val best = rem.minBy(x => (-math.abs(x._2.toDouble - mean), x._1.getTime))
+      assert(best._1.toString === d.toString && best._2 === c)
+      val r = math.abs(best._2.toDouble - mean) / sd
+      assert(math.abs(r - rs) < 1e-6)
+      assert(flag === (r > graft.ops.StatsQueries.GesdThreshold.toDouble))
+      rem = rem.filterNot(_._1 == best._1)
+    }
+  }
 }
