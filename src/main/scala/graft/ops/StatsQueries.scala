@@ -2903,6 +2903,91 @@ object StatsQueries {
           (round($"rs", 6) + lit(0d)).as("r_stat"),
           $"flag".as("is_outlier"))
         .orderBy($"round_i")
+    },
+
+    // ------------------------------------------- split-conformal interval
+    // Distribution-free prediction interval for order value — the
+    // uncertainty wrapper q181's point classifier and q184's backtest
+    // lack: split calibration (odd order keys) from test (even), predict
+    // with the per-priority calibration mean, take q̂ = the
+    // ⌈(1−α)(n+1)⌉-th SMALLEST calibration residual (the exact order
+    // statistic conformal requires — an interpolated percentile would
+    // void the finite-sample guarantee), then audit empirical coverage on
+    // the held-out half. Rank selection rides the two-pass GlobalRank —
+    // no global window touches data rows; the 5-row predictor and the
+    // 1-row (n, k, q̂) frame broadcast onto the test scan. Residuals are
+    // |exact-cents − mean| with the mean a single float division, so both
+    // engines rank identical doubles; q̂ is emitted RAW (the q26
+    // convention).
+    "q233_conformal_interval" -> { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_orderkey",
+        $"o_orderpriority".as("prio"), cents($"o_totalprice").as("c"))
+      val cal = o.filter($"o_orderkey" % 2 === 1)
+      val tst = o.filter($"o_orderkey" % 2 === 0)
+      val preds = Pin.lazily(cal.groupBy($"prio")
+        .agg(sum($"c").as("sc"), count(lit(1)).as("nc"))
+        .select($"prio",
+          ($"sc".cast("double") / $"nc".cast("double")).as("yhat")))
+      val res = cal.join(broadcast(preds), "prio")
+        .select(abs($"c".cast("double") - $"yhat").as("r"))
+      val nk = res.agg(count(lit(1)).as("n_cal"))
+        .select($"n_cal",
+          least(ceil((lit(1.0) - lit(ConformalAlpha.toDouble)) *
+            ($"n_cal" + 1).cast("double")), $"n_cal").as("kk"))
+      val qhat = GlobalRank.withGlobalRank(res, Seq($"r".asc), "rk", "np")
+        .join(broadcast(nk), $"rk" === $"kk")
+        .agg(max($"n_cal").as("n_cal"), max($"kk").as("k_rank"),
+          max($"r").as("qhat"))
+      tst.join(broadcast(preds), "prio")
+        .crossJoin(broadcast(qhat))
+        .agg(max($"n_cal").as("n_cal"), max($"k_rank").as("k_rank"),
+          max($"qhat").as("qhat_cents"), count(lit(1)).as("n_test"),
+          sum(when(abs($"c".cast("double") - $"yhat") <= $"qhat", 1L)
+            .otherwise(0L)).as("n_covered"))
+        .select($"n_cal", $"k_rank", $"qhat_cents", $"n_test", $"n_covered",
+          round($"n_covered".cast("double") / $"n_test".cast("double"), 6)
+            .as("coverage"))
+    },
+
+    // ------------------------------------------ tombstone cascade audit
+    // Right-to-be-forgotten impact audit — the deletion-side complement
+    // to q77's anonymization and q180's PII scan: given a tombstone set
+    // of customers (deterministic md5 sample standing in for the legal
+    // request queue), count the rows each table would lose under
+    // referential cascade (customer → orders → lineitem; events by
+    // user key). Scale shape: the tombstone frame is request-queue-sized
+    // — broadcast semi/left joins against each fact scan, never a
+    // shuffle of the facts; the order-key cascade frame grows with the
+    // tombstoned customers' order count and stays broadcastable at any
+    // plausible deletion-queue size (if a batch ever outgrew that, the
+    // same plan runs as a shuffle semi-join under AQE unchanged). Counts
+    // are exact; pct is the one mirrored division.
+    "q234_tombstone_cascade" -> { (s, dir) =>
+      import s.implicits._
+      val tomb = Pin.lazily(t(s, dir, "customer")
+        .filter(substring(md5($"c_custkey".cast("string")), 1, 1) === "0")
+        .select($"c_custkey".as("k")))
+      val tombOrders = Pin.lazily(t(s, dir, "orders")
+        .join(broadcast(tomb), $"o_custkey" === $"k")
+        .select($"o_orderkey".as("tok")))
+      def audit(name: String, df: DataFrame, key: Column,
+          tombKeys: DataFrame, tk: Column): DataFrame =
+        df.join(broadcast(tombKeys), key === tk, "left")
+          .agg(count(lit(1)).as("rows_total"),
+            sum(when(tk.isNotNull, 1L).otherwise(0L)).as("rows_tombstoned"))
+          .select(lit(name).as("entity"), $"rows_total", $"rows_tombstoned",
+            round($"rows_tombstoned".cast("double") /
+              $"rows_total".cast("double"), 6).as("pct"))
+      audit("customer", t(s, dir, "customer").select($"c_custkey"),
+          $"c_custkey", tomb, $"k")
+        .union(audit("orders", t(s, dir, "orders").select($"o_custkey"),
+          $"o_custkey", tomb, $"k"))
+        .union(audit("lineitem", t(s, dir, "lineitem").select($"l_orderkey"),
+          $"l_orderkey", tombOrders, $"tok"))
+        .union(audit("events", events(s, dir).select($"user_id"),
+          $"user_id", tomb, $"k"))
+        .orderBy($"entity")
     }
   )
 
@@ -4619,6 +4704,63 @@ object StatsQueries {
          |$rounds
          |$sel
          |ORDER BY round_i""".stripMargin
-    }
+    },
+
+    "q233_conformal_interval" ->
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
+         |cal AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+         |tst AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+         |preds AS (SELECT prio,
+         |    CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS yhat
+         |  FROM cal GROUP BY prio),
+         |res AS (SELECT ABS(CAST(c AS DOUBLE) - yhat) AS r
+         |  FROM cal JOIN preds USING (prio)),
+         |nk AS (SELECT COUNT(*) AS n_cal,
+         |    LEAST(CAST(CEIL((1.0 - $ConformalAlpha) *
+         |      CAST(COUNT(*) + 1 AS DOUBLE)) AS BIGINT), COUNT(*)) AS kk
+         |  FROM res),
+         |rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM res),
+         |qh AS (SELECT n_cal, kk AS k_rank, r AS qhat
+         |  FROM rk JOIN nk ON rn = kk),
+         |cov AS (SELECT n_cal, k_rank, qhat, COUNT(*) AS n_test,
+         |    SUM(CASE WHEN ABS(CAST(c AS DOUBLE) - yhat) <= qhat
+         |        THEN 1 ELSE 0 END) AS n_covered
+         |  FROM tst JOIN preds USING (prio) CROSS JOIN qh
+         |  GROUP BY n_cal, k_rank, qhat)
+         |SELECT n_cal, k_rank, qhat AS qhat_cents, n_test, n_covered,
+         |  ROUND(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+         |    AS coverage
+         |FROM cov""".stripMargin,
+
+    "q234_tombstone_cascade" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey AS k FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+        |tord AS (SELECT o_orderkey AS tok FROM orders JOIN tomb ON o_custkey = k)
+        |SELECT 'customer' AS entity, COUNT(*) AS rows_total,
+        |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS rows_tombstoned,
+        |  ROUND(CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS pct
+        |FROM customer LEFT JOIN tomb ON c_custkey = k
+        |UNION ALL
+        |SELECT 'orders', COUNT(*),
+        |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END),
+        |  ROUND(CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6)
+        |FROM orders LEFT JOIN tomb ON o_custkey = k
+        |UNION ALL
+        |SELECT 'lineitem', COUNT(*),
+        |  SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END),
+        |  ROUND(CAST(SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6)
+        |FROM lineitem LEFT JOIN tord ON l_orderkey = tok
+        |UNION ALL
+        |SELECT 'events', COUNT(*),
+        |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END),
+        |  ROUND(CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6)
+        |FROM events LEFT JOIN tomb ON user_id = k
+        |ORDER BY entity""".stripMargin
   )
 }

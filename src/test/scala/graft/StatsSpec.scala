@@ -1981,4 +1981,64 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       rem = rem.filterNot(_._1 == best._1)
     }
   }
+
+  test("q233 conformal: q-hat replays as the exact order statistic and coverage is near 1-alpha") {
+    import spark.implicits._
+    val row = q("q233_conformal_interval").collect().head
+    val (nCal, kRank, qhat, nTest, nCov, coverage) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getLong(3),
+        row.getLong(4), row.getDouble(5))
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority",
+        org.apache.spark.sql.functions.round($"o_totalprice" * 100)
+          .cast("long").as("c"))
+      .as[(Long, String, Long)].collect()
+    val cal = orders.filter(_._1 % 2 == 1)
+    val tst = orders.filter(_._1 % 2 == 0)
+    val preds = cal.groupBy(_._2).view
+      .mapValues(v => v.map(_._3).sum.toDouble / v.length).toMap
+    val res = cal.map(o => math.abs(o._3.toDouble - preds(o._2))).sorted
+    assert(nCal === cal.length)
+    val k = math.min(math.ceil(0.9 * (cal.length + 1)).toLong, cal.length.toLong)
+    assert(kRank === k)
+    assert(math.abs(qhat - res((k - 1).toInt)) < 1e-9)
+    val cov = tst.count(o => math.abs(o._3.toDouble - preds(o._2)) <= qhat)
+    assert(nTest === tst.length && nCov === cov)
+    assert(math.abs(coverage - cov.toDouble / tst.length) < 1e-6)
+    // the conformal promise: coverage concentrates near 1-alpha
+    assert(coverage >= 0.85 && coverage <= 0.97, s"coverage $coverage")
+  }
+
+  test("q234 tombstone cascade: per-table counts replay and the cascade is referentially consistent") {
+    import spark.implicits._
+    val got = q("q234_tombstone_cascade").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === Set("customer", "orders", "lineitem", "events"))
+    val custs = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val tomb = custs.filter(c => md5hex(c.toString).startsWith("0")).toSet
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect()
+    val tord = orders.filter(o => tomb(o._2)).map(_._1).toSet
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey").as[Long].collect()
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .select($"user_id").as[Long].collect()
+    val exp = Map(
+      "customer" -> (custs.length.toLong, custs.count(tomb).toLong),
+      "orders" -> (orders.length.toLong, orders.count(o => tomb(o._2)).toLong),
+      "lineitem" -> (li.length.toLong, li.count(tord).toLong),
+      "events" -> (ev.length.toLong, ev.count(tomb).toLong))
+    exp.foreach { case (k, (total, hit)) =>
+      val (gt, gh, pct) = got(k)
+      assert(gt === total && gh === hit, k)
+      assert(math.abs(pct - hit.toDouble / total) < 1e-6, k)
+    }
+    // a tombstoned customer with orders must cascade: lineitem hits require order hits
+    assert(got("lineitem")._2 == 0 || got("orders")._2 > 0)
+  }
 }
