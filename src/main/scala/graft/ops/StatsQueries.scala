@@ -2988,6 +2988,95 @@ object StatsQueries {
         .union(audit("events", events(s, dir).select($"user_id"),
           $"user_id", tomb, $"k"))
         .orderBy($"entity")
+    },
+
+    // -------------------------------------------- precision/recall sweep
+    // Threshold sweep of a document-quality classifier — the operating-
+    // point picker between q187's single-number AUC and q186's gains
+    // deciles: score = distinct-word ratio (closed-form, so the oracle
+    // replays it exactly — the TRAINED q181 scorer stays rows-only by
+    // construction), label = English. Scores bucket into 20 fixed-width
+    // bins in ONE data-wide aggregate; the ≥-threshold cumulatives are a
+    // 20×20 spine self-join over the broadcast control-plane frame — the
+    // q230 pattern, no data-row window, no per-threshold re-scan.
+    // Precision/recall/F1 are single divisions of exact counts, with the
+    // empty-prediction corner pinned to 0 identically in both engines.
+    "q235_pr_curve" -> { (s, dir) =>
+      import s.implicits._
+      val b = Pin.lazily(t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select(split(lower($"text"), " ").as("ws"),
+          ($"lang" === "en").cast("long").as("y"))
+        .select(least(floor(
+            (size(array_distinct($"ws")).cast("double") /
+              size($"ws").cast("double")) * 20), lit(19L)).as("bin"), $"y")
+        .groupBy($"bin").agg(sum($"y").as("pos"), count(lit(1)).as("n")))
+      val tot = b.agg(sum($"pos").as("tot_pos"))
+      val cum = b.select($"bin".as("k"))
+        .join(broadcast(b), $"bin" >= $"k")
+        .groupBy($"k").agg(sum($"pos").as("tp"), sum($"n").as("n_predicted"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("p", $"tp".cast("double") / $"n_predicted".cast("double"))
+        .withColumn("r", $"tp".cast("double") / $"tot_pos".cast("double"))
+        .select($"k".as("bin"), ($"k".cast("double") / lit(20.0)).as("threshold"),
+          $"n_predicted", $"tp",
+          round($"p", 6).as("prec"), round($"r", 6).as("rec"),
+          round(when($"p" + $"r" > 0, lit(2.0) * $"p" * $"r" / ($"p" + $"r"))
+            .otherwise(lit(0.0)), 6).as("f1"))
+        .orderBy($"bin")
+    },
+
+    // ----------------------------------------------- NDCG@5 recsys eval
+    // Ranking-quality evaluation of a popularity recommender — the
+    // metric layer over q194's item-item model: hold out each customer's
+    // LAST order, recommend the 5 brands most sold in the remaining
+    // (train) orders, score DCG@5 against the held-out basket and
+    // normalize by the ideal DCG for the basket's size. Position weights
+    // 1/log₂(p+1) and their prefix sums are shared literal strings
+    // (NdcgW/NdcgIdcg — no engine-variant log is evaluated anywhere).
+    // Scale: the split is one partitioned window; the model is a brand-
+    // granularity aggregate whose top-5 (control data, the KMeans-
+    // centroid convention) broadcasts back as a 5-row spine; per-user
+    // scoring is one aggregate over the held-out baskets.
+    "q236_ndcg_popularity" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      val ranked = Pin.lazily(t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          row_number().over(w).as("rn")))
+      val brandOf = broadcast(t(s, dir, "part")
+        .select($"p_partkey", $"p_brand"))
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val top5 = li
+        .join(ranked.filter($"rn" > 1), $"l_orderkey" === $"o_orderkey")
+        .join(brandOf, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"p_brand").limit(NdcgK)
+        .collect().map(_.getString(0))
+      val spine = broadcast(
+        s.createDataFrame(top5.toIndexedSeq.zipWithIndex.map {
+          case (br, i) => (br, NdcgW(i).toDouble)
+        }).toDF("p_brand", "w"))
+      val baskets = li
+        .join(ranked.filter($"rn" === 1), $"l_orderkey" === $"o_orderkey")
+        .join(brandOf, $"l_partkey" === $"p_partkey")
+        .select($"o_custkey".as("cust"), $"p_brand").distinct()
+      val idcg = NdcgIdcg.map(_.toDouble)
+      val perUser = baskets.join(spine, Seq("p_brand"), "left")
+        .groupBy($"cust")
+        .agg(count(lit(1)).as("bsz"),
+          sum(coalesce($"w", lit(0.0))).as("dcg"))
+        .select($"cust", ($"dcg" /
+          when($"bsz" >= 5, lit(idcg(4)))
+            .when($"bsz" === 4, lit(idcg(3)))
+            .when($"bsz" === 3, lit(idcg(2)))
+            .when($"bsz" === 2, lit(idcg(1)))
+            .otherwise(lit(idcg(0)))).as("ndcg"))
+      perUser.agg(count(lit(1)).as("n_users"),
+        round(avg($"ndcg"), 6).as("avg_ndcg"),
+        round(sum(when($"ndcg" > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("hit_rate"))
     }
   )
 
@@ -4761,6 +4850,74 @@ object StatsQueries {
         |  ROUND(CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6)
         |FROM events LEFT JOIN tomb ON user_id = k
-        |ORDER BY entity""".stripMargin
+        |ORDER BY entity""".stripMargin,
+
+    "q235_pr_curve" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(lower(text), ' ') AS ws,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT LEAST(CAST(FLOOR((CAST(len(list_distinct(ws)) AS DOUBLE) /
+        |      CAST(len(ws) AS DOUBLE)) * 20) AS BIGINT), 19) AS bin,
+        |    CAST(SUM(y) AS BIGINT) AS pos, COUNT(*) AS n
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tot_pos FROM b),
+        |cum AS (
+        |  SELECT k.bin AS k, CAST(SUM(b.pos) AS BIGINT) AS tp,
+        |    CAST(SUM(b.n) AS BIGINT) AS n_predicted
+        |  FROM b k JOIN b ON b.bin >= k.bin GROUP BY k.bin),
+        |pr AS (
+        |  SELECT k, n_predicted, tp,
+        |    CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE) AS p,
+        |    CAST(tp AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS r
+        |  FROM cum CROSS JOIN tot)
+        |SELECT k AS bin, CAST(k AS DOUBLE) / 20.0 AS threshold,
+        |  n_predicted, tp,
+        |  ROUND(p, 6) AS prec, ROUND(r, 6) AS rec,
+        |  ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+        |        ELSE 0.0 END, 6) AS f1
+        |FROM pr ORDER BY bin""".stripMargin,
+
+    "q236_ndcg_popularity" -> {
+      val wCase = NdcgW.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+        .mkString("CASE pos ", " ", " END")
+      val idcgCase = s"""CASE WHEN bsz >= 5 THEN ${NdcgIdcg(4)}
+         |    WHEN bsz = 4 THEN ${NdcgIdcg(3)}
+         |    WHEN bsz = 3 THEN ${NdcgIdcg(2)}
+         |    WHEN bsz = 2 THEN ${NdcgIdcg(1)}
+         |    ELSE ${NdcgIdcg(0)} END""".stripMargin
+      s"""WITH ranked AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM orders),
+         |tb AS (
+         |  SELECT p_brand, COUNT(*) AS cnt
+         |  FROM lineitem
+         |  JOIN ranked ON l_orderkey = o_orderkey AND rn > 1
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY p_brand),
+         |top5 AS (
+         |  SELECT p_brand, $wCase AS w FROM (
+         |    SELECT p_brand,
+         |      ROW_NUMBER() OVER (ORDER BY cnt DESC, p_brand) AS pos
+         |    FROM tb) WHERE pos <= $NdcgK),
+         |baskets AS (
+         |  SELECT DISTINCT o_custkey AS cust, p_brand
+         |  FROM lineitem
+         |  JOIN ranked ON l_orderkey = o_orderkey AND rn = 1
+         |  JOIN part ON l_partkey = p_partkey),
+         |u AS (
+         |  SELECT cust, COUNT(*) AS bsz,
+         |    SUM(COALESCE(w, 0.0)) AS dcg
+         |  FROM baskets LEFT JOIN top5 USING (p_brand) GROUP BY cust),
+         |n AS (SELECT cust, dcg / ($idcgCase) AS ndcg FROM u)
+         |SELECT COUNT(*) AS n_users, ROUND(AVG(ndcg), 6) AS avg_ndcg,
+         |  ROUND(CAST(SUM(CASE WHEN ndcg > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate
+         |FROM n""".stripMargin
+    }
   )
 }

@@ -2041,4 +2041,62 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     // a tombstoned customer with orders must cascade: lineitem hits require order hits
     assert(got("lineitem")._2 == 0 || got("orders")._2 > 0)
   }
+
+  test("q235 PR sweep: recall decreases and predicted-count telescopes as the threshold rises") {
+    val got = q("q235_pr_curve").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // the lowest threshold predicts everything => recall 1 there
+    assert(math.abs(got.head._6 - 1.0) < 1e-9)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3, "n_predicted must strictly shrink across non-empty bins")
+        assert(a._4 >= b._4 && a._6 >= b._6, "tp/recall are non-increasing")
+      case _ => ()
+    }
+    got.foreach { case (_, th, np, tp, p, r, f1) =>
+      assert(th >= 0.0 && th < 1.0 && tp <= np)
+      assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+      val expF1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      assert(math.abs(f1 - expF1) < 5e-6)
+    }
+  }
+
+  test("q236 NDCG: driver replay of the popularity recommender evaluation") {
+    import spark.implicits._
+    val row = q("q236_ndcg_popularity").collect().head
+    val (nUsers, avgNdcg, hitRate) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate".cast("string"))
+      .as[(Long, Long, String)].collect()
+    val lastOf = orders.groupBy(_._2).view
+      .mapValues(_.maxBy(o => (o._3, o._1))._1).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val lastSet = lastOf.values.toSet
+    val trainCnt = li.filter(x => !lastSet(x._1))
+      .groupBy(x => brandOf(x._2)).view.mapValues(_.length).toMap
+    val top5 = trainCnt.toSeq.sortBy { case (b, c) => (-c, b) }.take(5).map(_._1)
+    val w = graft.ops.StatsQueries.NdcgW.map(_.toDouble)
+    val idcg = graft.ops.StatsQueries.NdcgIdcg.map(_.toDouble)
+    val custOf = orders.map(o => o._1 -> o._2).toMap
+    val baskets = li.filter(x => lastSet(x._1))
+      .map(x => (custOf(x._1), brandOf(x._2))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ndcgs = baskets.map { case (_, bs) =>
+      val dcg = top5.zipWithIndex.collect {
+        case (b, i) if bs(b) => w(i)
+      }.sum
+      dcg / idcg(math.min(bs.size, 5) - 1)
+    }.toSeq
+    assert(nUsers === baskets.size.toLong)
+    assert(math.abs(avgNdcg - ndcgs.sum / ndcgs.size) < 1e-5)
+    assert(math.abs(hitRate - ndcgs.count(_ > 0).toDouble / ndcgs.size) < 1e-6)
+    assert(avgNdcg > 0.0 && avgNdcg <= 1.0)
+  }
 }
