@@ -1465,7 +1465,7 @@ object StatsQueries {
       // 32-char digest) — the draw count is the dominant cost and this
       // quarters it without touching determinism or independence
       val reps = t(s, dir, "orders")
-        .select($"o_orderkey", $"o_totalprice")
+        .select($"o_orderkey", cents($"o_totalprice").as("c"))
         .withColumn("g", explode(expr(s"sequence(0, ${BootstrapReps / 4 - 1})")))
         .withColumn("hx", md5(concat($"o_orderkey".cast("string"), lit(":"),
           $"g".cast("string"))))
@@ -1477,14 +1477,19 @@ object StatsQueries {
       val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size)) {
         case ((c, k), rest) => when($"u" < lit(c.toDouble), lit(k)).otherwise(rest)
       }
-      // moneyOut, not a raw decimal→double CAST: DuckDB's decimal cast
-      // drifts ~1 ulp off the correctly-rounded value (Tables.scala's
-      // documented hazard), which could flip a ROUND(…,6) tie
+      // Replicate sums ride LONG cents, not DECIMAL: cents are exact for
+      // 2-dp money, Σw·cents stays exact far past this fan-out (overflow
+      // needs ~10⁹ orders in ONE replicate — switch to DECIMAL(38,0)
+      // there), and the B·n decimal multiplies were the dominant bench
+      // cost of the whole query. The /100.0 and the (Σw·cents ≤ 2⁵³)
+      // integer→double conversions are correctly rounded in both engines,
+      // so the emitted means are bit-identical to the old decimal path.
       val means = reps.withColumn("w", w)
         .groupBy($"rep")
-        .agg(sum($"w".cast("long") * $"o_totalprice".cast(money)).as("sv"),
+        .agg(sum($"w".cast("long") * $"c").as("sc"),
           sum($"w".cast("long")).as("nv"))
-        .select(round(moneyOut($"sv") / $"nv".cast("double"), 6).as("m"))
+        .select(round($"sc".cast("double") / lit(100.0) /
+          $"nv".cast("double"), 6).as("m"))
       val base = t(s, dir, "orders")
         .agg(count(lit(1)).as("n_orders"),
           sum($"o_totalprice".cast(money)).as("sp"))
@@ -3693,19 +3698,20 @@ object StatsQueries {
         .map { case (c, k) => s"WHEN u < $c THEN $k" }
         .mkString(" ")
       s"""WITH r AS (
-         |  SELECT o_orderkey, o_totalprice, rep,
+         |  SELECT o_orderkey,
+         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c, rep,
          |    md5(CAST(o_orderkey AS VARCHAR) || ':' ||
          |        CAST(rep // 4 AS VARCHAR)) AS hx
          |  FROM orders CROSS JOIN range(0, $BootstrapReps) t(rep)),
          |uu AS (
-         |  SELECT rep, o_totalprice, CAST($horner AS DOUBLE) / 4294967296.0 AS u
+         |  SELECT rep, c, CAST($horner AS DOUBLE) / 4294967296.0 AS u
          |  FROM r),
          |wts AS (
-         |  SELECT rep, o_totalprice, CASE $cases ELSE ${PoissonCdf.size} END AS w
+         |  SELECT rep, c, CASE $cases ELSE ${PoissonCdf.size} END AS w
          |  FROM uu),
          |mm AS (
          |  SELECT rep,
-         |    ROUND(${Tables.sqlMoneyOut("SUM(w * CAST(o_totalprice AS DECIMAL(18,4)))")} /
+         |    ROUND(CAST(SUM(w * c) AS DOUBLE) / 100.0 /
          |          CAST(SUM(w) AS DOUBLE), 6) AS m
          |  FROM wts GROUP BY rep),
          |base AS (
