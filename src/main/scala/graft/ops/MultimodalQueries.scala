@@ -274,8 +274,56 @@ object MultimodalQueries {
           length(expr(s"substring(text, frame_idx * $F + 1, $F)")).cast("long").as("frame_len"),
           md5(expr(s"substring(text, frame_idx * $F + 1, $F)")).as("frame_md5"))
         .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // ------------------------------------------------ scene-cut detection
+    // Shot-boundary detection over the q55 frame convention: per video
+    // (document), a 32-bit frame signature per 256-char frame, then a cut
+    // wherever consecutive signatures differ by > 20 of 32 bits. With a
+    // real perceptual frame feature the SAME plan ships scene boundaries;
+    // the md5 stand-in keeps the whole pipeline SQL-replayable (frames of
+    // a fake video are near-independent, so "cuts" are the binomial
+    // P[B(32,½) > 20] ≈ 2.5% tail — sparse, like real footage). Shape:
+    // frame explode is per-row bounded by the payload's own length; the
+    // lag is a window PARTITIONED by video (frame counts are bounded by
+    // clip length, never corpus); the rollup is one video-granularity
+    // aggregate. bit_count(xor) is engine-exact — no float anywhere
+    // except the final rate division.
+    "q237_scene_cuts" -> { (s, dir) =>
+      import s.implicits._
+      val F = 256
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"frame_idx")
+      t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .withColumn("n_frames",
+          ceil(length($"text").cast("double") / F).cast("int"))
+        .filter($"n_frames" > 0)
+        .withColumn("frame_idx", explode(sequence(lit(0), $"n_frames" - 1)))
+        .withColumn("sig",
+          conv(substring(md5(expr(s"substring(text, frame_idx * $F + 1, $F)")),
+            1, 8), 16, 10).cast("long"))
+        .withColumn("prev", lag($"sig", 1).over(w))
+        .withColumn("cut",
+          when($"prev".isNotNull &&
+            expr(s"bit_count(sig ^ prev)") > SceneCutHamming, 1L)
+            .otherwise(0L))
+        .groupBy($"doc_id")
+        .agg(max($"n_frames").cast("long").as("n_frames"),
+          sum($"cut").as("n_cuts"),
+          min(when($"cut" === 1, $"frame_idx")).cast("long").as("first_cut"))
+        .select($"doc_id", $"n_frames", $"n_cuts", $"first_cut",
+          when($"n_frames" > 1,
+            round($"n_cuts".cast("double") /
+              ($"n_frames" - 1).cast("double"), 6)).as("cut_rate"))
+        .orderBy($"doc_id")
     }
   )
+
+  /** q237: Hamming cut threshold over the 32-bit frame signature (> τ of
+    * 32 bits differ ⇒ shot boundary; τ=20 puts a random-frame pair in
+    * the ≈2.5% binomial tail). */
+  val SceneCutHamming = 20
 
   val oracles: Map[String, String] = Map(
     "q206_aspect_bucket_batches" -> {
@@ -331,6 +379,46 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |       CAST(len(substring(text, frame_idx * 256 + 1, 256)) AS BIGINT) AS frame_len,
         |       md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // 32-bit signature decoded with the strpos-Horner recipe (q198/q141
+    // convention); xor/bit_count are exact integers in both engines.
+    "q237_scene_cuts" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(ceil(len(text) / 256.0) AS INT) AS n_frames, text
+         |  FROM documents WHERE text IS NOT NULL),
+         |fr AS (
+         |  SELECT doc_id, n_frames,
+         |    unnest(range(0, n_frames)) AS frame_idx, text
+         |  FROM f WHERE n_frames > 0),
+         |hxs AS (
+         |  SELECT doc_id, n_frames, frame_idx,
+         |    md5(substring(text, frame_idx * 256 + 1, 256)) AS hx
+         |  FROM fr),
+         |sg AS (
+         |  SELECT doc_id, n_frames, frame_idx,
+         |    CAST($horner AS BIGINT) AS sig
+         |  FROM hxs),
+         |lg AS (
+         |  SELECT doc_id, n_frames, frame_idx, sig,
+         |    LAG(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |  FROM sg),
+         |ct AS (
+         |  SELECT doc_id, n_frames, frame_idx,
+         |    CASE WHEN prev IS NOT NULL AND bit_count(xor(sig, prev)) > $SceneCutHamming
+         |         THEN 1 ELSE 0 END AS cut
+         |  FROM lg)
+         |SELECT doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+         |  CAST(SUM(cut) AS BIGINT) AS n_cuts,
+         |  CAST(MIN(CASE WHEN cut = 1 THEN frame_idx END) AS BIGINT) AS first_cut,
+         |  CASE WHEN MAX(n_frames) > 1
+         |       THEN ROUND(CAST(SUM(cut) AS DOUBLE) /
+         |                  CAST(MAX(n_frames) - 1 AS DOUBLE), 6) END AS cut_rate
+         |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -137,4 +137,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
     assert(got.values.map(_._3).sum === ids.length.toLong)
   }
+
+  test("q237 scene cuts: per-video driver replay of frame signatures and cut runs") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q237_scene_cuts")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    texts.foreach { case (id, txt) =>
+      val nFrames = math.ceil(txt.length / 256.0).toInt
+      if (nFrames > 0) {
+        val sigs = (0 until nFrames).map { i =>
+          val frame = txt.substring(i * 256, math.min((i + 1) * 256, txt.length))
+          java.lang.Long.parseLong(md5hex(frame).substring(0, 8), 16)
+        }
+        val cutIdx = (1 until nFrames).filter { i =>
+          java.lang.Long.bitCount(sigs(i) ^ sigs(i - 1)) >
+            MultimodalQueries.SceneCutHamming
+        }
+        val (gn, gc, gFirst, gRate) = got(id)
+        assert(gn === nFrames.toLong && gc === cutIdx.length.toLong, s"doc $id")
+        assert(gFirst === cutIdx.headOption.map(_.toLong), s"doc $id first")
+        if (nFrames > 1)
+          assert(math.abs(gRate.get - cutIdx.length.toDouble / (nFrames - 1)) < 1e-6)
+        else assert(gRate.isEmpty)
+        checked += 1
+      }
+    }
+    assert(checked === got.size)
+    // with random signatures, cuts are the ~2.5% binomial tail: sparse but present
+    val totalCuts = got.values.map(_._2).sum
+    val totalGaps = got.values.map(_._1 - 1).sum
+    assert(totalCuts > 0 && totalCuts < totalGaps / 5)
+  }
 }
