@@ -239,6 +239,35 @@ object StatsQueries {
     }
 
   /**
+   * Signup→first-purchase life table shared by q175 (Kaplan–Meier) and
+   * q238 (Nelson–Aalen): per-duration (days) conversion and censor
+   * counts, censored at study end. The per-user aggregation is the
+   * corpus-wide work; the returned table is duration-granularity —
+   * calendar-bounded control-plane data, collected for the sequential
+   * estimator folds (the q211 precedent).
+   */
+  private def conversionLifeTable(
+      s: SparkSession, dir: String): IndexedSeq[(Long, Long, Long)] = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val st = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ms").as("st"))
+    val pt = ev.select($"user_id", $"ms", $"event_type").join(st, "user_id")
+      .filter($"event_type" === "purchase" && $"ms" >= $"st")
+      .groupBy($"user_id").agg(min($"ms").as("pt"))
+    val mx = ev.agg(max($"ms").as("mx"))
+    st.join(pt, Seq("user_id"), "left").crossJoin(broadcast(mx))
+      .select(
+        expr("CASE WHEN pt IS NOT NULL THEN (pt - st) div 86400000" +
+          " ELSE (mx - st) div 86400000 END").as("dur"),
+        when($"pt".isNotNull, 1L).otherwise(0L).as("conv"))
+      .groupBy($"dur")
+      .agg(sum($"conv").as("n_conv"), sum(lit(1L) - $"conv").as("n_cens"))
+      .orderBy($"dur").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq
+  }
+
+  /**
    * Basket frame for association mining: DISTINCT (order, brand) via the
    * broadcast part dim. One shuffle at (order, brand) digest granularity.
    */
@@ -894,34 +923,80 @@ object StatsQueries {
     // the product-vs-exp-log ulp difference.
     "q175_kaplan_meier" -> { (s, dir) =>
       import s.implicits._
-      val ev = events(s, dir)
-      val st = ev.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min($"ms").as("st"))
-      val pt = ev.select($"user_id", $"ms", $"event_type").join(st, "user_id")
-        .filter($"event_type" === "purchase" && $"ms" >= $"st")
-        .groupBy($"user_id").agg(min($"ms").as("pt"))
-      val mx = ev.agg(max($"ms").as("mx"))
-      val lt = st.join(pt, Seq("user_id"), "left").crossJoin(broadcast(mx))
-        .select(
-          expr("CASE WHEN pt IS NOT NULL THEN (pt - st) div 86400000" +
-            " ELSE (mx - st) div 86400000 END").as("dur"),
-          when($"pt".isNotNull, 1L).otherwise(0L).as("conv"))
-        .groupBy($"dur")
-        .agg(sum($"conv").as("n_conv"), sum(lit(1L) - $"conv").as("n_cens"))
-        .orderBy($"dur").collect()
-      var atRisk = lt.map(r => r.getLong(1) + r.getLong(2)).sum
+      var atRisk = 0L
       var sKm = 1.0
-      val rows = lt.toIndexedSeq.map { r =>
-        val (dur, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
-        val nRisk = atRisk
-        sKm *= 1.0 - d.toDouble / nRisk
-        atRisk -= d + c
-        (dur, nRisk, d, c,
-          BigDecimal(sKm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val rows = conversionLifeTable(s, dir) match { case lt =>
+        atRisk = lt.map(r => r._2 + r._3).sum
+        lt.map { case (dur, d, c) =>
+          val nRisk = atRisk
+          sKm *= 1.0 - d.toDouble / nRisk
+          atRisk -= d + c
+          (dur, nRisk, d, c,
+            BigDecimal(sKm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
       }
       s.createDataFrame(rows)
         .toDF("dur", "n_risk", "n_conv", "n_cens", "s_km")
         .orderBy($"dur")
+    },
+
+    // ------------------------------------------- Nelson–Aalen hazard
+    // Cumulative-hazard view of the SAME signup→purchase life table as
+    // q175: H(t) = Σ_{dᵢ≤t} dᵢ/nᵢ with Greenwood-style SE² = Σ dᵢ/nᵢ²,
+    // plus the Fleming–Harrington survival e^(−H) — the estimator pair
+    // an analyst reads when event counts per duration are small and the
+    // KM product is jumpy. Identical scale shape to q175 (corpus-wide
+    // work = the per-user aggregation; the life table is duration-
+    // granularity control-plane, folded on the driver); the oracle's
+    // cumulative window adds the identical doubles in the identical dur
+    // order, and ROUND(…,6) absorbs the exp() libm ulp.
+    "q238_nelson_aalen" -> { (s, dir) =>
+      import s.implicits._
+      val lt = conversionLifeTable(s, dir)
+      var atRisk = lt.map(r => r._2 + r._3).sum
+      var h = 0.0
+      var v = 0.0
+      val rows = lt.map { case (dur, d, c) =>
+        val nRisk = atRisk
+        h += d.toDouble / nRisk
+        v += d.toDouble / nRisk / nRisk
+        atRisk -= d + c
+        (dur, nRisk, d, c,
+          BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(math.sqrt(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(math.exp(-h)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      s.createDataFrame(rows)
+        .toDF("dur", "n_risk", "n_conv", "n_cens", "h_na", "se_na", "s_fh")
+        .orderBy($"dur")
+    },
+
+    // ------------------------------------------- rolling-median smoother
+    // 7-day centered rolling MEDIAN of daily revenue with the relative
+    // deviation of each day from its window — the robust smoother the
+    // EWMA (q164) and moving-average (q209 trend) family lacks: one
+    // outage or flash-sale day shifts a mean window, barely moves the
+    // median. No data-row window anywhere: the day frame is calendar-
+    // bounded, and the window is a ±3-day theta self-join (the q199
+    // day-pair idiom) grouped back to day granularity. The median is the
+    // interpolated percentile over ≤7 values — the q26-pinned
+    // percentile/quantile_cont parity — emitted RAW; the deviation is
+    // the one rounded float with a −0.0 guard.
+    "q239_rolling_median" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val a = day.select($"d", $"cents")
+      val b = day.select($"d".as("db"), $"cents".as("cb"))
+      a.join(b, datediff($"db", $"d").between(-3, 3))
+        .groupBy($"d", $"cents")
+        .agg(count(lit(1)).as("win_n"),
+          expr("percentile(cast(cb as double), 0.5D)").as("med"))
+        .select($"d".as("day"), $"cents", $"win_n", $"med".as("med_cents"),
+          (round(($"cents".cast("double") - $"med") / $"med", 6) + lit(0d))
+            .as("rel_dev"))
+        .orderBy($"day")
     },
 
     // ---------------------------------------------------- k-anonymity
@@ -3442,6 +3517,54 @@ object StatsQueries {
         |  ROUND(PRODUCT(1.0 - CAST(n_conv AS DOUBLE) / n_risk) OVER (ORDER BY dur
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s_km
         |FROM w ORDER BY dur""".stripMargin,
+
+    // Same life table as q175; the cumulative windows add the identical
+    // doubles in dur order, matching the driver fold's sequence exactly.
+    "q238_nelson_aalen" ->
+      """WITH st AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS st
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pt AS (
+        |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS pt
+        |  FROM events e JOIN st ON st.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= st.st
+        |  GROUP BY e.user_id),
+        |mx AS (SELECT MAX(epoch_ms(ts)) AS mx FROM events),
+        |u AS (
+        |  SELECT CASE WHEN pt.pt IS NOT NULL THEN (pt.pt - st.st) // 86400000
+        |              ELSE (mx.mx - st.st) // 86400000 END AS dur,
+        |    CASE WHEN pt.pt IS NOT NULL THEN 1 ELSE 0 END AS conv
+        |  FROM st LEFT JOIN pt ON pt.user_id = st.user_id CROSS JOIN mx),
+        |lt AS (SELECT dur, CAST(SUM(conv) AS BIGINT) AS n_conv,
+        |         CAST(SUM(1 - conv) AS BIGINT) AS n_cens
+        |       FROM u GROUP BY dur),
+        |w AS (SELECT dur, n_conv, n_cens,
+        |        (SELECT COUNT(*) FROM u) -
+        |          CAST(COALESCE(SUM(n_conv + n_cens) OVER (ORDER BY dur
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |      FROM lt)
+        |SELECT dur, n_risk, n_conv, n_cens,
+        |  ROUND(SUM(CAST(n_conv AS DOUBLE) / n_risk) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS h_na,
+        |  ROUND(sqrt(SUM(CAST(n_conv AS DOUBLE) / n_risk / n_risk) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS se_na,
+        |  ROUND(exp(-SUM(CAST(n_conv AS DOUBLE) / n_risk) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS s_fh
+        |FROM w ORDER BY dur""".stripMargin,
+
+    "q239_rolling_median" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE))
+        |SELECT a.d AS day, a.cents, COUNT(*) AS win_n,
+        |  quantile_cont(CAST(b.cents AS DOUBLE), 0.5) AS med_cents,
+        |  ROUND((CAST(a.cents AS DOUBLE) -
+        |         quantile_cont(CAST(b.cents AS DOUBLE), 0.5)) /
+        |        quantile_cont(CAST(b.cents AS DOUBLE), 0.5), 6) + 0.0 AS rel_dev
+        |FROM day a JOIN day b ON date_diff('day', a.d, b.d) BETWEEN -3 AND 3
+        |GROUP BY a.d, a.cents
+        |ORDER BY day""".stripMargin,
 
     "q176_k_anonymity" ->
       """WITH g AS (

@@ -2099,4 +2099,58 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(hitRate - ndcgs.count(_ > 0).toDouble / ndcgs.size) < 1e-6)
     assert(avgNdcg > 0.0 && avgNdcg <= 1.0)
   }
+
+  test("q238 Nelson-Aalen: hazard replays from the q175 life table and dominates the KM product") {
+    val na = q("q238_nelson_aalen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val km = q("q175_kaplan_meier").collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(na.nonEmpty)
+    // shared life table: same durations and at-risk accounting as q175
+    var h = 0.0
+    var v = 0.0
+    na.foreach { case (dur, nRisk, d, c, hNa, seNa, sFh) =>
+      h += d.toDouble / nRisk
+      v += d.toDouble / nRisk / nRisk
+      assert(math.abs(hNa - h) < 5e-6, s"dur $dur hazard")
+      assert(math.abs(seNa - math.sqrt(v)) < 5e-6, s"dur $dur se")
+      assert(math.abs(sFh - math.exp(-h)) < 5e-6, s"dur $dur survival")
+      // 1-x <= e^-x termwise => Fleming-Harrington >= Kaplan-Meier
+      assert(sFh >= km(dur) - 1e-9, s"dur $dur: $sFh < KM ${km(dur)}")
+    }
+    // hazard is nondecreasing, survival nonincreasing
+    na.map(_._5).sliding(2).foreach {
+      case Array(x, y) => assert(x <= y + 1e-12); case _ => ()
+    }
+  }
+
+  test("q239 rolling median: every window replays against a driver interpolated median") {
+    import spark.implicits._
+    val got = q("q239_rolling_median").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val day = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, c) => d.toLocalDate -> c }.sortBy(_._1.toEpochDay)
+    val byDay = day.toMap
+    def interpMedian(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      val pos = 0.5 * (s0.length - 1)
+      val lo = s0(math.floor(pos).toInt)
+      val hi = s0(math.ceil(pos).toInt)
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+    assert(got.length === day.length)
+    got.foreach { case (ds, cents, winN, med, relDev) =>
+      val d0 = java.time.LocalDate.parse(ds)
+      val win = (-3 to 3).flatMap(k => byDay.get(d0.plusDays(k))).map(_.toDouble)
+      assert(cents === byDay(d0))
+      assert(winN === win.length.toLong, s"$ds window size")
+      assert(math.abs(med - interpMedian(win)) < 1e-6, s"$ds median")
+      assert(math.abs(relDev - (cents.toDouble - med) / med) < 5e-6, s"$ds dev")
+    }
+  }
 }
