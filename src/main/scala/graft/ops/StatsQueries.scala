@@ -180,6 +180,13 @@ object StatsQueries {
     * interpolated percentile). */
   val ConformalAlpha = "0.1"
 
+  /** q240: t-closeness leak threshold on the ordered-band EMD. */
+  val TClosenessMax = "0.2"
+
+  /** q241: SRM alarm level (the field convention — an assignment split
+    * this unlikely means the experiment's plumbing is broken). */
+  val SrmAlpha = "0.001"
+
   /** q236: NDCG@5 position weights 1/log₂(p+1) and their prefix sums
     * (the ideal DCG for k relevant items), as literal strings — neither
     * engine's log2 is pinned to correctly-rounded, so no log is ever
@@ -997,6 +1004,84 @@ object StatsQueries {
           (round(($"cents".cast("double") - $"med") / $"med", 6) + lit(0d))
             .as("rel_dev"))
         .orderBy($"day")
+    },
+
+    // --------------------------------------------------- t-closeness
+    // The third rung of the privacy-audit ladder (q176 k-anonymity, q217
+    // l-diversity): per QI group (nation × segment), the earth-mover's
+    // distance between the group's ordered sensitive-attribute
+    // distribution (acctbal bands) and the table-wide one — small groups
+    // can be k-anonymous and diverse yet still leak by SKEW, which EMD
+    // is the standard measure of. For ordered bands, EMD = Σ|cumP_g −
+    // cumP|/(m−1); both cumulatives are cross-multiplied to the exact
+    // integer |cum_g·N − cum·n_g| (DECIMAL(38,0) — both factors are
+    // corpus-scale counts), summed exactly, ONE float division at the
+    // end. Dense (group × band) grid from two broadcast control-plane
+    // frames; the only data-wide work is the (group, band) aggregate.
+    // Cumulatives ride a band-spine theta join, not a window.
+    "q240_t_closeness" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Pin.lazily(t(s, dir, "customer")
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000.0).cast("long").as("band"))
+        .agg(count(lit(1)).as("cnt")))
+      val bands = rows.groupBy($"band").agg(sum($"cnt").as("gcnt"))
+      val groups = rows.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(sum($"cnt").as("n_g"))
+      val tot = bands.agg(sum($"gcnt").as("nn"), count(lit(1)).as("m"))
+      val dense = groups.crossJoin(broadcast(bands.select($"band")))
+        .join(rows, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .select($"c_nationkey", $"c_mktsegment", $"n_g", $"band",
+          coalesce($"cnt", lit(0L)).as("cnt"))
+      // cumulative counts via band-spine theta joins (≤ groups·m² rows)
+      val withCum = dense.as("a")
+        .join(dense.select($"c_nationkey".as("nk2"), $"c_mktsegment".as("ms2"),
+          $"band".as("b2"), $"cnt".as("cnt2")),
+          $"nk2" === $"c_nationkey" && $"ms2" === $"c_mktsegment" &&
+            $"b2" <= $"band")
+        .groupBy($"c_nationkey", $"c_mktsegment", $"n_g", $"band")
+        .agg(sum($"cnt2").as("cum_g"))
+        .join(broadcast(bands.as("bb")
+          .join(bands.select($"band".as("b3"), $"gcnt".as("g3")),
+            $"b3" <= $"band")
+          .groupBy($"band").agg(sum($"g3").as("cum_all"))), Seq("band"))
+      withCum.crossJoin(broadcast(tot))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"n_g", $"nn", $"m")
+        .agg(sum(abs($"cum_g".cast(dec) * $"nn" - $"cum_all".cast(dec) * $"n_g"))
+          .as("num"))
+        .select($"c_nationkey", $"c_mktsegment", $"n_g",
+          round($"num".cast("double") /
+            (($"m" - 1).cast("double") * $"n_g".cast("double") *
+              $"nn".cast("double")), 6).as("t_emd"))
+        .withColumn("leaky", $"t_emd" > lit(TClosenessMax.toDouble))
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    },
+
+    // --------------------------------------- sample-ratio mismatch check
+    // The experiment-hygiene gate every A/B readout (q155/q188/q216)
+    // should run FIRST: under the deterministic md5 arm split the design
+    // ratio is 8/16, so nA−nB ~ N(0, N) and SRM shows up as an extreme
+    // z = (nA−nB)/√N — a tiny p here means broken assignment or logging,
+    // and every downstream readout is void. One user-granularity
+    // distinct aggregate; counts exact, z the single mirrored float, p
+    // through the shared A&S erf polynomial, flagged at the field-
+    // standard p < 0.001.
+    "q241_srm_check" -> { (s, dir) =>
+      import s.implicits._
+      val users = events(s, dir).select($"user_id").distinct()
+        .select(when(substring(md5($"user_id".cast("string")), 1, 1) <= "7",
+          1L).otherwise(0L).as("ta"))
+      users.agg(count(lit(1)).as("n_users"), sum($"ta").as("n_a"),
+          (count(lit(1)) - sum($"ta")).as("n_b"))
+        .withColumn("z", ($"n_a" - $"n_b").cast("double") /
+          sqrt($"n_users".cast("double")))
+        .withColumn("pval", erfcPval($"z"))
+        .select($"n_users", $"n_a", $"n_b",
+          round($"n_a".cast("double") / $"n_users".cast("double"), 6)
+            .as("ratio_a"),
+          (round($"z", 6) + lit(0d)).as("z_srm"),
+          round($"pval", 6).as("p_value"),
+          ($"pval" < lit(SrmAlpha.toDouble)).as("srm_detected"))
     },
 
     // ---------------------------------------------------- k-anonymity
@@ -3565,6 +3650,75 @@ object StatsQueries {
         |FROM day a JOIN day b ON date_diff('day', a.d, b.d) BETWEEN -3 AND 3
         |GROUP BY a.d, a.cents
         |ORDER BY day""".stripMargin,
+
+    // EMD numerator in exact cross-multiplied integers (HUGEINT), one
+    // division at the end — no float cumulative anywhere.
+    "q240_t_closeness" ->
+      s"""WITH rows0 AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+         |    COUNT(*) AS cnt
+         |  FROM customer GROUP BY 1, 2, 3),
+         |bands AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS gcnt
+         |          FROM rows0 GROUP BY band),
+         |groups AS (SELECT c_nationkey, c_mktsegment,
+         |             CAST(SUM(cnt) AS BIGINT) AS n_g
+         |           FROM rows0 GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS nn, COUNT(*) AS m
+         |        FROM bands),
+         |dense AS (
+         |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band,
+         |    COALESCE(r.cnt, 0) AS cnt
+         |  FROM groups g CROSS JOIN bands b
+         |  LEFT JOIN rows0 r ON r.c_nationkey = g.c_nationkey
+         |    AND r.c_mktsegment = g.c_mktsegment AND r.band = b.band),
+         |cg AS (
+         |  SELECT a.c_nationkey, a.c_mktsegment, a.n_g, a.band,
+         |    CAST(SUM(b.cnt) AS BIGINT) AS cum_g
+         |  FROM dense a JOIN dense b
+         |    ON b.c_nationkey = a.c_nationkey
+         |    AND b.c_mktsegment = a.c_mktsegment AND b.band <= a.band
+         |  GROUP BY 1, 2, 3, 4),
+         |ca AS (
+         |  SELECT a.band, CAST(SUM(b.gcnt) AS BIGINT) AS cum_all
+         |  FROM bands a JOIN bands b ON b.band <= a.band GROUP BY a.band),
+         |emd AS (
+         |  SELECT cg.c_nationkey, cg.c_mktsegment, cg.n_g, tot.nn, tot.m,
+         |    SUM(ABS(CAST(cg.cum_g AS HUGEINT) * tot.nn -
+         |            CAST(ca.cum_all AS HUGEINT) * cg.n_g)) AS num
+         |  FROM cg JOIN ca ON ca.band = cg.band CROSS JOIN tot
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT c_nationkey, c_mktsegment, n_g,
+         |  ROUND(CAST(num AS DOUBLE) /
+         |    (CAST(m - 1 AS DOUBLE) * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE)),
+         |    6) AS t_emd,
+         |  ROUND(CAST(num AS DOUBLE) /
+         |    (CAST(m - 1 AS DOUBLE) * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE)),
+         |    6) > $TClosenessMax AS leaky
+         |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q241_srm_check" -> {
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events),
+         |a AS (
+         |  SELECT COUNT(*) AS n_users,
+         |    CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+         |          <= '7' THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+         |  FROM u),
+         |z0 AS (
+         |  SELECT n_users, n_a, n_users - n_a AS n_b,
+         |    CAST(n_a - (n_users - n_a) AS DOUBLE) /
+         |      sqrt(CAST(n_users AS DOUBLE)) AS z
+         |  FROM a),
+         |z1 AS (SELECT *, $SqlErfX AS x FROM z0),
+         |z2 AS (SELECT *, $SqlErfTv AS tv FROM z1),
+         |p0 AS (SELECT *, $SqlErfPval AS pval FROM z2)
+         |SELECT n_users, n_a, n_b,
+         |  ROUND(CAST(n_a AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS ratio_a,
+         |  ROUND(z, 6) + 0.0 AS z_srm, ROUND(pval, 6) AS p_value,
+         |  pval < $SrmAlpha AS srm_detected
+         |FROM p0""".stripMargin
+    },
 
     "q176_k_anonymity" ->
       """WITH g AS (

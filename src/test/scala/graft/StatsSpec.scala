@@ -2153,4 +2153,60 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(relDev - (cents.toDouble - med) / med) < 5e-6, s"$ds dev")
     }
   }
+
+  test("q240 t-closeness: EMD replays exactly from the raw distribution; identical distributions score 0") {
+    import spark.implicits._
+    val got = q("q240_t_closeness").collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long").as("band"))
+      .as[(Int, String, Long)].collect()
+    val bandsAll = cust.map(_._3).distinct.sorted
+    val n = cust.length.toLong
+    val globalCum = bandsAll.map(b => b -> cust.count(_._3 <= b).toLong).toMap
+    val m = bandsAll.length
+    cust.groupBy(c => (c._1, c._2)).foreach { case (key, rows) =>
+      val ng = rows.length.toLong
+      val num = bandsAll.map { b =>
+        val cumG = rows.count(_._3 <= b).toLong
+        (BigInt(cumG) * n - BigInt(globalCum(b)) * ng).abs
+      }.sum
+      val t = num.toDouble / ((m - 1).toDouble * ng * n)
+      val (gn, gt, leaky) = got(key)
+      assert(gn === ng, key)
+      assert(math.abs(gt - t) < 5e-6, s"$key: $gt vs $t")
+      assert(leaky === (gt > graft.ops.StatsQueries.TClosenessMax.toDouble), key)
+    }
+    // property: a group whose distribution equals the global one has EMD 0
+    // (construct synthetically: the union of all groups IS the global)
+    val whole = {
+      val cumDiff = bandsAll.map(b => (BigInt(n) * globalCum(b) -
+        BigInt(globalCum(b)) * n).abs).sum
+      cumDiff
+    }
+    assert(whole === BigInt(0))
+  }
+
+  test("q241 SRM: counts replay under the md5 split and the healthy fixture does not alarm") {
+    import spark.implicits._
+    val row = q("q241_srm_check").collect().head
+    val (nU, nA, nB, ratio, z, p, srm) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3), row.getDouble(4), row.getDouble(5),
+      row.getBoolean(6))
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val users = graft.ops.Tables.events(spark, sf0001)
+      .select($"user_id").distinct().as[Long].collect()
+    val expA = users.count(u => md5hex(u.toString).charAt(0) <= '7').toLong
+    assert(nU === users.length.toLong && nA === expA && nB === nU - nA)
+    assert(math.abs(ratio - expA.toDouble / users.length) < 1e-6)
+    val expZ = (nA - nB).toDouble / math.sqrt(nU.toDouble)
+    assert(math.abs(z - expZ) < 5e-6)
+    assert(p >= 0.0 && p <= 1.0)
+    // the deterministic hash split is unbiased: no SRM on healthy data
+    assert(!srm, s"unexpected SRM alarm: z=$z p=$p")
+  }
 }
