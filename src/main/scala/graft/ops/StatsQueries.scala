@@ -1066,6 +1066,91 @@ object StatsQueries {
     // distinct aggregate; counts exact, z the single mirrored float, p
     // through the shared A&S erf polynomial, flagged at the field-
     // standard p < 0.001.
+    // ------------------------------------------- hot streaks (islands)
+    // The gaps-and-islands operator: maximal runs of consecutive
+    // calendar days with revenue above the overall daily mean, each run
+    // rolled up to (start, end, length, peak, total). The classic SQL
+    // formulation (diff of two ROW_NUMBERs) is an unpartitioned window;
+    // here the DENSE calendar spine (q61's idiom, so an orderless day
+    // breaks a run like any cold day) gets island starts from a
+    // hot×cold theta join — start = latest cold day before + 1 — the
+    // q196/q199 calendar²-bounded pair idiom, then one start-granularity
+    // rollup. The threshold compare is cents > S/n, one mirrored float
+    // per day; everything else is exact integers and dates.
+    "q242_hot_streaks" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val bounds = day.agg(min($"d").as("d0"), max($"d").as("d1"),
+        sum($"cents").as("sc"), count(lit(1)).as("nd"))
+      val flagged = Pin.lazily(bounds
+        .select($"d0", ($"sc".cast("double") / $"nd".cast("double")).as("thr"),
+          explode(sequence($"d0", $"d1")).as("d"))
+        .join(day, Seq("d"), "left")
+        .select($"d", $"d0", coalesce($"cents", lit(0L)).as("cents"),
+          (coalesce($"cents", lit(0L)).cast("double") > $"thr").as("hot")))
+      val hot = flagged.filter($"hot")
+      val cold = flagged.filter(!$"hot").select($"d".as("bd"))
+      hot.join(cold, $"bd" < $"d", "left")
+        .groupBy($"d", $"d0", $"cents")
+        .agg(max($"bd").as("pb"))
+        .select($"d", $"cents",
+          coalesce(date_add($"pb", 1), $"d0").as("island_start"))
+        .groupBy($"island_start")
+        .agg(max($"d").as("island_end"), count(lit(1)).as("n_days"),
+          max($"cents").as("peak_cents"), sum($"cents").as("sum_cents"))
+        .orderBy($"island_start")
+    },
+
+    // ------------------------------------------------ brand k-core
+    // k-core decomposition of the brand co-purchase graph — the
+    // community-density layer over the shared edge spine that q165
+    // (PageRank, influence), q170 (triangles, local density), and q220
+    // (BFS, reachability) each read differently: iteratively peel nodes
+    // of degree < k until the remainder is stable; a node's CORENESS is
+    // the largest k that keeps it. The peel loop is the q47 connected-
+    // components shape — per round one degree aggregate over the
+    // surviving edge subgraph and a driver count() as the convergence
+    // check, rounds bounded by the degeneracy (≤ max degree). Frames
+    // are brand-granularity (≤25 nodes / ≤625 edges — control-plane;
+    // at web scale the SAME loop runs with node/edge frames distributed
+    // and only the convergence scalar on the driver). Deterministic and
+    // engine-exact (integer degrees only), but iterative peeling has no
+    // SQL-expressible oracle — gated by the StatsSpec driver replay.
+    "q243_brand_kcore" -> { (s, dir) =>
+      import s.implicits._
+      val edges = Pin.lazily(brandEdges(s, dir)
+        .select($"src", $"dst").distinct())
+      val allNodes = edges.select($"src".as("brand")).distinct()
+      var coreness = allNodes.select($"brand", lit(0L).as("coreness"))
+      var alive = allNodes
+      var k = 1L
+      while (alive.limit(1).count() > 0) {
+        // peel at level k until stable
+        var changed = true
+        while (changed) {
+          val deg = edges.join(alive.select($"brand".as("src")), "src")
+            .join(alive.select($"brand".as("dst")), "dst")
+            .groupBy($"src").agg(count(lit(1)).as("deg"))
+          val next = alive.join(deg, $"brand" === $"src", "inner")
+            .filter($"deg" >= k).select($"brand")
+          val (na, nn) = (alive.count(), next.count())
+          changed = nn < na && nn > 0
+          if (nn < na) alive = Pin.lazily(next)
+        }
+        if (alive.limit(1).count() > 0) {
+          // Pin per level: 24 levels of left joins would otherwise stack
+          // into one deep lineage (the q47 label-propagation lesson)
+          coreness = Pin.lazily(coreness
+            .join(alive.select($"brand".as("b2")), $"brand" === $"b2", "left")
+            .select($"brand",
+              when($"b2".isNotNull, lit(k)).otherwise($"coreness")
+                .as("coreness")))
+          k += 1
+        }
+      }
+      coreness.orderBy($"brand")
+    },
+
     "q241_srm_check" -> { (s, dir) =>
       import s.implicits._
       val users = events(s, dir).select($"user_id").distinct()
@@ -3696,6 +3781,35 @@ object StatsQueries {
          |    (CAST(m - 1 AS DOUBLE) * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE)),
          |    6) > $TClosenessMax AS leaky
          |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q242_hot_streaks" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |bounds AS (
+        |  SELECT MIN(d) AS d0, MAX(d) AS d1,
+        |    CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS thr
+        |  FROM day),
+        |spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d,
+        |    d0, thr
+        |  FROM bounds),
+        |fl AS (
+        |  SELECT s.d, s.d0, COALESCE(day.cents, 0) AS cents,
+        |    CAST(COALESCE(day.cents, 0) AS DOUBLE) > s.thr AS hot
+        |  FROM spine s LEFT JOIN day ON day.d = s.d),
+        |hot AS (SELECT * FROM fl WHERE hot),
+        |cold AS (SELECT d AS bd FROM fl WHERE NOT hot),
+        |st AS (
+        |  SELECT h.d, h.cents,
+        |    COALESCE(CAST(MAX(c.bd) + 1 AS DATE), MAX(h.d0)) AS island_start
+        |  FROM hot h LEFT JOIN cold c ON c.bd < h.d
+        |  GROUP BY h.d, h.cents)
+        |SELECT island_start, MAX(d) AS island_end, COUNT(*) AS n_days,
+        |  MAX(cents) AS peak_cents, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM st GROUP BY island_start
+        |ORDER BY island_start""".stripMargin,
 
     "q241_srm_check" -> {
       s"""WITH u AS (

@@ -2209,4 +2209,80 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     // the deterministic hash split is unbiased: no SRM on healthy data
     assert(!srm, s"unexpected SRM alarm: z=$z p=$p")
   }
+
+  test("q242 hot streaks: islands replay from a sequential scan of the dense calendar") {
+    import spark.implicits._
+    val got = q("q242_hot_streaks").collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val day = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, c) => d.toLocalDate -> c }
+    val byDay = day.toMap
+    val thr = day.map(_._2).sum.toDouble / day.length
+    val d0 = day.map(_._1).minBy(_.toEpochDay)
+    val d1 = day.map(_._1).maxBy(_.toEpochDay)
+    // sequential island builder — an independent algorithm from the
+    // query's theta-join formulation
+    val islands = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Long)]
+    var cur: Option[(java.time.LocalDate, java.time.LocalDate, Long, Long, Long)] = None
+    var d = d0
+    while (!d.isAfter(d1)) {
+      val c = byDay.getOrElse(d, 0L)
+      if (c.toDouble > thr) {
+        cur = cur match {
+          case Some((s0, _, n, pk, sm)) => Some((s0, d, n + 1, math.max(pk, c), sm + c))
+          case None => Some((d, d, 1L, c, c))
+        }
+      } else {
+        cur.foreach(x => islands += ((x._1.toString, x._2.toString, x._3, x._4, x._5)))
+        cur = None
+      }
+      d = d.plusDays(1)
+    }
+    cur.foreach(x => islands += ((x._1.toString, x._2.toString, x._3, x._4, x._5)))
+    assert(got.toSeq.sortBy(_._1) === islands.toSeq.sortBy(_._1))
+  }
+
+  test("q243 k-core: coreness replays against a driver peeling recompute and respects graph bounds") {
+    import spark.implicits._
+    val got = q("q243_brand_kcore").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rebuild the undirected co-purchase edge set
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val baskets: Seq[Seq[String]] = li.map(x => (x._1, brandOf(x._2))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).distinct.toSeq).toSeq
+    val edges: Set[(String, String)] = baskets.flatMap(bs =>
+      for (a <- bs; b <- bs if a != b) yield (a, b)).toSet
+    val nodes = edges.map(_._1)
+    // classic min-degree peeling for coreness
+    var remaining = nodes
+    var coreness = nodes.map(_ -> 0L).toMap
+    var k = 1L
+    while (remaining.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val deg = remaining.map(n =>
+          n -> edges.count(e => e._1 == n && remaining(e._2))).toMap
+        val next = remaining.filter(n => deg(n) >= k)
+        changed = next.size < remaining.size && next.nonEmpty
+        if (next.size < remaining.size) remaining = next
+      }
+      if (remaining.nonEmpty) {
+        coreness = coreness ++ remaining.map(_ -> k)
+        k += 1
+      }
+    }
+    assert(got === coreness)
+    // sanity: coreness <= degree, and the max coreness >= triangle-rich graphs' 2
+    val degOf = nodes.map(n => n -> edges.count(_._1 == n)).toMap
+    got.foreach { case (b, c) => assert(c <= degOf(b), b) }
+    assert(got.values.max >= 2)
+  }
 }
