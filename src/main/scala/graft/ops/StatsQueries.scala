@@ -187,6 +187,11 @@ object StatsQueries {
     * this unlikely means the experiment's plumbing is broken). */
   val SrmAlpha = "0.001"
 
+  /** q244: matching caliper on the balance covariate, in exact cents
+    * ($500) — also the candidate bin width, so ±1 bins provably cover
+    * the caliper ball. */
+  val MatchCaliperCents = 50000L
+
   /** q236: NDCG@5 position weights 1/log₂(p+1) and their prefix sums
     * (the ideal DCG for k relevant items), as literal strings — neither
     * engine's log2 is pinned to correctly-rounded, so no log is ever
@@ -1066,6 +1071,58 @@ object StatsQueries {
     // distinct aggregate; counts exact, z the single mirrored float, p
     // through the shared A&S erf polynomial, flagged at the field-
     // standard p < 0.001.
+    // ------------------------------------- caliper nearest-neighbor match
+    // Covariate matching with a caliper — the causal-inference estimator
+    // between q188's CUPED and q191's diff-in-diff: each treated
+    // customer (md5 arm, the q216 split) matches the nearest CONTROL by
+    // account balance within a $500 caliper (with replacement, tie to
+    // the smaller key — a well-defined nearest, not order-dependent
+    // greedy), then ATT = mean matched outcome difference. Scale shape
+    // is q204's grid join on a 1-D axis: candidates from caliper-width
+    // bins with the probe side exploded to ±1 bins (provably covers the
+    // caliper ball, no duplicate pairs), exact-integer distance filter,
+    // GroupTopK k=1 argmin — never treated×control. The brute-force
+    // all-pairs oracle re-proves no candidate was missed. Outcome sums
+    // exact cents; ATT is the one rounded float (−0.0 guarded — it can
+    // be negative).
+    "q244_nn_matching" -> { (s, dir) =>
+      import s.implicits._
+      val y = t(s, dir, "orders").groupBy($"o_custkey")
+        .agg(sum(cents($"o_totalprice")).as("yy"))
+      val cust = Pin.lazily(t(s, dir, "customer")
+        .select($"c_custkey", cents($"c_acctbal").as("sc"),
+          (substring(md5($"c_custkey".cast("string")), 1, 1) <= "7")
+            .as("treated"))
+        .join(y, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey", $"sc", $"treated",
+          coalesce($"yy", lit(0L)).as("y")))
+      val cal = lit(MatchCaliperCents)
+      val ctl = cust.filter(!$"treated")
+        .select($"c_custkey".as("ck"), $"sc".as("scc"), $"y".as("yc"))
+        .withColumn("bin",
+          floor($"scc".cast("double") / cal.cast("double")).cast("long"))
+      val tr = cust.filter($"treated")
+        .withColumn("b0",
+          floor($"sc".cast("double") / cal.cast("double")).cast("long"))
+        .withColumn("bin", explode(array($"b0" - 1, $"b0", $"b0" + 1)))
+      val pairs = tr.join(ctl, Seq("bin"))
+        .withColumn("ad", abs($"sc" - $"scc"))
+        .filter($"ad" <= cal)
+      val matched = graft.plans.GroupTopK(pairs, Seq($"c_custkey"),
+        Seq($"ad".asc, $"ck".asc), 1)
+      val base = cust.agg(
+        sum(when($"treated", 1L).otherwise(0L)).as("n_treated"),
+        sum(when(!$"treated", 1L).otherwise(0L)).as("n_control"))
+      matched.agg(count(lit(1)).as("n_matched"),
+          sum($"y").as("sy_t"), sum($"yc").as("sy_c"))
+        .crossJoin(broadcast(base))
+        .select($"n_treated", $"n_control", $"n_matched",
+          round($"n_matched".cast("double") / $"n_treated".cast("double"), 6)
+            .as("match_rate"),
+          (round(($"sy_t" - $"sy_c").cast("double") /
+            $"n_matched".cast("double"), 6) + lit(0d)).as("att_cents"))
+    },
+
     // ------------------------------------------- hot streaks (islands)
     // The gaps-and-islands operator: maximal runs of consecutive
     // calendar days with revenue above the overall daily mean, each run
@@ -3781,6 +3838,41 @@ object StatsQueries {
          |    (CAST(m - 1 AS DOUBLE) * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE)),
          |    6) > $TClosenessMax AS leaky
          |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Brute-force all-pairs nearest — re-proves the binned candidate
+    // generation missed nothing (the q204 oracle convention).
+    "q244_nn_matching" ->
+      s"""WITH y AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS yy
+         |  FROM orders GROUP BY o_custkey),
+         |c AS (
+         |  SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS sc,
+         |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <= '7' AS treated,
+         |    COALESCE(y.yy, 0) AS y
+         |  FROM customer LEFT JOIN y ON o_custkey = c_custkey),
+         |tr AS (SELECT * FROM c WHERE treated),
+         |ct AS (SELECT * FROM c WHERE NOT treated),
+         |cand AS (
+         |  SELECT tr.c_custkey AS tk, tr.y AS yt, ct.c_custkey AS ck,
+         |    ct.y AS yc, ABS(tr.sc - ct.sc) AS ad
+         |  FROM tr JOIN ct ON ABS(tr.sc - ct.sc) <= $MatchCaliperCents),
+         |m AS (
+         |  SELECT tk, yt, ck, yc FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY tk ORDER BY ad, ck) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |base AS (
+         |  SELECT CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_treated,
+         |    CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_control
+         |  FROM c)
+         |SELECT n_treated, n_control, COUNT(*) AS n_matched,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_treated AS DOUBLE), 6)
+         |    AS match_rate,
+         |  ROUND(CAST(SUM(yt) - SUM(yc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    + 0.0 AS att_cents
+         |FROM m CROSS JOIN base GROUP BY n_treated, n_control""".stripMargin,
 
     "q242_hot_streaks" ->
       """WITH day AS (

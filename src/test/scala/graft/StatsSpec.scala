@@ -2285,4 +2285,41 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     got.foreach { case (b, c) => assert(c <= degOf(b), b) }
     assert(got.values.max >= 2)
   }
+
+  test("q244 matching: ATT replays against a brute-force all-pairs nearest match") {
+    import spark.implicits._
+    val row = q("q244_nn_matching").collect().head
+    val (nT, nC, nM, rate, att) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3), row.getDouble(4))
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val y = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+      .as[(Long, Long)].collect().toMap
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", round($"c_acctbal" * 100).cast("long"))
+      .as[(Long, Long)].collect()
+      .map { case (k, sc) =>
+        (k, sc, md5hex(k.toString).charAt(0) <= '7', y.getOrElse(k, 0L))
+      }
+    val tr = cust.filter(_._3)
+    val ct = cust.filter(!_._3)
+    val cal = graft.ops.StatsQueries.MatchCaliperCents
+    val matches = tr.flatMap { case (tk, sc, _, yt) =>
+      val cands = ct.filter(c => math.abs(sc - c._2) <= cal)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(c => (math.abs(sc - c._2), c._1))
+        Some((yt, best._4))
+      }
+    }
+    assert(nT === tr.length.toLong && nC === ct.length.toLong)
+    assert(nM === matches.length.toLong)
+    assert(math.abs(rate - matches.length.toDouble / tr.length) < 1e-6)
+    val expAtt = (matches.map(_._1).sum - matches.map(_._2).sum).toDouble /
+      matches.length
+    assert(math.abs(att - expAtt) < 5e-6, s"att $att vs $expAtt")
+  }
 }
