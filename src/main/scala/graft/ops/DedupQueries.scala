@@ -715,8 +715,63 @@ object DedupQueries {
         .select($"doc_id", $"n_tokens", $"covered",
           round($"covered" / $"n_tokens", 6).as("dup_frac"))
         .orderBy($"doc_id")
+    },
+
+    // ------------------------------------- TF-IDF sparse cosine pairs
+    // The third similarity geometry beside set overlap (q31 Jaccard on
+    // shingles) and dense embeddings (q34/q35 cosine): cosine over
+    // SPARSE term-weight vectors — weight = tf · (N/df), the undamped
+    // inverse-document-frequency, kept as the EXACT integer
+    // (tf·10⁶·N) div df rather than the textbook ln(N/df): the two
+    // engines' libm ln is not pinned to correctly-rounded, and a 1-ulp
+    // idf under a fixed-point floor could flip a weight, where integer
+    // division cannot. Dot products and norms² are then exact
+    // DECIMAL(38,0) sums in any order; cosine = three correctly-rounded
+    // conversions + sqrt/divide of identical doubles, so the ≥τ gate
+    // can never disagree cross-engine. Scale: the pair join is the q31
+    // inverted-index spine over df≥2 terms (df=1 terms can't contribute
+    // to any pair; they still count in norms). HONEST CAVEAT: unigram
+    // tokens, unlike q31's 5-gram shingles, include corpus-wide hot
+    // terms, so Σ df² approaches docs² — at corpus scale this query is
+    // the EXACT VERIFIER behind a pruned candidate generator (q131's
+    // prefix filter ports directly to weighted cosine — Bayardo et al.
+    // WWW'07 §4 — and q32's banding approximates it); at fixture scale
+    // it runs standalone as the sparse family's exactness baseline, the
+    // q34 convention.
+    "q245_tfidf_cosine_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val tf = Pin.lazily(t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("tk"))
+        .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("tf")))
+      val nn = tf.agg(countDistinct($"doc_id").as("n"))
+      val dfr = tf.groupBy($"tk").agg(count(lit(1)).as("df"))
+      val w = Pin.lazily(tf.join(dfr, "tk").crossJoin(broadcast(nn))
+        .select($"doc_id", $"tk", $"df",
+          expr("(tf * 1000000L * n) div df").as("wq")))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val nrm = w.groupBy($"doc_id")
+        .agg(sum($"wq".cast(dec38) * $"wq").as("n2"))
+      val pr = w.filter($"df" >= 2)
+      pr.select($"doc_id".as("da"), $"tk", $"wq".as("wa"))
+        .join(pr.select($"doc_id".as("db"), $"tk", $"wq".as("wb")), "tk")
+        .filter($"da" < $"db")
+        .groupBy($"da", $"db")
+        .agg(sum($"wa".cast(dec38) * $"wb").as("dot"),
+          count(lit(1)).as("n_shared"))
+        .join(nrm.select($"doc_id".as("da"), $"n2".as("na2")), "da")
+        .join(nrm.select($"doc_id".as("db"), $"n2".as("nb2")), "db")
+        .withColumn("cosv", $"dot".cast("double") /
+          (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
+        .filter($"cosv" >= lit(TfidfCosMin.toDouble))
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"n_shared",
+          round($"cosv", 6).as("cosine"))
+        .orderBy($"doc_a", $"doc_b")
     }
   )
+
+  /** q245: sparse-cosine report threshold (literal, shared with the
+    * oracle; the gate compares bit-identical doubles, see the query). */
+  private[graft] val TfidfCosMin = "0.9"
 
   /** Words per passage for q78. 16 keeps a passage long enough that a
     * cross-document match is real shared content, short enough that
@@ -1099,6 +1154,34 @@ object DedupQueries {
         |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
         |  ROUND(CAST(COALESCE(c.covered, 0) AS BIGINT) / b.n_tokens, 6) AS dup_frac
         |FROM base b LEFT JOIN cov c USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // The oracle joins on ALL shared terms (the df>=2 prune is implied by
+    // the self-join: a df=1 term cannot match another document).
+    "q245_tfidf_cosine_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), ' ')) AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+         |df AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+         |w AS (
+         |  SELECT doc_id, tf.tk, (tf * 1000000 * nn.n) // df.df AS wq
+         |  FROM tf JOIN df USING (tk) CROSS JOIN nn),
+         |nrm AS (
+         |  SELECT doc_id, SUM(CAST(wq AS HUGEINT) * wq) AS n2
+         |  FROM w GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    SUM(CAST(a.wq AS HUGEINT) * b.wq) AS dot, COUNT(*) AS n_shared
+         |  FROM w a JOIN w b ON a.tk = b.tk AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT da, db, n_shared,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosv
+         |  FROM pairs JOIN nrm na ON na.doc_id = da JOIN nrm nb ON nb.doc_id = db)
+         |SELECT da AS doc_a, db AS doc_b, n_shared, ROUND(cosv, 6) AS cosine
+         |FROM c WHERE cosv >= $TfidfCosMin ORDER BY doc_a, doc_b""".stripMargin
   )
 }

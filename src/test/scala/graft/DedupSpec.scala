@@ -219,4 +219,44 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(want.values.exists(_._2 > 0L),
       "fixture should contain at least one repeated shingle")
   }
+
+  test("q245 tf-idf cosine: brute-force driver recompute finds the identical pair set") {
+    import spark.implicits._
+    val got = DedupQueries.queries("q245_tfidf_cosine_pairs")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, txt) =>
+      id -> txt.toLowerCase.split(" ", -1).toSeq.groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val n = tf.size.toLong
+    val df = tf.values.flatMap(_.keys).toSeq.groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val w: Map[Long, Map[String, Long]] = tf.view.mapValues(_.map {
+      case (tk, f) => tk -> (f * 1000000L * n) / df(tk)
+    }).toMap.map(identity)
+    val norm = w.view.mapValues(m =>
+      math.sqrt(m.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble)).toMap
+    val ids = docs.map(_._1).sorted
+    val thr = DedupQueries.TfidfCosMin.toDouble
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      shared = w(a).keySet.intersect(w(b).keySet)
+      if shared.nonEmpty
+      dot = shared.toSeq.map(tk => BigInt(w(a)(tk)) * BigInt(w(b)(tk))).sum
+      cosv = dot.toDouble / (norm(a) * norm(b))
+      if cosv >= thr
+    } yield (a, b) -> (shared.size.toLong, cosv)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (ns, c)) =>
+      assert(ns === want(k)._1, s"$k shared")
+      assert(math.abs(c - want(k)._2) < 5e-6, s"$k cosine")
+    }
+    assert(got.nonEmpty, "fixture should contain sparse near-dups")
+  }
 }
