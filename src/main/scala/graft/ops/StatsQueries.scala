@@ -1123,6 +1123,49 @@ object StatsQueries {
             $"n_matched".cast("double"), 6) + lit(0d)).as("att_cents"))
     },
 
+    // ------------------------------------------- linear gap interpolation
+    // Time-series gap fill: missing calendar days on the revenue series
+    // interpolated linearly between their known neighbors — the repair
+    // step between q61's zero-fill densification and q23's last-value
+    // carry-forward (zero-fill biases means down, carry-forward lags
+    // trends; linear is the standard report-grade fill). Neighbors come
+    // from two theta joins on the calendar-bounded day frame (latest
+    // known before / earliest known after — the q242 idiom), and the
+    // interpolated value is EXACT e4 fixed point:
+    // (vp·(n−d) + vn·(d−p))·10⁴ div (n−p) — integer division of exact
+    // DECIMAL products, the q209 discipline, so no float ever enters the
+    // output. Interior gaps only by construction (the spine spans
+    // min..max known days).
+    "q246_linear_interpolation" -> { (s, dir) =>
+      import s.implicits._
+      val day = dailyRevenueCents(s, dir)
+      val spine = day.agg(min($"d").as("d0"), max($"d").as("d1"))
+        .select(explode(sequence($"d0", $"d1")).as("d"))
+      val dense = Pin.lazily(spine.join(day, Seq("d"), "left"))
+      val known = dense.filter($"cents".isNotNull)
+      val missing = dense.filter($"cents".isNull).select($"d")
+      val prevN = missing
+        .join(known.select($"d".as("pd"), $"cents".as("pv")), $"pd" < $"d")
+        .groupBy($"d").agg(max(struct($"pd", $"pv")).as("p"))
+      val nextN = missing
+        .join(known.select($"d".as("nd"), $"cents".as("nv")), $"nd" > $"d")
+        .groupBy($"d").agg(min(struct($"nd", $"nv")).as("n"))
+      // LONG is ample: cents·gap·10⁴ reaches ~10¹⁷ only at 10¹¹-cent days
+      // over 100-day gaps; positive operands make Spark's truncating div
+      // and DuckDB's floor // identical
+      val interp = prevN.join(nextN, "d")
+        .select($"d",
+          expr("(p.pv * datediff(n.nd, d) + n.nv * datediff(d, p.pd)) " +
+            "* 10000L div datediff(n.nd, p.pd)").as("value_e4"),
+          lit(true).as("interpolated"))
+      known
+        .select($"d", ($"cents" * lit(10000L)).as("value_e4"),
+          lit(false).as("interpolated"))
+        .unionByName(interp)
+        .select($"d".as("day"), $"value_e4", $"interpolated")
+        .orderBy($"day")
+    },
+
     // ------------------------------------------- hot streaks (islands)
     // The gaps-and-islands operator: maximal runs of consecutive
     // calendar days with revenue above the overall daily mean, each run
@@ -3873,6 +3916,42 @@ object StatsQueries {
          |  ROUND(CAST(SUM(yt) - SUM(yc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          |    + 0.0 AS att_cents
          |FROM m CROSS JOIN base GROUP BY n_treated, n_control""".stripMargin,
+
+    "q246_linear_interpolation" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM day),
+        |spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        |  FROM span),
+        |dense AS (
+        |  SELECT s.d, day.cents FROM spine s LEFT JOIN day ON day.d = s.d),
+        |known AS (SELECT d, cents FROM dense WHERE cents IS NOT NULL),
+        |missing AS (SELECT d FROM dense WHERE cents IS NULL),
+        |pv AS (
+        |  SELECT m.d, MAX(k.d) AS pd
+        |  FROM missing m JOIN known k ON k.d < m.d GROUP BY m.d),
+        |pvv AS (SELECT pv.d, pv.pd, k.cents AS pvc
+        |        FROM pv JOIN known k ON k.d = pv.pd),
+        |nx AS (
+        |  SELECT m.d, MIN(k.d) AS nd
+        |  FROM missing m JOIN known k ON k.d > m.d GROUP BY m.d),
+        |nxv AS (SELECT nx.d, nx.nd, k.cents AS nvc
+        |        FROM nx JOIN known k ON k.d = nx.nd),
+        |interp AS (
+        |  SELECT p.d,
+        |    ((p.pvc * date_diff('day', p.d, n.nd) +
+        |      n.nvc * date_diff('day', p.pd, p.d)) * 10000) //
+        |      date_diff('day', p.pd, n.nd) AS value_e4,
+        |    TRUE AS interpolated
+        |  FROM pvv p JOIN nxv n ON n.d = p.d)
+        |SELECT d AS day, cents * 10000 AS value_e4, FALSE AS interpolated
+        |FROM known
+        |UNION ALL
+        |SELECT d AS day, CAST(value_e4 AS BIGINT), interpolated FROM interp
+        |ORDER BY day""".stripMargin,
 
     "q242_hot_streaks" ->
       """WITH day AS (

@@ -2322,4 +2322,41 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       matches.length
     assert(math.abs(att - expAtt) < 5e-6, s"att $att vs $expAtt")
   }
+
+  test("q246 interpolation: gap fill replays exactly; known days carry their own value") {
+    import spark.implicits._
+    val got = q("q246_linear_interpolation").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getBoolean(2)))
+    val day = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, c) => d.toLocalDate -> c }.toMap
+    val d0 = day.keys.minBy(_.toEpochDay)
+    val d1 = day.keys.maxBy(_.toEpochDay)
+    val span = (d0.toEpochDay to d1.toEpochDay).map(java.time.LocalDate.ofEpochDay)
+    assert(got.length === span.length)
+    val byDay = got.map(r => r._1 -> (r._2, r._3)).toMap
+    span.foreach { d =>
+      val (v, interp) = byDay(d)
+      day.get(d) match {
+        case Some(c) =>
+          assert(!interp && v === c * 10000L, s"$d known")
+        case None =>
+          assert(interp, s"$d should be interpolated")
+          val pd = Iterator.iterate(d)(_.minusDays(1)).drop(1)
+            .find(day.contains).get
+          val nd = Iterator.iterate(d)(_.plusDays(1)).drop(1)
+            .find(day.contains).get
+          val (vp, vn) = (day(pd), day(nd))
+          val exp = (vp * java.time.temporal.ChronoUnit.DAYS.between(d, nd) +
+            vn * java.time.temporal.ChronoUnit.DAYS.between(pd, d)) * 10000L /
+            java.time.temporal.ChronoUnit.DAYS.between(pd, nd)
+          assert(v === exp, s"$d interp: $v vs $exp")
+          // interpolated value sits within the neighbor bracket
+          assert(v >= math.min(vp, vn) * 10000L && v <= math.max(vp, vn) * 10000L)
+      }
+    }
+    assert(got.count(_._3) > 0, "fixture calendar should have at least one gap")
+  }
 }
