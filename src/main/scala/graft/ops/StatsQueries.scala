@@ -1062,15 +1062,6 @@ object StatsQueries {
         .orderBy($"c_nationkey", $"c_mktsegment")
     },
 
-    // --------------------------------------- sample-ratio mismatch check
-    // The experiment-hygiene gate every A/B readout (q155/q188/q216)
-    // should run FIRST: under the deterministic md5 arm split the design
-    // ratio is 8/16, so nA−nB ~ N(0, N) and SRM shows up as an extreme
-    // z = (nA−nB)/√N — a tiny p here means broken assignment or logging,
-    // and every downstream readout is void. One user-granularity
-    // distinct aggregate; counts exact, z the single mirrored float, p
-    // through the shared A&S erf polynomial, flagged at the field-
-    // standard p < 0.001.
     // ------------------------------------- caliper nearest-neighbor match
     // Covariate matching with a caliper — the causal-inference estimator
     // between q188's CUPED and q191's diff-in-diff: each treated
@@ -1121,6 +1112,10 @@ object StatsQueries {
             .as("match_rate"),
           (round(($"sy_t" - $"sy_c").cast("double") /
             $"n_matched".cast("double"), 6) + lit(0d)).as("att_cents"))
+        // an empty match set must emit ZERO rows, matching the oracle's
+        // GROUP-BY-over-empty shape (a global agg would emit a NULL-ATT
+        // row the SQL side never produces; review finding)
+        .filter($"n_matched" > 0)
     },
 
     // ------------------------------------------- linear gap interpolation
@@ -1251,6 +1246,15 @@ object StatsQueries {
       coreness.orderBy($"brand")
     },
 
+    // --------------------------------------- sample-ratio mismatch check
+    // The experiment-hygiene gate every A/B readout (q155/q188/q216)
+    // should run FIRST: under the deterministic md5 arm split the design
+    // ratio is 8/16, so nA−nB ~ N(0, N) and SRM shows up as an extreme
+    // z = (nA−nB)/√N — a tiny p here means broken assignment or logging,
+    // and every downstream readout is void. One user-granularity
+    // distinct aggregate; counts exact, z the single mirrored float, p
+    // through the shared A&S erf polynomial, flagged at the field-
+    // standard p < 0.001.
     "q241_srm_check" -> { (s, dir) =>
       import s.implicits._
       val users = events(s, dir).select($"user_id").distinct()
@@ -3192,19 +3196,31 @@ object StatsQueries {
     // than a fabricated prior.
     "q231_eb_shrinkage" -> { (s, dir) =>
       import s.implicits._
+      // Prior moments ride e12 fixed-point rates (pq = x·10¹² div n, an
+      // exact integer), so Σpq and Σpq² are order-free exact sums — a
+      // float Σp over brand rows would be partition-order-dependent
+      // (review finding). The 10⁻¹² quantization is 6 orders below the
+      // ROUND(…,6) output grain. s ≤ 0 (between-brand variance at or
+      // above m(1−m) — no valid beta prior exists there) degenerates to
+      // NULL exactly like v = 0, instead of anti-shrinking rates out of
+      // [0,1] (review finding).
       val br = Pin.lazily(t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("x"),
           count(lit(1)).as("n"))
-        .withColumn("p", $"x".cast("double") / $"n".cast("double")))
+        .withColumn("p", $"x".cast("double") / $"n".cast("double"))
+        .withColumn("pq", expr("(x * 1000000000000L) div n")))
       val pri = br
         .agg(count(lit(1)).cast("double").as("k"),
-          sum($"p").as("sp"), sum($"p" * $"p").as("spp"))
-        .select(($"sp" / $"k").as("m"),
-          (($"spp" - $"sp" * $"sp" / $"k") / $"k").as("v"))
+          sum($"pq").as("sq"), sum($"pq".cast(dec) * $"pq").as("sqq"))
+        .select($"k", ($"sq".cast("double") / lit(1e12)).as("sqd"),
+          ($"sqq".cast("double") / lit(1e24)).as("sqqd"))
+        .select(($"sqd" / $"k").as("m"),
+          (($"sqqd" - $"sqd" * $"sqd" / $"k") / $"k").as("v"))
         .select($"m", $"v",
-          when($"v" > 0, $"m" * (lit(1.0) - $"m") / $"v" - lit(1.0)).as("s"))
+          when($"v" > 0 && $"m" * (lit(1.0) - $"m") / $"v" - lit(1.0) > 0,
+            $"m" * (lit(1.0) - $"m") / $"v" - lit(1.0)).as("s"))
       br.crossJoin(broadcast(pri))
         .select($"p_brand", $"n", $"x",
           round($"p", 6).as("raw_rate"),
@@ -3258,12 +3274,15 @@ object StatsQueries {
     // ------------------------------------------- split-conformal interval
     // Distribution-free prediction interval for order value — the
     // uncertainty wrapper q181's point classifier and q184's backtest
-    // lack: split calibration (odd order keys) from test (even), predict
-    // with the per-priority calibration mean, take q̂ = the
-    // ⌈(1−α)(n+1)⌉-th SMALLEST calibration residual (the exact order
+    // lack: a THREE-way key split (train fits the per-priority mean
+    // predictor; calibration supplies residuals; test audits coverage —
+    // conformal's exchangeability argument needs the predictor
+    // independent of BOTH scored halves, so fitting on the calibration
+    // half itself would void the guarantee; review finding), with q̂ =
+    // the ⌈(1−α)(n+1)⌉-th SMALLEST calibration residual (the exact order
     // statistic conformal requires — an interpolated percentile would
-    // void the finite-sample guarantee), then audit empirical coverage on
-    // the held-out half. Rank selection rides the two-pass GlobalRank —
+    // void the finite-sample guarantee). Rank selection rides the two-
+    // pass GlobalRank —
     // no global window touches data rows; the 5-row predictor and the
     // 1-row (n, k, q̂) frame broadcast onto the test scan. Residuals are
     // |exact-cents − mean| with the mean a single float division, so both
@@ -3273,9 +3292,10 @@ object StatsQueries {
       import s.implicits._
       val o = t(s, dir, "orders").select($"o_orderkey",
         $"o_orderpriority".as("prio"), cents($"o_totalprice").as("c"))
-      val cal = o.filter($"o_orderkey" % 2 === 1)
-      val tst = o.filter($"o_orderkey" % 2 === 0)
-      val preds = Pin.lazily(cal.groupBy($"prio")
+      val trn = o.filter($"o_orderkey" % 3 === 0)
+      val cal = o.filter($"o_orderkey" % 3 === 1)
+      val tst = o.filter($"o_orderkey" % 3 === 2)
+      val preds = Pin.lazily(trn.groupBy($"prio")
         .agg(sum($"c").as("sc"), count(lit(1)).as("nc"))
         .select($"prio",
           ($"sc".cast("double") / $"nc".cast("double")).as("yhat")))
@@ -3298,6 +3318,9 @@ object StatsQueries {
         .select($"n_cal", $"k_rank", $"qhat_cents", $"n_test", $"n_covered",
           round($"n_covered".cast("double") / $"n_test".cast("double"), 6)
             .as("coverage"))
+        // empty test half ⇒ zero rows, the oracle's GROUP-BY-over-empty
+        // shape (review finding; see q244)
+        .filter($"n_test" > 0)
     },
 
     // ------------------------------------------ tombstone cascade audit
@@ -5311,14 +5334,17 @@ object StatsQueries {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand),
         |pp AS (SELECT p_brand, x, n,
-        |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM br),
+        |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |  (x * 1000000000000) // n AS pq FROM br),
         |pri AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(p) AS sp,
-        |    SUM(p * p) AS spp
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+        |    CAST(SUM(pq) AS DOUBLE) / 1e12 AS sqd,
+        |    CAST(SUM(CAST(pq AS HUGEINT) * pq) AS DOUBLE) / 1e24 AS sqqd
         |  FROM pp),
-        |mv AS (SELECT sp / k AS m, (spp - sp * sp / k) / k AS v FROM pri),
+        |mv AS (SELECT sqd / k AS m, (sqqd - sqd * sqd / k) / k AS v FROM pri),
         |sx AS (SELECT m, v,
-        |  CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 ELSE NULL END AS s
+        |  CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+        |       THEN m * (1.0 - m) / v - 1.0 ELSE NULL END AS s
         |  FROM mv)
         |SELECT p_brand, n, x, ROUND(p, 6) AS raw_rate,
         |  ROUND(s, 6) AS prior_strength,
@@ -5366,11 +5392,12 @@ object StatsQueries {
     "q233_conformal_interval" ->
       s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
          |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
-         |cal AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
-         |tst AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+         |trn AS (SELECT * FROM o WHERE o_orderkey % 3 = 0),
+         |cal AS (SELECT * FROM o WHERE o_orderkey % 3 = 1),
+         |tst AS (SELECT * FROM o WHERE o_orderkey % 3 = 2),
          |preds AS (SELECT prio,
          |    CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS yhat
-         |  FROM cal GROUP BY prio),
+         |  FROM trn GROUP BY prio),
          |res AS (SELECT ABS(CAST(c AS DOUBLE) - yhat) AS r
          |  FROM cal JOIN preds USING (prio)),
          |nk AS (SELECT COUNT(*) AS n_cal,
@@ -5448,14 +5475,19 @@ object StatsQueries {
         |FROM pr ORDER BY bin""".stripMargin,
 
     "q236_ndcg_popularity" -> {
+      // e0 suffix on every literal: a bare decimal literal is DECIMAL in
+      // DuckDB, whose decimal→double cast is 1 ulp off the correctly-
+      // rounded parse for two of these constants, and a DECIMAL weight
+      // would make the oracle's SUM exact-decimal where Spark sums
+      // doubles (the KmvM e-notation convention; found by review).
       val wCase = NdcgW.zipWithIndex
-        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+        .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}e0" }
         .mkString("CASE pos ", " ", " END")
-      val idcgCase = s"""CASE WHEN bsz >= 5 THEN ${NdcgIdcg(4)}
-         |    WHEN bsz = 4 THEN ${NdcgIdcg(3)}
-         |    WHEN bsz = 3 THEN ${NdcgIdcg(2)}
-         |    WHEN bsz = 2 THEN ${NdcgIdcg(1)}
-         |    ELSE ${NdcgIdcg(0)} END""".stripMargin
+      val idcgCase = s"""CASE WHEN bsz >= 5 THEN ${NdcgIdcg(4)}e0
+         |    WHEN bsz = 4 THEN ${NdcgIdcg(3)}e0
+         |    WHEN bsz = 3 THEN ${NdcgIdcg(2)}e0
+         |    WHEN bsz = 2 THEN ${NdcgIdcg(1)}e0
+         |    ELSE ${NdcgIdcg(0)}e0 END""".stripMargin
       s"""WITH ranked AS (
          |  SELECT o_orderkey, o_custkey,
          |    ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -5479,7 +5511,7 @@ object StatsQueries {
          |  JOIN part ON l_partkey = p_partkey),
          |u AS (
          |  SELECT cust, COUNT(*) AS bsz,
-         |    SUM(COALESCE(w, 0.0)) AS dcg
+         |    SUM(COALESCE(w, 0e0)) AS dcg
          |  FROM baskets LEFT JOIN top5 USING (p_brand) GROUP BY cust),
          |n AS (SELECT cust, dcg / ($idcgCase) AS ndcg FROM u)
          |SELECT COUNT(*) AS n_users, ROUND(AVG(ndcg), 6) AS avg_ndcg,

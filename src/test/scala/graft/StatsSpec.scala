@@ -1993,9 +1993,10 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
         org.apache.spark.sql.functions.round($"o_totalprice" * 100)
           .cast("long").as("c"))
       .as[(Long, String, Long)].collect()
-    val cal = orders.filter(_._1 % 2 == 1)
-    val tst = orders.filter(_._1 % 2 == 0)
-    val preds = cal.groupBy(_._2).view
+    val trn = orders.filter(_._1 % 3 == 0)
+    val cal = orders.filter(_._1 % 3 == 1)
+    val tst = orders.filter(_._1 % 3 == 2)
+    val preds = trn.groupBy(_._2).view
       .mapValues(v => v.map(_._3).sum.toDouble / v.length).toMap
     val res = cal.map(o => math.abs(o._3.toDouble - preds(o._2))).sorted
     assert(nCal === cal.length)
@@ -2154,7 +2155,7 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("q240 t-closeness: EMD replays exactly from the raw distribution; identical distributions score 0") {
+  test("q240 t-closeness: EMD replays cell-exactly from the raw distribution") {
     import spark.implicits._
     val got = q("q240_t_closeness").collect()
       .map(r => (r.getInt(0), r.getString(1)) ->
@@ -2179,14 +2180,11 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(gt - t) < 5e-6, s"$key: $gt vs $t")
       assert(leaky === (gt > graft.ops.StatsQueries.TClosenessMax.toDouble), key)
     }
-    // property: a group whose distribution equals the global one has EMD 0
-    // (construct synthetically: the union of all groups IS the global)
-    val whole = {
-      val cumDiff = bandsAll.map(b => (BigInt(n) * globalCum(b) -
-        BigInt(globalCum(b)) * n).abs).sum
-      cumDiff
-    }
-    assert(whole === BigInt(0))
+    // estimator properties (the cell-exact replay above is the real
+    // gate): EMD is scale-free in [0,1] and the fixture has real skew
+    assert(got.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0 + 1e-9))
+    assert(got.values.map(_._2).max > 0.0,
+      "fixture should contain at least one skewed QI group")
   }
 
   test("q241 SRM: counts replay under the md5 split and the healthy fixture does not alarm") {
