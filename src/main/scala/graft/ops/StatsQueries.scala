@@ -204,6 +204,86 @@ object StatsQueries {
     "2.5616063116448506", "2.9484591188793923")
   val NdcgK = 5
 
+  /** q247: a brand pair is a graph edge when its co-basket count is at
+    * least this FRACTION of all baskets — relative so the edge set stays
+    * half-dense at every SF (an absolute floor saturates: every brand
+    * pair co-occurs somewhere once baskets ≫ brands², and a complete
+    * graph has no links left to predict). */
+  val AaSupportFrac = "0.022"
+
+  /** q248: skip-gram context radius (positions each side), the Mikolov
+    * subsample threshold t (string literal, the PoissonCdf convention),
+    * and the word2vec min_count output floor. */
+  val SkipgramWindow = 2
+  val SkipgramT = "0.001"
+  val SkipgramMinCount = 5L
+
+  /** q249: the "deployed" quality model — FIXED literal weights over the
+    * raw (unstandardized) q181 signals, so the scoring rule is
+    * closed-form in both engines rather than trained. Bins = deciles of
+    * the forecast probability. */
+  val BrierW0 = "-4.0"
+  val BrierW1 = "0.2"
+  val BrierW2 = "25.0"
+  val BrierW3 = "1.5"
+  val BrierBins = 10
+
+  /** q250: randomized-response design — P[enter the lie branch] (half of
+    * which reports 1) and the sensitive threshold on event value. */
+  val RrQ = "0.25"
+  val RrValueThr = "150.0"
+
+  /** q251: Johnson–Lindenstrauss target dimensionality, source
+    * dimensionality, and the id-stride defining the audited sample
+    * (vec_id ≡ 0 mod stride). */
+  val JlK = 16
+  val JlD = 64
+  val JlSampleMod = 37
+
+  /** q251: the k×d Rademacher projection matrix — ±1 from the parity of
+    * the first hex digit of md5("jl:j:i"), computed HERE once and
+    * interpolated into BOTH engines as literals, so neither engine
+    * hashes at query time and the fold order is pinned by the shared
+    * expression text. */
+  lazy val JlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlK).map { j =>
+      (0 until JlD).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$j:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 0) 1 else -1
+      }
+    }
+
+  /** q252: Fellegi–Sunter m-probabilities (match-class agreement rates —
+    * literature-style priors, fixed by design), the Jaro–Winkler
+    * agreement threshold, and the pseudo-pair key offset used to
+    * ESTIMATE the u-probabilities (must stay below the smallest
+    * fixture's part count so the offset join is never empty). */
+  val FsMName = "0.95"
+  val FsMBrand = "0.9"
+  val FsMType = "0.85"
+  val FsMSize = "0.6"
+  val FsJwThr = "0.92"
+  val FsOffset = 97L
+
+  /** q252: emit pairs whose total match weight clears this many bits —
+    * the review threshold of a deployed linker (w ≥ 10 ≈ 1000:1 evidence
+    * for match over the u-model). Emitting every w > 0 pair floods the
+    * output with attribute-coincidence pairs at large SF. */
+  val FsWeightCut = "10.0"
+
+  /** q253: F(6, ∞) upper critical value at α = 0.05 — literal string
+    * shared with the oracle (the AnovaCritF comparison happens on the
+    * unrounded statistic in both engines). */
+  val AnovaCritF = "2.0986"
+
+  /** q255: CMH exposure threshold on the raw account-balance double, and
+    * the order-count floor defining the "frequent orderer" outcome (every
+    * fixture customer has ≥1 order, so "has ordered" would be a
+    * degenerate 2×2 — the floor splits ~54/46 at every SF). */
+  val CmhBalThr = "5000.0"
+  val CmhOrderFloor = 10L
+
   // Shared pinned frames are MEMOIZED per (application, fixture dir) —
   // the covStats/q91-layout lesson: q163/q164/q169/q177/q184 share the
   // day frame and q158/q165/q170 share the basket + pair frames; a
@@ -3450,6 +3530,376 @@ object StatsQueries {
         round(avg($"ndcg"), 6).as("avg_ndcg"),
         round(sum(when($"ndcg" > 0, 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double"), 6).as("hit_rate"))
+    },
+
+    // ------------------------------------- Adamic–Adar link prediction
+    // Link prediction over the brand co-occurrence graph (the
+    // q158/q165/q170 spine): for every brand pair NOT currently
+    // connected, the Adamic–Adar score Σ_z 1/ln(deg z) over common
+    // neighbors z — "which assortment affinities are about to appear".
+    // A common neighbor is by construction adjacent to both endpoints,
+    // so deg(z) ≥ 2 and ln never vanishes. Scale: the one corpus-scale
+    // step is the shared memoized basket self-join (brandPairCounts);
+    // the wedge join, degree table, and open-pair anti-join are all
+    // ≤|brands|³ control-plane rows. Float cost is one 1/ln per wedge,
+    // summed per pair and rounded.
+    "q247_adamic_adar" -> { (s, dir) =>
+      import s.implicits._
+      val nb = brandBaskets(s, dir).agg(countDistinct($"ok").as("n_baskets"))
+      val e = brandPairCounts(s, dir).crossJoin(broadcast(nb))
+        .filter($"pair_n".cast("double") >=
+          lit(AaSupportFrac.toDouble) * $"n_baskets".cast("double"))
+        .select($"brand_a", $"brand_b")
+      val both = e.select($"brand_a".as("src"), $"brand_b".as("dst"))
+        .unionByName(e.select($"brand_b".as("src"), $"brand_a".as("dst")))
+      val deg = both.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .select($"src".as("z"), $"deg")
+      val wedges = both.select($"dst".as("a"), $"src".as("z"))
+        .join(both.select($"src".as("zz"), $"dst".as("c")),
+          $"z" === $"zz" && $"a" < $"c")
+        .select($"a", $"z", $"c")
+      val open = wedges.join(e,
+        wedges("a") === e("brand_a") && wedges("c") === e("brand_b"),
+        "left_anti")
+      open.join(deg, "z")
+        .groupBy($"a", $"c")
+        .agg(count(lit(1)).as("n_common"),
+          round(sum(lit(1.0) / log($"deg".cast("double"))), 6).as("aa_score"))
+        .select($"a".as("brand_a"), $"c".as("brand_b"), $"n_common", $"aa_score")
+        .orderBy($"aa_score".desc, $"brand_a", $"brand_b")
+    },
+
+    // ------------------------------------- skip-gram pair extraction
+    // Word2vec-style (center, context) training-pair extraction with
+    // Mikolov frequency subsampling — the data-prep step that turns a
+    // corpus into embedding-training pairs. Keep-probability
+    // min(1, √(t/f)) is decided per token INSTANCE by the md5(doc:pos)
+    // uniform (deterministic and partition-invariant); surviving tokens
+    // pair with surviving neighbors within ±W positions via one
+    // (doc, pos+off) equi-join — fan-out bounded at 2W per token, never
+    // a per-doc cross join. The unigram frequency table is
+    // vocabulary-bounded (broadcasts at any corpus size); pairs below
+    // the min_count support floor are dropped, the word2vec convention.
+    "q248_skipgram_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id",
+          posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+      val cnt = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum($"c").as("total"))
+      val kept = Pin.lazily(toks.join(cnt, "tok").crossJoin(broadcast(tot))
+        .withColumn("keep", least(lit(1.0),
+          sqrt(lit(SkipgramT.toDouble) * $"total".cast("double") /
+            $"c".cast("double"))))
+        .withColumn("u",
+          conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+            $"pos".cast("string"))), 1, 8), 16, 10).cast("long")
+            .cast("double") / lit(4294967296.0))
+        .filter($"u" < $"keep")
+        .select($"doc_id", $"pos", $"tok"))
+      val offsets = (-SkipgramWindow to SkipgramWindow).filter(_ != 0)
+      val ctx = kept
+        .withColumn("off", explode(typedLit(offsets)))
+        .select($"doc_id", $"tok".as("center"), ($"pos" + $"off").as("cpos"))
+      ctx.join(kept.select($"doc_id", $"pos".as("cpos"), $"tok".as("context")),
+          Seq("doc_id", "cpos"))
+        .groupBy($"center", $"context")
+        .agg(count(lit(1)).as("n_pairs"))
+        .filter($"n_pairs" >= SkipgramMinCount)
+        .orderBy($"n_pairs".desc, $"center", $"context")
+    },
+
+    // ------------------------------------- Brier score decomposition
+    // Murphy decomposition of a probabilistic classifier's Brier score —
+    // Brier, reliability (calibration), resolution, and uncertainty off
+    // decile forecast bins — the diagnostic that says WHY a mean squared
+    // probability error is what it is. The forecaster is the fixed
+    // literal-weight logistic rule over the raw q181 signals (deployed-
+    // model constants, so the whole readout is closed-form). One
+    // document-wide aggregate to the 10-row bin frame; every term after
+    // is control-plane. Approximation note (standard): REL/RES use the
+    // bin-mean forecast, so REL − RES + UNC ≈ Brier up to within-bin
+    // forecast variance.
+    "q249_brier_decomposition" -> { (s, dir) =>
+      import s.implicits._
+      val ws = split(lower($"text"), " ")
+      val f = t(s, dir, "documents").filter($"text".isNotNull)
+        .select(($"lang" === "en").cast("double").as("y"),
+          (length($"text").cast("double") / size(ws)).as("r1"),
+          (size(filter(ws, w => w === "the" || w === "a")).cast("double") /
+            size(ws)).as("r2"),
+          (size(array_distinct(ws)).cast("double") / size(ws)).as("r3"))
+      val scored = f.select($"y",
+        (lit(1.0) / (lit(1.0) + exp(-(lit(BrierW0.toDouble) +
+          lit(BrierW1.toDouble) * $"r1" + lit(BrierW2.toDouble) * $"r2" +
+          lit(BrierW3.toDouble) * $"r3")))).as("p"))
+      val bins = scored
+        .groupBy(least(floor($"p" * BrierBins), lit(BrierBins - 1L)).as("bin"))
+        .agg(count(lit(1)).as("n_k"), sum($"p").as("sp"), sum($"y").as("sy"),
+          sum($"p" * $"p").as("sp2"), sum($"p" * $"y").as("spy"))
+      val tot = bins.agg(sum($"n_k").as("n"), sum($"sy").as("sy_t"))
+      bins.crossJoin(broadcast(tot))
+        .agg(max($"n").as("n_docs"),
+          round((sum($"sp2") - lit(2.0) * sum($"spy") + sum($"sy")) /
+            max($"n").cast("double"), 6).as("brier"),
+          round(sum(($"sp" - $"sy") * ($"sp" - $"sy") / $"n_k".cast("double")) /
+            max($"n").cast("double"), 6).as("reliability"),
+          round(sum($"n_k".cast("double") *
+              ($"sy" / $"n_k" - $"sy_t" / $"n") *
+              ($"sy" / $"n_k" - $"sy_t" / $"n")) /
+            max($"n").cast("double"), 6).as("resolution"),
+          round(max(($"sy_t" / $"n") * (lit(1.0) - $"sy_t" / $"n")), 6)
+            .as("uncertainty"))
+    },
+
+    // ------------------------------------- randomized response release
+    // Local-DP prevalence estimation via Warner randomized response —
+    // the per-record privacy mechanism to q198's central-DP release:
+    // with probability q each event's sensitive bit (value above the
+    // threshold) is replaced by a fair coin, and the debiased estimator
+    // π̂ = (obs − q/2)/(1 − q) recovers the prevalence. Both coins come
+    // from ONE md5(event_id) uniform (u < q enters the lie branch,
+    // u < q/2 reports 1 — deterministic, mirrored verbatim; production
+    // swaps only the uniform for a secure RNG). One scan, one
+    // type-granularity aggregate; true_pi is emitted for the utility
+    // audit that a real release would drop.
+    "q250_randomized_response" -> { (s, dir) =>
+      import s.implicits._
+      val q = lit(RrQ.toDouble)
+      val ev = events(s, dir)
+        .select($"event_id", $"event_type",
+          (coalesce($"value", lit(0.0)) > lit(RrValueThr.toDouble))
+            .cast("long").as("truth"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("rr:"), $"event_id".cast("string"))),
+            1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0))
+        .withColumn("report",
+          when($"u" < q, when($"u" < q / lit(2.0), 1L).otherwise(0L))
+            .otherwise($"truth"))
+      val g = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"truth").as("n_true"),
+          sum($"report").as("n_reported"))
+      val obs = $"n_reported".cast("double") / $"n".cast("double")
+      val truePi = $"n_true".cast("double") / $"n".cast("double")
+      val piHat = (obs - q / lit(2.0)) / (lit(1.0) - q)
+      g.select($"event_type", $"n", $"n_true", $"n_reported",
+          round(truePi, 6).as("true_pi"),
+          round(obs, 6).as("obs_rate"),
+          (round(piHat, 6) + lit(0d)).as("pi_hat"),
+          round(abs(piHat - truePi), 6).as("abs_err"))
+        .orderBy($"event_type")
+    },
+
+    // ------------------------- Johnson–Lindenstrauss distortion audit
+    // Rademacher (±1) random projection of the 64-dim embeddings to
+    // k = 16 with the measured pairwise distortion on a deterministic id
+    // sample — the sizing audit run before committing a corpus to a
+    // reduced-dimension index (the JL lemma bounds the ratio's spread;
+    // the audit MEASURES it on real data). The ±1 matrix is generated
+    // once in Scala and interpolated into both engines as literals, and
+    // every dot/distance is the same left-to-right fold, so ratios are
+    // bit-identical cross-engine. Scale: projection is a per-row map
+    // (k·d multiply-adds, codegen'd — no shuffle); only the audited
+    // SAMPLE is self-joined (stride-bounded, never corpus²).
+    "q251_jl_distortion" -> { (s, dir) =>
+      import s.implicits._
+      def sq(c: Column): Column = c * c
+      val emb = t(s, dir, "embeddings")
+        .filter($"vec_id" % JlSampleMod === 0)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      def proj(e: Column, j: Int): Column =
+        (0 until JlD).map(i => e.getItem(i) * lit(JlSigns(j)(i).toDouble))
+          .reduce(_ + _)
+      val pr = emb.select($"vec_id", $"emb",
+        array((0 until JlK).map(j => proj($"emb", j)): _*).as("y"))
+      val a = pr.select($"vec_id".as("vec_a"), $"emb".as("ea"), $"y".as("ya"))
+      val b = pr.select($"vec_id".as("vec_b"), $"emb".as("eb"), $"y".as("yb"))
+      val d2o = (0 until JlD)
+        .map(i => sq($"ea".getItem(i) - $"eb".getItem(i))).reduce(_ + _)
+      val d2p = (0 until JlK)
+        .map(j => sq($"ya".getItem(j) - $"yb".getItem(j))).reduce(_ + _)
+      a.join(b, $"vec_a" < $"vec_b")
+        .select($"vec_a", $"vec_b",
+          round(d2o, 6).as("d2_orig"),
+          round(d2p / lit(JlK.toDouble), 6).as("d2_proj_scaled"),
+          round((d2p / lit(JlK.toDouble)) / d2o, 6).as("ratio"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+
+    // ------------------------------- Fellegi–Sunter linkage weights
+    // Probabilistic record linkage over the q226 blocking spine, scored
+    // the Fellegi–Sunter way: each blocked candidate pair gets an
+    // agreement vector over (name-JW≥τ, brand, type, size) and a match
+    // weight Σ log₂(m/u) / log₂((1−m)/(1−u)). m comes from fixed priors
+    // (the deployed-linker convention); u is ESTIMATED from offset
+    // pseudo-pairs (key, key+Δ) — the Splink-style "random pairs are
+    // non-matches" estimator — with a 1/(2n) continuity floor so a zero
+    // count can't produce ±∞. Scale: blocking bounds candidates by
+    // per-block width (two-word keys keep blocks narrow; a hot block is
+    // the q60/q87 salting problem); the u frame is ONE row broadcast.
+    "q252_fs_linkage" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.StringSimilarity.register(s)
+      val parts = Pin.lazily(t(s, dir, "part")
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size",
+          concat_ws(" ", split_part($"p_name", lit(" "), lit(1)),
+            split_part($"p_name", lit(" "), lit(2))).as("blk")))
+      def agree(a: String, b: String): Seq[Column] = Seq(
+        (graft.functions.StringSimilarity.jaroWinkler(
+          col(s"$a.p_name"), col(s"$b.p_name")) >= lit(FsJwThr.toDouble))
+          .as("g_name"),
+        (col(s"$a.p_brand") === col(s"$b.p_brand")).as("g_brand"),
+        (col(s"$a.p_type") === col(s"$b.p_type")).as("g_type"),
+        (col(s"$a.p_size") === col(s"$b.p_size")).as("g_size"))
+      val rnd = parts.as("a").join(parts.as("b"),
+          $"b.p_partkey" === $"a.p_partkey" + FsOffset)
+        .select(agree("a", "b"): _*)
+      val floorU = lit(1.0) / (lit(2.0) * $"n_u".cast("double"))
+      def uCol(g: String): Column =
+        least(greatest(col(s"r_$g"), floorU), lit(1.0) - floorU).as(s"u_$g")
+      val u = rnd.agg(count(lit(1)).as("n_u"),
+          avg($"g_name".cast("double")).as("r_g_name"),
+          avg($"g_brand".cast("double")).as("r_g_brand"),
+          avg($"g_type".cast("double")).as("r_g_type"),
+          avg($"g_size".cast("double")).as("r_g_size"))
+        .select($"n_u", uCol("g_name"), uCol("g_brand"), uCol("g_type"),
+          uCol("g_size"))
+      def w(g: String, m: String): Column = {
+        val mv = lit(m.toDouble)
+        when(col(g), log2(mv / col(s"u_$g")))
+          .otherwise(log2((lit(1.0) - mv) / (lit(1.0) - col(s"u_$g"))))
+      }
+      val cand = parts.as("a").join(parts.as("b"),
+          $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
+        .select(col("a.p_partkey").as("key_a") +:
+          col("b.p_partkey").as("key_b") +: agree("a", "b"): _*)
+      cand.crossJoin(broadcast(u))
+        .withColumn("mw", w("g_name", FsMName) + w("g_brand", FsMBrand) +
+          w("g_type", FsMType) + w("g_size", FsMSize))
+        .filter($"mw" >= lit(FsWeightCut.toDouble))
+        .select($"key_a", $"key_b", $"g_name", $"g_brand", $"g_type",
+          $"g_size", round($"mw", 6).as("match_weight"))
+        .orderBy($"match_weight".desc, $"key_a", $"key_b")
+    },
+
+    // ------------------------------------------- one-way ANOVA (DOW)
+    // One-way ANOVA F-test of order value across day-of-week groups —
+    // "does the calendar move the MEAN basket, not just the volume?"
+    // (q177 indexes volume; this tests value). All moments (n, Σx, Σx²)
+    // are EXACT integer/decimal per-group aggregates; group means and
+    // the between/within sums of squares are derived per group from
+    // identical exact inputs in both engines, so only the final 7-term
+    // float folds wobble (≪ the 1e-6 grain on the RATIO statistics —
+    // raw cents² sums are deliberately NOT emitted; at 1e20 magnitude a
+    // 6dp round is not cross-engine stable). Weekday is Monday=0 in
+    // both engines (Spark weekday(), DuckDB isodow−1 — q177's rule).
+    "q253_anova_dow" -> { (s, dir) =>
+      import s.implicits._
+      val x = cents($"o_totalprice")
+      val grp = t(s, dir, "orders")
+        .select(weekday($"o_orderdate").as("dow"), x.as("x"))
+        .groupBy($"dow")
+        .agg(count(lit(1)).as("n_g"), sum($"x".cast(dec)).as("s_g"),
+          sum($"x".cast(dec) * $"x").as("q_g"))
+      val tot = grp.agg(sum($"n_g").as("n"), sum($"s_g").as("s"),
+        count(lit(1)).as("k"))
+      val gm = $"s_g".cast("double") / $"n_g".cast("double")
+      val tm = $"s".cast("double") / $"n".cast("double")
+      grp.crossJoin(broadcast(tot))
+        .agg(max($"n").as("n_orders"), max($"k").as("k_groups"),
+          sum($"n_g".cast("double") * (gm - tm) * (gm - tm)).as("ssb"),
+          sum($"q_g".cast("double") -
+            $"s_g".cast("double") * $"s_g".cast("double") /
+              $"n_g".cast("double")).as("ssw"))
+        .select($"n_orders", $"k_groups",
+          round(($"ssb" / ($"k_groups" - 1).cast("double")) /
+            ($"ssw" / ($"n_orders" - $"k_groups").cast("double")), 6)
+            .as("f_stat"),
+          round($"ssb" / ($"ssb" + $"ssw"), 6).as("eta_sq"),
+          ((($"ssb" / ($"k_groups" - 1).cast("double")) /
+            ($"ssw" / ($"n_orders" - $"k_groups").cast("double"))) >
+            lit(AnovaCritF.toDouble)).as("significant"))
+    },
+
+    // ------------------------------------- Spearman rank correlation
+    // Spearman ρ (tie-averaged ranks) between order value and the
+    // customer's account balance, next to Pearson r on the raw cents —
+    // the monotone-vs-linear association pair. Ranks are DISTRIBUTED:
+    // value-granularity frames ride GlobalRank's prefix sum, and the
+    // tie-averaged rank is kept EXACT by doubling (2r̄ = 2·cum − cnt + 1,
+    // an integer); all correlation moments are DECIMAL(38,0)-exact with
+    // the doubling factor cancelling in ρ, so each coefficient is one
+    // mirrored float expression over exact integers. No data-row global
+    // window anywhere (the q45/q97 discipline).
+    "q254_spearman" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Pin.lazily(t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select(cents($"o_totalprice").as("x"), cents($"c_acctbal").as("y")))
+      def doubledRanks(vcol: String): DataFrame = {
+        val v = rows.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("cnt"))
+        GlobalRank.withGlobalPrefixSum(v, Seq(col("v")), col("cnt"),
+            "vrk", "nv", "cum", "ntot")
+          .select(col("v").as(vcol),
+            (lit(2L) * col("cum") - col("cnt") + lit(1L)).as(s"dr_$vcol"))
+      }
+      val ranked = rows.join(doubledRanks("x"), "x").join(doubledRanks("y"), "y")
+      def corr2(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+          sxy: Column): Column =
+        ((n * sxy - sx * sy).cast("double") /
+          (sqrt((n * sxx - sx * sx).cast("double")) *
+            sqrt((n * syy - sy * sy).cast("double"))))
+      ranked.agg(count(lit(1)).as("n"),
+          sum($"dr_x".cast(dec)).as("srx"), sum($"dr_y".cast(dec)).as("sry"),
+          sum($"dr_x".cast(dec) * $"dr_x").as("srxx"),
+          sum($"dr_y".cast(dec) * $"dr_y").as("sryy"),
+          sum($"dr_x".cast(dec) * $"dr_y").as("srxy"),
+          sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+          sum($"x".cast(dec) * $"x").as("sxx"),
+          sum($"y".cast(dec) * $"y").as("syy"),
+          sum($"x".cast(dec) * $"y").as("sxy"))
+        .select($"n",
+          round(corr2($"n".cast(dec), $"srx", $"sry", $"srxx", $"sryy",
+            $"srxy"), 6).as("rho_spearman"),
+          round(corr2($"n".cast(dec), $"sx", $"sy", $"sxx", $"syy",
+            $"sxy"), 6).as("r_pearson"))
+    },
+
+    // ----------------------- Cochran–Mantel–Haenszel pooled odds ratio
+    // Stratified 2×2 association — does a high account balance associate
+    // with being a FREQUENT orderer (≥ CmhOrderFloor orders), pooled
+    // across nation strata? — the confounder-adjusted complement to
+    // q160's marginal chi-square (nation mix differences can fake or
+    // mask a marginal association; CMH pools the per-stratum odds). One
+    // customer-granularity aggregate + left join + one nation-
+    // granularity aggregate; the 2×2 cells are exact longs and the only
+    // floats are the per-stratum a·d/n, b·c/n terms (25-row
+    // control-plane folds) and the final ratio.
+    "q255_cmh_odds" -> { (s, dir) =>
+      import s.implicits._
+      val frequent = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_o"))
+        .filter($"n_o" >= CmhOrderFloor).select($"o_custkey")
+      val c = t(s, dir, "customer")
+        .join(frequent, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_nationkey",
+          ($"c_acctbal" > lit(CmhBalThr.toDouble)).cast("long").as("e"),
+          $"o_custkey".isNotNull.cast("long").as("o"))
+      val strata = c.groupBy($"c_nationkey")
+        .agg(sum($"e" * $"o").as("a"),
+          sum($"e" * (lit(1L) - $"o")).as("b"),
+          sum((lit(1L) - $"e") * $"o").as("cc"),
+          sum((lit(1L) - $"e") * (lit(1L) - $"o")).as("d"))
+        .withColumn("n", $"a" + $"b" + $"cc" + $"d")
+      strata.agg(count(lit(1)).as("n_strata"),
+          sum($"a".cast("double") * $"d".cast("double") /
+            $"n".cast("double")).as("s_ad"),
+          sum($"b".cast("double") * $"cc".cast("double") /
+            $"n".cast("double")).as("s_bc"))
+        .select($"n_strata",
+          round($"s_ad", 6).as("sum_ad_over_n"),
+          round($"s_bc", 6).as("sum_bc_over_n"),
+          round($"s_ad" / $"s_bc", 6).as("or_cmh"))
     }
   )
 
@@ -5518,6 +5968,296 @@ object StatsQueries {
          |  ROUND(CAST(SUM(CASE WHEN ndcg > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate
          |FROM n""".stripMargin
-    }
+    },
+
+    "q247_adamic_adar" ->
+      s"""WITH bb AS (
+         |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         |pc AS (
+         |  SELECT a.brand AS ba, b.brand AS bc, COUNT(*) AS n
+         |  FROM bb a JOIN bb b ON b.ok = a.ok AND a.brand < b.brand
+         |  GROUP BY a.brand, b.brand),
+         |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM bb),
+         |e AS (SELECT ba, bc FROM pc CROSS JOIN nb
+         |      WHERE CAST(n AS DOUBLE) >=
+         |        $AaSupportFrac * CAST(n_baskets AS DOUBLE)),
+         |b2 AS (SELECT ba AS src, bc AS dst FROM e
+         |       UNION ALL SELECT bc AS src, ba AS dst FROM e),
+         |deg AS (SELECT src AS z, COUNT(*) AS deg FROM b2 GROUP BY src),
+         |w AS (SELECT x.dst AS a, x.src AS z, y.dst AS c
+         |      FROM b2 x JOIN b2 y ON y.src = x.src AND x.dst < y.dst),
+         |ne AS (SELECT w.a, w.z, w.c FROM w
+         |       LEFT JOIN e ON e.ba = w.a AND e.bc = w.c
+         |       WHERE e.ba IS NULL)
+         |SELECT ne.a AS brand_a, ne.c AS brand_b, COUNT(*) AS n_common,
+         |  ROUND(SUM(1.0 / ln(deg.deg)), 6) AS aa_score
+         |FROM ne JOIN deg ON deg.z = ne.z
+         |GROUP BY ne.a, ne.c
+         |ORDER BY aa_score DESC, brand_a, brand_b""".stripMargin,
+
+    "q248_skipgram_pairs" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH tk0 AS (
+         |  SELECT doc_id,
+         |    unnest([{'pos': i - 1, 'w': ws[i]} for i in range(1, len(ws) + 1)]) AS u
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |        FROM documents WHERE text IS NOT NULL) s),
+         |tk AS (SELECT doc_id, u.pos AS pos, u.w AS tok FROM tk0),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+         |kh AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok, cnt.c, tot.total,
+         |    md5(CAST(tk.doc_id AS VARCHAR) || ':' || CAST(tk.pos AS VARCHAR)) AS hx
+         |  FROM tk JOIN cnt ON cnt.tok = tk.tok CROSS JOIN tot),
+         |kept AS (
+         |  SELECT doc_id, pos, tok FROM kh
+         |  WHERE CAST($horner AS DOUBLE) / 4294967296.0 <
+         |    least(1.0, sqrt($SkipgramT * CAST(total AS DOUBLE) / CAST(c AS DOUBLE))))
+         |SELECT a.tok AS center, b.tok AS context, COUNT(*) AS n_pairs
+         |FROM kept a JOIN kept b
+         |  ON b.doc_id = a.doc_id
+         | AND b.pos BETWEEN a.pos - $SkipgramWindow AND a.pos + $SkipgramWindow
+         | AND b.pos <> a.pos
+         |GROUP BY a.tok, b.tok
+         |HAVING COUNT(*) >= $SkipgramMinCount
+         |ORDER BY n_pairs DESC, center, context""".stripMargin
+    },
+
+    "q249_brier_decomposition" ->
+      s"""WITH f AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    CAST(LENGTH(text) AS DOUBLE) / len(ws) AS r1,
+         |    CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS DOUBLE) /
+         |      len(ws) AS r2,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS r3
+         |  FROM (SELECT lang, text, string_split(lower(text), ' ') AS ws
+         |        FROM documents WHERE text IS NOT NULL) s),
+         |p AS (
+         |  SELECT y, 1.0 / (1.0 + exp(-($BrierW0 + $BrierW1 * r1 +
+         |    $BrierW2 * r2 + $BrierW3 * r3))) AS p
+         |  FROM f),
+         |b AS (
+         |  SELECT LEAST(CAST(FLOOR(p * $BrierBins) AS BIGINT),
+         |      ${BrierBins - 1}) AS bin,
+         |    COUNT(*) AS n_k, SUM(p) AS sp, SUM(y) AS sy,
+         |    SUM(p * p) AS sp2, SUM(p * y) AS spy
+         |  FROM p GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n, SUM(sy) AS sy_t FROM b)
+         |SELECT n AS n_docs,
+         |  ROUND((SUM(sp2) - 2.0 * SUM(spy) + SUM(sy)) /
+         |    CAST(n AS DOUBLE), 6) AS brier,
+         |  ROUND(SUM((sp - sy) * (sp - sy) / CAST(n_k AS DOUBLE)) /
+         |    CAST(n AS DOUBLE), 6) AS reliability,
+         |  ROUND(SUM(CAST(n_k AS DOUBLE) * (sy / n_k - sy_t / n) *
+         |    (sy / n_k - sy_t / n)) / CAST(n AS DOUBLE), 6) AS resolution,
+         |  ROUND((sy_t / n) * (1.0 - sy_t / n), 6) AS uncertainty
+         |FROM b CROSS JOIN t GROUP BY n, sy_t""".stripMargin,
+
+    "q250_randomized_response" -> {
+      val horner = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)")
+        .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CASE WHEN COALESCE(value, 0.0) > $RrValueThr THEN 1 ELSE 0 END
+         |      AS truth,
+         |    md5('rr:' || CAST(event_id AS VARCHAR)) AS hx
+         |  FROM events),
+         |u AS (
+         |  SELECT event_type, truth,
+         |    CAST($horner AS DOUBLE) / 4294967296.0 AS u
+         |  FROM ev),
+         |r AS (
+         |  SELECT event_type, truth,
+         |    CASE WHEN u < $RrQ
+         |         THEN CASE WHEN u < $RrQ / 2.0 THEN 1 ELSE 0 END
+         |         ELSE truth END AS report
+         |  FROM u),
+         |g AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(truth) AS BIGINT) AS n_true,
+         |    CAST(SUM(report) AS BIGINT) AS n_reported
+         |  FROM r GROUP BY event_type)
+         |SELECT event_type, n, n_true, n_reported,
+         |  ROUND(CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE), 6) AS true_pi,
+         |  ROUND(CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+         |  ROUND((CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE) - $RrQ / 2.0) /
+         |    (1.0 - $RrQ), 6) + 0.0 AS pi_hat,
+         |  ROUND(abs((CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      $RrQ / 2.0) / (1.0 - $RrQ) -
+         |    CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_err
+         |FROM g ORDER BY event_type""".stripMargin
+    },
+
+    // Sign matrix, projections, and every distance are spelled out as the
+    // SAME left-associated chains the Spark side folds, so all doubles are
+    // bit-identical cross-engine (the q34/q121 fold-order discipline).
+    "q251_jl_distortion" -> {
+      def projSql(side: String, j: Int): String =
+        (0 until JlD)
+          .map(i => s"$side.emb[${i + 1}] * ${JlSigns(j)(i)}.0")
+          .mkString(" + ")
+      val yCols = (0 until JlK)
+        .map(j => s"${projSql("e", j)} AS y$j")
+        .mkString(",\n         |    ")
+      val d2o = (0 until JlD)
+        .map(i => s"(a.emb[${i + 1}] - b.emb[${i + 1}]) * " +
+          s"(a.emb[${i + 1}] - b.emb[${i + 1}])")
+        .mkString(" + ")
+      val d2p = (0 until JlK)
+        .map(j => s"(a.y$j - b.y$j) * (a.y$j - b.y$j)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id % $JlSampleMod = 0),
+         |p AS (
+         |  SELECT vec_id, emb,
+         |    $yCols
+         |  FROM e e)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND($d2o, 6) AS d2_orig,
+         |  ROUND(($d2p) / ${JlK}.0, 6) AS d2_proj_scaled,
+         |  ROUND((($d2p) / ${JlK}.0) / ($d2o), 6) AS ratio
+         |FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    "q252_fs_linkage" -> {
+      def uExpr(r: String): String =
+        s"LEAST(GREATEST($r, 1.0 / (2.0 * n_u)), 1.0 - 1.0 / (2.0 * n_u))"
+      def wExpr(g: String, m: String, u: String): String =
+        s"(CASE WHEN $g THEN log2($m / $u) " +
+          s"ELSE log2((1.0 - $m) / (1.0 - $u)) END)"
+      val wSum = wExpr("g_name", FsMName, "u_name") + " +\n         |  " +
+        wExpr("g_brand", FsMBrand, "u_brand") + " +\n         |  " +
+        wExpr("g_type", FsMType, "u_type") + " +\n         |  " +
+        wExpr("g_size", FsMSize, "u_size")
+      s"""WITH p AS (
+         |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         |    split_part(p_name, ' ', 1) || ' ' || split_part(p_name, ' ', 2)
+         |      AS blk
+         |  FROM part),
+         |u0 AS (
+         |  SELECT COUNT(*) AS n_u,
+         |    AVG(CASE WHEN jaro_winkler_similarity(a.p_name, b.p_name)
+         |          >= $FsJwThr THEN 1.0 ELSE 0.0 END) AS r_name,
+         |    AVG(CASE WHEN a.p_brand = b.p_brand THEN 1.0 ELSE 0.0 END)
+         |      AS r_brand,
+         |    AVG(CASE WHEN a.p_type = b.p_type THEN 1.0 ELSE 0.0 END)
+         |      AS r_type,
+         |    AVG(CASE WHEN a.p_size = b.p_size THEN 1.0 ELSE 0.0 END)
+         |      AS r_size
+         |  FROM p a JOIN p b ON b.p_partkey = a.p_partkey + $FsOffset),
+         |u AS (
+         |  SELECT n_u, ${uExpr("r_name")} AS u_name,
+         |    ${uExpr("r_brand")} AS u_brand, ${uExpr("r_type")} AS u_type,
+         |    ${uExpr("r_size")} AS u_size
+         |  FROM u0),
+         |cand AS (
+         |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         |    jaro_winkler_similarity(a.p_name, b.p_name) >= $FsJwThr AS g_name,
+         |    a.p_brand = b.p_brand AS g_brand,
+         |    a.p_type = b.p_type AS g_type,
+         |    a.p_size = b.p_size AS g_size
+         |  FROM p a JOIN p b ON b.blk = a.blk AND a.p_partkey < b.p_partkey)
+         |SELECT key_a, key_b, g_name, g_brand, g_type, g_size,
+         |  ROUND($wSum, 6) AS match_weight
+         |FROM cand CROSS JOIN u
+         |WHERE ($wSum) >= $FsWeightCut
+         |ORDER BY match_weight DESC, key_a, key_b""".stripMargin
+    },
+
+    "q253_anova_dow" ->
+      s"""WITH g AS (
+         |  SELECT isodow(CAST(o_orderdate AS DATE)) - 1 AS dow,
+         |    COUNT(*) AS n_g,
+         |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s_g,
+         |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) *
+         |        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS q_g
+         |  FROM orders GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s,
+         |         COUNT(*) AS k FROM g),
+         |terms AS (
+         |  SELECT n, k, n_g,
+         |    CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS gm,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS tm,
+         |    CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+         |      CAST(n_g AS DOUBLE) AS wterm
+         |  FROM g CROSS JOIN tt)
+         |SELECT n AS n_orders, CAST(k AS BIGINT) AS k_groups,
+         |  ROUND((SUM(CAST(n_g AS DOUBLE) * (gm - tm) * (gm - tm)) /
+         |      CAST(k - 1 AS DOUBLE)) /
+         |    (SUM(wterm) / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+         |  ROUND(SUM(CAST(n_g AS DOUBLE) * (gm - tm) * (gm - tm)) /
+         |    (SUM(CAST(n_g AS DOUBLE) * (gm - tm) * (gm - tm)) + SUM(wterm)),
+         |    6) AS eta_sq,
+         |  (SUM(CAST(n_g AS DOUBLE) * (gm - tm) * (gm - tm)) /
+         |      CAST(k - 1 AS DOUBLE)) /
+         |    (SUM(wterm) / CAST(n - k AS DOUBLE)) > $AnovaCritF AS significant
+         |FROM terms GROUP BY n, k""".stripMargin,
+
+    "q254_spearman" ->
+      """WITH o AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |vx AS (SELECT x AS v, COUNT(*) AS cnt FROM o GROUP BY x),
+        |rx AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS dr
+        |       FROM vx),
+        |vy AS (SELECT y AS v, COUNT(*) AS cnt FROM o GROUP BY y),
+        |ry AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS dr
+        |       FROM vy),
+        |j AS (SELECT o.x, o.y, rx.dr AS drx, ry.dr AS dry
+        |      FROM o JOIN rx ON rx.v = o.x JOIN ry ON ry.v = o.y),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(CAST(drx AS HUGEINT)) AS srx,
+        |        SUM(CAST(dry AS HUGEINT)) AS sry,
+        |        SUM(CAST(drx AS HUGEINT) * drx) AS srxx,
+        |        SUM(CAST(dry AS HUGEINT) * dry) AS sryy,
+        |        SUM(CAST(drx AS HUGEINT) * dry) AS srxy,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |      FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n * srxy - srx * sry AS DOUBLE) /
+        |    (SQRT(CAST(n * srxx - srx * srx AS DOUBLE)) *
+        |     SQRT(CAST(n * sryy - sry * sry AS DOUBLE))), 6) AS rho_spearman,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r_pearson
+        |FROM m""".stripMargin,
+
+    "q255_cmh_odds" ->
+      s"""WITH ho AS (
+         |  SELECT o_custkey FROM orders GROUP BY o_custkey
+         |  HAVING COUNT(*) >= $CmhOrderFloor),
+         |c AS (
+         |  SELECT c_nationkey,
+         |    CASE WHEN c_acctbal > $CmhBalThr THEN 1 ELSE 0 END AS e,
+         |    CASE WHEN ho.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS o
+         |  FROM customer LEFT JOIN ho ON ho.o_custkey = c_custkey),
+         |st AS (
+         |  SELECT c_nationkey,
+         |    CAST(SUM(e * o) AS BIGINT) AS a,
+         |    CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+         |    CAST(SUM((1 - e) * o) AS BIGINT) AS cc,
+         |    CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+         |  FROM c GROUP BY c_nationkey),
+         |s2 AS (SELECT a, b, cc, d, a + b + cc + d AS n FROM st)
+         |SELECT COUNT(*) AS n_strata,
+         |  ROUND(SUM(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) /
+         |    CAST(n AS DOUBLE)), 6) AS sum_ad_over_n,
+         |  ROUND(SUM(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE) /
+         |    CAST(n AS DOUBLE)), 6) AS sum_bc_over_n,
+         |  ROUND(SUM(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) /
+         |      CAST(n AS DOUBLE)) /
+         |    SUM(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE) /
+         |      CAST(n AS DOUBLE)), 6) AS or_cmh
+         |FROM s2""".stripMargin
   )
 }

@@ -2357,4 +2357,131 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }
     assert(got.count(_._3) > 0, "fixture calendar should have at least one gap")
   }
+
+  test("q251 JL distortion: driver replay matches and ratios concentrate around 1") {
+    import spark.implicits._
+    val got = q("q251_jl_distortion")
+      .select($"vec_a", $"vec_b", $"d2_orig", $"ratio")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // Independent replay: raw embeddings + the same sign matrix, plain
+    // Scala folds (no Catalyst).
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .filter(_._1 % StatsQueries.JlSampleMod == 0)
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def proj(v: Array[Double]): Array[Double] =
+      (0 until StatsQueries.JlK).map { j =>
+        (0 until StatsQueries.JlD)
+          .map(i => v(i) * StatsQueries.JlSigns(j)(i)).sum
+      }.toArray
+    got.foreach { case (a, b, d2o, ratio) =>
+      val (va, vb) = (emb(a), emb(b))
+      val eo = va.indices.map(i => (va(i) - vb(i)) * (va(i) - vb(i))).sum
+      val (ya, yb) = (proj(va), proj(vb))
+      val ep = ya.indices.map(j => (ya(j) - yb(j)) * (ya(j) - yb(j))).sum
+      assert(math.abs(d2o - eo) < 1e-6, s"pair ($a,$b) d2_orig")
+      assert(math.abs(ratio - ep / StatsQueries.JlK / eo) < 1e-6,
+        s"pair ($a,$b) ratio")
+      // JL concentration at k=16: generous band, but a wrong scale factor
+      // (k vs d, or a missing square) lands far outside it.
+      assert(ratio > 0.2 && ratio < 3.0, s"pair ($a,$b) ratio $ratio")
+    }
+    val mean = got.map(_._4).sum / got.length
+    assert(mean > 0.7 && mean < 1.3, s"mean ratio $mean should be near 1")
+  }
+
+  test("q247 Adamic-Adar: open-pair scores match a driver graph replay") {
+    import spark.implicits._
+    val got = q("q247_adamic_adar")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val brandOf = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val baskets = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+    val nBaskets = baskets.map(_._1).distinct.length
+    val pairN = baskets.groupBy(_._1).values.flatMap { bs =>
+      val b = bs.map(_._2).distinct.sorted
+      for (i <- b.indices; j <- i + 1 until b.length) yield (b(i), b(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = pairN.filter(_._2.toDouble >=
+      StatsQueries.AaSupportFrac.toDouble * nBaskets).keySet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brands = adj.keySet.toSeq.sorted
+    val expected = (for {
+      a <- brands; c <- brands if a < c && !edges((a, c))
+      common = adj(a).intersect(adj(c)) if common.nonEmpty
+    } yield (a, c) -> (common.size.toLong,
+      common.toSeq.map(z => 1.0 / math.log(adj(z).size)).sum)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (n, s)) =>
+      assert(got(k)._1 === n, s"$k n_common")
+      assert(math.abs(got(k)._2 - s) < 1e-5, s"$k aa_score")
+    }
+    assert(got.nonEmpty, "graph should not be complete at the relative floor")
+  }
+
+  test("q254 Spearman: coefficients match a driver tie-averaged-rank replay") {
+    import spark.implicits._
+    val row = q("q254_spearman").collect().head
+    val (n, rho, pear) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    val xy = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
+      .map { case (ck, tp) =>
+        (math.round(tp * 100).toDouble, math.round(cust(ck) * 100).toDouble)
+      }
+    assert(n === xy.length)
+    def avgRanks(v: Array[Double]): Map[Double, Double] = {
+      val sorted = v.sorted
+      val first = scala.collection.mutable.Map.empty[Double, Int]
+      sorted.zipWithIndex.foreach { case (x, i) =>
+        if (!first.contains(x)) first(x) = i + 1
+      }
+      val cnt = v.groupBy(identity).view.mapValues(_.length).toMap
+      cnt.map { case (x, c) => x -> (first(x) + (c - 1) / 2.0) }
+    }
+    def pearson(a: Array[Double], b: Array[Double]): Double = {
+      val nn = a.length
+      val (ma, mb) = (a.sum / nn, b.sum / nn)
+      val cov = a.indices.map(i => (a(i) - ma) * (b(i) - mb)).sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+        b.map(x => (x - mb) * (x - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    val xs = xy.map(_._1); val ys = xy.map(_._2)
+    val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+    val expRho = pearson(xs.map(rx), ys.map(ry))
+    val expR = pearson(xs, ys)
+    assert(math.abs(rho - expRho) < 1e-5, s"spearman $rho vs $expRho")
+    assert(math.abs(pear - expR) < 1e-5, s"pearson $pear vs $expR")
+    assert(rho >= -1.0 && rho <= 1.0 && pear >= -1.0 && pear <= 1.0)
+  }
+
+  test("q252 FS linkage: emitted pairs clear the weight cut, are block-consistent, and attribute flags replay") {
+    import spark.implicits._
+    val got = q("q252_fs_linkage").collect()
+    assert(got.nonEmpty)
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+      .as[(Long, String, String, String, Int)].collect()
+      .map(p => p._1 -> p).toMap
+    def blk(name: String) = name.split(" ").take(2).mkString(" ")
+    got.foreach { r =>
+      val (ka, kb) = (r.getLong(0), r.getLong(1))
+      val w = r.getDouble(6)
+      assert(ka < kb, "canonical pair order")
+      assert(w >= StatsQueries.FsWeightCut.toDouble, s"($ka,$kb) weight $w")
+      val (pa, pb) = (parts(ka), parts(kb))
+      assert(blk(pa._2) === blk(pb._2), "pairs must share the block key")
+      assert(r.getBoolean(3) === (pa._3 == pb._3), "g_brand replay")
+      assert(r.getBoolean(4) === (pa._4 == pb._4), "g_type replay")
+      assert(r.getBoolean(5) === (pa._5 == pb._5), "g_size replay")
+    }
+  }
 }
