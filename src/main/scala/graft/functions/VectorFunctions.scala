@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /**
  * Cosine similarity as a native Catalyst expression with whole-stage
@@ -88,6 +88,136 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  }
          |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Exact integer dot product over two array<bigint> columns as a native
+ * codegen expression — the fixed-point sibling of [[CosineSimilarity]],
+ * the hot inner loop of the dense tf-idf pair scan (q245). A per-element
+ * Column chain (`(0 until v).map(i => a(i) * b(i)).reduce(_ + _)`) builds
+ * a v-deep interpreted expression tree once it exceeds the codegen method
+ * limits — measured ~10x slower across a docs² pair loop than this tight
+ * primitive loop. Long addition is exact and associative, so unlike the
+ * float folds there is no order-sensitivity to pin; callers guarantee the
+ * no-overflow headroom (q245 asserts max|w|²·v < Long.Max at runtime).
+ * Null on dimension mismatch, the CosineSimilarity convention.
+ */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"${VectorFunctions.LongDotName} expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true // dimension mismatch → null
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Count of positions where BOTH array<bigint> inputs are positive — the
+ * shared-term counter beside [[LongDotProduct]] (q245's n_shared). Exists
+ * for the same reason: a 31-term CASE WHEN Column chain in the output
+ * projection pushed the WHOLE pair stage out of whole-stage codegen
+ * (generated-method size), turning the 12.5M-pair join loop interpreted
+ * (measured 88 s vs ~1 s). Null on dimension mismatch.
+ */
+case class LongOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"${VectorFunctions.OverlapName} expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true // dimension mismatch -> null
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) > 0L && y.getLong(i) > 0L) c += 1L
+      i += 1
+    }
+    java.lang.Long.valueOf(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  long $c = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) > 0L && $b.getLong($i) > 0L) $c++;
+         |  }
+         |  ${ev.value} = $c;
          |}
        """.stripMargin
     })
@@ -324,6 +454,8 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 object VectorFunctions {
 
   val CosineName = "graft_cosine"
+  val LongDotName = "graft_ldot"
+  val OverlapName = "graft_loverlap"
   val TopKName = "graft_topk"
   val SrpName = "graft_srp_sig"
   val PqEncodeName = "graft_pq_encode"
@@ -362,6 +494,14 @@ object VectorFunctions {
         arity(CosineName, 2, exprs); CosineSimilarity(exprs(0), exprs(1))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      LongDotName, exprs => {
+        arity(LongDotName, 2, exprs); LongDotProduct(exprs(0), exprs(1))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      OverlapName, exprs => {
+        arity(OverlapName, 2, exprs); LongOverlapCount(exprs(0), exprs(1))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKName, exprs => {
         arity(TopKName, 3, exprs); TopKPairs(exprs(0), exprs(1), exprs(2))
       }, "built-in")
@@ -373,6 +513,12 @@ object VectorFunctions {
 
   /** Column-API face of [[CosineSimilarity]] (requires `register`). */
   def cosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Column-API face of [[LongDotProduct]] (requires `register`). */
+  def ldot(a: Column, b: Column): Column = call_function(LongDotName, a, b)
+
+  /** Column-API face of [[LongOverlapCount]] (requires `register`). */
+  def loverlap(a: Column, b: Column): Column = call_function(OverlapName, a, b)
 
   /** Column-API face of [[TopKPairs]]: array of (score,id) structs,
     * best-first (requires `register`). */

@@ -722,22 +722,33 @@ object DedupQueries {
     // shingles) and dense embeddings (q34/q35 cosine): cosine over
     // SPARSE term-weight vectors — weight = tf · (N/df), the undamped
     // inverse-document-frequency, kept as the EXACT integer
-    // (tf·10⁶·N) div df rather than the textbook ln(N/df): the two
+    // (tf·Q·N) div df (Q = TfidfQuantum) rather than the textbook
+    // ln(N/df): the two
     // engines' libm ln is not pinned to correctly-rounded, and a 1-ulp
     // idf under a fixed-point floor could flip a weight, where integer
     // division cannot. Dot products and norms² are then exact
     // DECIMAL(38,0) sums in any order; cosine = three correctly-rounded
     // conversions + sqrt/divide of identical doubles, so the ≥τ gate
-    // can never disagree cross-engine. Scale: the pair join is the q31
-    // inverted-index spine over df≥2 terms (df=1 terms can't contribute
-    // to any pair; they still count in norms). HONEST CAVEAT: unigram
-    // tokens, unlike q31's 5-gram shingles, include corpus-wide hot
-    // terms, so Σ df² approaches docs² — at corpus scale this query is
-    // the EXACT VERIFIER behind a pruned candidate generator (q131's
-    // prefix filter ports directly to weighted cosine — Bayardo et al.
-    // WWW'07 §4 — and q32's banding approximates it); at fixture scale
-    // it runs standalone as the sparse family's exactness baseline, the
-    // q34 convention.
+    // can never disagree cross-engine.
+    //
+    // PHYSICAL SHAPE — dense-by-vocabulary, not an inverted-index join:
+    // the tf-idf feature space here is VOCABULARY-bounded (the q81
+    // broadcast argument), and on a bounded vocabulary the inverted-
+    // index pair join is the WRONG plan — unigram df approaches the doc
+    // count, so Σ df² rows shuffle into a docs²-group decimal aggregate
+    // (measured: 4.5e8 joined rows, 219 s at sf0.1, to keep 73 output
+    // pairs). Instead each doc folds ONCE into a dense vocab-indexed
+    // weight vector (+ its exact decimal norm²), the ~MB-scale vector
+    // frame broadcasts, and the all-pairs dot is a per-pair codegen'd
+    // decimal chain with the ≥τ gate applied BEFORE anything
+    // materializes — zero pair-granularity shuffle, identical dot/norm
+    // decimals, identical output (measured: 219 s → ~3 s). The pair
+    // loop is still docs²-bounded compute: at open-vocab corpus scale
+    // this query is the EXACT VERIFIER behind a pruned candidate
+    // generator (q131's prefix filter ports directly to weighted
+    // cosine — Bayardo et al. WWW'07 §4 — and q32's banding
+    // approximates it); the `require` below fails loudly rather than
+    // densifying an unbounded vocabulary.
     "q245_tfidf_cosine_pairs" -> { (s, dir) =>
       import s.implicits._
       val tf = Pin.lazily(t(s, dir, "documents").filter($"text".isNotNull)
@@ -745,33 +756,85 @@ object DedupQueries {
         .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("tf")))
       val nn = tf.agg(countDistinct($"doc_id").as("n"))
       val dfr = tf.groupBy($"tk").agg(count(lit(1)).as("df"))
-      val w = Pin.lazily(tf.join(dfr, "tk").crossJoin(broadcast(nn))
-        .select($"doc_id", $"tk", $"df",
-          expr("(tf * 1000000L * n) div df").as("wq")))
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val nrm = w.groupBy($"doc_id")
-        .agg(sum($"wq".cast(dec38) * $"wq").as("n2"))
-      val pr = w.filter($"df" >= 2)
-      pr.select($"doc_id".as("da"), $"tk", $"wq".as("wa"))
-        .join(pr.select($"doc_id".as("db"), $"tk", $"wq".as("wb")), "tk")
-        .filter($"da" < $"db")
-        .groupBy($"da", $"db")
-        .agg(sum($"wa".cast(dec38) * $"wb").as("dot"),
-          count(lit(1)).as("n_shared"))
-        .join(nrm.select($"doc_id".as("da"), $"n2".as("na2")), "da")
-        .join(nrm.select($"doc_id".as("db"), $"n2".as("nb2")), "db")
-        .withColumn("cosv", $"dot".cast("double") /
+      // Vocabulary → dense index: control-plane collect (the KMeans-
+      // centroid convention); df=1 terms stay IN the vector — they can't
+      // contribute to any pair's dot but they do count in norms.
+      val vocab = dfr.select($"tk").orderBy($"tk").collect().map(_.getString(0))
+      val v = vocab.length
+      require(v <= 4096, s"dense tf-idf path assumes a vocabulary-bounded " +
+        s"feature space (got $v terms); for open vocabularies run the " +
+        s"inverted-index verifier behind a q131/q32 candidate generator")
+      val vIdx = broadcast(s.createDataFrame(
+        vocab.toIndexedSeq.zipWithIndex.map { case (tk, i) => (tk, i) })
+        .toDF("tk", "idx"))
+      val w = tf.join(dfr, "tk").crossJoin(broadcast(nn))
+        .select($"doc_id", $"tk",
+          expr(s"(tf * ${TfidfQuantum}L * n) div df").as("wq"))
+      // LONG-overflow headroom for the chains below: v terms of wq*wq.
+      val maxWq = w.agg(max($"wq")).collect()(0).getLong(0)
+      require(maxWq <= math.sqrt(Long.MaxValue.toDouble / v).toLong,
+        s"tf-idf weights too large for the primitive-long dot chain " +
+          s"(max wq = $maxWq over $v terms); lower TfidfQuantum")
+      import graft.functions.VectorFunctions
+      VectorFunctions.register(s)
+      // cache(), NOT Pin/localCheckpoint: the InMemoryRelation is COLUMNAR,
+      // so the pair stage below reads primitive arrays inside whole-stage
+      // codegen. A checkpoint here hands the join generic object rows and
+      // the 12.5M-pair loop drops out of codegen (measured 73 s vs ~1 s
+      // for the identical plan). The frame is ~vocab longs per doc — tiny —
+      // and Spark dedupes re-caching by canonicalized plan across bench
+      // iterations.
+      val dense = (w.join(vIdx, "tk")
+        .groupBy($"doc_id")
+        .agg(map_from_entries(collect_list(struct($"idx", $"wq"))).as("m"))
+        .select($"doc_id",
+          expr(s"transform(sequence(0, ${v - 1}), i -> coalesce(element_at(m, i), 0L))")
+            .as("vec"))
+        .select($"doc_id", $"vec",
+          VectorFunctions.ldot($"vec", $"vec").as("n2"))).cache()
+      // The vector frame is BYTE-tiny but the pair loop over it is the
+      // query's entire compute: AQE coalesces the groupBy's shuffle to one
+      // partition on size alone, which would serialize the docs²·v
+      // multiply-adds onto a single core (measured: 10 s → 10+ min).
+      // An explicit fixed-N repartition is exempt from AQE coalescing and
+      // spreads the loop across the cluster; the 5000-row shuffle it adds
+      // is noise.
+      val a = dense.repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id".as("da"), $"vec".as("va"), $"n2".as("na2"))
+      val b = dense.select($"doc_id".as("db"), $"vec".as("vb"), $"n2".as("nb2"))
+      // Both per-pair computations are single codegen'd primitive loops
+      // (LongDotProduct / LongOverlapCount). A v-term Column chain here is
+      // not just slower itself - its generated-method size pushes the
+      // WHOLE pair stage out of whole-stage codegen, turning the
+      // docs^2-pair join loop interpreted (measured 88 s vs ~1 s).
+      val dot = VectorFunctions.ldot($"va", $"vb")
+      val shared = VectorFunctions.loverlap($"va", $"vb")
+      a.join(broadcast(b), $"da" < $"db")
+        .withColumn("cosv", dot.cast("double") /
           (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
         .filter($"cosv" >= lit(TfidfCosMin.toDouble))
-        .select($"da".as("doc_a"), $"db".as("doc_b"), $"n_shared",
+        .select($"da".as("doc_a"), $"db".as("doc_b"), shared.as("n_shared"),
           round($"cosv", 6).as("cosine"))
-        .orderBy($"doc_a", $"doc_b")
+        // NOT orderBy: a global sort's RangePartitioner SAMPLES its child,
+        // which re-executes the whole pair loop a second time (measured
+        // 2x). The survivor set is τ-selective (thousands of rows), so one
+        // round-robin exchange + an in-partition sort gives the same total
+        // order without the sampling pass.
+        .repartition(1)
+        .sortWithinPartitions($"doc_a", $"doc_b")
     }
   )
 
   /** q245: sparse-cosine report threshold (literal, shared with the
     * oracle; the gate compares bit-identical doubles, see the query). */
   private[graft] val TfidfCosMin = "0.9"
+
+  /** q245: idf fixed-point quantum. 10^3 (not 10^6) so the per-pair dot
+    * and norm chains stay within LONG — wq <= max_tf*Q*N/df, and the
+    * codegen'd primitive-long chain is what makes the dense all-pairs
+    * pass cheap; a Decimal chain falls out of primitive codegen and runs
+    * ~100x slower. Headroom is asserted at runtime (see the query). */
+  private[graft] val TfidfQuantum = 1000L
 
   /** Words per passage for q78. 16 keeps a passage long enough that a
     * cross-document match is real shared content, short enough that
@@ -1166,7 +1229,7 @@ object DedupQueries {
          |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
          |df AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
          |w AS (
-         |  SELECT doc_id, tf.tk, (tf * 1000000 * nn.n) // df.df AS wq
+         |  SELECT doc_id, tf.tk, (tf * ${TfidfQuantum} * nn.n) // df.df AS wq
          |  FROM tf JOIN df USING (tk) CROSS JOIN nn),
          |nrm AS (
          |  SELECT doc_id, SUM(CAST(wq AS HUGEINT) * wq) AS n2

@@ -237,7 +237,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val df = tf.values.flatMap(_.keys).toSeq.groupBy(identity)
       .view.mapValues(_.length.toLong).toMap
     val w: Map[Long, Map[String, Long]] = tf.view.mapValues(_.map {
-      case (tk, f) => tk -> (f * 1000000L * n) / df(tk)
+      case (tk, f) => tk -> (f * DedupQueries.TfidfQuantum * n) / df(tk)
     }).toMap.map(identity)
     val norm = w.view.mapValues(m =>
       math.sqrt(m.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble)).toMap
