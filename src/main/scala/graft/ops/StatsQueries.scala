@@ -1282,48 +1282,43 @@ object StatsQueries {
     // (PageRank, influence), q170 (triangles, local density), and q220
     // (BFS, reachability) each read differently: iteratively peel nodes
     // of degree < k until the remainder is stable; a node's CORENESS is
-    // the largest k that keeps it. The peel loop is the q47 connected-
-    // components shape — per round one degree aggregate over the
-    // surviving edge subgraph and a driver count() as the convergence
-    // check, rounds bounded by the degeneracy (≤ max degree). Frames
-    // are brand-granularity (≤25 nodes / ≤625 edges — control-plane;
-    // at web scale the SAME loop runs with node/edge frames distributed
-    // and only the convergence scalar on the driver). Deterministic and
+    // the largest k that keeps it. The one corpus-scale step is the
+    // shared memoized basket self-join; the GRAPH is brand-granularity
+    // (≤25 nodes / ≤625 edges), so the peel folds on the DRIVER like
+    // every other control-plane sequential estimator (q175 life table,
+    // q211 Holt, q232 GESD) — the earlier DataFrame peel loop spent
+    // ~100 Spark jobs (14 s at sf0.1) iterating a 625-row frame. A
+    // corpus-scale graph (users, documents) peels with DISTRIBUTED
+    // node/edge frames and a driver convergence scalar — the q47
+    // connected-components loop shape; the collect here is justified
+    // only because nodes are design-bounded. Deterministic and
     // engine-exact (integer degrees only), but iterative peeling has no
-    // SQL-expressible oracle — gated by the StatsSpec driver replay.
+    // SQL-expressible oracle — gated by the StatsSpec replay, which
+    // rebuilds the edge set independently from the raw tables.
     "q243_brand_kcore" -> { (s, dir) =>
       import s.implicits._
-      val edges = Pin.lazily(brandEdges(s, dir)
-        .select($"src", $"dst").distinct())
-      val allNodes = edges.select($"src".as("brand")).distinct()
-      var coreness = allNodes.select($"brand", lit(0L).as("coreness"))
-      var alive = allNodes
+      val edges = brandEdges(s, dir).select($"src", $"dst").distinct()
+        .as[(String, String)].collect()
+      val adj: Map[String, Set[String]] = edges.groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val coreness = scala.collection.mutable.Map.empty[String, Long]
+      adj.keys.foreach(b => coreness(b) = 0L)
+      var alive = adj.keySet
       var k = 1L
-      while (alive.limit(1).count() > 0) {
-        // peel at level k until stable
+      while (alive.nonEmpty) {
         var changed = true
         while (changed) {
-          val deg = edges.join(alive.select($"brand".as("src")), "src")
-            .join(alive.select($"brand".as("dst")), "dst")
-            .groupBy($"src").agg(count(lit(1)).as("deg"))
-          val next = alive.join(deg, $"brand" === $"src", "inner")
-            .filter($"deg" >= k).select($"brand")
-          val (na, nn) = (alive.count(), next.count())
-          changed = nn < na && nn > 0
-          if (nn < na) alive = Pin.lazily(next)
+          val next = alive.filter(b => adj(b).count(alive) >= k)
+          changed = next.size < alive.size && next.nonEmpty
+          if (next.size < alive.size) alive = next
         }
-        if (alive.limit(1).count() > 0) {
-          // Pin per level: 24 levels of left joins would otherwise stack
-          // into one deep lineage (the q47 label-propagation lesson)
-          coreness = Pin.lazily(coreness
-            .join(alive.select($"brand".as("b2")), $"brand" === $"b2", "left")
-            .select($"brand",
-              when($"b2".isNotNull, lit(k)).otherwise($"coreness")
-                .as("coreness")))
+        if (alive.nonEmpty) {
+          alive.foreach(b => coreness(b) = k)
           k += 1
         }
       }
-      coreness.orderBy($"brand")
+      s.createDataFrame(coreness.toIndexedSeq.sortBy(_._1))
+        .toDF("brand", "coreness").orderBy($"brand")
     },
 
     // --------------------------------------- sample-ratio mismatch check
