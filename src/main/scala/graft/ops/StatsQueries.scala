@@ -228,6 +228,13 @@ object StatsQueries {
   val BrierW3 = "1.5"
   val BrierBins = 10
 
+  /** q249 oracle: fixed-order 10-term fold — COALESCE'd per-bin CASE
+    * sums added left-to-right, mirroring the Spark expression tree
+    * exactly (a float SUM over the bin frame would be order-dependent). */
+  private def foldSql(c: String): String = (0 until BrierBins)
+    .map(k => s"COALESCE(SUM(CASE WHEN bin = $k THEN $c END), 0.0)")
+    .mkString(" + ")
+
   /** q250: randomized-response design — P[enter the lie branch] (half of
     * which reports 1) and the sensitive threshold on event value. */
   val RrQ = "0.25"
@@ -3250,10 +3257,14 @@ object StatsQueries {
         .join(broadcast(iv), $"i" <= $"k" && $"k" <= $"j")
         .groupBy($"k", $"i").agg(min($"mean").as("mn"))
         .groupBy($"k").agg(max($"mn").as("iso_rate"))
+      // Rates ride RAW (unrounded) — a single IEEE division of exact
+      // BIGINT sums is bit-identical cross-engine, while ROUND(x, 6)
+      // half-way resolution drifted across DuckDB versions (r7 driver
+      // red despite exact local match; the q26/q164 convention).
       b.join(broadcast(iso), $"bin" === $"k")
         .select($"bin", $"n", $"pos",
-          round($"pos".cast("double") / $"n".cast("double"), 6).as("raw_rate"),
-          round($"iso_rate", 6).as("iso_rate"))
+          ($"pos".cast("double") / $"n".cast("double")).as("raw_rate"),
+          ($"iso_rate" + lit(0d)).as("iso_rate"))
         .orderBy($"bin")
     },
 
@@ -3285,7 +3296,12 @@ object StatsQueries {
         .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("x"),
           count(lit(1)).as("n"))
         .withColumn("p", $"x".cast("double") / $"n".cast("double"))
-        .withColumn("pq", expr("(x * 1000000000000L) div n")))
+        // x rides DECIMAL(38,0) through the 1e12 multiply: a LONG
+        // multiply wraps silently in Spark past x ≈ 9.2e6 (sf ≳ 150)
+        // where DuckDB's BIGINT would raise — the q158 silent-wrap-vs-
+        // raise divergence (review finding). Oracle mirrors via HUGEINT.
+        .withColumn("pq", expr(
+          "cast((cast(x as decimal(38,0)) * 1000000000000) div n as bigint)")))
       val pri = br
         .agg(count(lit(1)).cast("double").as("k"),
           sum($"pq").as("sq"), sum($"pq".cast(dec) * $"pq").as("sqq"))
@@ -3296,12 +3312,16 @@ object StatsQueries {
         .select($"m", $"v",
           when($"v" > 0 && $"m" * (lit(1.0) - $"m") / $"v" - lit(1.0) > 0,
             $"m" * (lit(1.0) - $"m") / $"v" - lit(1.0)).as("s"))
+      // Rates and prior strength emit RAW: every value is a fixed-order
+      // IEEE chain over exact integer sums (bit-identical cross-engine),
+      // whereas ROUND(…,6) tie resolution is DuckDB-version-sensitive
+      // (r7 driver red; q26/q164 convention).
       br.crossJoin(broadcast(pri))
         .select($"p_brand", $"n", $"x",
-          round($"p", 6).as("raw_rate"),
-          round($"s", 6).as("prior_strength"),
-          round(($"x".cast("double") + $"m" * $"s") /
-            ($"n".cast("double") + $"s"), 6).as("shrunk_rate"))
+          ($"p" + lit(0d)).as("raw_rate"),
+          ($"s" + lit(0d)).as("prior_strength"),
+          (($"x".cast("double") + $"m" * $"s") /
+            ($"n".cast("double") + $"s")).as("shrunk_rate"))
         .orderBy($"p_brand")
     },
 
@@ -3390,12 +3410,17 @@ object StatsQueries {
           max($"qhat").as("qhat_cents"), count(lit(1)).as("n_test"),
           sum(when(abs($"c".cast("double") - $"yhat") <= $"qhat", 1L)
             .otherwise(0L)).as("n_covered"))
+        // coverage emits RAW — single division of exact counts is
+        // bit-identical cross-engine; ROUND(…,6) was DuckDB-version-
+        // sensitive (r7 driver red; q26/q164 convention).
         .select($"n_cal", $"k_rank", $"qhat_cents", $"n_test", $"n_covered",
-          round($"n_covered".cast("double") / $"n_test".cast("double"), 6)
+          ($"n_covered".cast("double") / $"n_test".cast("double"))
             .as("coverage"))
-        // empty test half ⇒ zero rows, the oracle's GROUP-BY-over-empty
-        // shape (review finding; see q244)
-        .filter($"n_test" > 0)
+        // empty test half ⇒ zero rows, and an empty CALIBRATION half
+        // (all-NULL global-agg row surviving the crossJoin) must vanish
+        // too — the oracle's join-based qh CTE yields zero rows in both
+        // directions (review findings; see q244)
+        .filter($"n_test" > 0 && $"n_cal".isNotNull)
     },
 
     // ------------------------------------------ tombstone cascade audit
@@ -3424,9 +3449,11 @@ object StatsQueries {
         df.join(broadcast(tombKeys), key === tk, "left")
           .agg(count(lit(1)).as("rows_total"),
             sum(when(tk.isNotNull, 1L).otherwise(0L)).as("rows_tombstoned"))
+          // pct emits RAW — one division of exact counts (q26/q164
+          // convention; ROUND(…,6) was DuckDB-version-sensitive, r7 red)
           .select(lit(name).as("entity"), $"rows_total", $"rows_tombstoned",
-            round($"rows_tombstoned".cast("double") /
-              $"rows_total".cast("double"), 6).as("pct"))
+            ($"rows_tombstoned".cast("double") /
+              $"rows_total".cast("double")).as("pct"))
       audit("customer", t(s, dir, "customer").select($"c_custkey"),
           $"c_custkey", tomb, $"k")
         .union(audit("orders", t(s, dir, "orders").select($"o_custkey"),
@@ -3628,23 +3655,51 @@ object StatsQueries {
         (lit(1.0) / (lit(1.0) + exp(-(lit(BrierW0.toDouble) +
           lit(BrierW1.toDouble) * $"r1" + lit(BrierW2.toDouble) * $"r2" +
           lit(BrierW3.toDouble) * $"r3")))).as("p"))
-      val bins = scored
-        .groupBy(least(floor($"p" * BrierBins), lit(BrierBins - 1L)).as("bin"))
-        .agg(count(lit(1)).as("n_k"), sum($"p").as("sp"), sum($"y").as("sy"),
-          sum($"p" * $"p").as("sp2"), sum($"p" * $"y").as("spy"))
-      val tot = bins.agg(sum($"n_k").as("n"), sum($"sy").as("sy_t"))
-      bins.crossJoin(broadcast(tot))
-        .agg(max($"n").as("n_docs"),
-          round((sum($"sp2") - lit(2.0) * sum($"spy") + sum($"sy")) /
-            max($"n").cast("double"), 6).as("brier"),
-          round(sum(($"sp" - $"sy") * ($"sp" - $"sy") / $"n_k".cast("double")) /
-            max($"n").cast("double"), 6).as("reliability"),
-          round(sum($"n_k".cast("double") *
-              ($"sy" / $"n_k" - $"sy_t" / $"n") *
-              ($"sy" / $"n_k" - $"sy_t" / $"n")) /
-            max($"n").cast("double"), 6).as("resolution"),
-          round(max(($"sy_t" / $"n") * (lit(1.0) - $"sy_t" / $"n")), 6)
-            .as("uncertainty"))
+      // p quantizes to e12 fixed-point BEFORE the data-wide aggregate
+      // (the q231 pattern): raw float Σp/Σp²/Σpy are partition-order-
+      // dependent and not bit-mirrored against DuckDB's summation order
+      // (review finding); integer sums are order-free. The 10⁻¹² grain
+      // sits 6 orders below the emitted precision. pe² rides
+      // DECIMAL(38,0) (HUGEINT in the oracle) — q231's overflow rule.
+      val e12 = lit(1000000000000L)
+      val qz = scored.select($"y".cast("long").as("yl"),
+        least(floor($"p" * BrierBins), lit(BrierBins - 1L)).as("bin"),
+        floor($"p" * lit(1e12)).cast("long").as("pe"))
+      val bins = qz.groupBy($"bin")
+        .agg(count(lit(1)).as("n_k"), sum($"yl").as("sy"),
+          sum($"pe".cast(dec)).as("spe"),
+          sum($"pe".cast(dec) * $"pe").as("sp2e"),
+          sum(when($"yl" === 1L, $"pe").otherwise(0L).cast(dec)).as("spye"))
+      val tot = bins.agg(sum($"n_k").as("n"), sum($"sy").as("sy_t"),
+        sum($"sp2e").as("sp2_t"), sum($"spye").as("spy_t"))
+      val terms = bins.crossJoin(broadcast(tot))
+        .select($"bin", $"n", $"sy_t", $"sp2_t", $"spy_t",
+          (($"spe" - $"sy".cast(dec) * e12).cast("double") / lit(1e12))
+            .as("de"), $"n_k", $"sy")
+        .select($"bin", $"n", $"sy_t", $"sp2_t", $"spy_t",
+          ($"de" * $"de" / $"n_k".cast("double")).as("rel_term"),
+          ($"n_k".cast("double") *
+            ($"sy".cast("double") / $"n_k".cast("double") -
+              $"sy_t".cast("double") / $"n".cast("double")) *
+            ($"sy".cast("double") / $"n_k".cast("double") -
+              $"sy_t".cast("double") / $"n".cast("double"))).as("res_term"))
+      // Fixed-order 10-term folds (bin 0..9, left-to-right expression
+      // tree) — a plain float SUM over the bin frame would be engine-
+      // order-dependent. Brier's numerator stays an exact DECIMAL until
+      // one final cast. Outputs emit RAW (q26/q164 convention).
+      def fold(c: String): Column = (0 until BrierBins)
+        .map(k => coalesce(sum(when($"bin" === k, col(c))), lit(0.0)))
+        .reduceLeft(_ + _)
+      terms.agg(max($"n").as("n_docs"),
+          ((max($"sp2_t") - e12.cast(dec) *
+              (lit(2L).cast(dec) * max($"spy_t") -
+                e12.cast(dec) * max($"sy_t").cast(dec))).cast("double") /
+            (max($"n").cast("double") * lit(1e24))).as("brier"),
+          (fold("rel_term") / max($"n").cast("double")).as("reliability"),
+          (fold("res_term") / max($"n").cast("double")).as("resolution"),
+          ((max($"sy_t").cast("double") / max($"n").cast("double")) *
+            (lit(1.0) - max($"sy_t").cast("double") /
+              max($"n").cast("double"))).as("uncertainty"))
     },
 
     // ------------------------------------- randomized response release
@@ -5766,8 +5821,8 @@ object StatsQueries {
         |  GROUP BY k.bin, iv.i),
         |iso AS (SELECT k, MAX(mn) AS iso_rate FROM mi GROUP BY k)
         |SELECT b.bin, b.n, b.pos,
-        |  ROUND(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
-        |  ROUND(iso.iso_rate, 6) AS iso_rate
+        |  CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+        |  iso.iso_rate + 0.0 AS iso_rate
         |FROM b JOIN iso ON b.bin = iso.k
         |ORDER BY b.bin""".stripMargin,
 
@@ -5780,7 +5835,8 @@ object StatsQueries {
         |  GROUP BY p_brand),
         |pp AS (SELECT p_brand, x, n,
         |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
-        |  (x * 1000000000000) // n AS pq FROM br),
+        |  CAST((CAST(x AS HUGEINT) * 1000000000000) // n AS BIGINT) AS pq
+        |  FROM br),
         |pri AS (
         |  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
         |    CAST(SUM(pq) AS DOUBLE) / 1e12 AS sqd,
@@ -5791,9 +5847,9 @@ object StatsQueries {
         |  CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
         |       THEN m * (1.0 - m) / v - 1.0 ELSE NULL END AS s
         |  FROM mv)
-        |SELECT p_brand, n, x, ROUND(p, 6) AS raw_rate,
-        |  ROUND(s, 6) AS prior_strength,
-        |  ROUND((CAST(x AS DOUBLE) + m * s) / (CAST(n AS DOUBLE) + s), 6)
+        |SELECT p_brand, n, x, p + 0.0 AS raw_rate,
+        |  s + 0.0 AS prior_strength,
+        |  (CAST(x AS DOUBLE) + m * s) / (CAST(n AS DOUBLE) + s)
         |    AS shrunk_rate
         |FROM pp CROSS JOIN sx ORDER BY p_brand""".stripMargin,
 
@@ -5858,8 +5914,7 @@ object StatsQueries {
          |  FROM tst JOIN preds USING (prio) CROSS JOIN qh
          |  GROUP BY n_cal, k_rank, qhat)
          |SELECT n_cal, k_rank, qhat AS qhat_cents, n_test, n_covered,
-         |  ROUND(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
-         |    AS coverage
+         |  CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
          |FROM cov""".stripMargin,
 
     "q234_tombstone_cascade" ->
@@ -5869,26 +5924,26 @@ object StatsQueries {
         |tord AS (SELECT o_orderkey AS tok FROM orders JOIN tomb ON o_custkey = k)
         |SELECT 'customer' AS entity, COUNT(*) AS rows_total,
         |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS rows_tombstoned,
-        |  ROUND(CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 6) AS pct
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS pct
         |FROM customer LEFT JOIN tomb ON c_custkey = k
         |UNION ALL
         |SELECT 'orders', COUNT(*),
         |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END),
-        |  ROUND(CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 6)
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)
         |FROM orders LEFT JOIN tomb ON o_custkey = k
         |UNION ALL
         |SELECT 'lineitem', COUNT(*),
         |  SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END),
-        |  ROUND(CAST(SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 6)
+        |  CAST(SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)
         |FROM lineitem LEFT JOIN tord ON l_orderkey = tok
         |UNION ALL
         |SELECT 'events', COUNT(*),
         |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END),
-        |  ROUND(CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 6)
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)
         |FROM events LEFT JOIN tomb ON user_id = k
         |ORDER BY entity""".stripMargin,
 
@@ -6034,22 +6089,42 @@ object StatsQueries {
          |  SELECT y, 1.0 / (1.0 + exp(-($BrierW0 + $BrierW1 * r1 +
          |    $BrierW2 * r2 + $BrierW3 * r3))) AS p
          |  FROM f),
-         |b AS (
-         |  SELECT LEAST(CAST(FLOOR(p * $BrierBins) AS BIGINT),
+         |qz AS (
+         |  SELECT CAST(y AS BIGINT) AS yl,
+         |    LEAST(CAST(FLOOR(p * $BrierBins) AS BIGINT),
          |      ${BrierBins - 1}) AS bin,
-         |    COUNT(*) AS n_k, SUM(p) AS sp, SUM(y) AS sy,
-         |    SUM(p * p) AS sp2, SUM(p * y) AS spy
-         |  FROM p GROUP BY 1),
-         |t AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n, SUM(sy) AS sy_t FROM b)
-         |SELECT n AS n_docs,
-         |  ROUND((SUM(sp2) - 2.0 * SUM(spy) + SUM(sy)) /
-         |    CAST(n AS DOUBLE), 6) AS brier,
-         |  ROUND(SUM((sp - sy) * (sp - sy) / CAST(n_k AS DOUBLE)) /
-         |    CAST(n AS DOUBLE), 6) AS reliability,
-         |  ROUND(SUM(CAST(n_k AS DOUBLE) * (sy / n_k - sy_t / n) *
-         |    (sy / n_k - sy_t / n)) / CAST(n AS DOUBLE), 6) AS resolution,
-         |  ROUND((sy_t / n) * (1.0 - sy_t / n), 6) AS uncertainty
-         |FROM b CROSS JOIN t GROUP BY n, sy_t""".stripMargin,
+         |    CAST(FLOOR(p * 1e12) AS BIGINT) AS pe
+         |  FROM p),
+         |b AS (
+         |  SELECT bin, COUNT(*) AS n_k, CAST(SUM(yl) AS BIGINT) AS sy,
+         |    SUM(CAST(pe AS HUGEINT)) AS spe,
+         |    SUM(CAST(pe AS HUGEINT) * pe) AS sp2e,
+         |    SUM(CAST(CASE WHEN yl = 1 THEN pe ELSE 0 END AS HUGEINT)) AS spye
+         |  FROM qz GROUP BY bin),
+         |t AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+         |  CAST(SUM(sy) AS BIGINT) AS sy_t,
+         |  SUM(sp2e) AS sp2_t, SUM(spye) AS spy_t FROM b),
+         |terms AS (
+         |  SELECT bin, n, sy_t, sp2_t, spy_t,
+         |    de * de / CAST(n_k AS DOUBLE) AS rel_term,
+         |    CAST(n_k AS DOUBLE) * dd * dd AS res_term
+         |  FROM (SELECT b.bin, b.n_k, b.sy, t.n, t.sy_t, t.sp2_t, t.spy_t,
+         |      CAST(b.spe - CAST(b.sy AS HUGEINT) * 1000000000000 AS DOUBLE)
+         |        / 1e12 AS de,
+         |      CAST(b.sy AS DOUBLE) / CAST(b.n_k AS DOUBLE) -
+         |        CAST(t.sy_t AS DOUBLE) / CAST(t.n AS DOUBLE) AS dd
+         |    FROM b CROSS JOIN t) s)
+         |SELECT MAX(n) AS n_docs,
+         |  CAST(MAX(sp2_t) - CAST(1000000000000 AS HUGEINT) *
+         |      (CAST(2 AS HUGEINT) * MAX(spy_t) -
+         |        CAST(1000000000000 AS HUGEINT) * MAX(sy_t)) AS DOUBLE) /
+         |    (CAST(MAX(n) AS DOUBLE) * 1e24) AS brier,
+         |  (${foldSql("rel_term")}) / CAST(MAX(n) AS DOUBLE) AS reliability,
+         |  (${foldSql("res_term")}) / CAST(MAX(n) AS DOUBLE) AS resolution,
+         |  (CAST(MAX(sy_t) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)) *
+         |    (1.0 - CAST(MAX(sy_t) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
+         |    AS uncertainty
+         |FROM terms""".stripMargin,
 
     "q250_randomized_response" -> {
       val horner = (1 to 8)

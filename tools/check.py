@@ -29,6 +29,9 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # ORACLE.md pins the authored-against version; print what we ran with
+    # so "passes locally, fails on driver" waves are attributable.
+    print(f"[check] duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
