@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType}
 
 /**
  * Cosine similarity as a native Catalyst expression with whole-stage
@@ -218,6 +218,72 @@ case class LongOverlapCount(left: Expression, right: Expression)
          |    if ($a.getLong($i) > 0L && $b.getLong($i) > 0L) $c++;
          |  }
          |  ${ev.value} = $c;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * TRUE iff any position of two array<bigint> BITMASK columns shares a set
+ * bit (∃i: (a[i] & b[i]) ≠ 0) — the O(v/64) support-intersection test
+ * under q256's in-loop prefix filter: each doc's feature support / indexed
+ * set packs into ⌈v/64⌉ longs, and the candidate rule "x touches an
+ * indexed feature of y" becomes this word-wise AND instead of a
+ * materialized candidate join (measured 27 s → ~q245-parity at sf0.1; see
+ * q256's regime note). Same codegen rationale as [[LongDotProduct]]: a
+ * Column chain over 64 words would fall out of whole-stage codegen in the
+ * docs²-pair loop. Null on dimension mismatch; short-circuits on the
+ * first hit.
+ */
+case class LongAndAny(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"${VectorFunctions.AndAnyName} expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  override def nullable: Boolean = true // dimension mismatch -> null
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if ((x.getLong(i) & y.getLong(i)) != 0L) return java.lang.Boolean.TRUE
+      i += 1
+    }
+    java.lang.Boolean.FALSE
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val hit = ctx.freshName("hit")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  boolean $hit = false;
+         |  for (int $i = 0; $i < $n && !$hit; $i++) {
+         |    $hit = ($a.getLong($i) & $b.getLong($i)) != 0L;
+         |  }
+         |  ${ev.value} = $hit;
          |}
        """.stripMargin
     })
@@ -458,6 +524,7 @@ object VectorFunctions {
   val OverlapName = "graft_loverlap"
   val TopKName = "graft_topk"
   val SrpName = "graft_srp_sig"
+  val AndAnyName = "graft_land_any"
   val PqEncodeName = "graft_pq_encode"
 
   /** Default SRP geometry: 16 sign bits over dim-64 embeddings (the
@@ -509,6 +576,10 @@ object VectorFunctions {
       SrpName, exprs => {
         arity(SrpName, 1, exprs); SrpSignature(exprs(0), srpPlanes)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AndAnyName, exprs => {
+        arity(AndAnyName, 2, exprs); LongAndAny(exprs(0), exprs(1))
+      }, "built-in")
   }
 
   /** Column-API face of [[CosineSimilarity]] (requires `register`). */
@@ -519,6 +590,9 @@ object VectorFunctions {
 
   /** Column-API face of [[LongOverlapCount]] (requires `register`). */
   def loverlap(a: Column, b: Column): Column = call_function(OverlapName, a, b)
+
+  /** Column-API face of [[LongAndAny]] (requires `register`). */
+  def landAny(a: Column, b: Column): Column = call_function(AndAnyName, a, b)
 
   /** Column-API face of [[TopKPairs]]: array of (score,id) structs,
     * best-first (requires `register`). */

@@ -69,10 +69,14 @@ object SimilarityQueries {
     // threshold-join over dense embeddings has no subquadratic form (and
     // this fixture's similarity regime defeats LSH recall — COVERAGE.md
     // "Known gaps"), so this query exists to pin the answers the scale
-    // paths are measured against: MinHash banding (q32) for near-dup sets,
-    // IVF probe + exact re-rank (q54) for neighbor search. Never run the
-    // broadcast-all-pairs shape on a real corpus; it is the exactness
-    // oracle, not the operator.
+    // paths are measured against. At corpus scale RUN THOSE INSTEAD:
+    // q82's SemDeDup plan (k-means cell quantization → within-cell
+    // equi-join) is the embedding near-dup operator, q32's MinHash
+    // banding the set-overlap one, q54's IVF probe + exact re-rank the
+    // neighbor search, and q256 shows the composed candidates→exact-
+    // verify registration pattern. Never run the broadcast-all-pairs
+    // shape on a real corpus; it is the exactness oracle, not the
+    // operator.
     "q34_cosine_neardup" -> { (s, dir) =>
       import s.implicits._
       VectorFunctions.register(s)

@@ -35,6 +35,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(cand >= exact.size.toLong)
   }
 
+  test("tf-idf prefix filter equals the dense all-pairs set and prunes the pair loop") {
+    // Exactness (the All-Pairs bound, not a recall argument): the prefix
+    // rule may not drop ANY qualifying pair; verification removes the
+    // rest — so q256 must equal q245 row for row.
+    val exact = DedupQueries.queries("q245_tfidf_cosine_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pf = DedupQueries.queries("q256_tfidf_prefix_cosine")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pf === exact)
+    assert(exact.nonEmpty, "fixture should contain tf-idf cosine near-dups")
+    // Pruning power vs the dense loop's docs·(docs−1)/2 pairs — the
+    // number the q131 reduction gate uses for the Jaccard family.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).count()
+    val all = docs * (docs - 1) / 2
+    val cand = DedupQueries.tfidfPrefixCandidates(spark, sf0001).count()
+    info(s"candidates $cand of $all dense pairs (${cand * 100.0 / all}%)")
+    assert(cand < all, s"prefix candidates ($cand) should prune docs²/2 ($all)")
+    assert(cand >= exact.size.toLong)
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
     val grouped = DedupQueries.queries("q30_dedup_exact")(spark, sf0001)
