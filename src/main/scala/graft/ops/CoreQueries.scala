@@ -30,6 +30,14 @@ object CoreQueries {
 
   private[ops] val SessionGapMs = 30L * 60 * 1000
 
+  /** q157: fixed-point iterations for the absorbing-chain solve.
+    * Mirrored verbatim by the oracle's unrolled CTE chain — both engines
+    * execute the SAME arithmetic sequence, so the count is part of the
+    * operator's contract, not a tolerance. 200 rounds leave the residual
+    * orders below 1e-12 on any session-scale chain (per-step absorption
+    * probability ≥ the min terminal rate). */
+  private[ops] val MarkovIters = 200
+
   /** q204 geo constants — literal strings so Spark and the oracle parse
     * identical doubles. Box: lat ∈ [40, 50], lon ∈ [−10, 10] (a
     * country-scale service area); cell edge 2°; search radius 120 km.
@@ -1587,20 +1595,30 @@ object CoreQueries {
       val counts = sessionTransitionCounts(s, dir).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val channels = counts.map(_._1).filter(_ != "START").distinct.sorted
+      // Every float chain below folds in SORTED target order, so each
+      // iteration performs the identical addition sequence as the
+      // oracle's textual expressions (ORACLE.md: no unordered float
+      // sums). With bit-mirrored arithmetic the outputs emit RAW —
+      // math.rint at the 1e-6 grain was the one representation risk
+      // (half-even ties, the q230 family), and is gone.
       def conv(remove: Option[String]): Double = {
         val redirected = counts
           .map { case (f, t, n) => ((f, if (remove.contains(t)) "NULL" else t), n) }
           .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
-        val froms = redirected.keys.map(_._1).toSeq.distinct
+        val froms = redirected.keys.map(_._1).toSeq.distinct.sorted
         val totals = froms.map(f =>
           f -> redirected.collect { case ((`f`, _), n) => n }.sum).toMap
         var p = (froms.map(_ -> 0.0).toMap + ("CONV" -> 1.0)) + ("NULL" -> 0.0)
         // Fixed-point of p(s) = Σ P(s→t)·p(t); absorbing chain ⇒
-        // contraction, 500 rounds leave residual ≪ the 1e-6 output grain.
-        for (_ <- 0 until 500) {
+        // contraction, MarkovIters rounds leave residual ≪ 1e-6 — and
+        // the oracle unrolls the SAME count, so both engines run the
+        // same arithmetic, not just converge to the same limit.
+        for (_ <- 0 until MarkovIters) {
           val next = froms.map { f =>
-            f -> redirected.collect { case ((`f`, t), n) =>
-              n.toDouble / totals(f) * p.getOrElse(t, 0.0) }.sum
+            val terms = redirected.collect { case ((`f`, t), n) => (t, n) }
+              .toSeq.sortBy(_._1)
+            f -> terms.foldLeft(0.0) { case (acc, (t, n)) =>
+              acc + n.toDouble / totals(f) * p.getOrElse(t, 0.0) }
           }.toMap
           p = p ++ next
         }
@@ -1608,11 +1626,9 @@ object CoreQueries {
       }
       val base = conv(None)
       val effects = channels.map(c => c -> math.max(0.0, (base - conv(Some(c))) / base))
-      val tot = effects.map(_._2).sum
+      val tot = effects.map(_._2).foldLeft(0.0)(_ + _)
       effects.toSeq.map { case (c, e) =>
-        (c, math.rint(e * 1e6) / 1e6 + 0.0,
-          (if (tot > 0) math.rint(e / tot * 1e6) / 1e6 else 0.0) + 0.0,
-          math.rint(base * 1e6) / 1e6 + 0.0)
+        (c, e + 0.0, (if (tot > 0) e / tot else 0.0) + 0.0, base + 0.0)
       }.toDF("channel", "removal_effect", "credit", "base_conv_rate")
         .orderBy($"channel")
     },
@@ -2737,6 +2753,102 @@ object CoreQueries {
          |SELECT split_part(e, '->', 1) AS from_state,
          |       split_part(e, '->', 2) AS to_state, COUNT(*) AS n
          |FROM tr GROUP BY 1, 2 ORDER BY from_state, to_state""".stripMargin,
+
+    // The absorbing-chain solve replayed ARITHMETIC-FOR-ARITHMETIC: the
+    // same MarkovIters fixed-point rounds, each state's update written as
+    // an explicit expression whose terms appear in sorted-target order —
+    // exactly the fold order the Spark side uses — so every addition and
+    // multiply happens in the same sequence and the raw doubles compare
+    // bit-equal (no ROUND anywhere; the q230 lesson). Absent transitions
+    // contribute an exact +0.0 via COALESCE, matching the Spark fold
+    // skipping them. Rounds are MATERIALIZED: every state feeds all five
+    // next-round expressions, and inlining would duplicate the tree 5×
+    // per round (the q243 blowup). States are the fixture's event-type
+    // enum; a type absent from every pre-purchase path drops out of both
+    // engines identically (zero effect, filtered by the from-state join).
+    "q157_markov_attribution" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      val froms = "START" +: chans
+      val targets = Seq("CONV", "NULL") ++ chans // ASCII-sorted
+      def pcol(f: String, t: String) = s"p_${f}_$t"
+      def vcol(st: String) = s"v_$st"
+      val mcols = (for (f <- froms; t <- targets) yield
+        s"MAX(CASE WHEN f = '$f' AND t = '$t' THEN pr END) AS ${pcol(f, t)}")
+        .mkString(",\n         |    ")
+      def step(f: String): String = targets.map {
+        case "CONV" => s"COALESCE(m.${pcol(f, "CONV")}, 0.0) * 1.0"
+        case "NULL" => s"COALESCE(m.${pcol(f, "NULL")}, 0.0) * 0.0"
+        case t      => s"COALESCE(m.${pcol(f, t)}, 0.0) * i.${vcol(t)}"
+      }.mkString("0.0 + ", " + ", s" AS ${vcol(f)}")
+      val rounds = (1 to MarkovIters).map { r =>
+        val exprs = froms.map(step).mkString(",\n         |  ")
+        s"""it$r AS MATERIALIZED (
+           |  SELECT i.rm,
+           |  $exprs
+           |  FROM it${r - 1} i JOIN m ON m.rm = i.rm)""".stripMargin
+      }.mkString(",\n         |")
+      val effTot = chans
+        .map(c => s"COALESCE(MAX(CASE WHEN channel = '$c' THEN e END), 0.0)")
+        .mkString("0.0 + ", " + ", "")
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, event_id, event_type, ms,
+         |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= $SessionGapMs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+         |  FROM g),
+         |p AS (
+         |  SELECT user_id, sess_seq, list(event_type ORDER BY ms, event_id) AS path
+         |  FROM x GROUP BY user_id, sess_seq),
+         |st AS (
+         |  SELECT CASE WHEN list_position(path, 'purchase') > 0
+         |    THEN ['START'] || path[1:list_position(path, 'purchase') - 1] || ['CONV']
+         |    ELSE ['START'] || path || ['NULL'] END AS states
+         |  FROM p),
+         |tr AS (
+         |  SELECT unnest([states[i] || '->' || states[i + 1]
+         |                 for i in range(1, len(states))]) AS e
+         |  FROM st),
+         |tc AS MATERIALIZED (
+         |  SELECT split_part(e, '->', 1) AS from_state,
+         |         split_part(e, '->', 2) AS to_state, COUNT(*) AS n
+         |  FROM tr GROUP BY 1, 2),
+         |variants AS (SELECT unnest(['NONE', 'click', 'error', 'signup',
+         |                            'view']) AS rm),
+         |red AS MATERIALIZED (
+         |  SELECT v.rm, from_state AS f,
+         |    CASE WHEN to_state = v.rm THEN 'NULL' ELSE to_state END AS t,
+         |    CAST(SUM(n) AS BIGINT) AS n
+         |  FROM tc CROSS JOIN variants v GROUP BY 1, 2, 3),
+         |tot AS (SELECT rm, f, CAST(SUM(n) AS BIGINT) AS tn
+         |        FROM red GROUP BY 1, 2),
+         |m AS MATERIALIZED (
+         |  SELECT q.rm,
+         |    $mcols
+         |  FROM (SELECT red.rm, red.f, red.t,
+         |          CAST(red.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS pr
+         |        FROM red JOIN tot ON tot.rm = red.rm AND tot.f = red.f) q
+         |  GROUP BY q.rm),
+         |it0 AS (SELECT rm, ${froms.map(f => s"0.0 AS ${vcol(f)}").mkString(", ")}
+         |        FROM variants),
+         |$rounds,
+         |fin AS MATERIALIZED (SELECT rm, v_START FROM it$MarkovIters),
+         |bs AS (SELECT v_START AS b FROM fin WHERE rm = 'NONE'),
+         |present AS (SELECT DISTINCT from_state AS c FROM tc
+         |            WHERE from_state <> 'START'),
+         |eff AS MATERIALIZED (
+         |  SELECT p2.c AS channel,
+         |    GREATEST(0.0, (bs.b - fin.v_START) / bs.b) AS e, bs.b AS b
+         |  FROM fin JOIN present p2 ON fin.rm = p2.c CROSS JOIN bs),
+         |te AS (SELECT $effTot AS te FROM eff)
+         |SELECT channel, e + 0.0 AS removal_effect,
+         |  (CASE WHEN te.te > 0 THEN e / te.te ELSE 0.0 END) + 0.0 AS credit,
+         |  b + 0.0 AS base_conv_rate
+         |FROM eff CROSS JOIN te ORDER BY channel""".stripMargin
+    },
 
     // Identical exact-integer moments; the z expression replays the same
     // tree from the same four BIGINTs.

@@ -240,6 +240,11 @@ object StatsQueries {
   val RrQ = "0.25"
   val RrValueThr = "150.0"
 
+  /** q243 oracle: unrolled peel rounds. 25 design-bounded brand nodes ⇒
+    * ≤ 24 removal rounds + 1 stable round per k-slice; 26 is provably a
+    * fixpoint for every k (see the oracle's comment). */
+  val KcoreRounds = 26
+
   /** q251: Johnson–Lindenstrauss target dimensionality, source
     * dimensionality, and the id-stride defining the audited sample
     * (vec_id ≡ 0 mod stride). */
@@ -1299,9 +1304,10 @@ object StatsQueries {
     // node/edge frames and a driver convergence scalar — the q47
     // connected-components loop shape; the collect here is justified
     // only because nodes are design-bounded. Deterministic and
-    // engine-exact (integer degrees only), but iterative peeling has no
-    // SQL-expressible oracle — gated by the StatsSpec replay, which
-    // rebuilds the edge set independently from the raw tables.
+    // engine-exact (integer degrees only); FULL oracle since r8 — the
+    // peel unrolls in DuckDB with k as a column (26 bounded rounds cover
+    // every k-slice's fixpoint, see the oracle) — plus the StatsSpec
+    // replay that rebuilds the edge set independently from raw tables.
     "q243_brand_kcore" -> { (s, dir) =>
       import s.implicits._
       val edges = brandEdges(s, dir).select($"src", $"dst").distinct()
@@ -4504,6 +4510,37 @@ object StatsQueries {
         |  MAX(cents) AS peak_cents, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM st GROUP BY island_start
         |ORDER BY island_start""".stripMargin,
+
+    // Peeling replayed with k AS A COLUMN: the node set is design-bounded
+    // at 25 brands, so all 24 candidate k-slices peel in parallel through
+    // 26 unrolled rounds (each round either removes ≥1 node from a slice
+    // or the slice is already stable; 25 nodes ⇒ ≤ 24 removal rounds + 1
+    // stable round, so round 26 is provably the fixpoint for every k).
+    // coreness(v) = MAX k whose fixpoint still contains v — equal to the
+    // sequential peel because k-core ⊆ (k−1)-core. Integer degrees only;
+    // engine-exact. The q232/q165 bounded-unroll convention.
+    "q243_brand_kcore" -> {
+      val rounds = (1 to KcoreRounds).map { r =>
+        val prev = s"a${r - 1}"
+        s"""a$r AS MATERIALIZED (SELECT a.k, e.src AS n FROM e
+           |  JOIN $prev a ON a.n = e.src
+           |  JOIN $prev b ON b.k = a.k AND b.n = e.dst
+           |  GROUP BY a.k, e.src HAVING COUNT(*) >= a.k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bb AS MATERIALIZED (
+         |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         |e AS MATERIALIZED (SELECT DISTINCT a.brand AS src, b.brand AS dst
+         |      FROM bb a JOIN bb b ON a.ok = b.ok AND a.brand <> b.brand),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS n FROM e),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, 25) t(k)),
+         |a0 AS MATERIALIZED (SELECT ks.k, nodes.n FROM ks CROSS JOIN nodes),
+         |$rounds,
+         |mx AS (SELECT n, MAX(k) AS c FROM a$KcoreRounds GROUP BY n)
+         |SELECT nodes.n AS brand, CAST(COALESCE(mx.c, 0) AS BIGINT) AS coreness
+         |FROM nodes LEFT JOIN mx ON mx.n = nodes.n
+         |ORDER BY brand""".stripMargin
+    },
 
     "q241_srm_check" -> {
       s"""WITH u AS (
