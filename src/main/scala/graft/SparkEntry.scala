@@ -16,12 +16,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       SimilarityQueries.extraQueries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ CurationQueries.queries ++ StatsQueries.queries
+      MultimodalQueries.queries ++ CurationQueries.queries ++
+      StatsQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles ++
-      StatsQueries.oracles
+      StatsQueries.oracles ++ StreamingQueries.oracles
 }

@@ -36,12 +36,16 @@ object Tables {
    * NTZ column to TimestampType here: under the UTC session zone the cast is
    * instant-preserving and byte-identical to the pre-3.4 read path.
    */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    ntzNorm(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The NTZ→UTC-instant cast chain applied to an already-read frame —
+    * split out so STREAMING readers (which need an explicit schema and
+    * so can't go through [[t]]) normalize identically. */
+  def ntzNorm(raw: DataFrame): DataFrame =
     raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
       (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
     }
-  }
 
   /**
    * The events fixture's timestamp precision has varied across driver
@@ -52,8 +56,12 @@ object Tables {
    *   ms    — epoch millis (what oracle SQL sees via epoch_ms(ts)),
    *   ts    — TimestampType for calendar functions.
    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsNorm(t(spark, dir, "events"))
+
+  /** The ts_ns/ms/ts column normalization on an already-[[ntzNorm]]'d
+    * events frame — shared by [[events]] and the streaming readers. */
+  def eventsNorm(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", col("ts"))
@@ -63,7 +71,6 @@ object Tables {
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
           .withColumn("ms", unix_millis(col("ts")))
     }
-  }
 
   /** Exact money arithmetic: decimal-cast before summing (see above). */
   val money: DecimalType = DecimalType(18, 4)
