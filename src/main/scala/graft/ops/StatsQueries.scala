@@ -278,6 +278,12 @@ object StatsQueries {
   val FsJwThr = "0.92"
   val FsOffset = 97L
 
+  /** q252 hot-block salting: fan blocks wider than FsHotFactor× the mean
+    * width across FsSaltN tasks (selective hot-key mode — cold blocks
+    * pay zero replication). Results equal the unsalted join exactly. */
+  val FsSaltN = 8
+  val FsHotFactor = 4.0
+
   /** q252: emit pairs whose total match weight clears this many bits —
     * the review threshold of a deployed linker (w ≥ 10 ≈ 1000:1 evidence
     * for match over the u-model). Emitting every w > 0 pair floods the
@@ -3574,10 +3580,13 @@ object StatsQueries {
     "q247_adamic_adar" -> { (s, dir) =>
       import s.implicits._
       val nb = brandBaskets(s, dir).agg(countDistinct($"ok").as("n_baskets"))
-      val e = brandPairCounts(s, dir).crossJoin(broadcast(nb))
+      // Pinned: e feeds five downstream references (both×2, wedges×2,
+      // the anti-join); unpinned, each replays the threshold crossJoin +
+      // basket-count aggregate (8 copies in the physical plan).
+      val e = Pin.lazily(brandPairCounts(s, dir).crossJoin(broadcast(nb))
         .filter($"pair_n".cast("double") >=
           lit(AaSupportFrac.toDouble) * $"n_baskets".cast("double"))
-        .select($"brand_a", $"brand_b")
+        .select($"brand_a", $"brand_b"))
       val both = e.select($"brand_a".as("src"), $"brand_b".as("dst"))
         .unionByName(e.select($"brand_b".as("src"), $"brand_a".as("dst")))
       val deg = both.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -3825,10 +3834,34 @@ object StatsQueries {
         when(col(g), log2(mv / col(s"u_$g")))
           .otherwise(log2((lit(1.0) - mv) / (lit(1.0) - col(s"u_$g"))))
       }
-      val cand = parts.as("a").join(parts.as("b"),
-          $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
-        .select(col("a.p_partkey").as("key_a") +:
-          col("b.p_partkey").as("key_b") +: agree("a", "b"): _*)
+      // Hot-block salting (r8, the risk this query's r7 comment named):
+      // block ids are the two-word name-prefix vocabulary — design-
+      // bounded (TPC-H name words), so block SIZES are a control-plane
+      // collect like the k-means centroids. Blocks wider than
+      // FsHotFactor× the mean fan their pair loop across FsSaltN tasks
+      // via the selective-hot-key salted join (ops/Salting); everything
+      // else joins with salt 0 and zero replication cost. Multiplicity
+      // is preserved exactly, so the result EQUALS the unsalted join —
+      // the unchanged DuckDB oracle is the equality gate (q60 pattern).
+      val sizes = parts.groupBy($"blk").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val meanBlk = sizes.map(_._2).sum.toDouble / math.max(1, sizes.length)
+      val hotBlks: Set[Any] = sizes
+        .filter(_._2 > FsHotFactor * meanBlk).map(_._1).toSet
+      def side(sfx: String): DataFrame = parts.select(
+        $"p_partkey".as(s"key_$sfx"), $"p_name".as(s"name_$sfx"),
+        $"p_brand".as(s"brand_$sfx"), $"p_type".as(s"type_$sfx"),
+        $"p_size".as(s"size_$sfx"), $"blk")
+      val agreeR: Seq[Column] = Seq(
+        (graft.functions.StringSimilarity.jaroWinkler(
+          $"name_a", $"name_b") >= lit(FsJwThr.toDouble)).as("g_name"),
+        ($"brand_a" === $"brand_b").as("g_brand"),
+        ($"type_a" === $"type_b").as("g_type"),
+        ($"size_a" === $"size_b").as("g_size"))
+      val cand = Salting.saltedEquiJoin(side("a"), side("b"), "blk",
+          FsSaltN, Some(hotBlks))
+        .filter($"key_a" < $"key_b")
+        .select(col("key_a") +: col("key_b") +: agreeR: _*)
       cand.crossJoin(broadcast(u))
         .withColumn("mw", w("g_name", FsMName) + w("g_brand", FsMBrand) +
           w("g_type", FsMType) + w("g_size", FsMSize))

@@ -80,6 +80,61 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("percentile(sl"), p)
   }
 
+  test("q252: blocked linkage join is salted, hash-based, and broadcasts the u frame") {
+    val p = plan("q252_fs_linkage")
+    // the selective hot-key salt column must be wired into the join
+    assert(p.contains("__graft_salt"), p)
+    // blocking joins on (blk [, salt]) as a HASH join — a nested-loop or
+    // cartesian here would be the all-pairs disaster blocking exists to
+    // prevent
+    assert(p.contains("Join [blk") || p.contains("Join [coalesce(blk")
+      || "Join \\[blk#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin [blk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // name agreement rides the native codegen JaroWinkler, not a UDF
+    assert(p.contains("jarowinkler"), p)
+    // the 1-row u frame broadcasts onto the candidate stream
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q251: the JL audit's sample pair join broadcasts (never a shuffled product)") {
+    val p = plan("q251_jl_distortion")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q249/q253: decomposition folds use no window over data rows") {
+    // Both reduce the corpus in ONE map-combinable aggregate and finish
+    // on bounded control frames with fixed-order expression folds — a
+    // Window here would mean data rows flowing through per-row state.
+    assert(!plan("q249_brier_decomposition").contains("Window"))
+    assert(!plan("q253_anova_dow").contains("Window"))
+  }
+
+  test("q247: open pairs form via anti-join on the thresholded edge spine") {
+    val p = plan("q247_adamic_adar")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q254: rank frames stay partitioned; single-partition stages are control-plane only") {
+    val p = plan("q254_spearman")
+    // GlobalRank's per-partition prefix windows partition by _gr_pid; the
+    // only SinglePartition exchanges allowed are the pid-granularity
+    // boundary prefix (one per ranked axis) and the final 1-row aggregate.
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 3, s"unexpected single-partition stage count $singles:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q250/q255: stratified audits stay scan-shaped (no window, no cartesian)") {
+    val p250 = plan("q250_randomized_response")
+    assert(!p250.contains("Window") && !p250.contains("CartesianProduct"), p250)
+    val p255 = plan("q255_cmh_odds")
+    assert(!p255.contains("Window") && !p255.contains("CartesianProduct"), p255)
+  }
+
   test("q52: the hash split is shuffle-free (no Exchange except the output sort)") {
     val p = plan("q52_train_val_split")
     // exactly one exchange: the rangepartitioning for the final ORDER BY
