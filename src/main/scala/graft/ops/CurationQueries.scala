@@ -579,11 +579,154 @@ object CurationQueries {
         .agg(sum($"c").as("n_grams"),
           (round(sum($"c".cast("double") * $"lr"), 6) + lit(0d)).as("log_weight"))
         .orderBy($"doc_id")
+    },
+
+    // ------------------------------ sequence packing (concat-and-chunk)
+    // The GPT-pretraining packing step: concatenate every document's
+    // tokens in one fixed corpus order (doc_id) and cut the stream every
+    // PackSeqLen tokens — each output row says which token span of which
+    // document lands in which training sequence. The whole op is ONE
+    // distributed prefix sum: a doc's global token offset comes from
+    // GlobalRank's two-pass prefix machinery (range-partition + local
+    // running sum + broadcast per-partition offsets — never a global
+    // window), and the doc→sequence fan-out explodes only ⌈n/C⌉+1 rows
+    // per doc. At 100 TB this is exactly the shape the packing job runs:
+    // the corpus streams through map tasks once, and no token ever
+    // shuffles — only (doc, seq, span) coordinates move. All outputs are
+    // exact integers.
+    "q259_sequence_packing" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id",
+          size(split(lower($"text"), " ")).cast("long").as("n_tokens"))
+      val withOff = GlobalRank.withGlobalPrefixSum(docs, Seq($"doc_id"),
+          $"n_tokens", "rk", "nd", "cum", "total")
+        .select($"doc_id", $"n_tokens", ($"cum" - $"n_tokens").as("off"),
+          $"total")
+      val C = lit(PackSeqLen)
+      withOff
+        .select($"doc_id", $"n_tokens", $"off",
+          // integer division (Column `/` is float division)
+          explode(sequence(expr(s"off div $PackSeqLen"),
+            expr(s"(off + n_tokens - 1) div $PackSeqLen"))).as("seq_id"))
+        .select($"doc_id", $"seq_id",
+          (greatest($"off", $"seq_id" * C) - $"off").as("doc_from"),
+          (least($"off" + $"n_tokens", ($"seq_id" + 1) * C) -
+            greatest($"off", $"seq_id" * C)).as("n_tok"))
+        .orderBy($"seq_id", $"doc_id")
+    },
+
+    // --------------------------------------- curriculum interleaving
+    // Difficulty-ordered, source-balanced training order: rank documents
+    // WITHIN each source by an easiness score (distinct-word ratio — the
+    // q235 closed-form scorer, easy/low-diversity first), then emit the
+    // global order (rank 1 of every source, then rank 2, …) so early
+    // training sees easy examples from EVERY source instead of draining
+    // one source first — the curriculum + mixture-balance composition.
+    // Scale: the within-source rank is a source-partitioned window (no
+    // global window touches data); the global position rides GlobalRank
+    // over the (rank, source) pair. Score ties break by doc_id, so the
+    // order is total and engine-exact.
+    "q260_curriculum_interleave" -> { (s, dir) =>
+      import s.implicits._
+      val ws = split(lower($"text"), " ")
+      val scored = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", $"source",
+          (size(array_distinct(ws)).cast("double") /
+            size(ws).cast("double")).as("easiness"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"easiness".asc, $"doc_id".asc)
+      val ranked = scored.withColumn("rank_in_source", row_number().over(bySrc))
+      GlobalRank.withGlobalRank(ranked,
+          Seq($"rank_in_source".asc, $"source".asc, $"doc_id".asc),
+          "position", "n_docs")
+        .select($"position", $"doc_id", $"source",
+          $"rank_in_source".cast("long").as("rank_in_source"),
+          ($"easiness" + lit(0d)).as("easiness"))
+        .orderBy($"position")
+    },
+
+    // --------------------------------- deterministic negative sampling
+    // Contrastive-training pair mining: every anchor (the doc_id % 50
+    // sample) draws NegK uniform negatives from the WHOLE corpus via
+    // md5(anchor:slot) — deterministic, so reruns/retries emit identical
+    // pairs (the q52 hash-split discipline applied to sampling), and
+    // corpus-position indexing rides GlobalRank's dense 1..n rank, never
+    // an assumption that doc_ids are dense. A draw that lands on the
+    // anchor itself shifts one slot (mod n) — stated identically in the
+    // oracle. Scale: ranks are the two-pass GlobalRank shape; the
+    // anchor×slot fan-out is NegK rows per anchor; the draw resolves by
+    // an equi-join on rank (shuffle bounded by samples·NegK, never
+    // corpus²). At 100 TB the rank frame is a bucketed corpus index
+    // table and each batch of anchors joins it the same way.
+    "q261_negative_sampling" -> { (s, dir) =>
+      import s.implicits._
+      val ranked = Pin.lazily(GlobalRank.withGlobalRank(
+          t(s, dir, "documents").select($"doc_id"),
+          Seq($"doc_id".asc), "rk", "n"))
+      val draws = ranked.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("anchor_id"), $"rk".as("a_rk"), $"n")
+        .withColumn("slot", explode(sequence(lit(0), lit(NegK - 1))))
+        .withColumn("h", conv(substring(md5(concat(lit("neg:"),
+          $"anchor_id".cast("string"), lit(":"), $"slot".cast("string"))),
+          1, 8), 16, 10).cast("long"))
+        // ranks are 1-based; draw in [1, n], dodge the anchor by one slot
+        .withColumn("draw0", pmod($"h", $"n") + 1)
+        .withColumn("draw",
+          when($"draw0" === $"a_rk", pmod($"draw0", $"n") + 1)
+            .otherwise($"draw0"))
+      draws.join(ranked.select($"rk".as("draw"), $"doc_id".as("negative_id")),
+          "draw")
+        .select($"anchor_id", $"slot".cast("long").as("slot"), $"negative_id")
+        .orderBy($"anchor_id", $"slot")
+    },
+
+    // ------------------------------------- fill-in-middle (FIM) split
+    // The FIM pretraining transform (prefix ⟂ middle ⟂ suffix): two
+    // md5-derived cut points u ≤ v in [0, len] split each document's
+    // characters into [0,u) / [u,v) / [v,len). Deterministic per doc —
+    // the same rerun-stable discipline as q261 — and a pure per-row
+    // projection (the q69 scale shape: a 100 TB corpus streams through
+    // map tasks, nothing shuffles but the output sort). Emitted as span
+    // lengths + md5 digests of each part, so the row stays narrow while
+    // the oracle still pins the exact character split.
+    "q262_fim_split" -> { (s, dir) =>
+      import s.implicits._
+      def cut(tag: String): Column =
+        pmod(conv(substring(md5(concat(lit(tag), $"doc_id".cast("string"))),
+          1, 8), 16, 10).cast("long"), length($"text").cast("long") + 1)
+      t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", $"text", length($"text").cast("long").as("len"),
+          cut("fim1:").as("c1"), cut("fim2:").as("c2"))
+        .select($"doc_id", $"len", least($"c1", $"c2").as("u"),
+          greatest($"c1", $"c2").as("v"), $"text")
+        .select($"doc_id", $"len",
+          $"u".as("n_prefix"), ($"v" - $"u").as("n_middle"),
+          ($"len" - $"v").as("n_suffix"),
+          md5(substr($"text", lit(1L), $"u")).as("prefix_md5"),
+          md5(substr($"text", $"u" + 1, $"v" - $"u")).as("middle_md5"),
+          md5(substr($"text", $"v" + 1, $"len" - $"v")).as("suffix_md5"))
+        .orderBy($"doc_id")
     }
   )
 
   /** Hashed-feature space size for q141 (DSIR). */
   private val DsirBuckets = 256
+
+  /** q259: training-sequence capacity in (whitespace) tokens. 512 keeps
+    * multi-sequence docs AND multi-doc sequences both present on the
+    * fixture, so the packing arithmetic is exercised from both sides. */
+  private val PackSeqLen = 512L
+
+  /** q261: negatives drawn per anchor. */
+  private val NegK = 4
+
+  /** Oracle-side uniform from a hex digest: the first 8 md5 hex digits
+    * folded to a BIGINT (Horner), mirroring Spark's
+    * conv(substring(md5(x),1,8),16,10) — the q250 convention. */
+  private def hornerSql(hx: String): String = (1 to 8)
+    .map(i => s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)")
+    .reduceLeft((acc, d) => s"($acc * 16 + $d)")
 
   /** q93 sample size. */
   private val WeightedSampleK = 50
@@ -945,6 +1088,94 @@ object CurationQueries {
          |  ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) + 0.0 AS log_weight
          |FROM prof p JOIN ratio r ON r.bucket = p.bucket
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+    },
+
+    // Prefix sum over the same doc_id order (window form here — the
+    // oracle runs single-node; the Spark side uses the two-pass
+    // GlobalRank shape); span arithmetic is exact integers.
+    "q259_sequence_packing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM d),
+         |x AS (
+         |  SELECT doc_id, n_tokens, off,
+         |    unnest(generate_series(off // $PackSeqLen,
+         |      (off + n_tokens - 1) // $PackSeqLen)) AS seq_id
+         |  FROM o)
+         |SELECT doc_id, seq_id,
+         |  GREATEST(off, seq_id * $PackSeqLen) - off AS doc_from,
+         |  LEAST(off + n_tokens, (seq_id + 1) * $PackSeqLen) -
+         |    GREATEST(off, seq_id * $PackSeqLen) AS n_tok
+         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    "q260_curriculum_interleave" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS easiness
+        |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+        |        FROM documents WHERE text IS NOT NULL) t),
+        |r AS (
+        |  SELECT doc_id, source, easiness,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY easiness ASC, doc_id ASC) AS rank_in_source
+        |  FROM s)
+        |SELECT ROW_NUMBER() OVER (ORDER BY rank_in_source, source, doc_id)
+        |    AS position,
+        |  doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source,
+        |  easiness + 0.0 AS easiness
+        |FROM r ORDER BY position""".stripMargin,
+
+    "q261_negative_sampling" -> {
+      val h = hornerSql("hx")
+      s"""WITH r AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+         |    COUNT(*) OVER () AS n
+         |  FROM documents),
+         |a AS (SELECT doc_id AS anchor_id, rk AS a_rk, n FROM r
+         |      WHERE doc_id % 50 = 0),
+         |d AS (
+         |  SELECT anchor_id, a_rk, n, s.slot,
+         |    md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' ||
+         |        CAST(s.slot AS VARCHAR)) AS hx
+         |  FROM a CROSS JOIN (SELECT unnest(range(0, $NegK)) AS slot) s),
+         |d2 AS (SELECT anchor_id, slot, n, a_rk,
+         |         (CAST($h AS BIGINT) % n) + 1 AS draw0 FROM d),
+         |d3 AS (SELECT anchor_id, slot,
+         |         CASE WHEN draw0 = a_rk THEN (draw0 % n) + 1
+         |              ELSE draw0 END AS draw
+         |       FROM d2)
+         |SELECT anchor_id, CAST(slot AS BIGINT) AS slot,
+         |  r.doc_id AS negative_id
+         |FROM d3 JOIN r ON r.rk = d3.draw
+         |ORDER BY anchor_id, slot""".stripMargin
+    },
+
+    "q262_fim_split" -> {
+      val h1 = hornerSql("h1x")
+      val h2 = hornerSql("h2x")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS len,
+         |    md5('fim1:' || CAST(doc_id AS VARCHAR)) AS h1x,
+         |    md5('fim2:' || CAST(doc_id AS VARCHAR)) AS h2x
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, text, len,
+         |    CAST($h1 AS BIGINT) % (len + 1) AS c1,
+         |    CAST($h2 AS BIGINT) % (len + 1) AS c2 FROM d),
+         |u AS (SELECT doc_id, text, len, LEAST(c1, c2) AS u,
+         |      GREATEST(c1, c2) AS v FROM c)
+         |SELECT doc_id, len, u AS n_prefix, v - u AS n_middle,
+         |  len - v AS n_suffix,
+         |  md5(substr(text, 1, u)) AS prefix_md5,
+         |  md5(substr(text, u + 1, v - u)) AS middle_md5,
+         |  md5(substr(text, v + 1, len - v)) AS suffix_md5
+         |FROM u ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -22,7 +22,8 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     val moduleSizes = Seq(graft.ops.CoreQueries.queries, graft.ops.DedupQueries.queries,
       graft.ops.SimilarityQueries.queries, graft.ops.SimilarityQueries.extraQueries,
       graft.ops.TextQueries.queries, graft.ops.MultimodalQueries.queries,
-      graft.ops.CurationQueries.queries, graft.ops.StatsQueries.queries).map(_.size).sum
+      graft.ops.CurationQueries.queries, graft.ops.StatsQueries.queries,
+      graft.ops.StreamingQueries.queries).map(_.size).sum
     assert(SparkEntry.queries.size === moduleSizes, "query name collision between modules")
   }
 
@@ -649,6 +650,60 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     // text is above-zero Gini — and every decile's share must be ≤ its
     // population fraction (curve under the diagonal)
     rows.foreach { case (d, _, _, share, _) => assert(share <= d / 10.0 + 1e-9) }
+  }
+
+  test("q259 packing: spans tile every document and fill every sequence") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q259_sequence_packing")(spark, sf0001)
+    val C = 512L
+    // per-document: contributed spans sum to the doc's token count and
+    // are contiguous from doc_from 0
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+    val perDoc = rows.groupBy("doc_id")
+      .agg(sum("n_tok").as("tok_sum"), min("doc_from").as("f0"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter(col("tok_sum") =!= col("n_tokens") ||
+      col("f0") =!= 0L).count() === 0)
+    // per-sequence: every sequence holds exactly C tokens except the last
+    val perSeq = rows.groupBy("seq_id").agg(sum("n_tok").as("fill"))
+      .orderBy("seq_id").collect()
+    perSeq.init.foreach(r => assert(r.getLong(1) === C, s"underfull $r"))
+    assert(perSeq.last.getLong(1) <= C && perSeq.last.getLong(1) > 0)
+    // sequences are consecutive from 0
+    assert(perSeq.map(_.getLong(0)).toSeq === perSeq.indices.map(_.toLong))
+  }
+
+  test("q260 curriculum: position is a permutation, source-balanced by rank") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q260_curriculum_interleave")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq)
+    // within the first full round (positions 1..n_sources), every source
+    // appears exactly once — the interleave property
+    val nSources = rows.map(_.getString(2)).distinct.length
+    val firstRound = rows.take(nSources).map(_.getString(2))
+    assert(firstRound.distinct.length === nSources, firstRound.toSeq.toString)
+  }
+
+  test("q261 negatives: k per anchor, never the anchor itself, reproducible") {
+    val a = SparkEntry.queries("q261_negative_sampling")(spark, sf0001).collect()
+    val b = SparkEntry.queries("q261_negative_sampling")(spark, sf0001).collect()
+    assert(a.toSeq === b.toSeq, "sampling not deterministic")
+    a.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(1)).sorted.toSeq === (0L until 4L).toSeq)
+    }
+    a.foreach(r => assert(r.getLong(2) !== r.getLong(0), s"self-negative $r"))
+  }
+
+  test("q262 FIM: spans partition each document's characters") {
+    import org.apache.spark.sql.functions._
+    val bad = SparkEntry.queries("q262_fim_split")(spark, sf0001)
+      .filter(col("n_prefix") + col("n_middle") + col("n_suffix") =!= col("len")
+        || col("n_prefix") < 0 || col("n_middle") < 0 || col("n_suffix") < 0)
+    assert(bad.count() === 0)
   }
 
   test("representative queries are deterministic across runs") {
