@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Distributed spherical k-means (Lloyd iterations, cosine assignment) —
@@ -27,13 +28,10 @@ import org.apache.spark.sql.functions._
  * the broadcast-join subtree would execute twice per round, and at
  * cluster scale a reliable checkpoint dir upgrades the pin for free.
  *
- * Determinism: for a FIXED partitioning the result is reproducible run to
- * run. Across different partition counts the centroid means (distributed
- * double sums) can differ in final ulps, which flips a cell assignment
- * only if a vector's top-2 cosines tie within that noise — none do on the
- * fixture (the round sweep measures local[2] ≡ local[8] bit-identical),
- * but it is a probabilistic, not structural, guarantee; q72 is rows-only
- * partly for this reason.
+ * Determinism: STRUCTURAL since r8 — the centroid update sums e12
+ * fixed-point integers (see fit), so the model is bit-identical under any
+ * partitioning and any engine that replays the same arithmetic; q72
+ * carries a full DuckDB oracle that unrolls the Lloyd rounds.
  */
 object KMeans {
 
@@ -83,17 +81,28 @@ object KMeans {
       // update (assign() already gives them NULL cosine). Empty cells
       // (possible when a seed attracts nothing) keep their old centroid
       // rather than vanish, so the model always has exactly k cells.
+      // Member coordinates quantize to e12 fixed-point BEFORE the
+      // distributed sum (ORACLE.md rule 4): a float Σv is partition-
+      // order-dependent, an integer Σ is exact — so centroids are
+      // bit-reproducible under ANY partitioning (upgrading the
+      // probabilistic local[2]≡local[8] note below to structural) and
+      // the q72 oracle can replay the identical Lloyd arithmetic. Sums
+      // ride DECIMAL(38,0) (HUGEINT in the oracle — q231's LONG-wrap
+      // rule); the 10⁻¹² grain is noise relative to any centroid move.
       val updated = assigned
         .withColumn("nrm", expr("sqrt(aggregate(emb, 0D, (a, x) -> a + x * x))"))
         .filter($"nrm" > 0.0)
         .select($"cell", posexplode(expr("transform(emb, x -> x / nrm)")).as(Seq("pos", "v")))
+        .select($"cell", $"pos",
+          expr("cast(floor(v * 1e12) as bigint)").cast(DecimalType(38, 0)).as("vq"))
         .groupBy($"cell", $"pos")
-        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+        .agg(sum($"vq").as("sv"), count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getAs[Int]("cell"))
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getAs[Int]("pos"))
-            .map(r => r.getAs[Double]("sv") / r.getAs[Long]("n")).toSeq
+            .map(r => (r.getAs[java.math.BigDecimal]("sv").doubleValue / 1e12) /
+              r.getAs[Long]("n")).toSeq
         }
       centroids = centroids.map { case (cell, old) =>
         cell -> updated.getOrElse(cell, old)

@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
 
 import Tables._
 
@@ -318,10 +318,18 @@ object SimilarityQueries {
       import s.implicits._
       val e = embs(s, dir).select($"vec_id", $"emb")
       val model = graft.ops.KMeans.fit(e, k = Cells, iters = 3)
+      // avg_cos rides e12 fixed-point (order-free exact sum) and emits
+      // RAW — FULL oracle since r8: KMeans.fit's update is fixed-point
+      // too, so the oracle replays the identical Lloyd arithmetic
+      // (unrolled rounds, list_dot_product cosine parity).
       graft.ops.KMeans.assign(e, model.centroids)
         .groupBy($"cell")
-        .agg(count(lit(1)).as("n_vectors"), round(avg($"cos"), 6).as("avg_cos"))
-        .select($"cell".cast("long").as("cell"), $"n_vectors", $"avg_cos")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(expr("cast(floor(cos * 1e12) as bigint)")
+            .cast(DecimalType(38, 0))).as("sc"))
+        .select($"cell".cast("long").as("cell"), $"n_vectors",
+          (($"sc".cast("double") / lit(1e12)) /
+            $"n_vectors".cast("double")).as("avg_cos"))
         .orderBy($"cell")
     },
 
@@ -727,6 +735,68 @@ object SimilarityQueries {
     s"list_dot_product($a.emb, $b.emb) / " +
       s"(SQRT(list_dot_product($a.emb, $a.emb)) * SQRT(list_dot_product($b.emb, $b.emb)))"
 
+  /** q72 oracle: the Lloyd rounds unrolled (the q243/q157 convention —
+    * replay the ARITHMETIC, not just the answer). Each round: score every
+    * (vector, centroid) pair with the list_dot_product cosine (bit-parity
+    * with the codegen'd CosineSimilarity), pick the max-cos cell (ties →
+    * lowest id, = GroupTopK's (cos desc, cent_id asc)), then rebuild
+    * centroids from e12-fixed-point sums of the unit-normalized members —
+    * exactly KMeans.fit's update since r8. Empty cells keep the previous
+    * centroid via the LEFT JOIN COALESCE. CTEs are MATERIALIZED (the q243
+    * exponential-inline lesson). */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def cosVC(c: String) =
+      s"list_dot_product(v.emb, $c.ce) / (SQRT(list_dot_product(v.emb, v.emb))" +
+        s" * SQRT(list_dot_product($c.ce, $c.ce)))"
+    val rounds = (1 to iters).map { r =>
+      val prev = s"cen${r - 1}"
+      s"""sc$r AS MATERIALIZED (
+         |  SELECT v.vec_id, c.cent_id, ${cosVC("c")} AS cs
+         |  FROM v CROSS JOIN $prev c),
+         |mx$r AS (SELECT vec_id, MAX(cs) AS m FROM sc$r GROUP BY vec_id),
+         |asg$r AS MATERIALIZED (
+         |  SELECT s.vec_id, MIN(s.cent_id) AS cell
+         |  FROM sc$r s JOIN mx$r m ON m.vec_id = s.vec_id AND s.cs = m.m
+         |  GROUP BY s.vec_id),
+         |upd$r AS MATERIALIZED (
+         |  SELECT a.cell, t.i AS pos,
+         |    SUM(CAST(FLOOR(e.emb[t.i] / e.nrm * 1e12) AS HUGEINT)) AS sv,
+         |    COUNT(*) AS n
+         |  FROM asg$r a
+         |  JOIN (SELECT vec_id, emb,
+         |          SQRT(list_dot_product(emb, emb)) AS nrm FROM v) e
+         |    ON e.vec_id = a.vec_id
+         |  CROSS JOIN range(1, ${EmbDim + 1}) t(i)
+         |  WHERE e.nrm > 0
+         |  GROUP BY a.cell, t.i),
+         |cen$r AS MATERIALIZED (
+         |  SELECT c.cent_id, COALESCE(u.lst, c.ce) AS ce
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT cell, list((CAST(sv AS DOUBLE) / 1e12) / n
+         |                      ORDER BY pos) AS lst
+         |    FROM upd$r GROUP BY cell) u ON u.cell = c.cent_id)""".stripMargin
+    }.mkString(",\n")
+    val f = iters + 1
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cen0 AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, emb AS ce
+       |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |sc$f AS MATERIALIZED (
+       |  SELECT v.vec_id, c.cent_id, ${cosVC("c")} AS cs
+       |  FROM v CROSS JOIN cen$iters c),
+       |mx$f AS (SELECT vec_id, MAX(cs) AS m FROM sc$f GROUP BY vec_id),
+       |asg$f AS MATERIALIZED (
+       |  SELECT s.vec_id, MIN(s.cent_id) AS cell, MAX(s.cs) AS cs
+       |  FROM sc$f s JOIN mx$f m ON m.vec_id = s.vec_id AND s.cs = m.m
+       |  GROUP BY s.vec_id)
+       |SELECT cell, COUNT(*) AS n_vectors,
+       |  (CAST(SUM(CAST(FLOOR(cs * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12) /
+       |    COUNT(*) AS avg_cos
+       |FROM asg$f GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   private lazy val annTopkOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |scored AS (
@@ -749,6 +819,8 @@ object SimilarityQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q35_ann_topk" -> annTopkOracle,
+
+    "q72_kmeans_cells" -> kmeansOracle(Cells, 3),
     // The aggregate formulation must produce the identical result set.
     "q35b_ann_topk_agg" -> annTopkOracle,
 
