@@ -596,8 +596,10 @@ object SimilarityQueries {
             }
           }
           picked.zipWithIndex.iterator.map { case ((id, cos, sc), i) =>
-            (qid, (i + 1).toLong, id,
-              math.rint(cos * 1e6) / 1e6 + 0.0, math.rint(sc * 1e6) / 1e6 + 0.0)
+            // RAW emission (q26/q164 convention): every value is a
+            // mirrored deterministic float chain; math.rint half-even
+            // ties were the one representation risk (the q230 family).
+            (qid, (i + 1).toLong, id, cos + 0.0, sc + 0.0)
           }
         }
         .toDF("query_id", "rank", "vec_id", "cos_sim", "mmr_score")
@@ -735,6 +737,64 @@ object SimilarityQueries {
     s"list_dot_product($a.emb, $b.emb) / " +
       s"(SQRT(list_dot_product($a.emb, $a.emb)) * SQRT(list_dot_product($b.emb, $b.emb)))"
 
+  /** q153 oracle: the greedy MMR selection unrolled — MmrK materialized
+    * rounds over the ROW_NUMBER-bounded candidate pool. Per round:
+    * redundancy = MAX pairwise cosine against the picked set (order-free
+    * max of identical doubles; COALESCE 0 for the empty set, matching
+    * the Scala seed), score = λ·cos − (1−λ)·red with the same literal
+    * arithmetic, pick = max-score row with ties to the lowest vec_id
+    * (= the Scala argmax's comparison chain). Raw emission throughout. */
+  private def mmrOracle(pool: Int, k: Int, lambda: String): String = {
+    def pcos(a: String, b: String): String =
+      s"list_dot_product($a.emb, $b.emb) / (SQRT(list_dot_product($a.emb, $a.emb))" +
+        s" * SQRT(list_dot_product($b.emb, $b.emb)))"
+    val rounds = (1 to k).map { r =>
+      val prev = s"pk${r - 1}"
+      s"""red$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.vec_id, c.cos, c.emb,
+         |    COALESCE(MAX(${pcos("c", "s")}), 0.0) AS red
+         |  FROM cand c LEFT JOIN $prev s ON s.query_id = c.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.cos, c.emb),
+         |scr$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id, cos, emb,
+         |    CAST($lambda AS DOUBLE) * cos -
+         |      (CAST(1.0 AS DOUBLE) - CAST($lambda AS DOUBLE)) * red AS sc
+         |  FROM red$r),
+         |m$r AS (SELECT query_id, MAX(sc) AS ms FROM scr$r GROUP BY query_id),
+         |pick$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id, cos, emb, sc FROM (
+         |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |      ORDER BY s.vec_id) AS rn
+         |    FROM scr$r s JOIN m$r m
+         |      ON m.query_id = s.query_id AND s.sc = m.ms) WHERE rn = 1),
+         |pk$r AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT query_id, vec_id, cos, sc, CAST($r AS BIGINT) AS rnk, emb
+         |  FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sc0 AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+       |    ${cosExpr("a", "q")} AS cos, a.emb
+       |  FROM e a JOIN e q ON q.vec_id < $NumQueries AND a.vec_id <> q.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, vec_id, cos, emb FROM (
+       |    SELECT sc0.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rn FROM sc0) WHERE rn <= $pool),
+       |pk0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+       |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS cos,
+       |  CAST(NULL AS DOUBLE) AS sc, CAST(NULL AS BIGINT) AS rnk,
+       |  CAST(NULL AS DOUBLE[]) AS emb WHERE 1 = 0),
+       |$rounds
+       |SELECT query_id, rnk AS rank, vec_id, cos + 0.0 AS cos_sim,
+       |  sc + 0.0 AS mmr_score
+       |FROM pk$k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q72 oracle: the Lloyd rounds unrolled (the q243/q157 convention —
     * replay the ARITHMETIC, not just the answer). Each round: score every
     * (vector, centroid) pair with the list_dot_product cosine (bit-parity
@@ -821,6 +881,8 @@ object SimilarityQueries {
     "q35_ann_topk" -> annTopkOracle,
 
     "q72_kmeans_cells" -> kmeansOracle(Cells, 3),
+
+    "q153_mmr_diversify" -> mmrOracle(MmrPool, MmrK, "0.7"),
     // The aggregate formulation must produce the identical result set.
     "q35b_ann_topk_agg" -> annTopkOracle,
 

@@ -328,8 +328,7 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
         }
         used(best) = true
         picked += ((qid, (picked.length + 1).toLong, cands(best)._1,
-          math.rint(cands(best)._2 * 1e6) / 1e6 + 0.0,
-          math.rint(bestScore * 1e6) / 1e6 + 0.0))
+          cands(best)._2 + 0.0, bestScore + 0.0))
         pickedEmb += cands(best)._3
       }
       picked
