@@ -240,10 +240,99 @@ object StatsQueries {
   val RrQ = "0.25"
   val RrValueThr = "150.0"
 
+  /** q181: batch-gradient iterations; mirrored verbatim by the oracle's
+    * unrolled rounds (the q157 contract — the count is part of the
+    * operator, not a tolerance). */
+  val LogregIters = 25
+
   /** q243 oracle: unrolled peel rounds. 25 design-bounded brand nodes ⇒
     * ≤ 24 removal rounds + 1 stable round per k-slice; 26 is provably a
     * fixpoint for every k (see the oracle's comment). */
   val KcoreRounds = 26
+
+  /** Shared CTE prefix for the q181/q186/q187 oracles: the feature frame,
+    * fixed-point standardization moments, the standardized `f`, and the
+    * LogregIters unrolled gradient rounds ending in it$LogregIters —
+    * every expression in Spark's fold order (see logregFit). */
+  private lazy val logregCtes: String = {
+    def mexp(i: Int) = s"(CAST(q$i AS DOUBLE) / 1e12) / n"
+    val rounds = (1 to LogregIters).map { r =>
+      val prev = s"it${r - 1}"
+      s"""g$r AS MATERIALIZED (
+         |  SELECT COUNT(*) AS n,
+         |    SUM(CAST(FLOOR((p - y) * x0 * 1e12) AS HUGEINT)) AS g0,
+         |    SUM(CAST(FLOOR((p - y) * x1 * 1e12) AS HUGEINT)) AS g1,
+         |    SUM(CAST(FLOOR((p - y) * x2 * 1e12) AS HUGEINT)) AS g2,
+         |    SUM(CAST(FLOOR((p - y) * x3 * 1e12) AS HUGEINT)) AS g3,
+         |    SUM(CAST(FLOOR(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e12)
+         |        AS HUGEINT)) AS ql
+         |  FROM (SELECT f.*,
+         |      1.0 / (1.0 + exp(-(i.w0 * x0 + i.w1 * x1 + i.w2 * x2 +
+         |        i.w3 * x3))) AS p
+         |    FROM f CROSS JOIN $prev i) t),
+         |it$r AS MATERIALIZED (
+         |  SELECT i.w0 - 0.5 * ((CAST(g.g0 AS DOUBLE) / 1e12) / g.n) AS w0,
+         |    i.w1 - 0.5 * ((CAST(g.g1 AS DOUBLE) / 1e12) / g.n) AS w1,
+         |    i.w2 - 0.5 * ((CAST(g.g2 AS DOUBLE) / 1e12) / g.n) AS w2,
+         |    i.w3 - 0.5 * ((CAST(g.g3 AS DOUBLE) / 1e12) / g.n) AS w3,
+         |    (CAST(g.ql AS DOUBLE) / 1e12) / g.n AS loss
+         |  FROM $prev i CROSS JOIN g$r g)""".stripMargin
+    }.mkString(",\n")
+    s"""raw AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(LENGTH(text) AS DOUBLE) / len(ws) AS r1,
+       |    CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS DOUBLE) /
+       |      len(ws) AS r2,
+       |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS r3
+       |  FROM (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL) s),
+       |mo0 AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    SUM(CAST(FLOOR(r1 * 1e12) AS HUGEINT)) AS q1,
+       |    SUM(CAST(FLOOR(r1 * r1 * 1e12) AS HUGEINT)) AS qq1,
+       |    SUM(CAST(FLOOR(r2 * 1e12) AS HUGEINT)) AS q2,
+       |    SUM(CAST(FLOOR(r2 * r2 * 1e12) AS HUGEINT)) AS qq2,
+       |    SUM(CAST(FLOOR(r3 * 1e12) AS HUGEINT)) AS q3,
+       |    SUM(CAST(FLOOR(r3 * r3 * 1e12) AS HUGEINT)) AS qq3
+       |  FROM raw),
+       |mo AS (SELECT
+       |    ${mexp(1)} AS m1,
+       |    SQRT((CAST(qq1 AS DOUBLE) / 1e12) / n -
+       |      (${mexp(1)}) * (${mexp(1)})) AS s1,
+       |    ${mexp(2)} AS m2,
+       |    SQRT((CAST(qq2 AS DOUBLE) / 1e12) / n -
+       |      (${mexp(2)}) * (${mexp(2)})) AS s2,
+       |    ${mexp(3)} AS m3,
+       |    SQRT((CAST(qq3 AS DOUBLE) / 1e12) / n -
+       |      (${mexp(3)}) * (${mexp(3)})) AS s3
+       |  FROM mo0),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, y, CAST(1.0 AS DOUBLE) AS x0, (r1 - m1) / s1 AS x1,
+       |    (r2 - m2) / s2 AS x2, (r3 - m3) / s3 AS x3
+       |  FROM raw CROSS JOIN mo),
+       |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+       |  CAST(NULL AS DOUBLE) AS loss),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val logregOracle: String =
+    s"""WITH $logregCtes,
+       |sc AS (SELECT f.y,
+       |    i.w0 * x0 + i.w1 * x1 + i.w2 * x2 + i.w3 * x3 AS z
+       |  FROM f CROSS JOIN it$LogregIters i),
+       |ac AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN (CASE WHEN z > 0 THEN 1.0 ELSE 0.0 END) = y
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM sc)
+       |SELECT param, value FROM (
+       |  SELECT 'w0' AS param, w0 + 0.0 AS value FROM it$LogregIters
+       |  UNION ALL SELECT 'w1', w1 + 0.0 FROM it$LogregIters
+       |  UNION ALL SELECT 'w2', w2 + 0.0 FROM it$LogregIters
+       |  UNION ALL SELECT 'w3', w3 + 0.0 FROM it$LogregIters
+       |  UNION ALL SELECT 'train_acc', CAST(c AS DOUBLE) / n + 0.0 FROM ac
+       |  UNION ALL SELECT 'train_loss', loss + 0.0 FROM it$LogregIters)
+       |ORDER BY param""".stripMargin
 
   /** q251: Johnson–Lindenstrauss target dimensionality, source
     * dimensionality, and the id-stride defining the audited sample
@@ -481,10 +570,25 @@ object StatsQueries {
           (size(filter($"ws", w => w === "the" || w === "a")).cast("double") /
             size($"ws")).as("r2"),
           (size(array_distinct($"ws")).cast("double") / size($"ws")).as("r3")))
+      // Standardization moments ride e12 fixed-point sums (ORACLE.md
+      // rule 4): float avg/stddev_pop were partition-order-dependent,
+      // and the q181 oracle replays these exact chains. m appears three
+      // times per feature on purpose — identical chains yield identical
+      // doubles, and the SQL mirror re-derives it the same way.
+      def m(i: Int): Column =
+        (col(s"q$i").cast("double") / lit(1e12)) / $"n"
+      def sd(i: Int): Column =
+        sqrt((col(s"qq$i").cast("double") / lit(1e12)) / $"n" - m(i) * m(i))
       val mo = raw.agg(
-        avg($"r1").as("m1"), stddev_pop($"r1").as("s1"),
-        avg($"r2").as("m2"), stddev_pop($"r2").as("s2"),
-        avg($"r3").as("m3"), stddev_pop($"r3").as("s3"))
+          (count(lit(1)).cast("double")).as("n"),
+          sum(floor($"r1" * lit(1e12)).cast(dec)).as("q1"),
+          sum(floor($"r1" * $"r1" * lit(1e12)).cast(dec)).as("qq1"),
+          sum(floor($"r2" * lit(1e12)).cast(dec)).as("q2"),
+          sum(floor($"r2" * $"r2" * lit(1e12)).cast(dec)).as("qq2"),
+          sum(floor($"r3" * lit(1e12)).cast(dec)).as("q3"),
+          sum(floor($"r3" * $"r3" * lit(1e12)).cast(dec)).as("qq3"))
+        .select(m(1).as("m1"), sd(1).as("s1"), m(2).as("m2"), sd(2).as("s2"),
+          m(3).as("m3"), sd(3).as("s3"))
       Pin.lazily(raw.crossJoin(broadcast(mo))
         .select($"doc_id", $"y", lit(1.0).as("x0"),
           (($"r1" - $"m1") / $"s1").as("x1"),
@@ -515,15 +619,24 @@ object StatsQueries {
         var w = Seq(0.0, 0.0, 0.0, 0.0)
         val lr = 0.5
         var lastLoss = Double.NaN
-        for (_ <- 1 to 25) {
+        // Gradient and loss sums ride e12 fixed-point (ORACLE.md rule 4):
+        // float avg over the corpus was partition-order-dependent, and
+        // the q181 oracle replays the identical 25-round chain (the
+        // unrolled-arithmetic convention, see q157/q72).
+        def q12(c: Column): Column = sum(floor(c * lit(1e12)).cast(dec))
+        def over(d: java.math.BigDecimal, n: Long): Double =
+          (d.doubleValue / 1e12) / n
+        for (_ <- 1 to LogregIters) {
           val p = lit(1.0) / (lit(1.0) + exp(-logregScore(w)(s)))
-          val g = feats.agg(
-            avg((p - $"y") * $"x0").as("g0"), avg((p - $"y") * $"x1").as("g1"),
-            avg((p - $"y") * $"x2").as("g2"), avg((p - $"y") * $"x3").as("g3"),
-            avg(-($"y" * log(p) + (lit(1.0) - $"y") * log(lit(1.0) - p))).as("loss"))
+          val g = feats.agg(count(lit(1)).as("n"),
+            q12((p - $"y") * $"x0").as("g0"), q12((p - $"y") * $"x1").as("g1"),
+            q12((p - $"y") * $"x2").as("g2"), q12((p - $"y") * $"x3").as("g3"),
+            q12(-($"y" * log(p) + (lit(1.0) - $"y") * log(lit(1.0) - p))).as("loss"))
             .collect().head
-          w = w.zipWithIndex.map { case (wi, i) => wi - lr * g.getDouble(i) }
-          lastLoss = g.getDouble(4)
+          val n = g.getLong(0)
+          w = w.zipWithIndex.map { case (wi, i) =>
+            wi - lr * over(g.getDecimal(i + 1), n) }
+          lastLoss = over(g.getDecimal(5), n)
         }
         (w, lastLoss)
       })
@@ -1559,24 +1672,27 @@ object StatsQueries {
     // quality/domain classifier step of a curation pipeline (the
     // fastText-classifier role; q141's DSIR is the importance-weight
     // sibling). Label: lang = 'en'; features: cheap per-doc signals.
-    // Each of the 25 iterations is ONE aggregate pass over the PINNED
-    // feature frame (4 gradient sums + loss — map-side partial agg);
+    // Each of the LogregIters iterations is ONE aggregate pass over the
+    // PINNED feature frame (4 gradient sums + loss — map-side partial
+    // agg, e12 fixed-point so the sums are partition-order-free);
     // weights live on the driver and re-enter as literals, the KMeans
-    // pattern. Rows-only (iterative float optimization isn't ANSI SQL);
-    // StatsSpec pins monotone loss, an accuracy floor over the majority
-    // class, and a first-iteration gradient recompute.
+    // pattern. FULL oracle since r8: the unrolled-arithmetic convention
+    // (q157/q72) replays standardization moments, all 25 gradient
+    // rounds, and the accuracy count in DuckDB, so the raw weights
+    // compare bit-equal. StatsSpec additionally pins monotone loss, an
+    // accuracy floor over the majority class, and a first-iteration
+    // gradient recompute.
     "q181_logreg_quality" -> { (s, dir) =>
       import s.implicits._
       val (w, lastLoss) = logregFit(s, dir)
       val feats = logregFeatures(s, dir)
       val zF = logregScore(w)(s)
-      val acc = feats.agg(avg(
-        when((zF > 0).cast("double") === $"y", 1.0).otherwise(0.0)).as("a"))
-        .collect().head.getDouble(0)
-      val rows = w.zipWithIndex.map { case (wi, i) =>
-        (s"w$i", BigDecimal(wi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      } :+ ("train_acc", BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :+
-        ("train_loss", BigDecimal(lastLoss).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val accRow = feats.agg(count(lit(1)).as("n"),
+        sum(when((zF > 0).cast("double") === $"y", 1L).otherwise(0L)).as("c"))
+        .collect().head
+      val acc = accRow.getLong(1).toDouble / accRow.getLong(0)
+      val rows = w.zipWithIndex.map { case (wi, i) => (s"w$i", wi + 0.0) } :+
+        ("train_acc", acc + 0.0) :+ ("train_loss", lastLoss + 0.0)
       s.createDataFrame(rows).toDF("param", "value").orderBy($"param")
     },
 
@@ -1587,8 +1703,10 @@ object StatsQueries {
     // decile the positive rate, cumulative recall and lift over the base
     // rate. The 10-row decile frame folds on the driver (control-plane;
     // a window over it would trip the registry's no-unpartitioned-window
-    // sweep for nothing). Rows-only: the score depends on the trained
-    // weights; StatsSpec replays training + ranking independently.
+    // sweep for nothing). FULL oracle since r8: the weights come from
+    // the shared unrolled-GD CTEs (see q181), the decile replays the
+    // exact ntileFromRank integer arithmetic, and rates/lift emit RAW.
+    // StatsSpec replays training + ranking independently.
     "q186_classifier_gains" -> { (s, dir) =>
       import s.implicits._
       val (w, _) = logregFit(s, dir)
@@ -1604,12 +1722,11 @@ object StatsQueries {
       val totPos = dec.map(_.getLong(2)).sum
       val base = totPos.toDouble / totN
       var cum = 0L
-      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val rows = dec.toIndexedSeq.map { r =>
         val (d, nD, nP) = (r.getLong(0), r.getLong(1), r.getLong(2))
         cum += nP
-        (d, nD, nP, r6(nP.toDouble / nD), r6(cum.toDouble / totPos),
-          r6(nP.toDouble / nD / base))
+        (d, nD, nP, nP.toDouble / nD + 0.0, cum.toDouble / totPos + 0.0,
+          nP.toDouble / nD / base + 0.0)
       }
       s.createDataFrame(rows)
         .toDF("decile", "n_docs", "n_pos", "pos_rate", "cum_recall", "lift")
@@ -1622,8 +1739,10 @@ object StatsQueries {
     // pointed at scores: score-granularity frame, distributed prefix sum
     // for the tie-aware ranks, DECIMAL moments, one float division.
     // Ties (docs with identical feature vectors) get midrank credit —
-    // the probabilistic AUC definition. Rows-only; StatsSpec recomputes
-    // by brute-force pair counting.
+    // the probabilistic AUC definition. FULL oracle since r8 (shared
+    // unrolled-GD weights + the same midrank prefix-sum identity in
+    // SQL); StatsSpec additionally recomputes by brute-force pair
+    // counting.
     "q187_classifier_auc" -> { (s, dir) =>
       import s.implicits._
       val (w, _) = logregFit(s, dir)
@@ -1638,9 +1757,9 @@ object StatsQueries {
           sum($"pos_n".cast(dec) * (lit(2L) * $"cum_b" + $"t_n" + lit(1L)))
             .as("r2_pos"))
         .select($"n_pos", ($"n" - $"n_pos").as("n_neg"),
-          round(($"r2_pos" - $"n_pos".cast(dec) * ($"n_pos" + lit(1L)))
+          (($"r2_pos" - $"n_pos".cast(dec) * ($"n_pos" + lit(1L)))
               .cast("double") /
-            (lit(2.0) * $"n_pos".cast("double") * ($"n" - $"n_pos")), 6)
+            (lit(2.0) * $"n_pos".cast("double") * ($"n" - $"n_pos")))
             .as("auc"))
     },
 
@@ -4657,6 +4776,66 @@ object StatsQueries {
          |$branches
          |ORDER BY field, pattern""".stripMargin
     },
+
+    // The 25 batch-gradient rounds replayed arithmetic-for-arithmetic
+    // (the q157/q72 convention): fixed-point standardization moments,
+    // per-round e12 gradient/loss sums over f × the previous weight row,
+    // the same ((p−y)·xₖ)·1e12 floor chain and wᵢ − 0.5·g update. exp/ln
+    // ride libm in both engines — parity holds empirically (the q249
+    // scorer family); the e12 quantization bounds any residual to floor-
+    // boundary coincidences. MATERIALIZED rounds (q243 lesson).
+    "q181_logreg_quality" -> logregOracle,
+
+    // Shares the unrolled-GD weight CTEs; the decile replays
+    // GlobalRank.ntileFromRank's exact integer arithmetic; the
+    // cumulative fold is a window over the 10-row decile frame.
+    "q186_classifier_gains" ->
+      s"""WITH $logregCtes,
+         |scd AS (SELECT f.doc_id, f.y,
+         |    i.w0 * x0 + i.w1 * x1 + i.w2 * x2 + i.w3 * x3 AS score
+         |  FROM f CROSS JOIN it$LogregIters i),
+         |rk AS (SELECT doc_id, y,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+         |    COUNT(*) OVER () AS n
+         |  FROM scd),
+         |dc AS (SELECT CASE WHEN rk <= (n % 10) * (n // 10 + 1)
+         |    THEN (rk + n // 10) // (n // 10 + 1)
+         |    ELSE (n % 10) + (rk - (n % 10) * (n // 10 + 1) + n // 10 - 1)
+         |      // (n // 10) END AS decile, y
+         |  FROM rk),
+         |g AS (SELECT decile, COUNT(*) AS n_docs,
+         |    CAST(SUM(y) AS BIGINT) AS n_pos FROM dc GROUP BY decile),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS totn,
+         |    CAST(SUM(n_pos) AS BIGINT) AS totpos FROM g)
+         |SELECT decile, n_docs, n_pos,
+         |  CAST(n_pos AS DOUBLE) / n_docs + 0.0 AS pos_rate,
+         |  CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+         |    AS DOUBLE) / totpos + 0.0 AS cum_recall,
+         |  CAST(n_pos AS DOUBLE) / n_docs /
+         |    (CAST(totpos AS DOUBLE) / totn) + 0.0 AS lift
+         |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    // Shares the unrolled-GD weights; the same midrank prefix-sum
+    // identity over the score-granularity frame, HUGEINT moments.
+    "q187_classifier_auc" ->
+      s"""WITH $logregCtes,
+         |sv AS (SELECT z AS score, CAST(SUM(y) AS BIGINT) AS pos_n,
+         |    COUNT(*) AS t_n
+         |  FROM (SELECT f.y, i.w0 * x0 + i.w1 * x1 + i.w2 * x2 +
+         |      i.w3 * x3 AS z FROM f CROSS JOIN it$LogregIters i) s
+         |  GROUP BY z),
+         |pr AS (SELECT score, pos_n, t_n,
+         |    CAST(SUM(t_n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) - t_n AS cum_b,
+         |    CAST(SUM(t_n) OVER () AS BIGINT) AS n
+         |  FROM sv),
+         |ag AS (SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos, MAX(n) AS n,
+         |    SUM(CAST(pos_n AS HUGEINT) * (2 * cum_b + t_n + 1)) AS r2_pos
+         |  FROM pr)
+         |SELECT n_pos, n - n_pos AS n_neg,
+         |  CAST(r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) /
+         |    (2.0 * CAST(n_pos AS DOUBLE) * (n - n_pos)) AS auc
+         |FROM ag""".stripMargin,
 
     "q182_jackknife_ci" -> {
       val horner = (1 to 8)
