@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Product-quantization trainer (Jégou et al., "Product Quantization for
@@ -73,19 +74,28 @@ object Pq {
         .select(($"i" / dsub).cast("int").as("m"), ($"i" % dsub).as("pos"),
           element_at($"codes", ($"i" / dsub).cast("int") + 1).as("k"), $"v")
         .groupBy($"m", $"k", $"pos")
-        .agg(sum($"v").as("sv"), sum($"v" * $"v").as("svv"), count(lit(1)).as("n"))
+        // Coordinate sums ride e12 fixed-point (ORACLE.md rule 4): the
+        // float Σv was the one partition-order-dependent step, and the
+        // q130 oracle replays the identical Lloyd arithmetic (the
+        // KMeans.fit discipline). svv stays float — it feeds only the
+        // objective trace, which PqSpec gates with a tolerance.
+        .agg(sum(expr("cast(floor(v * 1e12) as bigint)")
+            .cast(DecimalType(38, 0))).as("sv"),
+          sum($"v" * $"v").as("svv"), count(lit(1)).as("n"))
         .collect()
+      def svd(r: org.apache.spark.sql.Row): Double =
+        r.getAs[java.math.BigDecimal]("sv").doubleValue / 1e12
       // Objective under the ASSIGNING codebook, from the same aggregates.
       trace += cells.map { r =>
         val c = cb(r.getAs[Int]("m"))(r.getAs[Int]("k"))(r.getAs[Int]("pos"))
-        r.getAs[Double]("svv") - 2.0 * c * r.getAs[Double]("sv") +
+        r.getAs[Double]("svv") - 2.0 * c * svd(r) +
           r.getAs[Long]("n") * c * c
       }.sum / nVec
       // Mean update; cells no vector chose keep their old codeword so the
       // model always has exactly k codewords per subspace.
       val updated = cells.map { r =>
         (r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("pos")) ->
-          (r.getAs[Double]("sv") / r.getAs[Long]("n"))
+          (svd(r) / r.getAs[Long]("n"))
       }.toMap
       cb = cb.zipWithIndex.map { case (sub, mi) =>
         sub.zipWithIndex.map { case (cw, ki) =>

@@ -348,8 +348,11 @@ object SimilarityQueries {
     // full scan reads 16-byte codes, full-precision floats are fetched for
     // 50 rows per query. Vectors are unit-normalized first so approx-L2
     // ranks like cosine (‖a−b‖² = 2−2cos); recall vs the exact q35 answer
-    // is measured in VectorSpec. Rows-only by design (iterative float
-    // training, like q72).
+    // is measured in VectorSpec. FULL oracle since r8: Pq.fit's Lloyd
+    // updates ride e12 fixed-point (the KMeans/q72 discipline), the ADC
+    // tables quantize to exact LONGs, and the oracle unrolls the 3
+    // training rounds with the subspace as a COLUMN (the q243 k-slice
+    // trick) — all 16 subspaces train in one shared CTE chain.
     "q130_ann_pq" -> { (s, dir) =>
       import s.implicits._
       VectorFunctions.register(s)
@@ -366,13 +369,17 @@ object SimilarityQueries {
       val dsub = model.codebooks.head.head.length
       val qvecs = e.filter($"vec_id" < NumQueries).collect()
         .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("emb").toIndexedSeq)
+      // Distance-table entries quantize to e12 LONGs so per-(query, vec)
+      // approximate distances are EXACT integer sums — order-free across
+      // partitionings (a float Σ over the M code cells could flip a
+      // shortlist membership on a near-tie) and replayable by the oracle.
       val dtab = qvecs.flatMap { case (qid, q) =>
         model.codebooks.zipWithIndex.flatMap { case (sub, m) =>
           sub.zipWithIndex.map { case (cw, k) =>
             val d = cw.zipWithIndex.map { case (c, i) =>
               val diff = q(m * dsub + i) - c; diff * diff
             }.sum
-            (qid, m, k, d)
+            (qid, m, k, math.floor(d * 1e12).toLong)
           }
         }
       }.toSeq.toDF("query_id", "m", "k", "qd")
@@ -737,6 +744,102 @@ object SimilarityQueries {
     s"list_dot_product($a.emb, $b.emb) / " +
       s"(SQRT(list_dot_product($a.emb, $a.emb)) * SQRT(list_dot_product($b.emb, $b.emb)))"
 
+  /** q130 oracle: PQ training + ADC search replayed arithmetic-for-
+    * arithmetic. The 3 Lloyd rounds unroll with the SUBSPACE AS A COLUMN
+    * (the q243 k-slice trick — the 16 subspaces never interact, so one
+    * CTE chain trains them all): per round, sub-distances are
+    * list_dot_product over the element-wise diff list (≡ PqEncode's
+    * sequential diff²-accumulate), assignment is min-dist with ties to
+    * the lowest codeword (PqEncode's strict <), and codeword updates are
+    * e12 fixed-point member sums with COALESCE for empty cells. The ADC
+    * phase mirrors the quantized LONG distance tables, the exact integer
+    * shortlist ordering, and the cosine re-rank. */
+  private def pqOracle(m: Int, k: Int, iters: Int, dsub: Int): String = {
+    def diffList(vec: String, cwRef: String, mCol: String): String =
+      s"[$vec[$mCol * $dsub + i] - $cwRef[i] for i in range(1, ${dsub + 1})]"
+    val rounds = (1 to iters).map { r =>
+      val prev = s"cb${r - 1}"
+      s"""ds$r AS MATERIALIZED (
+         |  SELECT v.vec_id, c.m, c.k,
+         |    list_dot_product(${diffList("v.emb", "c.cw", "c.m")},
+         |      ${diffList("v.emb", "c.cw", "c.m")}) AS dist
+         |  FROM v CROSS JOIN $prev c),
+         |en$r AS MATERIALIZED (
+         |  SELECT d.vec_id, d.m, MIN(d.k) AS code
+         |  FROM ds$r d JOIN (SELECT vec_id, m, MIN(dist) AS md
+         |    FROM ds$r GROUP BY vec_id, m) x
+         |    ON x.vec_id = d.vec_id AND x.m = d.m AND d.dist = x.md
+         |  GROUP BY d.vec_id, d.m),
+         |up$r AS MATERIALIZED (
+         |  SELECT e2.m, e2.code AS k, t.i AS pos,
+         |    SUM(CAST(FLOOR(v.emb[e2.m * $dsub + t.i] * 1e12) AS HUGEINT))
+         |      AS sv,
+         |    COUNT(*) AS n
+         |  FROM en$r e2 JOIN v ON v.vec_id = e2.vec_id
+         |  CROSS JOIN range(1, ${dsub + 1}) t(i)
+         |  GROUP BY e2.m, e2.code, t.i),
+         |cb$r AS MATERIALIZED (
+         |  SELECT c.m, c.k, COALESCE(u.lst, c.cw) AS cw
+         |  FROM $prev c LEFT JOIN (
+         |    SELECT m, k, list((CAST(sv AS DOUBLE) / 1e12) / n
+         |                      ORDER BY pos) AS lst
+         |    FROM up$r GROUP BY m, k) u ON u.m = c.m AND u.k = c.k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val f = iters + 1
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, [x / nrm for x in emb] AS emb
+       |  FROM (SELECT vec_id, emb, SQRT(list_dot_product(emb, emb)) AS nrm
+       |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |              FROM embeddings) e0) e1
+       |  WHERE nrm > 0),
+       |subs AS (SELECT CAST(mi AS INT) AS m FROM range(0, $m) t(mi)),
+       |cb0 AS MATERIALIZED (
+       |  SELECT s.m,
+       |    ROW_NUMBER() OVER (PARTITION BY s.m ORDER BY q0.vec_id) - 1 AS k,
+       |    q0.emb[s.m * $dsub + 1 : s.m * $dsub + $dsub] AS cw
+       |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT $k) q0
+       |  CROSS JOIN subs s),
+       |$rounds,
+       |ds$f AS MATERIALIZED (
+       |  SELECT v.vec_id, c.m, c.k,
+       |    list_dot_product(${diffList("v.emb", "c.cw", "c.m")},
+       |      ${diffList("v.emb", "c.cw", "c.m")}) AS dist
+       |  FROM v CROSS JOIN cb$iters c),
+       |en$f AS MATERIALIZED (
+       |  SELECT d.vec_id, d.m, MIN(d.k) AS code
+       |  FROM ds$f d JOIN (SELECT vec_id, m, MIN(dist) AS md
+       |    FROM ds$f GROUP BY vec_id, m) x
+       |    ON x.vec_id = d.vec_id AND x.m = d.m AND d.dist = x.md
+       |  GROUP BY d.vec_id, d.m),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, emb FROM v
+       |  WHERE vec_id < $NumQueries),
+       |dt AS MATERIALIZED (
+       |  SELECT q.query_id, c.m, c.k,
+       |    CAST(FLOOR(list_dot_product(${diffList("q.emb", "c.cw", "c.m")},
+       |      ${diffList("q.emb", "c.cw", "c.m")}) * 1e12) AS BIGINT) AS qd
+       |  FROM q CROSS JOIN cb$iters c),
+       |ad AS MATERIALIZED (
+       |  SELECT dt.query_id, e4.vec_id, CAST(SUM(dt.qd) AS BIGINT) AS adist
+       |  FROM en$f e4 JOIN dt ON dt.m = e4.m AND dt.k = e4.code
+       |  WHERE e4.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, e4.vec_id),
+       |sl AS (SELECT query_id, vec_id FROM (
+       |  SELECT ad.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adist, vec_id) AS rn FROM ad) WHERE rn <= $PqShortlist),
+       |rr AS (SELECT sl.query_id, sl.vec_id,
+       |    list_dot_product(a.emb, q.emb) /
+       |      (SQRT(list_dot_product(a.emb, a.emb)) *
+       |       SQRT(list_dot_product(q.emb, q.emb))) AS cos
+       |  FROM sl JOIN v a ON a.vec_id = sl.vec_id
+       |  JOIN q ON q.query_id = sl.query_id)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+       |  ROUND(cos, 6) AS cos_sim
+       |FROM (SELECT rr.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, vec_id) AS rk FROM rr)
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  }
+
   /** q153 oracle: the greedy MMR selection unrolled — MmrK materialized
     * rounds over the ROW_NUMBER-bounded candidate pool. Per round:
     * redundancy = MAX pairwise cosine against the picked set (order-free
@@ -883,6 +986,8 @@ object SimilarityQueries {
     "q72_kmeans_cells" -> kmeansOracle(Cells, 3),
 
     "q153_mmr_diversify" -> mmrOracle(MmrPool, MmrK, "0.7"),
+
+    "q130_ann_pq" -> pqOracle(PqM, Pq.K, 3, EmbDim / PqM),
     // The aggregate formulation must produce the identical result set.
     "q35b_ann_topk_agg" -> annTopkOracle,
 

@@ -936,9 +936,12 @@ object TextQueries {
     // combine), (b) ONE argmax row collected (control data), (c) a typed
     // map applying the merge leftmost-first — per-round cost is histogram-
     // sized, independent of corpus size. Deterministic by construction:
-    // ties break (count desc, left asc, right asc), no RNG. Rows-only
-    // (an argmax-iterate has no SQL-expressible oracle); QueriesSpec replays
-    // the whole training against an independent in-memory reference BPE.
+    // ties break (count desc, left asc, right asc), no RNG — and the
+    // whole algorithm is integers + strings, so the r8 FULL oracle
+    // (BpeRounds unrolled in SQL over a chr(1)-delimited segmentation,
+    // merges as chained non-regex replaces) is engine-exact with no
+    // float discipline needed. QueriesSpec additionally replays training
+    // against an independent in-memory reference BPE.
     "q135_bpe_merges" -> { (s, dir) =>
       import s.implicits._
       bpeTrainedMerges(s, dir).toDF("rank", "left", "right", "pair_count")
@@ -957,9 +960,11 @@ object TextQueries {
     // length table. A 100 TB corpus re-tokenizes by streaming its word
     // histogram through the same join; if the vocabulary outgrows the
     // broadcast budget, the join degrades to a shuffle at vocab
-    // granularity — never token granularity. Rows-only like q135
-    // (iterative training isn't ANSI SQL); QueriesSpec recomputes every
-    // document's count against an independent driver-side BPE.
+    // granularity — never token granularity. FULL oracle since r8
+    // (shares q135's unrolled training CTEs — the round-10 segmentation
+    // IS the merges-applied-in-order tokenization); QueriesSpec
+    // recomputes every document's count against an independent
+    // driver-side BPE.
     "q145_bpe_tokenize" -> { (s, dir) =>
       import s.implicits._
       val merges = bpeTrainedMerges(s, dir).map(m => (m._2, m._3))
@@ -980,7 +985,8 @@ object TextQueries {
         .groupBy($"doc_id")
         .agg(sum($"c").as("n_ws_tokens"),
           sum($"c" * $"bpe_len").as("n_bpe_units"))
-        .withColumn("units_per_word", round($"n_bpe_units" / $"n_ws_tokens", 6))
+        // RAW emission (q26/q164): one double division of exact longs
+        .withColumn("units_per_word", $"n_bpe_units" / $"n_ws_tokens")
         .orderBy($"doc_id")
     }
   )
@@ -1070,7 +1076,81 @@ object TextQueries {
     3 -> Seq("sort", "merge", "join"),
     4 -> Seq("vector", "scan"))
 
+  /** Shared CTE chain for the q135/q145 oracles: the word histogram, a
+    * chr(1)-delimited character segmentation, and BpeRounds unrolled
+    * merge rounds. Pair counts include overlaps (adjacent positions over
+    * the symbol list); the best pair orders (count desc, left, right);
+    * the merge applies as CHAINED plain-string replaces — pattern
+    * SEP·l·SEP·r·SEP → SEP·lr·SEP consumes the shared separator of
+    * back-to-back instances, so one pass per chain link is needed: 8
+    * passes cover the fixture's ≤9-symbol words (≤4-link chains) with
+    * headroom. Equivalence with bpeMergeOnce's leftmost-skip scan: for
+    * l ≠ r instances are token-disjoint (overlap would force r = l), and
+    * for l = r runs the per-pass leftmost replace reproduces the
+    * ⌊k/2⌋-pairs segmentation. Merged tokens are strictly longer than
+    * either input, so a round's replacement can never create a new
+    * instance of its own pair. */
+  private lazy val bpeCtes: String = {
+    def mergeExpr(e0: String): String =
+      (1 to 8).foldLeft(e0)((acc, _) =>
+        s"replace($acc, chr(1) || b.lft || chr(1) || b.rgt || chr(1), " +
+          s"chr(1) || b.lft || b.rgt || chr(1))")
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT pr.l AS lft, pr.r AS rgt, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT wc, unnest([struct_pack(l := syms[i], r := syms[i + 1])
+         |                       for i in range(1, len(syms))]) AS pr
+         |    FROM (SELECT wc, sl[2:len(sl) - 1] AS syms
+         |          FROM (SELECT wc, string_split(seg, chr(1)) AS sl
+         |                FROM $prev) a) b2) c
+         |  GROUP BY pr.l, pr.r),
+         |b$r AS (SELECT lft, rgt, cnt FROM p$r
+         |        ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w, wc, ${mergeExpr("seg")} AS seg
+         |  FROM $prev CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL),
+       |hist AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM tok
+       |         WHERE len(w) > 0 GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, wc,
+       |    chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') ||
+       |      '</w>' || chr(1) AS seg
+       |  FROM hist),
+       |$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q135_bpe_merges" -> {
+      val sel = (1 to BpeRounds).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS "rank", lft AS "left",
+           |  rgt AS "right", lft || rgt AS merged, cnt AS pair_count
+           |FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH $bpeCtes
+         |$sel
+         |ORDER BY "rank"""".stripMargin
+    },
+
+    "q145_bpe_tokenize" ->
+      s"""WITH $bpeCtes,
+         |vl AS (SELECT w,
+         |    CAST(len(string_split(seg, chr(1))) - 2 AS BIGINT) AS bpe_len
+         |  FROM w$BpeRounds),
+         |dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents WHERE text IS NOT NULL) t
+         |  WHERE len(w) > 0 GROUP BY doc_id, w)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ws_tokens,
+         |  CAST(SUM(c * bpe_len) AS BIGINT) AS n_bpe_units,
+         |  CAST(SUM(c * bpe_len) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |    AS units_per_word
+         |FROM dw JOIN vl USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q210_readability" ->
       s"""WITH per AS (
