@@ -603,10 +603,17 @@ object SimilarityQueries {
             }
           }
           picked.zipWithIndex.iterator.map { case ((id, cos, sc), i) =>
-            // RAW emission (q26/q164 convention): every value is a
-            // mirrored deterministic float chain; math.rint half-even
-            // ties were the one representation risk (the q230 family).
-            (qid, (i + 1).toLong, id, cos + 0.0, sc + 0.0)
+            // ROUND(6), not raw: these are GENERIC float chains (cosine
+            // folds), where 6-dp half-ties are measure-zero - unlike the
+            // integer-ratio divisions that caused the r7 ROUND reds -
+            // and the grain absorbs any cross-version drift in DuckDB's
+            // list_dot_product evaluation order (ORACLE.md rule 1's
+            // float-chain corollary). HALF_UP matches SQL ROUND.
+            (qid, (i + 1).toLong, id,
+              BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble + 0.0,
+              BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble + 0.0)
           }
         }
         .toDF("query_id", "rank", "vec_id", "cos_sim", "mmr_score")
@@ -893,8 +900,8 @@ object SimilarityQueries {
        |  CAST(NULL AS DOUBLE) AS sc, CAST(NULL AS BIGINT) AS rnk,
        |  CAST(NULL AS DOUBLE[]) AS emb WHERE 1 = 0),
        |$rounds
-       |SELECT query_id, rnk AS rank, vec_id, cos + 0.0 AS cos_sim,
-       |  sc + 0.0 AS mmr_score
+       |SELECT query_id, rnk AS rank, vec_id,
+       |  ROUND(cos, 6) + 0.0 AS cos_sim, ROUND(sc, 6) + 0.0 AS mmr_score
        |FROM pk$k ORDER BY query_id, rank""".stripMargin
   }
 

@@ -328,7 +328,10 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
         }
         used(best) = true
         picked += ((qid, (picked.length + 1).toLong, cands(best)._1,
-          cands(best)._2 + 0.0, bestScore + 0.0))
+          BigDecimal(cands(best)._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble + 0.0,
+          BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble + 0.0))
         pickedEmb += cands(best)._3
       }
       picked
