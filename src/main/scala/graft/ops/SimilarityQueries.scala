@@ -327,9 +327,14 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vectors"),
           sum(expr("cast(floor(cos * 1e12) as bigint)")
             .cast(DecimalType(38, 0))).as("sc"))
+        // final ROUND(6): the e12 floor happens per ROW, and a 1-ulp
+        // cross-version drift in the cosine primitive can flip one
+        // row's floor — shifting the exact sum by 1 and the avg by
+        // 1e-12/n, far below the 6-dp grain (ORACLE.md float-chain
+        // corollary; half-ties are measure-zero for this chain).
         .select($"cell".cast("long").as("cell"), $"n_vectors",
-          (($"sc".cast("double") / lit(1e12)) /
-            $"n_vectors".cast("double")).as("avg_cos"))
+          round(($"sc".cast("double") / lit(1e12)) /
+            $"n_vectors".cast("double"), 6).as("avg_cos"))
         .orderBy($"cell")
     },
 
@@ -962,8 +967,8 @@ object SimilarityQueries {
        |  FROM sc$f s JOIN mx$f m ON m.vec_id = s.vec_id AND s.cs = m.m
        |  GROUP BY s.vec_id)
        |SELECT cell, COUNT(*) AS n_vectors,
-       |  (CAST(SUM(CAST(FLOOR(cs * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12) /
-       |    COUNT(*) AS avg_cos
+       |  ROUND((CAST(SUM(CAST(FLOOR(cs * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12)
+       |    / COUNT(*), 6) AS avg_cos
        |FROM asg$f GROUP BY cell ORDER BY cell""".stripMargin
   }
 
