@@ -707,6 +707,64 @@ object CurationQueries {
           md5(substr($"text", $"u" + 1, $"v" - $"u")).as("middle_md5"),
           md5(substr($"text", $"v" + 1, $"len" - $"v")).as("suffix_md5"))
         .orderBy($"doc_id")
+    },
+
+    // Token-budget EPOCH allocation — the data-constrained-scaling
+    // decision (Muennighoff et al. 2023): with a training token budget
+    // larger than the corpus, which sources get repeated, and how many
+    // epochs each? Greedy by quality: every source trains at least one
+    // epoch; the leftover budget R = B − ΣT is spent in rounds, each
+    // round granting one extra epoch to the longest quality-ranked
+    // PREFIX of sources whose combined tokens still fit. Because the
+    // ranking never changes, round k's grant set is determined by ONE
+    // precomputed prefix-sum column: grant iff cum ≤ R_{k−1}, and the
+    // spend of round k is simply the largest cum that fit —
+    // R_k = R_{k−1} − max(cum ≤ R_{k−1}). Three unrolled rounds give a
+    // 4-epoch ceiling, mirroring the ~4-epoch point of diminishing
+    // returns the paper measures.
+    //
+    // Scale shape: the ONLY corpus-scale work is the per-source token
+    // aggregate (one shuffle at |sources| grain). Everything after —
+    // the quality ratio, the triangular prefix-sum self-join (sources²
+    // pairs, a control frame), and the three scalar spend reductions —
+    // is control-plane-sized, exactly the regime where sources number
+    // dozens, not millions; the quadratic join is the windowless form
+    // of a prefix sum over a frame too small to shuffle. All integers
+    // except the quality ratio, which is ONE raw IEEE division of two
+    // exact longs (bit-identical cross-engine, per ORACLE.md rule 1) —
+    // used for ordering and emitted raw beside its numerator and
+    // denominator.
+    "q264_epoch_allocation" -> { (s, dir) =>
+      import s.implicits._
+      val a = Pin.lazily(t(s, dir, "documents")
+        .withColumn("tk", coalesce(size(split($"text", " ")).cast("long"), lit(0L)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tk").as("toks"))
+        .withColumn("qual", $"toks".cast("double") / $"n_docs".cast("double")))
+      // Prefix sum in quality order (ties by source) without a window:
+      // b rides at-or-before a in the ranking ⇒ contributes to a's cum.
+      val b = a.select($"source".as("s2"), $"toks".as("t2"), $"qual".as("q2"))
+      val cum = a.join(b,
+          $"q2" > $"qual" || ($"q2" === $"qual" && $"s2" <= $"source"))
+        .groupBy($"source", $"n_docs", $"toks", $"qual")
+        .agg(sum($"t2").as("cum"))
+      val tot = a.agg(sum($"toks").as("t_all"))
+        .withColumn("r0", expr("(t_all * 8) div 5") - $"t_all")
+      val g0 = cum.crossJoin(broadcast(tot))
+      val r1 = g0.agg((max($"r0") -
+          coalesce(max(when($"cum" <= $"r0", $"cum")), lit(0L))).as("r1"))
+      val g1 = g0.crossJoin(broadcast(r1))
+      val r2 = g1.agg((max($"r1") -
+          coalesce(max(when($"cum" <= $"r1", $"cum")), lit(0L))).as("r2"))
+      g1.crossJoin(broadcast(r2))
+        .withColumn("epochs", lit(1L)
+          + when($"cum" <= $"r0", lit(1L)).otherwise(lit(0L))
+          + when($"cum" <= $"r1", lit(1L)).otherwise(lit(0L))
+          + when($"cum" <= $"r2", lit(1L)).otherwise(lit(0L)))
+        .select($"source", $"n_docs", $"toks",
+          $"qual".as("mean_toks_per_doc"), $"cum".as("cum_toks"),
+          $"epochs", ($"epochs" * $"toks").as("alloc_toks"))
+        .orderBy($"source")
     }
   )
 
@@ -1176,6 +1234,43 @@ object CurationQueries {
          |  md5(substr(text, u + 1, v - u)) AS middle_md5,
          |  md5(substr(text, v + 1, len - v)) AS suffix_md5
          |FROM u ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Same unrolled greedy rounds on the same prefix-sum column; qual is
+    // one raw IEEE division of exact longs (identical bits both engines).
+    "q264_epoch_allocation" ->
+      """WITH a AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(COALESCE(len(regexp_split_to_array(text, ' ')), 0))
+        |         AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, n_docs, toks,
+        |        CAST(toks AS DOUBLE) / CAST(n_docs AS DOUBLE) AS qual
+        |      FROM a),
+        |cum AS (
+        |  SELECT x.source, x.n_docs, x.toks, x.qual,
+        |    CAST(SUM(y.toks) AS BIGINT) AS cum
+        |  FROM q x JOIN q y
+        |    ON y.qual > x.qual OR (y.qual = x.qual AND y.source <= x.source)
+        |  GROUP BY x.source, x.n_docs, x.toks, x.qual),
+        |tot AS (SELECT (CAST(SUM(toks) AS BIGINT) * 8) // 5
+        |               - CAST(SUM(toks) AS BIGINT) AS r0 FROM a),
+        |s1 AS (SELECT MAX(r0)
+        |         - COALESCE(MAX(CASE WHEN cum <= r0 THEN cum END), 0) AS r1
+        |       FROM cum CROSS JOIN tot),
+        |s2 AS (SELECT MAX(r1)
+        |         - COALESCE(MAX(CASE WHEN cum <= r1 THEN cum END), 0) AS r2
+        |       FROM cum CROSS JOIN s1)
+        |SELECT c.source, c.n_docs, c.toks, c.qual AS mean_toks_per_doc,
+        |  c.cum AS cum_toks,
+        |  CAST(1 + (CASE WHEN c.cum <= r0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN c.cum <= r1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN c.cum <= r2 THEN 1 ELSE 0 END) AS BIGINT) AS epochs,
+        |  CAST(1 + (CASE WHEN c.cum <= r0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN c.cum <= r1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN c.cum <= r2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * c.toks AS alloc_toks
+        |FROM cum c CROSS JOIN tot CROSS JOIN s1 CROSS JOIN s2
+        |ORDER BY c.source""".stripMargin
   )
 }

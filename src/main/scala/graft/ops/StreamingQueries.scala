@@ -93,6 +93,30 @@ object StreamingQueries {
       }
         .select($"doc_id", $"text_md5")
         .orderBy($"doc_id")
+    },
+
+    // ---------------------- streaming gap sessionization, batch face
+    // StreamingIngest.sessionCounts (watermark + session_window gap
+    // merge — the streaming operating mode of q15/q127's batch
+    // sessionization) over the events fixture as a file-source stream.
+    // Session windows support complete mode (update is the unsupported
+    // one) and need a non-window grouping column — user_id here, which
+    // also makes the state key (user, session) as it must be at scale.
+    // Complete mode re-emits the full merged-session state, so the
+    // settled table equals the batch gap-and-islands result; window
+    // bounds are exact integer µs (start = first event, end = last
+    // event + gap), so the oracle is q127's lag/cumsum island SQL.
+    "q265_streaming_session_rollup" -> { (s, dir) =>
+      import s.implicits._
+      settle(s, dir, "events", "complete") { src =>
+        StreamingIngest.sessionCounts(eventsNorm(src), "ts", "user_id",
+          "30 minutes")
+      }
+        .select($"user_id",
+          unix_micros($"session_window.start").as("session_start_us"),
+          unix_micros($"session_window.end").as("session_end_us"),
+          $"n")
+        .orderBy($"user_id", $"session_start_us")
     }
   )
 
@@ -115,6 +139,28 @@ object StreamingQueries {
         |SELECT a.doc_id, a.text_md5
         |FROM arriving a LEFT JOIN corpus c ON a.text_md5 = c.text_md5
         |WHERE c.text_md5 IS NULL
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // q127's gap-and-islands SQL, keyed by user only — exact integer µs.
+    "q265_streaming_session_rollup" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |flag AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+        |              >= 1800000000 OR
+        |         LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM flag)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |  MAX(us) + 1800000000 AS session_end_us,
+        |  COUNT(*) AS n
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start_us""".stripMargin
   )
 }

@@ -988,6 +988,71 @@ object TextQueries {
         // RAW emission (q26/q164): one double division of exact longs
         .withColumn("units_per_word", $"n_bpe_units" / $"n_ws_tokens")
         .orderBy($"doc_id")
+    },
+
+    // Interpolated Kneser–Ney bigram surprisal — the LM-quality filter
+    // upgrade over q88's naive interpolation: the backoff term is the
+    // CONTINUATION probability (how many distinct contexts a token
+    // follows), not raw frequency, so function words that appear in few
+    // novel contexts stop masking genuinely-predictable text (Kneser &
+    // Ney 1995; Chen & Goodman 1998 §2.7):
+    //   p(w|prev) = (c(prev,w) − d)/c(prev)
+    //             + d·N₁₊(prev,·)/c(prev) · p_cont(w)
+    //   p_cont(w) = (N₁₊(·,w) + 1) / (N₁₊(··) + V)      (add-1 so tokens
+    //     only ever seen document-initial still score; V = vocab size)
+    // with discount d = 0.75 (exactly representable). Scoring the
+    // training corpus itself means every stream bigram exists in the
+    // count table, so c(prev,w) ≥ 1 and the discounted term is ≥ 0.25 —
+    // no max(·,0) clamp, no unseen-bigram branch, every probability > 0.
+    //
+    // Scale shape, same discipline as q88: the pinned bigram-count table
+    // is the ONE corpus-scale aggregate and meets the token stream in a
+    // shuffle join on (prev, tok); everything else attached to the stream
+    // is VOCABULARY-bounded — the context stats (c_prev = Σ_w c(prev,w),
+    // follower fan-out N₁₊(prev,·)) and the continuation counts
+    // N₁₊(·,w) are per-token rollups OF the bigram table (≤ |vocab|
+    // rows, AQE broadcasts them), and the two scalars (total bigram
+    // types, V) are a broadcast cross join. At 100 TB you prune the
+    // bigram table by count floor exactly as q88 notes; the vocab-sized
+    // side tables and the join shape are unchanged. Both engines
+    // evaluate the identical double expression tree on identical exact
+    // integer counts, so only ln()'s ≤1-ulp wobble remains — absorbed by
+    // the position-ordered fold + shared round(…, 6), as in q81/q88.
+    "q263_kneser_ney" -> { (s, dir) =>
+      import s.implicits._
+      val wprev = Pin.lazily(
+        t(s, dir, "documents")
+          .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("prev",
+            lag($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos"))))
+      // One corpus-scale aggregate, pinned: context stats, continuation
+      // counts, and the type total are all rollups of it.
+      val bi = Pin.lazily(wprev.filter($"prev".isNotNull)
+        .groupBy($"prev", $"tok").agg(count(lit(1)).as("c_bi")))
+      val ctx = bi.groupBy($"prev")
+        .agg(sum($"c_bi").as("c_prev"), count(lit(1)).as("n_follow"))
+      val cont = bi.groupBy($"tok").agg(count(lit(1)).as("n_prec"))
+      val scalars = bi.agg(count(lit(1)).as("n_types"))
+        .crossJoin(wprev.agg(countDistinct($"tok").as("v")))
+      val pcont = (coalesce($"n_prec", lit(0L)) + lit(1L)).cast("double") /
+        ($"n_types" + $"v").cast("double")
+      val pkn = ($"c_bi".cast("double") - lit(0.75)) / $"c_prev".cast("double") +
+        lit(0.75) * $"n_follow".cast("double") / $"c_prev".cast("double") * pcont
+      wprev
+        .join(bi, Seq("prev", "tok"), "left")
+        .join(ctx, Seq("prev"), "left")
+        .join(cont, Seq("tok"), "left")
+        .crossJoin(broadcast(scalars))
+        .withColumn("logp",
+          when($"prev".isNull, -log(pcont)).otherwise(-log(pkn)))
+        .groupBy($"doc_id")
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(pos, logp))), " +
+            "cast(0.0 as double), (a, x) -> a + x.logp)").as("sum_lp"),
+          count(lit(1)).as("n_toks"))
+        .select($"doc_id", $"n_toks",
+          round($"sum_lp" / $"n_toks", 6).as("avg_kn_nll"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1715,6 +1780,49 @@ object TextQueries {
         |       FROM dec CROSS JOIN g)
         |SELECT tg.decile, r.rk AS rank_at, r.cum AS cum_tokens,
         |  CAST(r.cum AS DOUBLE) / CAST(tg.t AS DOUBLE) AS cum_share, tg.gini
-        |FROM r JOIN tg ON r.rk = tg.rk_t ORDER BY tg.decile""".stripMargin
+        |FROM r JOIN tg ON r.rk = tg.rk_t ORDER BY tg.decile""".stripMargin,
+
+    // Identical double expression tree to the Spark side (discounted
+    // term, then λ·p_cont with left-assoc · and /), on identical exact
+    // integer counts; the sorted fold + ROUND absorb ln's ulp wobble as
+    // in q81/q88.
+    "q263_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t
+        |        FROM documents) s,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+        |wprev AS (
+        |  SELECT doc_id, pos, tok,
+        |         LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM toks),
+        |bi AS (SELECT prev, tok, COUNT(*) AS c_bi
+        |       FROM wprev WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |ctx AS (SELECT prev, CAST(SUM(c_bi) AS BIGINT) AS c_prev,
+        |               COUNT(*) AS n_follow
+        |        FROM bi GROUP BY prev),
+        |cont AS (SELECT tok, COUNT(*) AS n_prec FROM bi GROUP BY tok),
+        |sc AS (SELECT (SELECT COUNT(*) FROM bi) AS n_types,
+        |              (SELECT COUNT(DISTINCT tok) FROM toks) AS v),
+        |j AS (
+        |  SELECT w.doc_id, w.pos,
+        |    CASE WHEN w.prev IS NULL
+        |      THEN -ln(CAST(COALESCE(cn.n_prec, 0) + 1 AS DOUBLE) /
+        |               CAST(n_types + v AS DOUBLE))
+        |      ELSE -ln((CAST(b.c_bi AS DOUBLE) - 0.75) / CAST(x.c_prev AS DOUBLE)
+        |               + 0.75 * CAST(x.n_follow AS DOUBLE) / CAST(x.c_prev AS DOUBLE)
+        |                 * (CAST(COALESCE(cn.n_prec, 0) + 1 AS DOUBLE) /
+        |                    CAST(n_types + v AS DOUBLE)))
+        |    END AS logp
+        |  FROM wprev w
+        |  LEFT JOIN bi b ON b.prev = w.prev AND b.tok = w.tok
+        |  LEFT JOIN ctx x ON x.prev = w.prev
+        |  LEFT JOIN cont cn ON cn.tok = w.tok
+        |  CROSS JOIN sc),
+        |per AS (SELECT doc_id, COUNT(*) AS n_toks,
+        |               list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS sum_lp
+        |        FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_toks, ROUND(sum_lp / n_toks, 6) AS avg_kn_nll
+        |FROM per ORDER BY doc_id""".stripMargin
   )
 }

@@ -706,6 +706,81 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("q263 Kneser-Ney: probabilities sum to 1 per context, scores finite") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q263_kneser_ney")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getDouble(2)
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0, s"bad score $r")
+    }
+    // The KN normalization identity: for any context `prev`,
+    //   Σ_w p(w|prev) = (c_prev − d·N₁₊(prev,·))/c_prev
+    //                 + d·N₁₊(prev,·)/c_prev · Σ_w p_cont(w)  = 1
+    // because add-1 continuation mass sums to (n_types + V)/(n_types + V).
+    // Recompute it driver-side from the corpus counts for the 3 heaviest
+    // contexts over the FULL vocabulary.
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    val wprev = toks.withColumn("prev", lag(col("tok"), 1).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val bi = wprev.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val vocab = toks.select("tok").distinct().collect().map(_.getString(0))
+    val nTypes = bi.size.toLong
+    val nPrec = bi.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val cPrev = bi.toSeq.groupBy(_._1._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val nFollow = bi.keys.groupBy(_._1).map { case (p, g) => p -> g.size.toLong }
+    val d = 0.75
+    for (prev <- cPrev.toSeq.sortBy(-_._2).take(3).map(_._1)) {
+      val cp = cPrev(prev).toDouble
+      val total = vocab.map { w =>
+        val pc = (nPrec.getOrElse(w, 0L) + 1).toDouble / (nTypes + vocab.length)
+        bi.get((prev, w)).map(c => (c - d) / cp).getOrElse(0.0) +
+          d * nFollow(prev) / cp * pc
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"sum p(w|$prev) = $total")
+    }
+  }
+
+  test("q264 epoch allocation: greedy prefix property and budget bound") {
+    val rows = SparkEntry.queries("q264_epoch_allocation")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, toks, _, _, ep, alloc) =>
+      assert(ep >= 1 && ep <= 4)
+      assert(alloc === ep * toks)
+    }
+    // epochs are non-increasing along the quality ranking (each round
+    // grants a prefix of the same ordering)
+    val byRank = rows.sortBy { case (src, _, _, q, _, _, _) => (-q, src) }
+    byRank.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi._6 >= lo._6, s"${hi._1} < ${lo._1}")
+      case _ => ()
+    }
+    // total allocation never exceeds the budget B = (8·ΣT) div 5
+    val t = rows.map(_._3).sum
+    assert(rows.map(_._7).sum <= t * 8 / 5)
+  }
+
+  test("q265 streaming session rollup equals batch session_window") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q265_streaming_session_rollup")(spark, sf0001)
+    val batch = graft.ops.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"), col("n"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
