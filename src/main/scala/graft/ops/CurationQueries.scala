@@ -765,6 +765,33 @@ object CurationQueries {
           $"qual".as("mean_toks_per_doc"), $"cum".as("cum_toks"),
           $"epochs", ($"epochs" * $"toks").as("alloc_toks"))
         .orderBy($"source")
+    },
+
+    // Leakage-free train/val/test split — q52's hash split decided at
+    // DEDUP-CLUSTER granularity instead of per document. Hashing doc_id
+    // (q52) puts near-identical documents on both sides of the split:
+    // the exact leak q123 measures for embeddings. Assigning the whole
+    // q47 connected component by the md5 of its cluster id makes the
+    // split leak-free BY CONSTRUCTION against the near-dup relation the
+    // cluster graph encodes. Both splits are emitted so the query is
+    // its own audit: any multi-doc cluster whose members' doc_split
+    // disagree is a leak the naive scheme would have shipped.
+    //
+    // Scale shape: everything is q47's plan (rounds over the duplicate
+    // subgraph, not the corpus) plus one per-row projection — the split
+    // decision adds NO shuffle. Same hex-bucket scheme as q52 (12/2/2
+    // of 16), so the two columns are directly comparable.
+    "q266_cluster_split" -> { (s, dir) =>
+      import s.implicits._
+      def bucket(h: Column): Column =
+        when(h <= "9" || h === "a" || h === "b", "train")
+          .when(h === "c" || h === "d", "val")
+          .otherwise("test")
+      DedupQueries.queries("q47_dedup_clusters")(s, dir)
+        .select($"doc_id", $"cluster_id",
+          bucket(substring(md5($"cluster_id".cast("string")), 1, 1)).as("split"),
+          bucket(substring(md5($"doc_id".cast("string")), 1, 1)).as("doc_split"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1271,6 +1298,22 @@ object CurationQueries {
         |         + (CASE WHEN c.cum <= r2 THEN 1 ELSE 0 END) AS BIGINT)
         |    * c.toks AS alloc_toks
         |FROM cum c CROSS JOIN tot CROSS JOIN s1 CROSS JOIN s2
-        |ORDER BY c.source""".stripMargin
+        |ORDER BY c.source""".stripMargin,
+
+    // q47's recursive closure + the q52 hex-bucket CASE on both keys.
+    "q266_cluster_split" ->
+      s"""WITH RECURSIVE ${DedupQueries.clustersCteBody}
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= '9'
+         |         OR substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN ('a', 'b')
+         |       THEN 'train'
+         |       WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+         |       THEN 'val' ELSE 'test' END AS split,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+         |         OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('a', 'b')
+         |       THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+         |       THEN 'val' ELSE 'test' END AS doc_split
+         |FROM clusters ORDER BY doc_id""".stripMargin
   )
 }

@@ -781,6 +781,24 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(got).count() === 0)
   }
 
+  test("q266 cluster split: constant within cluster, q52-consistent per doc") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q266_cluster_split")(spark, sf0001)
+    // the whole point: one split value per cluster
+    assert(rows.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1L).count() === 0)
+    // doc_split reproduces q52's per-document assignment exactly
+    val q52 = SparkEntry.queries("q52_train_val_split")(spark, sf0001)
+      .withColumnRenamed("split", "s52")
+    assert(rows.join(q52, "doc_id")
+      .filter(col("doc_split") =!= col("s52")).count() === 0)
+    // and for a cluster's canonical member the two schemes agree (the
+    // cluster hash IS the min member's doc hash)
+    assert(rows.filter(col("doc_id") === col("cluster_id"))
+      .filter(col("split") =!= col("doc_split")).count() === 0)
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
