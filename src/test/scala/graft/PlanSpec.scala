@@ -135,6 +135,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p255.contains("Window") && !p255.contains("CartesianProduct"), p255)
   }
 
+  test("q263: KN side tables broadcast; only the doc-order window touches data rows") {
+    val p = plan("q263_kneser_ney")
+    // vocab-bounded ctx/cont rollups and the 1-row scalars must reach the
+    // token stream as broadcasts (AQE or static); a SortMergeJoin on tok
+    // alone is fine for the corpus-scale bigram table, but a cartesian
+    // anywhere means the scalars stopped broadcasting.
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q264/q266: allocation and split stay window-free over data rows") {
+    // q264's greedy rounds are scalar reductions off one prefix-sum
+    // column (triangular control-frame join, no Window at all); q266
+    // adds only per-row hash projections over q47's iteration.
+    assert(!plan("q264_epoch_allocation").contains("Window"))
+    assert(!plan("q266_cluster_split").contains("Window"))
+  }
+
   test("q52: the hash split is shuffle-free (no Exchange except the output sort)") {
     val p = plan("q52_train_val_split")
     // exactly one exchange: the rangepartitioning for the final ORDER BY
