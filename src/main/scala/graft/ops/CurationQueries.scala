@@ -792,6 +792,53 @@ object CurationQueries {
           bucket(substring(md5($"cluster_id".cast("string")), 1, 1)).as("split"),
           bucket(substring(md5($"doc_id".cast("string")), 1, 1)).as("doc_split"))
         .orderBy($"doc_id")
+    },
+
+    // SURGICAL decontamination — the span-level companion to q53's
+    // drop-the-document verdict and q112's graded fraction: instead of
+    // discarding a training document that shares benchmark 5-grams, cut
+    // out exactly the token positions covered by a matching gram and
+    // keep the rest (the Lee-et-al.-style span treatment applied to
+    // contamination). Emits the retained token count and an md5 of the
+    // re-assembled residual text so the oracle pins the SURGERY — which
+    // tokens survive, in order — not just the arithmetic.
+    //
+    // Scale shape: positioned gram hashes shuffle once at (16-byte md5,
+    // doc, pos) grain; the benchmark gram set is request-sized and
+    // broadcasts (q53's argument); the ×K position expansion happens
+    // POST-match, on covered grams only; the residual assembly is a
+    // per-doc sorted fold (position-ordered, engine-invariant). No
+    // floats anywhere — counts and digests only.
+    "q267_span_surgery" -> { (s, dir) =>
+      import s.implicits._
+      val K = 5
+      val d = Pin.lazily(t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", split(lower($"text"), " ").as("ws")))
+      def grams(df: DataFrame) = df.select($"doc_id",
+        posexplode(when(size($"ws") >= K, expr(
+          s"transform(sequence(0, size(ws) - $K), i -> md5(concat_ws(' ', slice(ws, i + 1, $K))))"))
+          .otherwise(expr("array()"))).as(Seq("pos", "h")))
+      val bench = grams(d.filter($"doc_id" < 20)).select($"h").distinct()
+      val covered = grams(d.filter($"doc_id" >= 20))
+        .join(broadcast(bench), "h")
+        .select($"doc_id".as("cd"), explode(expr(s"sequence(pos, pos + ${K - 1})")).as("p"))
+        .distinct()
+      val toks = d.filter($"doc_id" >= 20)
+        .select($"doc_id", posexplode($"ws").as(Seq("pos", "tok")))
+      val kept = toks.join(covered,
+          $"doc_id" === $"cd" && $"pos" === $"p", "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), " +
+            "x -> x.tok), ' ')")).as("kept_md5"))
+      d.filter($"doc_id" >= 20)
+        .select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"kept_md5", md5(lit(""))).as("kept_md5"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1314,6 +1361,41 @@ object CurationQueries {
          |       THEN 'train'
          |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
          |       THEN 'val' ELSE 'test' END AS doc_split
-         |FROM clusters ORDER BY doc_id""".stripMargin
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // Rebuilds grams, coverage, and the residual assembly from scratch —
+    // a hash match re-proves which tokens survive and in what order.
+    "q267_span_surgery" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT * FROM d WHERE doc_id >= 20),
+        |bd AS (SELECT * FROM d WHERE doc_id < 20),
+        |bench AS (
+        |  SELECT DISTINCT md5(array_to_string(ws[g.i:g.i+4], ' ')) AS h
+        |  FROM bd, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) g),
+        |grams AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |         md5(array_to_string(ws[g.i:g.i+4], ' ')) AS h
+        |  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) g),
+        |cov AS (
+        |  SELECT DISTINCT grams.doc_id, q.pp AS p
+        |  FROM grams JOIN bench USING (h),
+        |       LATERAL (SELECT unnest(generate_series(grams.pos, grams.pos + 4)) AS pp) q),
+        |toks AS (
+        |  SELECT doc_id, g.i - 1 AS pos, ws[g.i] AS tok
+        |  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+        |kept AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_kept,
+        |         md5(array_to_string(list(t.tok ORDER BY t.pos), ' ')) AS kept_md5
+        |  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.pos
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM tr)
+        |SELECT b.doc_id, b.n_tokens,
+        |  b.n_tokens - CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(k.kept_md5, md5('')) AS kept_md5
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -799,6 +799,27 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
       .filter(col("split") =!= col("doc_split")).count() === 0)
   }
 
+  test("q267 span surgery: partition invariant and q112-consistent verdicts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q267_span_surgery")(spark, sf0001)
+    assert(rows.filter(col("n_removed") + col("n_kept") =!= col("n_tokens") ||
+      col("n_removed") < 0 || col("n_kept") < 0).count() === 0)
+    // a document loses tokens iff q112 reports a positive contamination
+    // fraction for it (same 5-gram grain, same benchmark split)
+    val frac = SparkEntry.queries("q112_contamination_frac")(spark, sf0001)
+      .select(col("doc_id"), col("contam_frac"))
+    val j = rows.join(frac, "doc_id")
+    assert(j.filter(col("contam_frac") > 0 && col("n_removed") === 0).count() === 0)
+    assert(j.filter(col("contam_frac") === 0 && col("n_removed") > 0).count() === 0)
+    // clean documents keep their text verbatim: digest equals the md5 of
+    // the normalized token join
+    val clean = rows.filter(col("n_removed") === 0)
+      .join(spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id")
+      .withColumn("expect",
+        md5(array_join(split(lower(col("text")), " "), " ")))
+    assert(clean.filter(col("kept_md5") =!= col("expect")).count() === 0)
+  }
+
   test("representative queries are deterministic across runs") {
     for (name <- Seq("q01_pricing_summary", "q03_latest_event_per_user",
                      "q31_neardup_jaccard", "q35_ann_topk")) {
