@@ -332,12 +332,12 @@ object StatsQueries {
        |        THEN 1 ELSE 0 END) AS BIGINT) AS c
        |  FROM sc)
        |SELECT param, value FROM (
-       |  SELECT 'w0' AS param, w0 + 0.0 AS value FROM it$LogregIters
-       |  UNION ALL SELECT 'w1', w1 + 0.0 FROM it$LogregIters
-       |  UNION ALL SELECT 'w2', w2 + 0.0 FROM it$LogregIters
-       |  UNION ALL SELECT 'w3', w3 + 0.0 FROM it$LogregIters
+       |  SELECT 'w0' AS param, ROUND(w0, 6) + 0.0 AS value FROM it$LogregIters
+       |  UNION ALL SELECT 'w1', ROUND(w1, 6) + 0.0 FROM it$LogregIters
+       |  UNION ALL SELECT 'w2', ROUND(w2, 6) + 0.0 FROM it$LogregIters
+       |  UNION ALL SELECT 'w3', ROUND(w3, 6) + 0.0 FROM it$LogregIters
        |  UNION ALL SELECT 'train_acc', CAST(c AS DOUBLE) / n + 0.0 FROM ac
-       |  UNION ALL SELECT 'train_loss', loss + 0.0 FROM it$LogregIters)
+       |  UNION ALL SELECT 'train_loss', ROUND(loss, 6) + 0.0 FROM it$LogregIters)
        |ORDER BY param""".stripMargin
 
   /** q251: Johnson–Lindenstrauss target dimensionality, source
@@ -1684,10 +1684,15 @@ object StatsQueries {
     // weights live on the driver and re-enter as literals, the KMeans
     // pattern. FULL oracle since r8: the unrolled-arithmetic convention
     // (q157/q72) replays standardization moments, all 25 gradient
-    // rounds, and the accuracy count in DuckDB, so the raw weights
-    // compare bit-equal. StatsSpec additionally pins monotone loss, an
-    // accuracy floor over the majority class, and a first-iteration
-    // gradient recompute.
+    // rounds, and the accuracy count in DuckDB. Weights and loss emit
+    // at 6 dp (float-chain corollary): the e12 floor makes the SUMS
+    // partition-order-free but each per-row term still passes libm
+    // exp/ln BEFORE the floor, and a 1-ulp libm divergence flips a
+    // floor unit when a term lands on a boundary — observed at sf0.1
+    // (train_loss off by one final-ulp; 5k-row sf0.01 never hit a
+    // boundary). train_acc stays RAW — one division of exact integers.
+    // StatsSpec additionally pins monotone loss, an accuracy floor over
+    // the majority class, and a first-iteration gradient recompute.
     "q181_logreg_quality" -> { (s, dir) =>
       import s.implicits._
       val (w, lastLoss) = logregFit(s, dir)
@@ -1699,7 +1704,11 @@ object StatsQueries {
       val acc = accRow.getLong(1).toDouble / accRow.getLong(0)
       val rows = w.zipWithIndex.map { case (wi, i) => (s"w$i", wi + 0.0) } :+
         ("train_acc", acc + 0.0) :+ ("train_loss", lastLoss + 0.0)
-      s.createDataFrame(rows).toDF("param", "value").orderBy($"param")
+      s.createDataFrame(rows).toDF("param", "value")
+        .select($"param",
+          when($"param" === "train_acc", $"value")
+            .otherwise(round($"value", 6) + lit(0d)).as("value"))
+        .orderBy($"param")
     },
 
     // ------------------------------------------- gains / lift table
