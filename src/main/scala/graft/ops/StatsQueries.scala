@@ -342,10 +342,16 @@ object StatsQueries {
 
   /** q251: Johnson–Lindenstrauss target dimensionality, source
     * dimensionality, and the id-stride defining the audited sample
-    * (vec_id ≡ 0 mod stride). */
+    * (vec_id ≡ 0 mod stride AND vec_id < cap). The cap is what keeps
+    * the audit's self-join CONSTANT-bounded: a stride alone admits
+    * corpus/37 rows — linear in the corpus, quadratic in pairs — while
+    * the cap fixes the sample at ≤ 2048 vectors (≤ 2.1M pairs) at any
+    * corpus size. Every fixture SF has max vec_id below the cap, so the
+    * fixture output is identical with or without it. */
   val JlK = 16
   val JlD = 64
   val JlSampleMod = 37
+  val JlSampleCap: Long = JlSampleMod.toLong * 2048
 
   /** q251: the k×d Rademacher projection matrix — ±1 from the parity of
     * the first hex digit of md5("jl:j:i"), computed HERE once and
@@ -3899,12 +3905,16 @@ object StatsQueries {
     // every dot/distance is the same left-to-right fold, so ratios are
     // bit-identical cross-engine. Scale: projection is a per-row map
     // (k·d multiply-adds, codegen'd — no shuffle); only the audited
-    // SAMPLE is self-joined (stride-bounded, never corpus²).
+    // SAMPLE is self-joined, and the sample is CAP-bounded (stride +
+    // id cap → ≤ 2048 vectors, ≤ 2.1M pairs at ANY corpus size — a
+    // stride alone would grow the pair count quadratically with the
+    // corpus). Fixture vec_ids all sit below the cap, so the output is
+    // unchanged at every test SF.
     "q251_jl_distortion" -> { (s, dir) =>
       import s.implicits._
       def sq(c: Column): Column = c * c
       val emb = t(s, dir, "embeddings")
-        .filter($"vec_id" % JlSampleMod === 0)
+        .filter($"vec_id" % JlSampleMod === 0 && $"vec_id" < JlSampleCap)
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       def proj(e: Column, j: Int): Column =
         (0 until JlD).map(i => e.getItem(i) * lit(JlSigns(j)(i).toDouble))
@@ -6448,7 +6458,8 @@ object StatsQueries {
         .mkString(" + ")
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |  FROM embeddings WHERE vec_id % $JlSampleMod = 0),
+         |  FROM embeddings
+         |  WHERE vec_id % $JlSampleMod = 0 AND vec_id < $JlSampleCap),
          |p AS (
          |  SELECT vec_id, emb,
          |    $yCols
