@@ -145,6 +145,54 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q248: skip-gram pairs form via the (doc, pos+off) equi-join, never a per-doc product") {
+    val p = plan("q248_skipgram_pairs")
+    assert("Join \\[doc_id#\\d+L?, cpos#".r.findFirstIn(p).isDefined,
+      s"pair join lost its (doc_id, cpos) equi keys:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "no window should touch the token stream:\n" + p)
+  }
+
+  test("q256: the All-Pairs prescreen runs INSIDE the pair-loop join condition") {
+    val p = plan("q256_tfidf_prefix_cosine")
+    // candidate rule = bitmask word-AND (landany) evaluated in the BNLJ
+    // condition, so non-candidates exit before the O(v) dot
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("longandany"), s"bitmask prescreen fell out of the join:\n$p")
+    assert(p.contains("longdotproduct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q259/q260/q261: packing/curriculum/negatives keep GlobalRank's partitioned shape") {
+    // the only SinglePartition exchange allowed is GlobalRank's
+    // pid-granularity boundary-prefix frame (one per ranked axis)
+    for (n <- Seq("q259_sequence_packing", "q260_curriculum_interleave",
+                  "q261_negative_sampling")) {
+      val p = plan(n)
+      val singles = "Exchange SinglePartition".r.findAllIn(p).size
+      assert(singles <= 2, s"$n: unexpected single-partition stages ($singles):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+    // the negative draw resolves by an equi-join on the dense rank
+    assert("Join \\[draw#".r.findFirstIn(plan("q261_negative_sampling")).isDefined)
+  }
+
+  test("q262: the FIM split is a pure per-row projection (no join, no window)") {
+    val p = plan("q262_fim_split")
+    assert(!p.contains("Join"), s"FIM split must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("range"),
+      s"only the output sort may shuffle:\n$p")
+  }
+
+  test("q267: span surgery keeps the anti-join + broadcast-benchmark shape") {
+    val p = plan("q267_span_surgery")
+    assert(p.contains("LeftAnti"), s"covered positions must drop via anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q264/q266: allocation and split stay window-free over data rows") {
     // q264's greedy rounds are scalar reductions off one prefix-sum
     // column (triangular control-frame join, no Window at all); q266
