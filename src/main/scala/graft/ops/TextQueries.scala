@@ -1053,6 +1053,42 @@ object TextQueries {
         .select($"doc_id", $"n_toks",
           round($"sum_lp" / $"n_toks", 6).as("avg_kn_nll"))
         .orderBy($"doc_id")
+    },
+
+    // --------------------------- vocabulary richness / unseen mass
+    // Corpus-sizing audit per source: how saturated is the vocabulary,
+    // and how much probability mass do UNSEEN words still hold? Two
+    // closed-form estimators off the word-frequency spectrum's first
+    // two bins: the Good–Turing unseen-mass estimate p₀ ≈ n₁/N (the
+    // hapax share — Good 1953), and the bias-corrected Chao1 richness
+    // floor V + n₁(n₁−1)/(2(n₂+1)) (Chao 1984) — the "keep crawling or
+    // stop" readout for a data-acquisition decision, and the
+    // complement to q122's Zipf slope (shape) and q263's smoothing
+    // (which SPENDS the n₁/N mass). Scale shape: ONE corpus aggregate
+    // to the Zipf-bounded (source, word) frame, then a source-grain
+    // rollup — spectrum bins are exact integer counts, and the two
+    // estimates are fixed-order float chains over those exact longs
+    // (no libm, no float sums), so raw emission is bit-identical
+    // cross-engine per ORACLE.md rule 1. Hapax products ride doubles
+    // (can't wrap, unlike LONG — rule 5's divergence never arises).
+    "q268_vocab_richness" -> { (s, dir) =>
+      import s.implicits._
+      val wc = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"source", explode(split(lower($"text"), " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      wc.groupBy($"source")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when($"c" === 2, 1L).otherwise(0L)).as("n_dis"))
+        .select($"source", $"n_tokens", $"vocab", $"n_hapax", $"n_dis",
+          ($"n_hapax".cast("double") / $"n_tokens".cast("double"))
+            .as("p_unseen"),
+          ($"vocab".cast("double") +
+            $"n_hapax".cast("double") * ($"n_hapax" - 1).cast("double") /
+              (lit(2.0) * ($"n_dis" + 1).cast("double"))).as("chao1"))
+        .orderBy($"source")
     }
   )
 
@@ -1190,6 +1226,26 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q268_vocab_richness" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL) t
+        |  WHERE len(w) > 0 GROUP BY source, w),
+        |sp AS (
+        |  SELECT source,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+        |  FROM wc GROUP BY source)
+        |SELECT source, n_tokens, vocab, n_hapax, n_dis,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unseen,
+        |  CAST(vocab AS DOUBLE) +
+        |    CAST(n_hapax AS DOUBLE) * CAST(n_hapax - 1 AS DOUBLE) /
+        |      (2.0 * CAST(n_dis + 1 AS DOUBLE)) AS chao1
+        |FROM sp ORDER BY source""".stripMargin,
 
     "q135_bpe_merges" -> {
       val sel = (1 to BpeRounds).map(r =>

@@ -478,6 +478,36 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q268 vocab richness matches an exhaustive driver recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q268_vocab_richness")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"source", $"text").as[(String, String)].collect()
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2.toLowerCase.split(" ", -1))
+        .filter(_.nonEmpty).groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum; val v = counts.size.toLong
+      val n1 = counts.count(_ == 1L).toLong
+      val n2 = counts.count(_ == 2L).toLong
+      src -> (n, v, n1, n2)
+    }
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (src, (n, v, n1, n2)) =>
+      val (gn, gv, g1, g2, p0, chao1) = got(src)
+      assert((gn, gv, g1, g2) === ((n, v, n1, n2)), src)
+      assert(math.abs(p0 - n1.toDouble / n) < 1e-12, src)
+      val c = v.toDouble + n1.toDouble * (n1 - 1).toDouble / (2.0 * (n2 + 1))
+      assert(math.abs(chao1 - c) < 1e-9, src)
+      // estimator sanity: richness floor at least the observed vocab,
+      // unseen mass a proper fraction
+      assert(chao1 >= v.toDouble && p0 >= 0.0 && p0 < 1.0, src)
+    }
+  }
+
   test("q124 BM25 rankings are well-formed and term-sensitive") {
     val rows = SparkEntry.queries("q124_bm25_topk")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
