@@ -1089,6 +1089,73 @@ object TextQueries {
             $"n_hapax".cast("double") * ($"n_hapax" - 1).cast("double") /
               (lit(2.0) * ($"n_dis" + 1).cast("double"))).as("chao1"))
         .orderBy($"source")
+    },
+
+    // ------------------------------ Heaps'-law vocabulary-growth fit
+    // The growth-RATE companion to q268's richness floor: fit
+    // V(N) ≈ K·N^β (Heaps 1978) by OLS of ln V on ln N over ten
+    // corpus-prefix checkpoints in one fixed reading order (doc_id,
+    // pos) — the "how fast do new types keep arriving" readout that,
+    // with q268's Chao1, prices a crawl extension. The TYPE unit is
+    // the word BIGRAM: unigram vocabulary saturates immediately on a
+    // template-heavy corpus (this fixture holds 31 distinct words —
+    // word-level β is exactly 0, the degenerate case), while bigram
+    // types keep arriving and are the same estimator one level up.
+    // Scale shape: bigrams form in a per-doc window (partitioned, the
+    // q263 shape); the stream ranks once via GlobalRank's two-pass
+    // prefix machinery (never a global window on the Spark side);
+    // first occurrences are a type-bounded min-rank aggregate; the ten
+    // checkpoints broadcast onto that frame (≤10× types fan-out, then
+    // a 10-row grid). Float discipline: ln() passes libm, so the OLS
+    // moments fold over FIXED slots in explicit left-to-right order
+    // (the q124 selection idiom — sum(when(k=i)) picks exactly one
+    // row; no float accumulation order exists) and beta/lnK round once
+    // at 6 dp from the raw chain (q97 lesson), mirrored verbatim.
+    "q269_heaps_fit" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
+        .filter(length($"w") > 0)
+      // concat (not concat_ws): NULL lead must yield a NULL bigram for
+      // the last token of each doc, matching the oracle's || semantics.
+      val bg = toks
+        .withColumn("b", concat($"w", lit(" "),
+          lead($"w", 1).over(Window.partitionBy($"doc_id").orderBy($"pos"))))
+        .filter($"b".isNotNull)
+        .select($"doc_id", $"pos", $"b")
+      val ranked = GlobalRank.withGlobalRank(bg,
+        Seq($"doc_id".asc, $"pos".asc), "rk", "n")
+      val first = Pin.lazily(ranked.groupBy($"b").agg(min($"rk").as("frk"))
+        .crossJoin(broadcast(ranked.agg(max($"n").as("nn")))))
+      val cps = s.range(1, 11).select($"id".as("k"))
+      val grid = Pin.lazily(first
+        .join(broadcast(cps), $"frk" <= expr("(nn * k) div 10"))
+        .groupBy($"k", expr("(nn * k) div 10").as("n_prefix"))
+        .agg(count(lit(1)).as("v_prefix")))
+      val slots = grid.agg(
+        sum(when($"k" === 1, log($"n_prefix".cast("double")))).as("x1"),
+        (2 to 10).map(i =>
+          sum(when($"k" === i, log($"n_prefix".cast("double")))).as(s"x$i")) ++
+        (1 to 10).map(i =>
+          sum(when($"k" === i, log($"v_prefix".cast("double")))).as(s"y$i")): _*)
+      def fold(p: String): Column =
+        (1 to 10).map(i => col(s"$p$i")).reduceLeft(_ + _)
+      def fold2(f: Int => Column): Column =
+        (1 to 10).map(f).reduceLeft(_ + _)
+      val fit = slots
+        .withColumn("sx", fold("x")).withColumn("sy", fold("y"))
+        .withColumn("sxy", fold2(i => col(s"x$i") * col(s"y$i")))
+        .withColumn("sxx", fold2(i => col(s"x$i") * col(s"x$i")))
+        .withColumn("beta_raw",
+          (lit(10.0) * $"sxy" - $"sx" * $"sy") /
+            (lit(10.0) * $"sxx" - $"sx" * $"sx"))
+        .select($"beta_raw",
+          (($"sy" - $"beta_raw" * $"sx") / lit(10.0)).as("lnk_raw"))
+      grid.crossJoin(broadcast(fit))
+        .select($"k", $"n_prefix", $"v_prefix",
+          (round($"beta_raw", 6) + lit(0d)).as("heaps_beta"),
+          (round($"lnk_raw", 6) + lit(0d)).as("heaps_lnk"))
+        .orderBy($"k")
     }
   )
 
@@ -1226,6 +1293,52 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q269_heaps_fit" -> {
+      def slot(p: String, src: String): String = (1 to 10)
+        .map(i => s"SUM(CASE WHEN k = $i THEN ln(CAST($src AS DOUBLE)) END) AS $p$i")
+        .mkString(",\n        |  ")
+      def fold(p: String): String = (1 to 10)
+        .map(i => s"$p$i").reduceLeft((a, b) => s"($a + $b)")
+      def fold2(f: Int => String): String = (1 to 10)
+        .map(f).reduceLeft((a, b) => s"($a + $b)")
+      val sxy = fold2(i => s"(x$i * y$i)")
+      val sxx = fold2(i => s"(x$i * x$i)")
+      s"""WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL) s,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+        |  WHERE len(t[i]) > 0),
+        |bg AS (
+        |  SELECT doc_id, pos,
+        |         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS b
+        |  FROM toks),
+        |rk AS (SELECT b, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS rk
+        |       FROM bg WHERE b IS NOT NULL),
+        |fo AS (SELECT b, MIN(rk) AS frk FROM rk GROUP BY b),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM rk),
+        |grid AS (
+        |  SELECT k, (nn * k) // 10 AS n_prefix,
+        |         CAST(COUNT(*) AS BIGINT) AS v_prefix
+        |  FROM fo, tot, (SELECT unnest(generate_series(1, 10)) AS k) ks
+        |  WHERE frk <= (nn * k) // 10
+        |  GROUP BY k, (nn * k) // 10),
+        |slots AS (SELECT
+        |  ${slot("x", "n_prefix")},
+        |  ${slot("y", "v_prefix")}
+        |  FROM grid),
+        |fit AS (SELECT
+        |    (10.0 * ($sxy) - ${fold("x")} * ${fold("y")}) /
+        |      (10.0 * ($sxx) - ${fold("x")} * ${fold("x")}) AS beta_raw,
+        |    ${fold("y")} AS sy, ${fold("x")} AS sx
+        |  FROM slots)
+        |SELECT k, n_prefix, v_prefix,
+        |  ROUND(beta_raw, 6) + 0.0 AS heaps_beta,
+        |  ROUND((sy - beta_raw * sx) / 10.0, 6) + 0.0 AS heaps_lnk
+        |FROM grid, fit ORDER BY k""".stripMargin
+    },
 
     "q268_vocab_richness" ->
       """WITH wc AS (

@@ -508,6 +508,44 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q269 Heaps fit matches an exhaustive driver recompute") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q269_heaps_fit")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    // types only accumulate along the reading order
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    // independent replay: bigram stream in (doc_id, pos) order, first
+    // occurrences, decile checkpoints, OLS on (ln N, ln V)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val stream = docs.flatMap { case (_, text) =>
+      val ws = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val n = stream.length.toLong
+    val firstAt = scala.collection.mutable.HashMap.empty[String, Long]
+    stream.zipWithIndex.foreach { case (b, i) =>
+      if (!firstAt.contains(b)) firstAt(b) = i + 1L
+    }
+    val exp = (1 to 10).map { k =>
+      val nk = n * k / 10
+      (k.toLong, nk, firstAt.valuesIterator.count(_ <= nk).toLong)
+    }
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq === exp)
+    val x = exp.map(e => math.log(e._2.toDouble))
+    val y = exp.map(e => math.log(e._3.toDouble))
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val beta = (10 * sxy - sx * sy) / (10 * sxx - sx * sx)
+    assert(math.abs(rows.head._4 - beta) < 1e-5)
+    assert(math.abs(rows.head._5 - (sy - beta * sx) / 10) < 1e-5)
+    assert(beta >= 0.0 && beta < 1.0, s"Heaps exponent out of range: $beta")
+  }
+
   test("q124 BM25 rankings are well-formed and term-sensitive") {
     val rows = SparkEntry.queries("q124_bm25_topk")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
