@@ -193,6 +193,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q268/q269: richness stays join-free; Heaps keeps GlobalRank's partitioned shape") {
+    val p268 = plan("q268_vocab_richness")
+    assert(!p268.contains("Join") && !p268.contains("Window"),
+      s"richness must be two hash aggs over one scan:\n$p268")
+    val p269 = plan("q269_heaps_fit")
+    val singles = "Exchange SinglePartition".r.findAllIn(p269).size
+    assert(singles <= 2, s"q269: unexpected single-partition stages ($singles):\n$p269")
+    assert(!p269.contains("CartesianProduct"), p269)
+    // the ten checkpoints must reach the first-occurrence frame as a
+    // broadcast (theta join on frk <= n_prefix)
+    assert(p269.contains("BroadcastNestedLoopJoin"), p269)
+  }
+
   test("q264/q266: allocation and split stay window-free over data rows") {
     // q264's greedy rounds are scalar reductions off one prefix-sum
     // column (triangular control-frame join, no Window at all); q266
