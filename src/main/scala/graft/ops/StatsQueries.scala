@@ -6082,7 +6082,8 @@ object StatsQueries {
     "q230_isotonic_calibration" ->
       """WITH b AS (
         |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
-        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
         |    COUNT(*) AS n
         |  FROM lineitem GROUP BY 1),
         |iv AS (
@@ -6105,7 +6106,8 @@ object StatsQueries {
     "q231_eb_shrinkage" ->
       """WITH br AS (
         |  SELECT p_brand,
-        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
         |    COUNT(*) AS n
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand),
@@ -6185,8 +6187,8 @@ object StatsQueries {
          |qh AS (SELECT n_cal, kk AS k_rank, r AS qhat
          |  FROM rk JOIN nk ON rn = kk),
          |cov AS (SELECT n_cal, k_rank, qhat, COUNT(*) AS n_test,
-         |    SUM(CASE WHEN ABS(CAST(c AS DOUBLE) - yhat) <= qhat
-         |        THEN 1 ELSE 0 END) AS n_covered
+         |    CAST(SUM(CASE WHEN ABS(CAST(c AS DOUBLE) - yhat) <= qhat
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
          |  FROM tst JOIN preds USING (prio) CROSS JOIN qh
          |  GROUP BY n_cal, k_rank, qhat)
          |SELECT n_cal, k_rank, qhat AS qhat_cents, n_test, n_covered,
@@ -6199,25 +6201,26 @@ object StatsQueries {
         |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
         |tord AS (SELECT o_orderkey AS tok FROM orders JOIN tomb ON o_custkey = k)
         |SELECT 'customer' AS entity, COUNT(*) AS rows_total,
-        |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS rows_tombstoned,
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_tombstoned,
         |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS pct
         |FROM customer LEFT JOIN tomb ON c_custkey = k
         |UNION ALL
         |SELECT 'orders', COUNT(*),
-        |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE)
         |FROM orders LEFT JOIN tomb ON o_custkey = k
         |UNION ALL
         |SELECT 'lineitem', COUNT(*),
-        |  SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE)
         |FROM lineitem LEFT JOIN tord ON l_orderkey = tok
         |UNION ALL
         |SELECT 'events', COUNT(*),
-        |  SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE)
         |FROM events LEFT JOIN tomb ON user_id = k

