@@ -2,11 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
-import org.apache.spark.unsafe.Platform
 
 /**
  * 128-bit byte-gram SimHash of a binary payload as a native codegen'd
@@ -24,12 +23,17 @@ import org.apache.spark.unsafe.Platform
  * a map-only pass (the first shuffle of q89 is now the candidate join
  * itself, which is where it belongs).
  *
- * Bit-compatibility is pinned: gram hash = XXH64(bytes, seed 42) — the
- * engine function behind SQL `xxhash64(binary)` — and the second word's
- * family is XXH64.hashLong of the first (SQL `xxhash64(bigint)`), so the
- * emitted signature equals the old explode/aggregate formulation
- * word-for-word (MultimodalSpec re-derives ground truth from these
- * signatures and the near-dup/separation bands it pins).
+ * Bit-compatibility is pinned to the MD5 family (the q33 convention,
+ * r6's engine-hash→md5 move): the gram hash is MD5 of the gram's 4
+ * bytes, whose 128-bit digest supplies ALL 128 counter bits at once —
+ * counter bit b reads bit (b % 4) of hex digit b/4 of the digest
+ * (digit 0 = the first hex char = the high nibble of digest byte 0),
+ * exactly the digit/bit convention q33's simhashDocs uses. MD5 is
+ * engine-portable, so q89 carries a FULL DuckDB oracle that recomputes
+ * every signature from scratch and takes the exhaustive all-pairs
+ * Hamming ≤ 7 set — a hash match also re-proves the pigeonhole
+ * candidate join's completeness on every run (MultimodalSpec pins the
+ * same exhaustive equality in-JVM).
  */
 case class PHash128(child: Expression) extends UnaryExpression {
 
@@ -59,25 +63,40 @@ object PHashFunctions {
 
   val Name = "graft_phash128"
 
-  private final val Seed = 42L // Spark's xxhash64 default seed
+  // MessageDigest is stateful and not thread-safe; codegen calls this
+  // static helper from every executor thread, so each thread keeps one
+  // reusable instance (digest() resets it between grams).
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  /** One pass: for each sliding 4-byte gram, h0 = XXH64(gram), h1 =
-    * XXH64.hashLong(h0); accumulate 128 signed bit counters; pack
-    * counter>0 into two words. Payloads shorter than one gram yield the
-    * all-zero signature (callers filter them out to match the
-    * no-gram-no-signature contract). */
+  /** One pass: for each sliding 4-byte gram, digest = MD5(gram);
+    * accumulate 128 signed bit counters — counter b reads bit (b % 4)
+    * of hex digit b/4 (digit 2i = high nibble of digest byte i, digit
+    * 2i+1 = low nibble; the q33 digit order) — then pack counter>0
+    * into two words, word 0 = counters [0, 64) (digest bytes 0–7).
+    * Payloads shorter than one gram yield the all-zero signature
+    * (callers filter them out to match the no-gram-no-signature
+    * contract). */
   def compute(p: Array[Byte]): ArrayData = {
     val cnt = new Array[Int](128)
+    val md = localMd.get()
     val last = p.length - 4
     var i = 0
     while (i <= last) {
-      val h0 = XXH64.hashUnsafeBytes(p, Platform.BYTE_ARRAY_OFFSET + i, 4, Seed)
-      val h1 = XXH64.hashLong(h0, Seed)
-      var b = 0
-      while (b < 64) {
-        cnt(b) += (if (((h0 >>> b) & 1L) == 1L) 1 else -1)
-        cnt(64 + b) += (if (((h1 >>> b) & 1L) == 1L) 1 else -1)
-        b += 1
+      md.update(p, i, 4)
+      val d = md.digest()
+      var q = 0
+      while (q < 32) {
+        val digit =
+          if ((q & 1) == 0) (d(q >> 1) >> 4) & 0xF else d(q >> 1) & 0xF
+        var r = 0
+        while (r < 4) {
+          cnt((q << 2) + r) += (if (((digit >> r) & 1) == 1) 1 else -1)
+          r += 1
+        }
+        q += 1
       }
       i += 1
     }

@@ -218,10 +218,11 @@ object MultimodalQueries {
     // multimodal twin of q33: 128-bit signature from phashDocs above,
     // candidates via the shared 8-chunk pigeonhole over both words
     // (16-bit chunk keys; completeness guaranteed up to Hamming 7 = the
-    // threshold), exact two-word bit_count verify. Rows-only: the
-    // xxhash64 gram family is engine-specific, so no SQL oracle —
-    // MultimodalSpec pins the output against an exhaustive all-pairs
-    // Hamming scan at fixture scale instead.
+    // threshold), exact two-word bit_count verify. Full oracle since the
+    // gram family moved to MD5 (r9; q33's r6 precedent): DuckDB
+    // recomputes every signature and takes the exhaustive all-pairs set,
+    // which also re-proves pigeonhole completeness on every run.
+    // MultimodalSpec additionally pins the in-JVM exhaustive scan.
     "q89_phash_neardup" -> { (s, dir) =>
       import s.implicits._
       DedupQueries.hammingPairs(
@@ -365,6 +366,51 @@ object MultimodalQueries {
          |        (((n_images + ${b - 1}) // $b) * $b), 6) AS pad_frac,
          |  ROUND(avg_ar, 6) AS avg_aspect
          |FROM g ORDER BY bucket_aspect""".stripMargin
+    },
+
+    // Recomputes every md5-gram signature from scratch (the q33 recipe
+    // widened to 128 bits / two packed words) and takes the EXHAUSTIVE
+    // all-pairs Hamming ≤ 7 set — strictly stronger than the Spark
+    // plan's 8-chunk pigeonhole, so a hash match also re-proves
+    // candidate completeness. The payload is text::binary and the
+    // fixture is pure ASCII, so char 4-grams ≡ byte 4-grams and DuckDB's
+    // VARCHAR substr/md5 reproduce PHash128 bit-for-bit.
+    "q89_phash_neardup" -> {
+      val digits = (0 until 32)
+        .map(i => s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i")
+        .mkString(",\n        |    ")
+      val cnts = (0 until 128)
+        .map(b => s"SUM(CASE WHEN (d${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(",\n        |    ")
+      def pack(off: Int): String = (0 until 64)
+        .map { j =>
+          val pow = if (j == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $j)"
+          s"(CASE WHEN c${off + j} > 0 THEN $pow ELSE 0 END)"
+        }
+        .mkString(" +\n        |    ")
+      s"""WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([substr(text, i, 4) for i in range(1, len(text) - 2)]) AS gram
+        |  FROM documents WHERE len(text) >= 4),
+        |dg AS (
+        |  SELECT doc_id,
+        |    $digits
+        |  FROM (SELECT doc_id, md5(gram) AS h FROM g)),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    $cnts
+        |  FROM dg GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    ${pack(0)} AS s0,
+        |    ${pack(64)} AS s1
+        |  FROM cnt)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+        |    AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q42_binary_meta" ->

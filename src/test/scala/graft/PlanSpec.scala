@@ -153,14 +153,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), "no window should touch the token stream:\n" + p)
   }
 
-  test("q256: the All-Pairs prescreen runs INSIDE the pair-loop join condition") {
+  test("q256: candidates form via the indexed-feature equi-join, never a nested loop") {
     val p = plan("q256_tfidf_prefix_cosine")
-    // candidate rule = bitmask word-AND (landany) evaluated in the BNLJ
-    // condition, so non-candidates exit before the O(v) dot
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("longandany"), s"bitmask prescreen fell out of the join:\n$p")
-    assert(p.contains("longdotproduct"), p)
+    // Bayardo §4 enumeration: full(da) × indexed(db) equi-join on the
+    // dense feature id — pair generation must be keyed (r8 verdict
+    // item 3: the old form evaluated the candidate rule inside a
+    // conditioned BNLJ, broadcasting the whole corpus and enumerating
+    // docs²/2). The only nested loop allowed is tfidfVectors'
+    // audited 1-row scalar attach (an unconditioned Cross of a 1-row
+    // aggregate) — any Inner/conditioned BNLJ means the pair loop
+    // came back.
+    assert("BroadcastNestedLoopJoin Build(Left|Right), (?!Cross)".r
+      .findFirstIn(p).isEmpty, s"conditioned nested-loop pair join:\n$p")
+    assert(!p.contains("longandany"), s"bitmask prescreen should be gone:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    assert("Join \\[idx#".r.findFirstIn(p).isDefined,
+      s"candidate join lost its feature-id equi key:\n$p")
+    assert(p.contains("longdotproduct"), p)
   }
 
   test("q259/q260/q261: packing/curriculum/negatives keep GlobalRank's partitioned shape") {
