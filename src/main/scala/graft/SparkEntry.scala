@@ -25,4 +25,13 @@ object SparkEntry {
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles ++
       StatsQueries.oracles ++ StreamingQueries.oracles
+
+  /** Oracles whose SQL embeds fixture-derived control-plane literals
+    * (q140/q150's eigenvectors): built at Verify-dump time with the same
+    * session + fixture dir the queries ran with, so the interpolated
+    * literals are bit-identical to the ones inside the Spark plans.
+    * Verify merges these over [[oracleSql]] when writing
+    * oracle_sql.json. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    SimilarityQueries.dynamicOracles(spark, sfDir)
 }

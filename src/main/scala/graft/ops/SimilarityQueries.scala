@@ -527,10 +527,13 @@ object SimilarityQueries {
     // components as literals, and project every embedding in one
     // codegen'd map stage: each coordinate is a fixed 64-term expression
     // tree (no interpreted HOF lambda in the hot path — the SrpSignature
-    // lesson), evaluated left-to-right like a sequential fold. No oracle:
-    // eigensolves aren't ANSI-SQL-expressible; VectorSpec gates
-    // orthonormality, trace preservation, Rayleigh residuals, descending
-    // order, coordinate-variance ≈ eigenvalue, and sign-fixed determinism.
+    // lesson), evaluated left-to-right like a sequential fold. Full
+    // oracle since r9 via dynamicOracles: the eigenvector/mean literals
+    // interpolate into the SQL at Verify-dump time and DuckDB re-runs
+    // the identical folds over the raw parquet (the eigensolve itself
+    // isn't ANSI SQL — VectorSpec gates orthonormality, trace
+    // preservation, Rayleigh residuals, descending order,
+    // coordinate-variance ≈ eigenvalue, and sign-fixed determinism).
     "q140_pca_project" -> { (s, dir) =>
       import s.implicits._
       val d = EmbDim
@@ -657,11 +660,14 @@ object SimilarityQueries {
       // Sample-vs-population: eigenvalues come from the (n−1)-divisor
       // covariance; the measured means divide by n — rescale once.
       val f = (n - 1).toDouble / n
+      // BigDecimal HALF_UP, not math.rint: DuckDB ROUND on DOUBLE is
+      // half-up, so the oracle pairing follows the q153 convention.
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
       val out = (1 to PcaK).map { k =>
         val measured = c2 - (1 to k).map(j => agg.getDouble(j)).sum
         val theory = f * lam.drop(k).sum
-        (k.toLong, math.rint(measured * 1e6) / 1e6 + 0.0,
-          math.rint(theory * 1e6) / 1e6 + 0.0)
+        (k.toLong, r6(measured), r6(theory))
       }
       out.toDF("k", "measured_mse", "theory_mse").orderBy($"k")
     },
@@ -1048,6 +1054,78 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT query_id, rk, neighbor_id, ROUND(cos, 6) AS cos_sim
        |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  /** Double → DuckDB DOUBLE literal: plain decimal literals are DECIMAL
+    * in DuckDB and would fold literal-literal arithmetic exactly in
+    * decimal (ORACLE.md rule 6); suffixing `e0` forces the DOUBLE type
+    * while `Double.toString`'s shortest-round-trip digits guarantee the
+    * parsed value is bit-identical to the Scala double. */
+  private def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** q140/q150 oracles — built at Verify-DUMP time (SparkEntry
+    * .dynamicOracleSql) because they embed fixture-derived control-plane
+    * literals: the covStats means and ops/Eigen's top-PcaK eigenvectors
+    * (eigensolves aren't ANSI SQL). The memoized covStats collect is the
+    * SAME object the Spark queries read in that JVM, so both engines
+    * evaluate identical 64-term folds over bit-identical literals; the
+    * oracle then independently re-runs the distributed projection /
+    * reconstruction-audit arithmetic over the raw parquet. The eigensolve
+    * itself stays gated by VectorSpec (orthonormality, trace, Rayleigh,
+    * descending order, sign-fixed determinism). */
+  def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = {
+    val d = EmbDim
+    val (n, mu, cov) = covStats(s, dir)
+    val (lam, vecs) = Eigen.symmetric(cov)
+    // (emb[i] − μᵢ)·vᵢ summed left-to-right — the exact Column fold
+    // q140/q150 build, so per-row values match bit-for-bit before ROUND.
+    def proj(v: Array[Double]): String =
+      (0 until d).map(i =>
+        s"(emb[${i + 1}] - ${dlit(mu(i))}) * ${dlit(v(i))}").mkString(" + ")
+    val centeredSq = (0 until d).map(i =>
+      s"(emb[${i + 1}] - ${dlit(mu(i))}) * (emb[${i + 1}] - ${dlit(mu(i))})")
+      .mkString(" + ")
+    val q140 = {
+      val pcs = (0 until PcaK).map(k =>
+        s"ROUND(${proj(vecs(k))}, 6) + 0.0 AS pc$k").mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings)
+         |SELECT vec_id,
+         |  $pcs
+         |FROM e ORDER BY vec_id""".stripMargin
+    }
+    val q150 = {
+      val f = (n - 1).toDouble / n
+      val folds = (0 until PcaK).map(k => s"(${proj(vecs(k))}) AS f$k")
+        .mkString(",\n    ")
+      val sqs = (0 until PcaK).map(k => s"f$k * f$k AS p$k").mkString(", ")
+      val avgs = (0 until PcaK).map(k => s"AVG(p$k) AS a$k").mkString(", ")
+      // measured: c2m − (a0 + … + a_{k−1}) — one subtraction after the
+      // left-fold sum, matching the Scala emission; theory replays
+      // f·Σ_{j>k}λⱼ over the interpolated eigenvalue literals in the
+      // same fold order. Rounding pairs BigDecimal HALF_UP (Scala) with
+      // DuckDB ROUND (half-up on DOUBLE) — the q153 convention.
+      val rows = (1 to PcaK).map { k =>
+        val msum = (0 until k).map(j => s"a$j").mkString(" + ")
+        val tsum = lam.drop(k).map(dlit).mkString(" + ")
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  ROUND(c2m - ($msum), 6) + 0.0 AS measured_mse,
+           |  ROUND(${dlit(f)} * ($tsum), 6) + 0.0 AS theory_mse FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |p AS (
+         |  SELECT ($centeredSq) AS c2,
+         |    $folds
+         |  FROM e),
+         |q AS (SELECT c2, $sqs FROM p),
+         |a AS (SELECT AVG(c2) AS c2m, $avgs FROM q)
+         |$rows
+         |ORDER BY k""".stripMargin
+    }
+    Map("q140_pca_project" -> q140, "q150_pca_reconstruction" -> q150)
+  }
 
   val oracles: Map[String, String] = Map(
     // q270: the greedy unrolls as one CTE per round (the q72/q130
