@@ -65,25 +65,61 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // FIXTURE-ONLY EXACTNESS BASELINE — deliberately O(n²). Exact
-    // threshold-join over dense embeddings has no subquadratic form (and
-    // this fixture's similarity regime defeats LSH recall — COVERAGE.md
-    // "Known gaps"), so this query exists to pin the answers the scale
-    // paths are measured against. At corpus scale RUN THOSE INSTEAD:
-    // q82's SemDeDup plan (k-means cell quantization → within-cell
-    // equi-join) is the embedding near-dup operator, q32's MinHash
-    // banding the set-overlap one, q54's IVF probe + exact re-rank the
-    // neighbor search, and q256 shows the composed candidates→exact-
-    // verify registration pattern. Never run the broadcast-all-pairs
-    // shape on a real corpus; it is the exactness oracle, not the
-    // operator.
+    // EXACT embedding near-dup through a BALL-COVER cell spine (r9; was
+    // the broadcast-all-pairs baseline through r8). The enumeration is
+    // q82's cell quantization hardened to EXACTNESS by the angular
+    // triangle inequality: assign every vector to its argmax seed cell,
+    // take each cell's angular RADIUS r_c = max angle(x, cent_c), and
+    // admit an (ordered) cell pair iff angle(cent_c, cent_c') ≤
+    // θ_τ + r_c + r_c' + ε — any qualifying pair (angle ≤ θ_τ =
+    // acos(0.45)) between the cells would violate the sphere triangle
+    // inequality otherwise, so recall is 1 BY THEOREM, not by fixture
+    // luck (measured: 6 of 7 qualifying sf0.001 pairs CROSS cells, so
+    // the naive within-cell join is not exact here). Pair enumeration
+    // is then member ⋈ cell-pair ⋈ member on cell-id EQUI keys — never
+    // an n² nested loop — and each pair arises once (its own cell
+    // orientation), so no distinct. The exact cosine is the verify.
+    // θ_τ = 63° on a 16-cell fixture admits most of the 256-cell-pair
+    // spine (this fixture's similarity regime defeats pruning —
+    // COVERAGE.md "Known gaps"); at corpus scale cells scale with the
+    // corpus and τ sits near 1, so the admitted spine collapses to
+    // near-diagonal — the same shape-over-fixture-pruning story as
+    // q256. VectorSpec keeps the brute-force cross-check; the oracle
+    // stays the exhaustive all-pairs set, so the hash match re-proves
+    // ball-cover completeness every run.
     "q34_cosine_neardup" -> { (s, dir) =>
       import s.implicits._
       VectorFunctions.register(s)
       val e = embs(s, dir)
-      val a = e.select($"vec_id".as("vec_a"), $"emb".as("emb_a"))
-      val b = e.select($"vec_id".as("vec_b"), $"emb".as("emb_b"))
-      a.join(broadcast(b), $"vec_a" < $"vec_b")
+      val cents = e.filter($"vec_id" < Cells)
+        .select($"vec_id".as("cent_id"), $"emb".as("c_emb"))
+      // angle via acos of the clamped cosine (float noise can exceed
+      // ±1 by an ulp); ε absorbs acos/clamp noise conservatively.
+      def ang(c: Column): Column = acos(least(greatest(c, lit(-1d)), lit(1d)))
+      val eps = lit(1e-9)
+      val assigned = graft.plans.GroupTopK(
+          e.join(broadcast(cents), lit(true))
+            .withColumn("ccos", VectorFunctions.cosine($"emb", $"c_emb")),
+          Seq($"vec_id"), Seq($"ccos".desc, $"cent_id".asc), 1)
+        .select($"vec_id", $"cent_id".as("cell"), $"emb", ang($"ccos").as("cang"))
+        .transform(Pin(_))
+      val radii = assigned.groupBy($"cell").agg(max($"cang").as("r"))
+      val theta = ang(lit(NearDupThreshold.toDouble))
+      // 16×16 control-plane spine: ordered cell pairs surviving the
+      // triangle-inequality bound (crossJoin of two ≤Cells-row frames).
+      val cellPairs = cents.select($"cent_id".as("ca"), $"c_emb".as("ea"))
+        .crossJoin(cents.select($"cent_id".as("cb"), $"c_emb".as("eb")))
+        .join(radii.select($"cell".as("ca"), $"r".as("ra")), Seq("ca"))
+        .join(radii.select($"cell".as("cb"), $"r".as("rb")), Seq("cb"))
+        .filter(ang(VectorFunctions.cosine($"ea", $"eb")) <=
+          theta + $"ra" + $"rb" + eps)
+        .select($"ca", $"cb".as("cpb"))
+      val a = assigned.select($"vec_id".as("vec_a"), $"emb".as("emb_a"),
+        $"cell".as("ca"))
+      val b = assigned.select($"vec_id".as("vec_b"), $"emb".as("emb_b"),
+        $"cell".as("cb"))
+      a.join(broadcast(cellPairs), Seq("ca"))
+        .join(b, $"cpb" === $"cb" && $"vec_a" < $"vec_b")
         .withColumn("cos", VectorFunctions.cosine($"emb_a", $"emb_b"))
         .filter($"cos" >= NearDupThreshold)
         .select($"vec_a", $"vec_b", round($"cos", 6).as("cos_sim"))

@@ -117,6 +117,34 @@ object StreamingQueries {
           unix_micros($"session_window.end").as("session_end_us"),
           $"n")
         .orderBy($"user_id", $"session_start_us")
+    },
+
+    // ----------------- streaming click→purchase attribution, batch face
+    // StreamingIngest.clickAttribution — the watermarked STREAM-STREAM
+    // time-range inner join (the streaming operating mode of q23/q25's
+    // as-of/attribution family), both sides carved from the events
+    // fixture arriving as one file-source stream. First driver-checked
+    // row whose execution runs StreamingSymmetricHashJoinExec (r8
+    // verdict item 6). Determinism: an inner stream-stream join emits a
+    // match as soon as both rows are in state and drops rows only when
+    // one side's state was evicted by the watermark BEFORE the other
+    // side arrived — the single-file fixture replays as ONE data
+    // micro-batch, so both sides co-reside in state and the settled
+    // output equals the batch time-range join exactly, independent of
+    // the watermark. The oracle is the equivalent batch interval join.
+    "q271_streaming_click_attribution" -> { (s, dir) =>
+      import s.implicits._
+      settle(s, dir, "events", "append") { src =>
+        val ev = eventsNorm(src)
+        StreamingIngest.clickAttribution(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"),
+          "user_id", "ts", within = "30 minutes")
+      }
+        .select($"user".as("user_id"),
+          unix_micros($"click_ts").as("click_us"),
+          unix_micros($"purchase_ts").as("purchase_us"))
+        .orderBy($"user_id", $"click_us", $"purchase_us")
     }
   )
 
@@ -161,6 +189,19 @@ object StreamingQueries {
         |  MAX(us) + 1800000000 AS session_end_us,
         |  COUNT(*) AS n
         |FROM sess GROUP BY user_id, sess_id
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // The batch equivalent of the watermarked stream-stream join: a
+    // time-range interval join on exact integer-µs timestamps.
+    "q271_streaming_click_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) AS purchase_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_us, purchase_us""".stripMargin
   )
 }

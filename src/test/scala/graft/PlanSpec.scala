@@ -172,6 +172,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("longdotproduct"), p)
   }
 
+  test("q34: pair enumeration rides the ball-cover cell equi-join, not an n² loop") {
+    val p = plan("q34_cosine_neardup")
+    // the only nested loops allowed are the ≤Cells-row centroid/spine
+    // attaches (unconditioned Cross); the member×member join must be
+    // keyed on the cell-pair ids
+    assert("BroadcastNestedLoopJoin Build(Left|Right), (?!Cross)".r
+      .findFirstIn(p).isEmpty, s"conditioned nested-loop pair join:\n$p")
+    assert("Join \\[c(pb|a)#".r.findFirstIn(p).isDefined,
+      s"pair join lost its cell equi keys:\n$p")
+    assert(p.contains("graftcosine") || p.contains("cosinesimilarity"), p)
+  }
+
   test("q259/q260/q261: packing/curriculum/negatives keep GlobalRank's partitioned shape") {
     // the only SinglePartition exchange allowed is GlobalRank's
     // pid-granularity boundary-prefix frame (one per ranked axis)

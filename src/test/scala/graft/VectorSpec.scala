@@ -182,6 +182,29 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.7, f"PQ recall collapsed: $recall%.3f (measured 0.96 at fixture)")
   }
 
+  test("q34 ball-cover enumeration equals the brute-force all-pairs set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, round}
+    graft.functions.VectorFunctions.register(spark)
+    // Brute force stays as the spec-only exactness oracle (the r8 q34
+    // registration): the ball-cover spine may not drop ANY qualifying
+    // pair — recall 1 by the sphere triangle inequality, re-proved here.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+    val a = e.select($"vec_id".as("vec_a"), $"emb".as("emb_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"emb".as("emb_b"))
+    val brute = a.join(broadcast(b), $"vec_a" < $"vec_b")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine($"emb_a", $"emb_b"))
+      .filter($"cos" >= 0.45)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = graft.ops.SimilarityQueries.queries("q34_cosine_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("SRP-LSH pairs are a subset of the exact near-dup set; recall recorded") {
     val exact = graft.ops.SimilarityQueries.queries("q34_cosine_neardup")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
