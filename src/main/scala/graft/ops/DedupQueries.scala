@@ -863,7 +863,7 @@ object DedupQueries {
     // tfidfVectors convention so bench iterations don't re-run the
     // per-doc prefix window.
     tfidfPrefixIndexCache.computeIfAbsent(
-      s.sparkContext.applicationId + "@" + dir,
+      AppCaches.key(s, dir, tfidfPrefixIndexCache),
       { _ => buildTfidfPrefixIndexed(s, dir).cache() })
 
   private def buildTfidfPrefixIndexed(s: SparkSession, dir: String)
@@ -914,7 +914,7 @@ object DedupQueries {
     // which is what survives an open-vocab corpus where background
     // similarity is low.
     tfidfCandidateCache.computeIfAbsent(
-      s.sparkContext.applicationId + "@" + dir,
+      AppCaches.key(s, dir, tfidfCandidateCache),
       { _ => buildTfidfPrefixCandidates(s, dir).cache() })
 
   private def buildTfidfPrefixCandidates(s: SparkSession, dir: String)
@@ -954,7 +954,7 @@ object DedupQueries {
     // iterations) would each re-materialize `dense` instead of sharing
     // one InMemoryRelation.
     tfidfFramesCache.computeIfAbsent(
-      s.sparkContext.applicationId + "@" + dir,
+      AppCaches.key(s, dir, tfidfFramesCache),
       { _ => buildTfidfVectors(s, dir) })
 
   private def buildTfidfVectors(s: SparkSession, dir: String)
@@ -969,7 +969,7 @@ object DedupQueries {
       .select(col("doc_id"), col("tk"), col("df"),
         expr(s"(tf * ${TfidfQuantum}L * n) div df").as("wq"))
     val (vocab, maxWq) = tfidfVocabCache.computeIfAbsent(
-      s.sparkContext.applicationId + "@" + dir, { _ =>
+      AppCaches.key(s, dir, tfidfVocabCache), { _ =>
         (dfr.select(col("tk")).orderBy(col("tk")).collect().map(_.getString(0)),
           w.agg(max(col("wq"))).collect()(0).getLong(0))
       })

@@ -778,7 +778,7 @@ object SimilarityQueries {
     * seeded at the lowest vec_id with no distance. Distances are squared
     * euclidean via the fixed left fold over literal centers. */
   private def kcenterPicks(s: SparkSession, dir: String): Seq[(Long, Option[Double])] =
-    kcenterCache.computeIfAbsent(s.sparkContext.applicationId + "@" + dir, { _ =>
+    kcenterCache.computeIfAbsent(AppCaches.key(s, dir, kcenterCache), { _ =>
       import s.implicits._
       val e = embs(s, dir).select($"vec_id", $"emb")
       def d2(c: Array[Double]): Column =
@@ -810,7 +810,7 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Double], Array[Array[Double]])]
 
   private def covStats(s: SparkSession, dir: String): (Long, Array[Double], Array[Array[Double]]) =
-    covStatsCache.computeIfAbsent(s.sparkContext.applicationId + "@" + dir, { _ =>
+    covStatsCache.computeIfAbsent(AppCaches.key(s, dir, covStatsCache), { _ =>
       val d = EmbDim
       val rows = coMoments(s, dir).collect()
       val sx = Array.ofDim[Double](d)

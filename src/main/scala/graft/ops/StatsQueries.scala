@@ -270,11 +270,13 @@ object StatsQueries {
          |    SUM(CAST(FLOOR((p - y) * x1 * 1e12) AS HUGEINT)) AS g1,
          |    SUM(CAST(FLOOR((p - y) * x2 * 1e12) AS HUGEINT)) AS g2,
          |    SUM(CAST(FLOOR((p - y) * x3 * 1e12) AS HUGEINT)) AS g3,
-         |    SUM(CAST(FLOOR(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e12)
+         |    SUM(CAST(FLOOR(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc)) * 1e12)
          |        AS HUGEINT)) AS ql
          |  FROM (SELECT f.*,
          |      1.0 / (1.0 + exp(-(i.w0 * x0 + i.w1 * x1 + i.w2 * x2 +
-         |        i.w3 * x3))) AS p
+         |        i.w3 * x3))) AS p,
+         |      LEAST(GREATEST(1.0 / (1.0 + exp(-(i.w0 * x0 + i.w1 * x1 +
+         |        i.w2 * x2 + i.w3 * x3))), 1e-12), 1e0 - 1e-12) AS pc
          |    FROM f CROSS JOIN $prev i) t),
          |it$r AS MATERIALIZED (
          |  SELECT i.w0 - 0.5 * ((CAST(g.g0 AS DOUBLE) / 1e12) / g.n) AS w0,
@@ -626,7 +628,7 @@ object StatsQueries {
   private def logregFit(s: SparkSession, dir: String): (Seq[Double], Double) = {
     val feats = logregFeatures(s, dir)
     logregCache.computeIfAbsent(
-      s.sparkContext.applicationId + "@" + dir, { _ =>
+      AppCaches.key(s, dir, logregCache), { _ =>
         import s.implicits._
         var w = Seq(0.0, 0.0, 0.0, 0.0)
         val lr = 0.5
@@ -640,10 +642,17 @@ object StatsQueries {
           (d.doubleValue / 1e12) / n
         for (_ <- 1 to LogregIters) {
           val p = lit(1.0) / (lit(1.0) + exp(-logregScore(w)(s)))
+          // Saturated-sigmoid guard (loss only; gradients use raw p): a
+          // p of exactly 1.0/0.0 — attainable at larger SF after 25
+          // rounds at lr 0.5 — makes the loss term 0·(−Inf) = NaN, which
+          // Spark's floor() feeds the decimal sum as a silent 0 while
+          // DuckDB's CAST(FLOOR(NaN) AS HUGEINT) raises. Clamp with the
+          // SAME literals as the oracle's ln() arguments.
+          val pc = least(greatest(p, lit(1e-12)), lit(1.0) - lit(1e-12))
           val g = feats.agg(count(lit(1)).as("n"),
             q12((p - $"y") * $"x0").as("g0"), q12((p - $"y") * $"x1").as("g1"),
             q12((p - $"y") * $"x2").as("g2"), q12((p - $"y") * $"x3").as("g3"),
-            q12(-($"y" * log(p) + (lit(1.0) - $"y") * log(lit(1.0) - p))).as("loss"))
+            q12(-($"y" * log(pc) + (lit(1.0) - $"y") * log(lit(1.0) - pc))).as("loss"))
             .collect().head
           val n = g.getLong(0)
           w = w.zipWithIndex.map { case (wi, i) =>
@@ -3988,7 +3997,7 @@ object StatsQueries {
       // is preserved exactly, so the result EQUALS the unsalted join —
       // the unchanged DuckDB oracle is the equality gate (q60 pattern).
       val hotBlks: Set[Any] = fsHotBlocksCache.computeIfAbsent(
-        s.sparkContext.applicationId + "@" + dir, { _ =>
+        AppCaches.key(s, dir, fsHotBlocksCache), { _ =>
           val sizes = parts.groupBy($"blk").agg(count(lit(1)).as("c"))
             .collect().map(r => (r.getString(0), r.getLong(1)))
           val meanBlk = sizes.map(_._2).sum.toDouble / math.max(1, sizes.length)

@@ -150,9 +150,13 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
 
+    // time_bucket, not epoch % 3600e6: % truncates toward zero for
+    // negative epochs while Spark tumbling windows FLOOR-align —
+    // time_bucket floors like Spark for pre-1970 timestamps too
+    // (latent on this post-1970 fixture, but free to get right).
     "q257_streaming_tumbling_rollup" ->
       """SELECT event_type,
-        |  epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+        |  epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, window_start_us""".stripMargin,

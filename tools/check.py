@@ -38,9 +38,23 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    # Fixture contract behind hardcoded oracle enums (q157's pivoted
+    # Markov transition columns derive targets from DATA on the Spark
+    # side but hardcode click/error/signup/view in the SQL): a
+    # regenerated fixture with a new non-purchase event type would
+    # silently drop its transition mass from the oracle only. Fail loud.
+    if os.path.exists(f"{sf_dir}/events.parquet"):
+        et = {r[0] for r in con.execute(
+            "SELECT DISTINCT event_type FROM events "
+            "WHERE event_type <> 'purchase'").fetchall()}
+        if et != {"click", "error", "signup", "view"}:
+            print(f"FAIL fixture-contract: non-purchase event types "
+                  f"{sorted(et)} != q157's hardcoded enum "
+                  "(click/error/signup/view) — update the q157 oracle")
+            n_fail += 1
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    n_pass = n_fail = n_skip = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
