@@ -1156,6 +1156,78 @@ object TextQueries {
           (round($"beta_raw", 6) + lit(0d)).as("heaps_beta"),
           (round($"lnk_raw", 6) + lit(0d)).as("heaps_lnk"))
         .orderBy($"k")
+    },
+
+    // ------------------------- Gopher repetition filters (Rae et al.
+    // 2021, Appendix A1.1) — the canonical within-document repetition
+    // audit a pretraining curation pipeline runs before any quality
+    // classifier: looping/boilerplate text shows up as (a) one n-gram
+    // owning a large share of the document's characters, and (b) much
+    // of the document's character mass sitting inside n-grams that
+    // repeat within the same document. The fixture has no line
+    // structure, so the line/paragraph rules degenerate and the
+    // n-gram family is the meaningful subset: top-{2,3,4}-gram char
+    // share and duplicated-{5,6}-gram char coverage. Character mass is
+    // WORD characters (spaces excluded) on both sides — denominator
+    // Σ len(word), numerators cnt·(len(gram) − (n−1)) and the distinct-
+    // covered-position word-length sum — so every ratio is a single
+    // division of exact BIGINTs (raw emission, q26 convention).
+    // Scale shape: everything is per-document — gram explode bounded by
+    // doc length, GroupTopK bounds the per-doc argmax, the dup-coverage
+    // distinct is (doc, position)-granular — and the only corpus-wide
+    // movement is the per-doc gram hash-aggregates; no corpus² anywhere.
+    "q272_gopher_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val base = Pin.lazily(t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", split(lower($"text"), " ").as("ws")))
+      val den = base.select($"doc_id",
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("wchars"))
+      def gramRows(n: Int) = base
+        .filter(size($"ws") >= n)
+        .select($"doc_id", posexplode(expr(
+          s"""transform(sequence(0, size(ws) - $n),
+             |  g -> concat_ws(' ', slice(ws, g + 1, $n)))""".stripMargin))
+          .as(Seq("pos", "gram")))
+      // (a) most frequent n-gram's character share; ties to the
+      // lexicographically first gram (deterministic both engines).
+      def topShare(n: Int) = {
+        val counts = gramRows(n).groupBy($"doc_id", $"gram")
+          .agg(count(lit(1)).as("cnt"))
+        graft.plans.GroupTopK(counts, Seq($"doc_id"),
+            Seq($"cnt".desc, $"gram".asc), 1)
+          .select($"doc_id",
+            ($"cnt" * (length($"gram") - lit(n - 1))).as(s"top$n"))
+      }
+      // (b) word-char mass under DISTINCT positions covered by any
+      // within-doc duplicated n-gram (no double counting of overlaps —
+      // the Gopher implementation's semantics).
+      def dupCover(n: Int) = {
+        val g = gramRows(n)
+        val dup = g.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" >= 2)
+        g.join(dup, Seq("doc_id", "gram"), "left_semi")
+          .select($"doc_id",
+            explode(expr(s"sequence(pos, pos + $n - 1)")).as("wp"))
+          .distinct()
+          .join(base, Seq("doc_id"))
+          .select($"doc_id",
+            expr("length(element_at(ws, cast(wp as int) + 1))").as("wl"))
+          .groupBy($"doc_id").agg(sum($"wl").as(s"dup$n"))
+      }
+      Seq(topShare(2), topShare(3), topShare(4), dupCover(5), dupCover(6))
+        .foldLeft(den)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+        .select($"doc_id", $"wchars",
+          (coalesce($"top2", lit(0L)).cast("double") /
+            $"wchars".cast("double")).as("top2gram_share"),
+          (coalesce($"top3", lit(0L)).cast("double") /
+            $"wchars".cast("double")).as("top3gram_share"),
+          (coalesce($"top4", lit(0L)).cast("double") /
+            $"wchars".cast("double")).as("top4gram_share"),
+          (coalesce($"dup5", lit(0L)).cast("double") /
+            $"wchars".cast("double")).as("dup5gram_frac"),
+          (coalesce($"dup6", lit(0L)).cast("double") /
+            $"wchars".cast("double")).as("dup6gram_frac"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1992,6 +2064,68 @@ object TextQueries {
         |               list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS sum_lp
         |        FROM j GROUP BY doc_id)
         |SELECT doc_id, n_toks, ROUND(sum_lp / n_toks, 6) AS avg_kn_nll
-        |FROM per ORDER BY doc_id""".stripMargin
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Same exact-integer char-mass arithmetic as the Spark side: grams
+    // are 1-based inclusive slices joined with single spaces (the q31
+    // shingle convention), positions covered by duplicated grams dedup
+    // BEFORE the word-length sum, and every output ratio is one raw
+    // division of exact BIGINTs.
+    "q272_gopher_repetition" -> {
+      def grams(n: Int) =
+        s"""g$n AS (
+           |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+${n - 1}], ' ') AS gram
+           |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws) - ${n - 1})) AS i) u
+           |  WHERE len(ws) >= $n)""".stripMargin
+      def top(n: Int) =
+        s"""t$n AS (
+           |  SELECT doc_id, cnt * (length(gram) - ${n - 1}) AS topc
+           |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt,
+           |          ROW_NUMBER() OVER (PARTITION BY doc_id
+           |            ORDER BY COUNT(*) DESC, gram) AS rk
+           |        FROM g$n GROUP BY doc_id, gram)
+           |  WHERE rk = 1)""".stripMargin
+      def dup(n: Int) =
+        s"""d$n AS (
+           |  SELECT doc_id, CAST(SUM(length(ws[wp])) AS BIGINT) AS dupc
+           |  FROM (SELECT DISTINCT g.doc_id, wp
+           |        FROM g$n g
+           |        JOIN (SELECT doc_id, gram FROM g$n
+           |              GROUP BY doc_id, gram HAVING COUNT(*) >= 2) dd
+           |          ON g.doc_id = dd.doc_id AND g.gram = dd.gram,
+           |        LATERAL (SELECT unnest(generate_series(g.pos, g.pos + ${n - 1})) AS wp) u) c
+           |  JOIN base USING (doc_id)
+           |  GROUP BY doc_id)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |den AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS wchars
+         |  FROM base),
+         |${grams(2)},
+         |${grams(3)},
+         |${grams(4)},
+         |${grams(5)},
+         |${grams(6)},
+         |${top(2)},
+         |${top(3)},
+         |${top(4)},
+         |${dup(5)},
+         |${dup(6)}
+         |SELECT den.doc_id, wchars,
+         |  CAST(COALESCE(t2.topc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS top2gram_share,
+         |  CAST(COALESCE(t3.topc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS top3gram_share,
+         |  CAST(COALESCE(t4.topc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS top4gram_share,
+         |  CAST(COALESCE(d5.dupc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS dup5gram_frac,
+         |  CAST(COALESCE(d6.dupc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS dup6gram_frac
+         |FROM den
+         |LEFT JOIN t2 USING (doc_id)
+         |LEFT JOIN t3 USING (doc_id)
+         |LEFT JOIN t4 USING (doc_id)
+         |LEFT JOIN d5 USING (doc_id)
+         |LEFT JOIN d6 USING (doc_id)
+         |ORDER BY den.doc_id""".stripMargin
+    }
   )
 }

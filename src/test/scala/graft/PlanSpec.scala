@@ -184,6 +184,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("graftcosine") || p.contains("cosinesimilarity"), p)
   }
 
+  test("q272: gopher repetition stays per-document (no cartesian, no global window)") {
+    val p = plan("q272_gopher_repetition")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-doc top-gram argmax must ride the bounded GroupTopK heaps,
+    // not a corpus-wide window sort
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("Window"), s"no window should touch the gram stream:\n$p")
+  }
+
   test("q259/q260/q261: packing/curriculum/negatives keep GlobalRank's partitioned shape") {
     // the only SinglePartition exchange allowed is GlobalRank's
     // pid-granularity boundary-prefix frame (one per ranked axis)

@@ -478,6 +478,45 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q272 gopher repetition matches an exhaustive driver recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q272_gopher_repetition")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val ws = text.toLowerCase.split(" ", -1)
+      val wchars = ws.map(_.length.toLong).sum
+      def grams(n: Int): Seq[(String, Int)] =
+        ws.sliding(n).zipWithIndex.map { case (g, p) => (g.mkString(" "), p) }.toSeq
+      def topShare(n: Int): Double =
+        if (ws.length < n) 0.0 else {
+          val counts = grams(n).groupBy(_._1).view.mapValues(_.size).toSeq
+          val (g, c) = counts.minBy { case (gr, cn) => (-cn, gr) }
+          (c.toLong * (g.length - (n - 1))).toDouble / wchars.toDouble
+        }
+      def dupFrac(n: Int): Double =
+        if (ws.length < n) 0.0 else {
+          val occ = grams(n)
+          val dup = occ.groupBy(_._1).filter(_._2.size >= 2).keySet
+          val covered = occ.filter(o => dup(o._1))
+            .flatMap { case (_, p) => p until (p + n) }.toSet
+          covered.toSeq.map(p => ws(p).length.toLong).sum.toDouble / wchars.toDouble
+        }
+      val (gw, t2, t3, t4, d5, d6) = got(id)
+      assert(gw === wchars, s"doc $id wchars")
+      assert(t2 === topShare(2), s"doc $id top2")
+      assert(t3 === topShare(3), s"doc $id top3")
+      assert(t4 === topShare(4), s"doc $id top4")
+      assert(d5 === dupFrac(5), s"doc $id dup5")
+      assert(d6 === dupFrac(6), s"doc $id dup6")
+    }
+  }
+
   test("q268 vocab richness matches an exhaustive driver recompute") {
     import spark.implicits._
     val got = SparkEntry.queries("q268_vocab_richness")(spark, sf0001)
