@@ -839,8 +839,91 @@ object CurationQueries {
           coalesce($"n_kept", lit(0L)).as("n_kept"),
           coalesce($"kept_md5", md5(lit(""))).as("kept_md5"))
         .orderBy($"doc_id")
+    },
+
+    // ------------------- IPF / raking mixture rebalance (Sinkhorn-style)
+    // Iterative proportional fitting of the (source × length-bucket)
+    // token-mass matrix onto target marginals — equalize the per-SOURCE
+    // token share while PRESERVING the corpus's length-bucket mix. The
+    // classic survey-statistics raking loop (Deming–Stephan 1940; the
+    // diagonal-scaling core of Sinkhorn-Knopp) applied to training-data
+    // mixture design: the emitted per-cell weight is the sampling rate a
+    // mixture job applies to hit both marginals at once — q65/q66's
+    // single-marginal balancing can't satisfy two constraints jointly.
+    // Scale shape: the matrix AGGREGATION is the distributed pass (one
+    // hash-agg to |sources|·10 cells); the IpfRounds scaling loop runs on
+    // the collected control-plane matrix (the KMeans-centroid
+    // convention, memoized per application+fixture). Determinism: masses
+    // are exact BIGINTs; every scaling factor is one double division and
+    // every row/col sum a reduceLeft over cells in ONE sorted order
+    // (bucket asc within row, source asc within column) — the oracle
+    // unrolls the identical rounds with list_reduce(list(x ORDER BY …))
+    // position-ordered folds (the q263 convention), so the fitted values
+    // match bit-for-bit before the shared ROUND(…, 6).
+    "q274_ipf_mixture" -> { (s, dir) =>
+      import s.implicits._
+      s.createDataFrame(ipfCells(s, dir))
+        .toDF("source", "bucket", "tokens", "fitted_tokens", "weight")
+        .orderBy($"source", $"bucket")
     }
   )
+
+  /** q274: IPF rounds — 8 row+column sweeps leave both marginals within
+    * float noise of their targets on every SF (the loop is linearly
+    * convergent; the count is part of the operator contract and the
+    * oracle unrolls exactly this many). */
+  private[graft] val IpfRounds = 8
+
+  /** q274: length-bucket width in characters; buckets cap at 9. */
+  private[graft] val IpfBucketChars = 512L
+
+  private val ipfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long, Double, Double)]]
+
+  /** The collected matrix + driver-side raking loop (control-plane:
+    * ≤ |sources|·10 cells). Returns (source, bucket, tokens, fitted,
+    * weight) rows; see the q274 registration comment for determinism. */
+  private def ipfCells(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long, Double, Double)] =
+    ipfCache.computeIfAbsent(AppCaches.key(s, dir, ipfCache), { _ =>
+      import s.implicits._
+      val cells = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"source",
+          least(expr(s"n_chars div $IpfBucketChars"), lit(9L)).cast("long")
+            .as("bucket"),
+          size(split($"text", " ")).cast("long").as("tk"))
+        .groupBy($"source", $"bucket").agg(sum($"tk").as("m"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(c => (c._1, c._2))
+      val srcs = cells.map(_._1).distinct.sorted
+      val total = cells.map(_._3).sum
+      val aRow = total.toDouble / srcs.length
+      val bCol: Map[Long, Double] = cells.groupBy(_._2)
+        .map { case (b, cs) => b -> cs.map(_._3).sum.toDouble }
+      val x = scala.collection.mutable.LinkedHashMap(
+        cells.map(c => (c._1, c._2) -> c._3.toDouble): _*)
+      for (_ <- 1 to IpfRounds) {
+        for (r <- srcs) {
+          val mine = cells.filter(_._1 == r).map(c => (c._1, c._2))
+          val rs = mine.map(x).reduceLeft(_ + _) // bucket-asc (cells sorted)
+          val f = aRow / rs
+          mine.foreach(k => x(k) = x(k) * f)
+        }
+        for (b <- cells.map(_._2).distinct.sorted) {
+          val mine = cells.filter(_._2 == b).map(c => (c._1, c._2))
+          val cs = mine.map(x).reduceLeft(_ + _) // source-asc (cells sorted)
+          val f = bCol(b) / cs
+          mine.foreach(k => x(k) = x(k) * f)
+        }
+      }
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0
+      cells.map { case (src, b, m) =>
+        val v = x((src, b))
+        (src, b, m, r6(v), r6(v / m.toDouble))
+      }
+    })
 
   /** Hashed-feature space size for q141 (DSIR). */
   private val DsirBuckets = 256
@@ -1396,6 +1479,56 @@ object CurationQueries {
         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  COALESCE(k.kept_md5, md5('')) AS kept_md5
         |FROM base b LEFT JOIN kept k USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Unrolls the identical IpfRounds row+column sweeps; row/col sums are
+    // list_reduce over lists in the SAME sorted order as the Scala
+    // reduceLeft (bucket asc within row, source asc within column), each
+    // scaling factor one double division — fitted values are
+    // bit-identical before the shared ROUND(…, 6).
+    "q274_ipf_mixture" -> {
+      val rounds = (1 to IpfRounds).map { k =>
+        val prev = if (k == 1) "i0" else s"i${k - 1}"
+        // MATERIALIZED: each round references its predecessor twice —
+        // default CTE inlining would re-scan the base 2^rounds times
+        // (measured: "Too many open files" at 8 rounds).
+        s"""rk$k AS MATERIALIZED (
+           |  SELECT source,
+           |    list_reduce(list(x ORDER BY bucket), (p, q) -> p + q) AS rs
+           |  FROM $prev GROUP BY source),
+           |ir$k AS MATERIALIZED (
+           |  SELECT i.source, i.bucket, i.x * (cstm.a / r.rs) AS x
+           |  FROM $prev i JOIN rk$k r USING (source) CROSS JOIN cstm),
+           |ck$k AS MATERIALIZED (
+           |  SELECT bucket,
+           |    list_reduce(list(x ORDER BY source), (p, q) -> p + q) AS cs
+           |  FROM ir$k GROUP BY bucket),
+           |i$k AS MATERIALIZED (
+           |  SELECT i.source, i.bucket, i.x * (b.bc / c.cs) AS x
+           |  FROM ir$k i JOIN ck$k c USING (bucket) JOIN bcol b USING (bucket))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT source,
+         |    LEAST(n_chars // $IpfBucketChars, 9) AS bucket,
+         |    CAST(SUM(len(regexp_split_to_array(text, ' '))) AS BIGINT) AS mass
+         |  FROM documents WHERE text IS NOT NULL
+         |  GROUP BY 1, 2),
+         |cst AS (
+         |  SELECT CAST(SUM(mass) AS DOUBLE) /
+         |    (SELECT COUNT(DISTINCT source) FROM m) AS a
+         |  FROM m),
+         |bcol AS (
+         |  SELECT bucket, CAST(CAST(SUM(mass) AS BIGINT) AS DOUBLE) AS bc
+         |  FROM m GROUP BY bucket),
+         |cstm AS MATERIALIZED (SELECT a FROM cst),
+         |i0 AS MATERIALIZED (SELECT source, bucket, CAST(mass AS DOUBLE) AS x FROM m),
+         |$rounds
+         |SELECT m.source, m.bucket, m.mass AS tokens,
+         |  ROUND(i$IpfRounds.x, 6) + 0.0 AS fitted_tokens,
+         |  ROUND(i$IpfRounds.x / CAST(m.mass AS DOUBLE), 6) + 0.0 AS weight
+         |FROM m JOIN i$IpfRounds USING (source, bucket)
+         |ORDER BY m.source, m.bucket""".stripMargin
+    }
   )
 }

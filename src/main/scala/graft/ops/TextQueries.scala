@@ -1158,6 +1158,47 @@ object TextQueries {
         .orderBy($"k")
     },
 
+    // ----------------- cross-source quantile normalization of quality
+    // Score comparability across heterogeneous sources — the curation
+    // step that makes one quality threshold meaningful corpus-wide when
+    // each source's raw score distribution differs (a web crawl and a
+    // code dump don't share a quality scale): map each doc's
+    // WITHIN-SOURCE rank onto the POOLED score distribution's order
+    // statistic at the same quantile (rank-based quantile normalization,
+    // the microarray-normalization classic applied to data curation).
+    // Determinism: ranks are exact integers with doc_id tie-breaks, the
+    // quantile index is pure integer arithmetic k = ⌈r·N/n_src⌉ =
+    // (r·N + n_src − 1) div n_src (never a float multiply that could
+    // round differently across engines), and norm_quality is a VERBATIM
+    // pooled score value. Scale shape: within-source ranks ride
+    // source-partitioned windows (sources scale with the corpus), the
+    // pooled order statistics ride GlobalRank's two-pass range machinery
+    // (never a single-partition global sort), and the order-statistic
+    // attach is an integer equi-join.
+    "q273_quantile_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val q = Pin.lazily(qualityScored(s, dir)
+        .select($"doc_id", $"source", $"quality"))
+      val wsrc = Window.partitionBy($"source")
+        .orderBy($"quality".asc, $"doc_id".asc)
+      val ranked = q
+        .withColumn("src_rank", row_number().over(wsrc).cast("long"))
+        .withColumn("n_src",
+          count(lit(1)).over(Window.partitionBy($"source")))
+      val pooled = GlobalRank.withGlobalRank(
+          q.select($"quality".as("pq"), $"doc_id".as("pid")),
+          Seq($"pq".asc, $"pid".asc), "k", "n_total")
+        .select($"k", $"pq")
+      val nTotal = q.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(nTotal))
+        .withColumn("k",
+          expr("(src_rank * n_total + n_src - 1) div n_src"))
+        .join(pooled, Seq("k"))
+        .select($"doc_id", $"source", $"quality", $"src_rank", $"k",
+          $"pq".as("norm_quality"))
+        .orderBy($"doc_id")
+    },
+
     // ------------------------- Gopher repetition filters (Rae et al.
     // 2021, Appendix A1.1) — the canonical within-document repetition
     // audit a pretraining curation pipeline runs before any quality
@@ -2065,6 +2106,30 @@ object TextQueries {
         |        FROM j GROUP BY doc_id)
         |SELECT doc_id, n_toks, ROUND(sum_lp / n_toks, 6) AS avg_kn_nll
         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Integer rank arithmetic mirrors the Spark side exactly; quality
+    // rides qualityCteBody (the q38-proven formula) and norm_quality is
+    // a verbatim pooled value, so no float chain is engine-divergent.
+    "q273_quantile_normalize" ->
+      s"""WITH $qualityCteBody,
+         |q AS (SELECT doc_id, source, quality FROM scored),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality, doc_id) AS src_rank,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_src
+         |  FROM q),
+         |p AS (
+         |  SELECT quality AS pq,
+         |    ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS k
+         |  FROM q),
+         |n AS (SELECT COUNT(*) AS n_total FROM q)
+         |SELECT r.doc_id, r.source, r.quality, r.src_rank,
+         |  (r.src_rank * n_total + n_src - 1) // n_src AS k,
+         |  p.pq AS norm_quality
+         |FROM r CROSS JOIN n
+         |JOIN p ON p.k = (r.src_rank * n_total + n_src - 1) // n_src
+         |ORDER BY r.doc_id""".stripMargin,
 
     // Same exact-integer char-mass arithmetic as the Spark side: grams
     // are 1-based inclusive slices joined with single spaces (the q31

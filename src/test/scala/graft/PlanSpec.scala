@@ -194,6 +194,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"no window should touch the gram stream:\n$p")
   }
 
+  test("q273: pooled order statistics ride GlobalRank, not a global window sort") {
+    val p = plan("q273_quantile_normalize")
+    // the only SinglePartition exchanges allowed are GlobalRank's
+    // one-row-per-partition control frames + the 1-row n_total broadcast
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 3, s"unexpected single-partition stages ($singles):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the order-statistic attach is an integer equi-join on k
+    assert("Join \\[k#".r.findFirstIn(p).isDefined,
+      s"order-statistic attach lost its k equi key:\n$p")
+  }
+
   test("q259/q260/q261: packing/curriculum/negatives keep GlobalRank's partitioned shape") {
     // the only SinglePartition exchange allowed is GlobalRank's
     // pid-granularity boundary-prefix frame (one per ranked axis)

@@ -478,6 +478,59 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q273 quantile normalization: ranks valid, mapping monotone, values from the pooled set") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q273_quantile_normalize")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val n = rows.length.toLong
+    assert(n > 0)
+    val pooled = rows.map(_._3).sorted
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      // within-source ranks are a permutation of 1..n_src
+      assert(g.map(_._4).sorted.toSeq === (1L to g.length).toSeq, src)
+      // normalization preserves within-source order (same tie-break key)
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._6).toSeq === byRank.map(_._6).sorted.toSeq, src)
+      // top-ranked doc of every source maps to the pooled maximum
+      assert(byRank.last._5 === n, src)
+      assert(byRank.last._6 === pooled.last, src)
+    }
+    // every normalized value is an actual pooled score at its k
+    rows.foreach { case (_, _, _, _, k, nq) =>
+      assert(nq === pooled((k - 1).toInt))
+    }
+  }
+
+  test("q274 IPF mixture: both marginals hit their targets after the fitted rounds") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q274_ipf_mixture")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum.toDouble
+    val srcs = rows.map(_._1).distinct
+    val rowTarget = total / srcs.length
+    // row marginal: every source's fitted mass ≈ the uniform share
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val fitted = g.map(_._4).sum
+      assert(math.abs(fitted - rowTarget) / rowTarget < 1e-3,
+        s"$src fitted $fitted vs target $rowTarget")
+    }
+    // column marginal: every bucket's fitted mass ≈ its original mass
+    rows.groupBy(_._2).foreach { case (b, g) =>
+      val orig = g.map(_._3).sum.toDouble
+      val fitted = g.map(_._4).sum
+      assert(math.abs(fitted - orig) / orig < 1e-3,
+        s"bucket $b fitted $fitted vs original $orig")
+    }
+    // weights are the fitted/original ratios, all positive
+    rows.foreach { case (src, b, m, f, w) =>
+      assert(w > 0.0, s"$src/$b")
+      assert(math.abs(w - f / m) < 1e-5, s"$src/$b weight")
+    }
+  }
+
   test("q272 gopher repetition matches an exhaustive driver recompute") {
     import spark.implicits._
     val got = SparkEntry.queries("q272_gopher_repetition")(spark, sf0001)
