@@ -585,6 +585,30 @@ object SimilarityQueries {
       embs(s, dir).select(($"vec_id" +: pcs): _*).orderBy($"vec_id")
     },
 
+    // PCA WHITENING — q140's projection rescaled per component by
+    // 1/√λₖ so every kept coordinate has unit (sample) variance: the
+    // standard embedding preprocessing before cosine-based retrieval or
+    // clustering when leading components would otherwise dominate
+    // distances. The inverse-root eigenvalues are control-plane
+    // literals computed next to the eigenvectors; the per-row plan is
+    // the same codegen'd 64-term fold with ONE extra multiply, and the
+    // dump-time dynamic oracle replays it literal-for-literal.
+    // VectorSpec pins unit variance per whitened coordinate.
+    "q275_pca_whiten" -> { (s, dir) =>
+      import s.implicits._
+      val d = EmbDim
+      val (_, mu, cov) = covStats(s, dir)
+      val (lam, vecs) = Eigen.symmetric(cov)
+      val ws = (0 until PcaK).map { k =>
+        require(lam(k) > 0, s"non-positive eigenvalue $k: ${lam(k)}")
+        val v = vecs(k)
+        val inv = 1.0 / math.sqrt(lam(k))
+        (round((0 until d).map(i => ($"emb".getItem(i) - lit(mu(i))) * lit(v(i)))
+          .reduce(_ + _) * lit(inv), 6) + lit(0d)).as(s"w$k")
+      }
+      embs(s, dir).select(($"vec_id" +: ws): _*).orderBy($"vec_id")
+    },
+
     // MMR-diversified retrieval (Carbonell & Goldstein 1998 maximal
     // marginal relevance): re-rank each query's neighbors to trade
     // relevance against redundancy — score λ·cos(q,c) − (1−λ)·max_s
@@ -1132,6 +1156,17 @@ object SimilarityQueries {
          |  $pcs
          |FROM e ORDER BY vec_id""".stripMargin
     }
+    val q275 = {
+      val ws = (0 until PcaK).map { k =>
+        val inv = 1.0 / math.sqrt(lam(k))
+        s"ROUND((${proj(vecs(k))}) * ${dlit(inv)}, 6) + 0.0 AS w$k"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings)
+         |SELECT vec_id,
+         |  $ws
+         |FROM e ORDER BY vec_id""".stripMargin
+    }
     val q150 = {
       val f = (n - 1).toDouble / n
       val folds = (0 until PcaK).map(k => s"(${proj(vecs(k))}) AS f$k")
@@ -1160,7 +1195,8 @@ object SimilarityQueries {
          |$rows
          |ORDER BY k""".stripMargin
     }
-    Map("q140_pca_project" -> q140, "q150_pca_reconstruction" -> q150)
+    Map("q140_pca_project" -> q140, "q150_pca_reconstruction" -> q150,
+      "q275_pca_whiten" -> q275)
   }
 
   val oracles: Map[String, String] = Map(

@@ -145,8 +145,33 @@ object StreamingQueries {
           unix_micros($"click_ts").as("click_us"),
           unix_micros($"purchase_ts").as("purchase_us"))
         .orderBy($"user_id", $"click_us", $"purchase_us")
+    },
+
+    // --------------------------- streaming curation gate, batch face
+    // StreamingIngest.curationGate — the stateless arrival-time quality
+    // + repetition filter (q38's quality formula ∧ q69's top-word-share
+    // boilerplate signal) applied to the documents fixture as a
+    // file-source stream. Pure per-row projection + filter: no
+    // watermark, no state store, so append mode IS the batch filter and
+    // the gate is batching-invariant by construction (StreamingSpec
+    // already pins split-batch ≡ one-batch; this row puts the executed
+    // streaming path in front of the DuckDB differential). Thresholds
+    // sit inside the fixture's score distributions (tws median 0.093 /
+    // p90 0.14 at sf0.01) so both sides of each gate are exercised.
+    "q276_streaming_curation_gate" -> { (s, dir) =>
+      import s.implicits._
+      settle(s, dir, "documents", "append") { src =>
+        StreamingIngest.curationGate(src,
+          minQuality = CurationMinQuality, maxTopWordShare = CurationMaxTws)
+      }
+        .select($"doc_id", $"quality", $"top_word_share")
+        .orderBy($"doc_id")
     }
   )
+
+  /** q276 gate thresholds (shared with the oracle as literals). */
+  private val CurationMinQuality = 0.7
+  private val CurationMaxTws = 0.1
 
   val oracles: Map[String, String] = Map(
 
@@ -206,6 +231,26 @@ object StreamingQueries {
         |  epoch_us(p.ts) AS purchase_us
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        |ORDER BY c.user_id, click_us, purchase_us""".stripMargin
+        |ORDER BY c.user_id, click_us, purchase_us""".stripMargin,
+
+    // quality rides the q38-proven CTE; top_word_share is q69's
+    // MAX(count)/total ratio of exact integers — both raw emissions.
+    "q276_streaming_curation_gate" ->
+      s"""WITH ${graft.ops.TextQueries.qualityCteBody},
+         |t AS (SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS w
+         |      FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, word, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM t) u
+         |  GROUP BY doc_id, word),
+         |tw AS (
+         |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+         |    AS top_word_share
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT s.doc_id, s.quality, tw.top_word_share
+         |FROM scored s JOIN tw USING (doc_id)
+         |WHERE s.quality >= $CurationMinQuality
+         |  AND tw.top_word_share <= $CurationMaxTws
+         |ORDER BY s.doc_id""".stripMargin
   )
 }

@@ -182,6 +182,22 @@ class VectorSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.7, f"PQ recall collapsed: $recall%.3f (measured 0.96 at fixture)")
   }
 
+  test("q275 whitened coordinates have unit sample variance and zero mean") {
+    val rows = SparkEntry.queries("q275_pca_whiten")(spark, sf0001)
+      .collect()
+    val n = rows.length
+    assert(n > 10)
+    for (k <- 0 until 8) {
+      val xs = rows.map(_.getDouble(k + 1))
+      val mean = xs.sum / n
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      // whitening divides each PCA coordinate by √λ (the coordinate's
+      // own n−1 sample sd), so variance must be 1 up to 6-dp rounding
+      assert(math.abs(mean) < 1e-3, s"w$k mean $mean")
+      assert(math.abs(v - 1.0) < 1e-3, s"w$k variance $v")
+    }
+  }
+
   test("q34 ball-cover enumeration equals the brute-force all-pairs set") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, round}
