@@ -147,6 +147,45 @@ object StreamingQueries {
         .orderBy($"user_id", $"click_us", $"purchase_us")
     },
 
+    // ----------------------------- streaming anomaly gate, batch face
+    // StreamingIngest.anomalyGate — the stream-static z-score volume
+    // monitor (q98's integer-moment discipline at arrival time): hourly
+    // per-type counts z-scored against a BROADCAST batch-warehouse
+    // moments frame, windows beyond |z| > 2 flagged. This is the first
+    // driver-checked row emitting from an APPEND-mode watermarked
+    // aggregation (q257/q265 use complete mode): append emits a window
+    // only once the watermark passes its END, so the settled output is
+    // the batch result RESTRICTED to windows with
+    // end ≤ max(ts) − 10 min — a deterministic cutoff the oracle states
+    // verbatim (AvailableNow runs a final no-data commit batch after the
+    // watermark advances, flushing every closed window; the trailing
+    // sub-watermark windows stay in state by design — that withholding
+    // IS append mode's late-data contract). Window ends are hour-aligned
+    // and max(ts) sits at an arbitrary µs, so the ≤-vs-< boundary cannot
+    // bite on any real fixture. The face keeps only finite-z rows
+    // (sd > 0 — the ±Infinity zero-variance branch is StreamingSpec's
+    // job; an Infinity literal would be loader-hostile in the oracle).
+    "q277_streaming_anomaly_gate" -> { (s, dir) =>
+      import s.implicits._
+      val hourly = events(s, dir)
+        .groupBy($"event_type", window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("x"))
+      val stats = hourly.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sx2"))
+      settle(s, dir, "events", "append") { src =>
+        StreamingIngest.anomalyGate(eventsNorm(src), "ts", "event_type",
+          stats, "1 hour", zLimit = 2.0)
+      }
+        // finite-z only: abs(NaN) and abs(±Inf) both fail `< Inf` (Spark
+        // orders NaN greater than every value), one predicate covers both
+        .filter(abs($"z") < lit(Double.PositiveInfinity))
+        .select($"event_type",
+          unix_micros($"window.start").as("window_start_us"),
+          $"n_events", round($"z", 6).as("z"))
+        .orderBy($"event_type", $"window_start_us")
+    },
+
     // --------------------------- streaming curation gate, batch face
     // StreamingIngest.curationGate — the stateless arrival-time quality
     // + repetition filter (q38's quality formula ∧ q69's top-word-share
@@ -232,6 +271,33 @@ object StreamingQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_us, purchase_us""".stripMargin,
+
+    // Mirrors anomalyGate's EXACT integer-moment sd (n·Σx² − (Σx)² and
+    // n(n−1) as integers, cast once before the division — NOT q98's
+    // float-chain form) and append mode's watermark cutoff: windows
+    // with end ≤ max(ts) − 10 min are the emitted set.
+    "q277_streaming_anomaly_gate" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sx2
+        |  FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
+        |mx AS (SELECT epoch_us(MAX(ts)) AS mt FROM events),
+        |z AS (
+        |  SELECT w.event_type, w.ws, w.x,
+        |    (CAST(w.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) /
+        |           CAST(n * (n - 1) AS DOUBLE)) AS zv
+        |  FROM w JOIN st USING (event_type)
+        |  WHERE n * sx2 - sx * sx > 0)
+        |SELECT event_type, ws AS window_start_us,
+        |  x AS n_events, ROUND(zv, 6) AS z
+        |FROM z CROSS JOIN mx
+        |WHERE abs(zv) > 2.0 AND ws + 3600000000 <= mt - 600000000
+        |ORDER BY event_type, window_start_us""".stripMargin,
 
     // quality rides the q38-proven CTE; top_word_share is q69's
     // MAX(count)/total ratio of exact integers — both raw emissions.
