@@ -186,6 +186,42 @@ object StreamingQueries {
         .orderBy($"event_type", $"window_start_us")
     },
 
+    // --------------------- streaming trending top-k, foreachBatch face
+    // StreamingIngest.trendingTopK through a REAL foreachBatch sink —
+    // the first driver-checked row executing the custom GroupTopK plan
+    // operator INSIDE a streaming micro-batch (StreamingSpec pins the
+    // operator is in the executed plan; this row puts its output in
+    // front of the DuckDB differential). Per-batch semantics are the
+    // operator's contract ("top keys among THIS trigger's arrivals"),
+    // and the single-file fixture replays as ONE batch, so the settled
+    // rows equal the batch per-hour top-3 exactly. The driver-side
+    // buffer is the foreachBatch analogue of the memory sink — bounded
+    // at windows × k rows (control-plane by construction).
+    "q278_streaming_trending_topk" -> { (s, dir) =>
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = ntzNorm(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val buf =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamingIngest.trendingTopK(eventsNorm(batch), "ts",
+              "event_type", "1 hour", k = 3)
+            .select(unix_micros(col("window.start")), col("event_type"),
+              col("n"))
+            .collect()
+            .foreach(r => buf.add((r.getLong(0), r.getString(1), r.getLong(2))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(buf.asScala.toSeq)
+        .toDF("window_start_us", "event_type", "n")
+        .orderBy($"window_start_us", $"event_type")
+    },
+
     // --------------------------- streaming curation gate, batch face
     // StreamingIngest.curationGate — the stateless arrival-time quality
     // + repetition filter (q38's quality formula ∧ q69's top-word-share
@@ -298,6 +334,22 @@ object StreamingQueries {
         |FROM z CROSS JOIN mx
         |WHERE abs(zv) > 2.0 AND ws + 3600000000 <= mt - 600000000
         |ORDER BY event_type, window_start_us""".stripMargin,
+
+    // Per-hour top-3 by count, ties to the lexicographically first type
+    // (GroupTopK's ordering), windows epoch-hour-aligned via time_bucket.
+    "q278_streaming_trending_topk" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, ws, n,
+        |    ROW_NUMBER() OVER (PARTITION BY ws
+        |      ORDER BY n DESC, event_type) AS rk
+        |  FROM w)
+        |SELECT ws AS window_start_us, event_type, n
+        |FROM r WHERE rk <= 3
+        |ORDER BY window_start_us, event_type""".stripMargin,
 
     // quality rides the q38-proven CTE; top_word_share is q69's
     // MAX(count)/total ratio of exact integers — both raw emissions.
