@@ -443,6 +443,45 @@ object CoreQueries {
         .orderBy($"event_type")
     },
 
+    // Exact grouped ORDER-STATISTIC percentiles, the scale path (r9
+    // verdict item 6 — the oracle-green twin that lets q58's sketch stay
+    // rows-only by nature): q26's `percentile` buffers every group value
+    // in one aggregation buffer (fine for bounded groups, OOM for a
+    // 100 TB group), and a per-group window sort shuffles each group to
+    // one task. Instead ONE GlobalRank over the total order (type,
+    // value, id) lays every group out contiguously; per-group rank =
+    // global rank − group offset, where the offsets (min rank − 1) and
+    // sizes form a types-granularity control frame that broadcasts
+    // back. Selection at k_q = ⌈q·n⌉ is then a filter — computed in
+    // pure integer arithmetic ((n+3) div 4, (n+1) div 2, (9n+9) div 10)
+    // so no float index math can disagree cross-engine; the selected
+    // VALUES are untouched doubles (selection, not arithmetic — exact
+    // both sides, the q125 convention). Discrete order statistics, not
+    // q26's interpolation: the two operators answer different questions
+    // and both stay registered.
+    "q58b_exact_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      val v = events(s, dir).filter($"value".isNotNull)
+        .select($"event_type", $"value", $"event_id")
+      val ranked = GlobalRank.withGlobalRank(v,
+        Seq($"event_type".asc, $"value".asc, $"event_id".asc), "grk", "gn")
+        .drop("gn")
+      val grp = ranked.groupBy($"event_type")
+        .agg((min($"grk") - 1L).as("off"), count(lit(1)).as("n"))
+      ranked.join(broadcast(grp), "event_type")
+        .withColumn("rk", $"grk" - $"off")
+        .filter($"rk" === expr("(n + 3) div 4") ||
+          $"rk" === expr("(n + 1) div 2") ||
+          $"rk" === expr("(9 * n + 9) div 10"))
+        .groupBy($"event_type", $"n")
+        .agg(
+          max(when($"rk" === expr("(n + 3) div 4"), $"value")).as("p25"),
+          max(when($"rk" === expr("(n + 1) div 2"), $"value")).as("p50"),
+          max(when($"rk" === expr("(9 * n + 9) div 10"), $"value")).as("p90"))
+        .select($"event_type", $"n", $"p25", $"p50", $"p90")
+        .orderBy($"event_type")
+    },
+
     // Pivot: day × event_type count matrix (the platform×day rollup shape,
     // SURVEY.md §2.H) — one shuffle; pivot columns are enumerated so the
     // plan needs no extra pass to discover them.
@@ -2079,6 +2118,22 @@ object CoreQueries {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Discrete order statistics at ⌈q·n⌉ with integer index arithmetic —
+    // mirrors q58b's rank selection exactly (ROW_NUMBER over the same
+    // unique (value, event_id) order; selected values are raw doubles).
+    "q58b_exact_percentiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rk = (n + 3) // 4 THEN value END) AS p25,
+        |  MAX(CASE WHEN rk = (n + 1) // 2 THEN value END) AS p50,
+        |  MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN value END) AS p90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q29_priority_with_late_items" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders

@@ -94,9 +94,15 @@ object SimilarityQueries {
       val cents = e.filter($"vec_id" < Cells)
         .select($"vec_id".as("cent_id"), $"emb".as("c_emb"))
       // angle via acos of the clamped cosine (float noise can exceed
-      // ±1 by an ulp); ε absorbs acos/clamp noise conservatively.
+      // ±1 by an ulp); ε absorbs acos/clamp noise conservatively. Sized
+      // from acos's CONDITION NUMBER, not the cosine ulp: d(acos)/dc =
+      // 1/√(1−c²) blows up near |c| → 1 (a member nearly identical to
+      // its centroid), so a ~1e-15 cosine error can become ~1e-8 of
+      // angle — 1e-6 dominates that with three orders of margin, and the
+      // extra admitted spine at Cells=16 is at most a handful of cell
+      // pairs (r9 advice).
       def ang(c: Column): Column = acos(least(greatest(c, lit(-1d)), lit(1d)))
-      val eps = lit(1e-9)
+      val eps = lit(1e-6)
       val assigned = graft.plans.GroupTopK(
           e.join(broadcast(cents), lit(true))
             .withColumn("ccos", VectorFunctions.cosine($"emb", $"c_emb")),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.ops.Tables._
@@ -47,12 +47,65 @@ object StreamingQueries {
     // table so sibling tables never enter the stream.
     val src = ntzNorm(s.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir))
+    settleDf(s, build(src), mode)
+  }
+
+  /** The sink half of [[settle]], split out for faces that build their
+    * own source (the 2-file staged streams below): memory sink,
+    * AvailableNow, drain, return the settled table. */
+  private def settleDf(s: SparkSession, built: DataFrame, mode: String)
+      : DataFrame = {
     val sink = s"graft_stream_q_${nonce.incrementAndGet()}"
-    val q = build(src).writeStream.format("memory").queryName(sink)
+    val q = built.writeStream.format("memory").queryName(sink)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table(sink)
   }
+
+  /** Stage the events fixture as an N-FILE copy — file b<i> = the rows
+    * matching `parts(i)` (the predicates must partition the fixture) —
+    * with modification times 2 minutes apart, so a file-source stream
+    * reading it with `maxFilesPerTrigger=1` replays the fixture as N
+    * ORDERED micro-batches (FileStreamSource schedules files
+    * oldest-mtime first; the b0..bN names give the same order
+    * lexically). This is the harness piece that makes MULTI-batch
+    * semantics — watermark eviction, update-mode changed-keys
+    * emission — driver-visible: the single-file settle() replay always
+    * collapses to one data batch (r9 verdict items 3–4). Input is
+    * ntz-normalized BEFORE staging so the staged ts column is a plain
+    * UTC TimestampType both engines read identically. Fresh temp dir
+    * per call: Verify and the three bench iterations each get an
+    * isolated staging + source-tracking log. */
+  private def stageEventsSplit(s: SparkSession, dir: String,
+      parts: Seq[Column]): String = {
+    val ev = ntzNorm(s.read.parquet(s"$dir/events.parquet"))
+    val root = java.nio.file.Files.createTempDirectory("graft_stage_").toFile
+    root.deleteOnExit()
+    val stage = new java.io.File(root, "stage")
+    stage.mkdirs()
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val work = new java.io.File(root, name + "_w")
+      df.coalesce(1).write.parquet(work.getAbsolutePath)
+      val part = work.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $work"))
+      val dst = new java.io.File(stage, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+    }
+    val now = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      writeOne(ev.filter(p), s"b$i", now - 120000L * (parts.size - 1 - i))
+    }
+    stage.getAbsolutePath
+  }
+
+  /** Streaming read of a [[stageEventsSplit]] directory: one file per
+    * micro-batch, in mtime order. */
+  private def readStaged(s: SparkSession, stagePath: String): DataFrame =
+    s.readStream.schema(s.read.parquet(stagePath).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagePath)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -241,6 +294,164 @@ object StreamingQueries {
       }
         .select($"doc_id", $"quality", $"top_word_share")
         .orderBy($"doc_id")
+    },
+
+    // ------------------ transformWithState TTL dedup, driver face (r10)
+    // StreamingIngest.ttlDedupGate — arbitrary typed state with
+    // DECLARATIVE TTL (Spark 4's transformWithState + RocksDB store) —
+    // was the last streaming operator family the DuckDB differential
+    // never saw (r9 verdict item 1). Determinism: the single-file
+    // fixture replays as ONE data batch, so TTL (processing-time,
+    // 1 hour) can never expire mid-run and the gate degenerates to
+    // exact per-key first-occurrence — each key emits exactly one row
+    // (emitted = 1, suppressed = n − 1), which IS the batch GROUP BY.
+    // StreamingSpec keeps pinning the cross-batch TTL/suppression
+    // semantics this face can't show. The RocksDB provider switch is
+    // scoped to the stream start and restored after (the store class is
+    // read at query start; the settled memory table is already
+    // materialized by then).
+    //
+    // Drain protocol: TTL state forces TimeMode.ProcessingTime, and
+    // that mode schedules TTL-bookkeeping batches indefinitely — even
+    // Trigger.AvailableNow never terminates (measured; the verify-skill
+    // gotcha). So this face can't ride settle(): it polls the memory
+    // sink until the DETERMINISTIC expected row count (one row per
+    // distinct key, known up front from the batch side) has landed —
+    // which happens at the end of the single data batch — then stops
+    // the query. The poll is on row COUNT only; values still face the
+    // oracle.
+    "q279_streaming_ttl_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val expected = events(s, dir).filter($"user_id".isNotNull)
+        .select($"user_id").distinct().count()
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      try {
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = ntzNorm(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val sink = s"graft_stream_q_${nonce.incrementAndGet()}"
+        val q = StreamingIngest.ttlDedupGate(s,
+            src.filter(col("user_id").isNotNull), "user_id",
+            java.time.Duration.ofHours(1)).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (s.table(sink).count() < expected &&
+            System.nanoTime() < deadline)
+          Thread.sleep(200)
+        q.stop()
+        require(s.table(sink).count() == expected,
+          s"ttl dedup face: sink never reached $expected rows")
+        s.table(sink)
+          .select($"key".cast("long").as("user_id"),
+            $"emitted".cast("long").as("emitted"), $"suppressed")
+          .orderBy($"user_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+    },
+
+    // ---------------- flatMapGroupsWithState funnel, driver face (r10)
+    // StreamingIngest.funnelStages — the arbitrary-state machine
+    // (per-user view → click → purchase progression) through the
+    // settle() harness. Determinism: within a micro-batch the fold
+    // sorts by (ms, type) and a stage only advances on a STRICTLY later
+    // timestamp, so on a one-batch replay the emitted advance snapshots
+    // are exactly the min-chain: stage 1 at min(view ms), stage 2 at
+    // min(click ms > stage-1 ms), stage 3 at min(purchase ms > stage-2
+    // ms) — which the oracle states verbatim. (Equal-ms events sort
+    // 'click' < 'purchase' < 'view', but an equal-ms event can never
+    // advance past the strict > gate, so the tiebreak cannot reach the
+    // output.) StreamingSpec pins the cross-batch arrival-order stance.
+    "q282_streaming_funnel" -> { (s, dir) =>
+      import s.implicits._
+      settle(s, dir, "events", "append") { src =>
+        StreamingIngest.funnelStages(s,
+          eventsNorm(src).filter(col("user_id").isNotNull),
+          "user_id", "event_type", "ms").toDF()
+      }
+        .select($"userId".cast("long").as("user_id"),
+          $"stage".cast("long").as("stage"), $"stageMs".as("stage_ms"))
+        .orderBy($"user_id", $"stage")
+    },
+
+    // --------------------- watermark EVICTION made visible, driver face
+    // The one streaming behavior no single-batch face can show: a LATE
+    // row actually dropped by the watermark (r9 verdict item 3). The
+    // events fixture is staged as THREE ordered files
+    // (stageEventsSplit): b0/b1 split the on-time rows (b0 includes
+    // max(ts)), b2 = the late subset — every 5th µs-stamp at least 3 h
+    // older than max(ts). Three files, not two, because of Spark's
+    // two-watermark semantics (SPARK-40925, 3.4+): batch N filters LATE
+    // events with the watermark batch N−1 ran with, while EVICTION uses
+    // the current value — so a 2-file split would process the late file
+    // under lateness watermark 0 and drop nothing (measured: 865 rows,
+    // zero numRowsDroppedByWatermark). Timeline here: batch 0 (b0,
+    // includes max(ts)) runs under watermark 0 and advances it to
+    // max(ts) − 2 h; batch 1 (b1) still FILTERS with 0 (all accepted)
+    // but EVICTS-and-emits the closed windows (end ≤ max(ts) − 2 h);
+    // batch 2 (b2) filters with max(ts) − 2 h, and every b2 row sits
+    // ≥ 1 h below it (the 3 h staging margin vs the 2 h delay — the
+    // ≤-vs-< lateness boundary can never bite), so all are dropped
+    // before state. The settled table therefore equals the batch hourly
+    // rollup over the NON-late rows restricted to windows with end ≤
+    // max(ts) − 2 h — the oracle states both the late-drop predicate
+    // and the emission cutoff verbatim. StreamingSpec's twin asserts
+    // the dropped rows were present in the staged input.
+    "q280_streaming_late_data" -> { (s, dir) =>
+      import s.implicits._
+      val mt = t(s, dir, "events")
+        .agg(max(unix_micros($"ts"))).head().getLong(0)
+      val us = unix_micros(col("ts"))
+      val late = us % 5 === 0 && us <= mt - 3L * 3600000000L
+      val src = readStaged(s, stageEventsSplit(s, dir,
+        Seq(!late && us % 3 =!= 0, !late && us % 3 === 0, late)))
+      settleDf(s,
+        StreamingIngest.tumblingCounts(eventsNorm(src), "ts", "event_type",
+          "1 hour", watermark = "2 hours"), "append")
+        .select($"event_type",
+          unix_micros($"window.start").as("window_start_us"), $"n")
+        .orderBy($"event_type", $"window_start_us")
+    },
+
+    // --------------------------- update-mode emission, driver face (r10)
+    // The third output mode (q257/q265 complete, q271/q277/q280 append):
+    // update emits ONLY the keys whose aggregate changed in the
+    // trigger, merged downstream latest-wins (r9 verdict item 4). The
+    // staged split puts every 'error' row in batch 1 and everything
+    // else in batch 0, so the changed-key sets are disjoint by
+    // construction and the per-key LAST update batch is itself
+    // deterministic: 1 for 'error', 0 for every other type — the face
+    // emits it as a column, making update-mode selectivity (not just
+    // the final counts) oracle-checked. Latest-wins ≡ batch because a
+    // streaming count is monotone per key: the last update a key ever
+    // gets carries its full-history total, which is the batch GROUP BY
+    // count. The driver-side map is the foreachBatch analogue of the
+    // memory sink — bounded at one entry per event type.
+    "q281_streaming_update_counts" -> { (s, dir) =>
+      import s.implicits._
+      val src = readStaged(s, stageEventsSplit(s, dir,
+        Seq(col("event_type") =!= "error", col("event_type") === "error")))
+      val buf = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+      val q = src.filter(col("event_type").isNotNull)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.collect().foreach { r =>
+            buf.put(r.getString(0), (r.getLong(1), batchId))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(buf.asScala.toSeq.map { case (k, (n, b)) => (k, n, b) })
+        .toDF("event_type", "n", "last_update_batch")
+        .orderBy($"event_type")
     }
   )
 
@@ -369,6 +580,68 @@ object StreamingQueries {
          |FROM scored s JOIN tw USING (doc_id)
          |WHERE s.quality >= $CurationMinQuality
          |  AND tw.top_word_share <= $CurationMaxTws
-         |ORDER BY s.doc_id""".stripMargin
+         |ORDER BY s.doc_id""".stripMargin,
+
+    // One-batch replay ⇒ TTL can't fire ⇒ per-key first-occurrence =
+    // the batch GROUP BY (see the face's determinism note).
+    "q279_streaming_ttl_dedup" ->
+      """SELECT user_id, CAST(1 AS BIGINT) AS emitted,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS suppressed
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // The min-chain the in-order fold reduces to on one batch: stage 1
+    // at the first view, each later stage at the first event of the
+    // next type STRICTLY after the previous stage's timestamp.
+    "q282_streaming_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |  WHERE user_id IS NOT NULL),
+        |s1 AS (
+        |  SELECT user_id, MIN(ms) AS m FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ms) AS m FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ms > s1.m GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ms) AS m FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ms > s2.m GROUP BY 1)
+        |SELECT user_id, CAST(1 AS BIGINT) AS stage, m AS stage_ms FROM s1
+        |UNION ALL
+        |SELECT user_id, CAST(2 AS BIGINT), m FROM s2
+        |UNION ALL
+        |SELECT user_id, CAST(3 AS BIGINT), m FROM s3
+        |ORDER BY user_id, stage""".stripMargin,
+
+    // The late-drop predicate (staged batch-2 rows, all below the
+    // batch-1 watermark) and append's emission cutoff (window end ≤
+    // max(ts) − 2 h), stated verbatim — see the face's comment.
+    "q280_streaming_late_data" ->
+      """WITH mx AS (SELECT epoch_us(MAX(ts)) AS mt FROM events),
+        |kept AS (
+        |  SELECT e.event_type, e.ts FROM events e CROSS JOIN mx
+        |  WHERE NOT (epoch_us(e.ts) % 5 = 0
+        |             AND epoch_us(e.ts) <= mt - 10800000000)),
+        |w AS (
+        |  SELECT event_type,
+        |    epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws, COUNT(*) AS n
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT event_type, ws AS window_start_us, n
+        |FROM w CROSS JOIN mx
+        |WHERE ws + 3600000000 <= mt - 7200000000
+        |ORDER BY event_type, window_start_us""".stripMargin,
+
+    // Final counts are batch counts (monotone per-key totals,
+    // latest-wins); the last-update batch id is pinned by the staged
+    // split — 'error' rows all arrive in batch 1, everything else in
+    // batch 0.
+    "q281_streaming_update_counts" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS last_update_batch
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -1255,19 +1255,26 @@ object TextQueries {
             expr("length(element_at(ws, cast(wp as int) + 1))").as("wl"))
           .groupBy($"doc_id").agg(sum($"wl").as(s"dup$n"))
       }
+      // Degenerate-doc guard (r9 advice): an empty/all-space text has
+      // wchars = 0, and Spark's 0.0/0.0 = NaN while DuckDB's 0/0 is
+      // config-dependent (NULL under strict IEEE settings) — NULLIF the
+      // denominator on BOTH sides so both engines agree the ratios are
+      // NULL for such docs. Latent on the current fixture (every doc has
+      // real words) but the contract shouldn't rest on that.
+      val wchars0 = nullif($"wchars", lit(0L)).cast("double")
       Seq(topShare(2), topShare(3), topShare(4), dupCover(5), dupCover(6))
         .foldLeft(den)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
         .select($"doc_id", $"wchars",
-          (coalesce($"top2", lit(0L)).cast("double") /
-            $"wchars".cast("double")).as("top2gram_share"),
-          (coalesce($"top3", lit(0L)).cast("double") /
-            $"wchars".cast("double")).as("top3gram_share"),
-          (coalesce($"top4", lit(0L)).cast("double") /
-            $"wchars".cast("double")).as("top4gram_share"),
-          (coalesce($"dup5", lit(0L)).cast("double") /
-            $"wchars".cast("double")).as("dup5gram_frac"),
-          (coalesce($"dup6", lit(0L)).cast("double") /
-            $"wchars".cast("double")).as("dup6gram_frac"))
+          (coalesce($"top2", lit(0L)).cast("double") / wchars0)
+            .as("top2gram_share"),
+          (coalesce($"top3", lit(0L)).cast("double") / wchars0)
+            .as("top3gram_share"),
+          (coalesce($"top4", lit(0L)).cast("double") / wchars0)
+            .as("top4gram_share"),
+          (coalesce($"dup5", lit(0L)).cast("double") / wchars0)
+            .as("dup5gram_frac"),
+          (coalesce($"dup6", lit(0L)).cast("double") / wchars0)
+            .as("dup6gram_frac"))
         .orderBy($"doc_id")
     }
   )
@@ -2161,6 +2168,8 @@ object TextQueries {
            |        LATERAL (SELECT unnest(generate_series(g.pos, g.pos + ${n - 1})) AS wp) u) c
            |  JOIN base USING (doc_id)
            |  GROUP BY doc_id)""".stripMargin
+      // NULLIF(wchars, 0): empty/all-space docs get NULL ratios in both
+      // engines (see the Spark-side wchars0 comment).
       s"""WITH base AS (
          |  SELECT doc_id, regexp_split_to_array(lower(text), ' ') AS ws
          |  FROM documents WHERE text IS NOT NULL),
@@ -2179,11 +2188,11 @@ object TextQueries {
          |${dup(5)},
          |${dup(6)}
          |SELECT den.doc_id, wchars,
-         |  CAST(COALESCE(t2.topc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS top2gram_share,
-         |  CAST(COALESCE(t3.topc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS top3gram_share,
-         |  CAST(COALESCE(t4.topc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS top4gram_share,
-         |  CAST(COALESCE(d5.dupc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS dup5gram_frac,
-         |  CAST(COALESCE(d6.dupc, 0) AS DOUBLE) / CAST(wchars AS DOUBLE) AS dup6gram_frac
+         |  CAST(COALESCE(t2.topc, 0) AS DOUBLE) / CAST(NULLIF(wchars, 0) AS DOUBLE) AS top2gram_share,
+         |  CAST(COALESCE(t3.topc, 0) AS DOUBLE) / CAST(NULLIF(wchars, 0) AS DOUBLE) AS top3gram_share,
+         |  CAST(COALESCE(t4.topc, 0) AS DOUBLE) / CAST(NULLIF(wchars, 0) AS DOUBLE) AS top4gram_share,
+         |  CAST(COALESCE(d5.dupc, 0) AS DOUBLE) / CAST(NULLIF(wchars, 0) AS DOUBLE) AS dup5gram_frac,
+         |  CAST(COALESCE(d6.dupc, 0) AS DOUBLE) / CAST(NULLIF(wchars, 0) AS DOUBLE) AS dup6gram_frac
          |FROM den
          |LEFT JOIN t2 USING (doc_id)
          |LEFT JOIN t3 USING (doc_id)

@@ -38,10 +38,12 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
   test("tf-idf prefix filter equals the dense all-pairs set and prunes the pair loop") {
     // Exactness (the All-Pairs bound, not a recall argument): the prefix
     // rule may not drop ANY qualifying pair; verification removes the
-    // rest — so q256 must equal q245 row for row.
-    val exact = DedupQueries.queries("q245_tfidf_cosine_pairs")(spark, sf0001)
+    // rest — so the registered composition (q245 ≡ q256 since the r10
+    // demotion) must equal the SPEC-ONLY docs² brute-force witness row
+    // for row.
+    val exact = DedupQueries.tfidfBruteForcePairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val pf = DedupQueries.queries("q256_tfidf_prefix_cosine")(spark, sf0001)
+    val pf = DedupQueries.queries("q245_tfidf_cosine_pairs")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pf === exact)
     assert(exact.nonEmpty, "fixture should contain tf-idf cosine near-dups")

@@ -153,23 +153,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), "no window should touch the token stream:\n" + p)
   }
 
-  test("q256: candidates form via the indexed-feature equi-join, never a nested loop") {
-    val p = plan("q256_tfidf_prefix_cosine")
-    // Bayardo §4 enumeration: full(da) × indexed(db) equi-join on the
-    // dense feature id — pair generation must be keyed (r8 verdict
-    // item 3: the old form evaluated the candidate rule inside a
-    // conditioned BNLJ, broadcasting the whole corpus and enumerating
-    // docs²/2). The only nested loop allowed is tfidfVectors'
-    // audited 1-row scalar attach (an unconditioned Cross of a 1-row
-    // aggregate) — any Inner/conditioned BNLJ means the pair loop
-    // came back.
-    assert("BroadcastNestedLoopJoin Build(Left|Right), (?!Cross)".r
-      .findFirstIn(p).isEmpty, s"conditioned nested-loop pair join:\n$p")
-    assert(!p.contains("longandany"), s"bitmask prescreen should be gone:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
-    assert("Join \\[idx#".r.findFirstIn(p).isDefined,
-      s"candidate join lost its feature-id equi key:\n$p")
-    assert(p.contains("longdotproduct"), p)
+  test("q245/q256: candidates form via the indexed-feature equi-join, never a nested loop") {
+    // Since the r10 demotion BOTH registrations ride the All-Pairs
+    // composition — assert the plan shape for each name so a future
+    // re-fork of q245 back to the docs² loop fails here (r9 verdict
+    // item 2's done-condition).
+    for (name <- Seq("q245_tfidf_cosine_pairs", "q256_tfidf_prefix_cosine")) {
+      val p = plan(name)
+      // Bayardo §4 enumeration: indexed × indexed equi-join on the
+      // dense feature id — pair generation must be keyed (r8 verdict
+      // item 3: the old form evaluated the candidate rule inside a
+      // conditioned BNLJ, broadcasting the whole corpus and enumerating
+      // docs²/2). The only nested loop allowed is tfidfVectors'
+      // audited 1-row scalar attach (an unconditioned Cross of a 1-row
+      // aggregate) — any Inner/conditioned BNLJ means the pair loop
+      // came back.
+      assert("BroadcastNestedLoopJoin Build(Left|Right), (?!Cross)".r
+        .findFirstIn(p).isEmpty, s"$name: conditioned nested-loop pair join:\n$p")
+      assert(!p.contains("longandany"), s"$name: bitmask prescreen should be gone:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert("Join \\[idx#".r.findFirstIn(p).isDefined,
+        s"$name: candidate join lost its feature-id equi key:\n$p")
+      assert(p.contains("longdotproduct"), s"$name:\n$p")
+    }
   }
 
   test("q34: pair enumeration rides the ball-cover cell equi-join, not an n² loop") {

@@ -540,4 +540,109 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(byId(1L) && byId(2L) && !byId(3L) && !byId(4L))
     assert(byId(5L) && !byId(6L) && byId(7L))
   }
+
+  // ------------------------------------------------- r10 driver-face twins
+
+  test("q279 face: executed streaming plan contains the TransformWithState operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The driver face's done-condition (r9 verdict item 1) is that the
+    // green CORRECTNESS row actually EXECUTES the arbitrary-state
+    // operator — pin that here on the same ttlDedupGate build the face
+    // runs, via the live query's last executed plan.
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(java.sql.Timestamp, String)]
+      val df = ms.toDF().toDF("ts", "k")
+      val q = StreamingIngest.ttlDedupGate(spark, df, "k",
+          java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("ttl_plan_probe")
+        .option("checkpointLocation", tmp("graft-ttlplan-ckpt"))
+        .outputMode("append").start()
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table("ttl_plan_probe").count() < 1 &&
+          System.nanoTime() < deadline) Thread.sleep(200)
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      q.stop()
+      // the physical node prints its nodeName without the Exec suffix
+      assert(exec.contains("TransformWithState"), exec)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+
+  test("q282 face: executed streaming plan contains the FlatMapGroupsWithState operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String, Long)]
+    val df = ms.toDF().toDF("u", "t", "ms")
+    val q = StreamingIngest.funnelStages(spark, df, "u", "t", "ms")
+      .writeStream.format("memory").queryName("funnel_plan_probe")
+      .outputMode("append").start()
+    ms.addData(("u1", "view", 1000L))
+    q.processAllAvailable()
+    val exec = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    q.stop()
+    // the physical node prints its nodeName without the Exec suffix
+    assert(exec.contains("FlatMapGroupsWithState"), exec)
+  }
+
+  test("q280 face: the late rows are present in the input and exactly their mass is dropped") {
+    import spark.implicits._
+    // The r9-verdict twin: the face's settled output must differ from
+    // the naive batch rollup by EXACTLY the late subset's contribution —
+    // proving the dropped rows existed in the staged input and that the
+    // watermark (not a filter upstream) removed them.
+    val ev = graft.ops.Tables.events(spark, sf0001)
+    val mt = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+    val us = unix_micros(col("ts"))
+    val lateP = us % 5 === 0 && us <= mt - 3L * 3600000000L
+    val nLate = ev.filter(lateP).count()
+    assert(nLate > 0, "fixture must contain late-staged rows for the face to mean anything")
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"event_type", window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_micros($"window.start").as("ws"), $"n")
+      .filter($"ws" + 3600000000L <= mt - 7200000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = graft.ops.StreamingQueries.queries("q280_streaming_late_data")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val keptOnly = rollup(ev.filter(!lateP))
+    val all = rollup(ev)
+    assert(got === keptOnly, "settled output must equal the non-late batch rollup")
+    assert(got !== all, "the drop must be visible vs the all-rows rollup")
+    // and the difference is exactly the late mass, window by window
+    val lateMass = rollup(ev.filter(lateP))
+    lateMass.foreach { case (k, n) =>
+      assert(all(k) - got.getOrElse(k, 0L) === n, s"window $k late mass")
+    }
+  }
+
+  test("q281 face: update mode emitted only the changed key in the second batch") {
+    import spark.implicits._
+    // The staged split routes every 'error' row to batch 1, so
+    // last_update_batch — recorded from REAL update-mode foreachBatch
+    // emissions — must be 1 exactly for 'error' and 0 elsewhere, and the
+    // latest-wins totals must equal the batch GROUP BY.
+    val got = graft.ops.StreamingQueries.queries("q281_streaming_update_counts")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = graft.ops.Tables.events(spark, sf0001)
+      .filter($"event_type".isNotNull)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap === want)
+    got.foreach { case (k, (_, lastBatch)) =>
+      assert(lastBatch === (if (k == "error") 1L else 0L), s"key $k")
+    }
+    assert(got.contains("error"), "fixture must have error rows to exercise batch 1")
+  }
 }

@@ -53,6 +53,22 @@ def main():
                   f"{sorted(et)} != q157's hardcoded enum "
                   "(click/error/signup/view) — update the q157 oracle")
             n_fail += 1
+    # q89's full oracle assumes char 4-grams ≡ byte 4-grams (the Spark
+    # side slides 4-BYTE grams over UTF-8, the SQL slides 4-CHAR
+    # substrings): sound only while documents.text is pure ASCII. One
+    # multi-byte char in a regenerated fixture would silently diverge
+    # both the gram stream and the length gate — fail loud instead
+    # (r9 advice; same class as the q157 enum guard above).
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        non_ascii = con.execute(
+            "SELECT COUNT(*) FROM documents "
+            "WHERE text IS NOT NULL AND strlen(text) <> length(text)"
+        ).fetchone()[0]
+        if non_ascii:
+            print(f"FAIL fixture-contract: {non_ascii} documents.text rows "
+                  "are non-ASCII (byte strlen != char length) — q89's "
+                  "char≡byte 4-gram oracle no longer matches PHash128")
+            n_fail += 1
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
