@@ -418,6 +418,45 @@ object StreamingQueries {
         .orderBy($"event_type", $"window_start_us")
     },
 
+    // ------------- transformWithState EVENT-TIME TIMERS, driver face (r10)
+    // StreamingIngest.sessionCloseGate — the timer half of
+    // transformWithState (q279 covers value-state + TTL): per-key
+    // session state closes when the WATERMARK passes last-event + gap,
+    // i.e. emission is driven by stream progress, not by new data.
+    // Determinism on a one-batch replay: handleInputRows folds ALL of a
+    // key's batch rows into ONE [min, max] session (the gap splits
+    // sessions only ACROSS batches — it arms the close timer), so after
+    // the single data batch every key holds one session and a timer at
+    // end + gap. AvailableNow then runs the final no-data batch with
+    // the advanced watermark (= max(ts), delay 0), firing exactly the
+    // timers with expiry ≤ watermark — so the settled output is the
+    // per-key (min, max, count) frame RESTRICTED to keys whose last
+    // event is at least `gap` older than the stream's end; the trailing
+    // still-open sessions are withheld by design (that withholding IS
+    // the timer contract). The oracle states the close predicate
+    // verbatim. Timers and state shard by key; RocksDB scoped as q279.
+    "q283_streaming_session_close" -> { (s, dir) =>
+      import s.implicits._
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      try {
+        settle(s, dir, "events", "append") { src =>
+          StreamingIngest.sessionCloseGate(s,
+            eventsNorm(src).filter(col("user_id").isNotNull),
+            "ts", "user_id", gapMs = 1800000L, watermark = "0 seconds")
+            .toDF()
+        }
+          .select($"key".cast("long").as("user_id"),
+            $"startMs".as("start_ms"), $"endMs".as("end_ms"), $"nEvents".as("n_events"))
+          .orderBy($"user_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+    },
+
     // --------------------------- update-mode emission, driver face (r10)
     // The third output mode (q257/q265 complete, q271/q277/q280 append):
     // update emits ONLY the keys whose aggregate changed in the
@@ -631,6 +670,22 @@ object StreamingQueries {
         |FROM w CROSS JOIN mx
         |WHERE ws + 3600000000 <= mt - 7200000000
         |ORDER BY event_type, window_start_us""".stripMargin,
+
+    // One session per key on a one-batch replay; closed iff the timer
+    // at end + 30 min expired under the final watermark max(epoch_ms).
+    // Boundary (≤): a tie needs end_ms + 1800000 == max ms exactly —
+    // StreamingSpec's twin asserts the fixture is tie-free so either
+    // convention yields identical rows.
+    "q283_streaming_session_close" ->
+      """WITH mx AS (SELECT MAX(epoch_ms(ts)) AS mt FROM events),
+        |s AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS start_ms,
+        |    MAX(epoch_ms(ts)) AS end_ms, COUNT(*) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT user_id, start_ms, end_ms, n_events
+        |FROM s CROSS JOIN mx
+        |WHERE end_ms + 1800000 <= mt
+        |ORDER BY user_id""".stripMargin,
 
     // Final counts are batch counts (monotone per-key totals,
     // latest-wins); the last-update batch id is pinned by the staged

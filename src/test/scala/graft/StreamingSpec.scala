@@ -627,6 +627,25 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q283 face: timers close exactly the sessions ending >= gap before stream end; fixture is tie-free") {
+    import spark.implicits._
+    val ev = graft.ops.Tables.events(spark, sf0001).filter($"user_id".isNotNull)
+    val mt = ev.agg(max($"ms")).head().getLong(0)
+    val per = ev.groupBy($"user_id").agg(min($"ms").as("s"), max($"ms").as("e"),
+      count(lit(1)).as("n"))
+    // tie-freeness: the timer-expiry ≤-vs-< boundary cannot bite here,
+    // so the oracle's ≤ convention is safe for this fixture
+    assert(per.filter($"e" + 1800000L === mt).count() === 0)
+    val want = per.filter($"e" + 1800000L <= mt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = graft.ops.StreamingQueries.queries("q283_streaming_session_close")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    // the withheld tail is real: at least one session must stay open,
+    // or the face no longer demonstrates timer-gated emission
+    assert(per.count() > want.size, "fixture should leave at least one session open")
+  }
+
   test("q281 face: update mode emitted only the changed key in the second batch") {
     import spark.implicits._
     // The staged split routes every 'error' row to batch 1, so
