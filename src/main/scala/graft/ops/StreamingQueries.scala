@@ -457,6 +457,37 @@ object StreamingQueries {
       }
     },
 
+    // -------------------- token-bucket admission gate, driver face (r10)
+    // StreamingIngest.rateLimitGate — per-key EVENT-TIME token-bucket
+    // quota (flatMapGroupsWithState carrying (tokens, lastMs) across
+    // batches). The fold is sequential per key, which a set-oriented
+    // oracle can't state directly — but DuckDB's RECURSIVE CTE can run
+    // the identical fold (the q47/q63 recursive-closure precedent):
+    // rank the key's events by (ms, id) — the same order the gate sorts
+    // a batch — and advance (tokens, last) rank by rank with the same
+    // double arithmetic in the same operation order (refill =
+    // min(cap, tokens + Δms/1000·rps)); IEEE doubles are then
+    // bit-identical cross-engine, so the admit/deny decisions
+    // hash-match exactly. One-batch replay makes the in-batch sort the
+    // total history order. Params (capacity 2, refill 1 token/DAY) are
+    // chosen so the fixture's inter-event gaps exercise BOTH branches
+    // (sf0.001: 437 admits / 563 denials); refill 1/s would saturate on
+    // an events table whose per-user gaps are hours. Recursion depth =
+    // max per-key event count — bounded by the hottest key, not the
+    // stream.
+    "q284_streaming_rate_limit" -> { (s, dir) =>
+      import s.implicits._
+      settle(s, dir, "events", "append") { src =>
+        StreamingIngest.rateLimitGate(s,
+          eventsNorm(src).filter(col("user_id").isNotNull),
+          "user_id", "event_id", "ms",
+          capacity = 2.0, refillPerSec = 1.0 / 86400.0).toDF()
+      }
+        .select($"key".cast("long").as("user_id"), $"id".as("event_id"),
+          $"ms", $"admitted".cast("long").as("admitted"))
+        .orderBy($"user_id", $"ms", $"event_id")
+    },
+
     // --------------------------- update-mode emission, driver face (r10)
     // The third output mode (q257/q265 complete, q271/q277/q280 append):
     // update emits ONLY the keys whose aggregate changed in the
@@ -670,6 +701,39 @@ object StreamingQueries {
         |FROM w CROSS JOIN mx
         |WHERE ws + 3600000000 <= mt - 7200000000
         |ORDER BY event_type, window_start_us""".stripMargin,
+
+    // The identical token-bucket fold as a RECURSIVE CTE: base case =
+    // each key's first event (advanced=0 ⇒ refilled=cap ⇒ admit,
+    // tokens=cap−1, exactly the gate's initial BucketState); step joins
+    // rank k+1 and advances (tokens, last) with the same double ops in
+    // the same order. Every numeric literal is e-notation — a plain
+    // 2.0 is DECIMAL in DuckDB and would poison the double chain (the
+    // q206 convention).
+    "q284_streaming_rate_limit" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |fold AS (
+        |  SELECT user_id, event_id, ms, rk,
+        |    TRUE AS admitted, CAST(1e0 AS DOUBLE) AS tokens, ms AS last
+        |  FROM e WHERE rk = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ms, e.rk,
+        |    LEAST(2e0, f.tokens
+        |      + GREATEST(0, e.ms - f.last) / 1e3 * (1e0 / 86400e0)) >= 1e0,
+        |    CASE WHEN LEAST(2e0, f.tokens
+        |        + GREATEST(0, e.ms - f.last) / 1e3 * (1e0 / 86400e0)) >= 1e0
+        |      THEN LEAST(2e0, f.tokens
+        |        + GREATEST(0, e.ms - f.last) / 1e3 * (1e0 / 86400e0)) - 1e0
+        |      ELSE LEAST(2e0, f.tokens
+        |        + GREATEST(0, e.ms - f.last) / 1e3 * (1e0 / 86400e0)) END,
+        |    GREATEST(f.last, e.ms)
+        |  FROM fold f JOIN e ON e.user_id = f.user_id AND e.rk = f.rk + 1)
+        |SELECT user_id, event_id, ms,
+        |  CAST(CASE WHEN admitted THEN 1 ELSE 0 END AS BIGINT) AS admitted
+        |FROM fold ORDER BY user_id, ms, event_id""".stripMargin,
 
     // One session per key on a one-batch replay; closed iff the timer
     // at end + 30 min expired under the final watermark max(epoch_ms).
