@@ -73,10 +73,22 @@ object StreamingQueries {
     * emission — driver-visible: the single-file settle() replay always
     * collapses to one data batch (r9 verdict items 3–4). Input is
     * ntz-normalized BEFORE staging so the staged ts column is a plain
-    * UTC TimestampType both engines read identically. Fresh temp dir
-    * per call: Verify and the three bench iterations each get an
-    * isolated staging + source-tracking log. */
-  private def stageEventsSplit(s: SparkSession, dir: String,
+    * UTC TimestampType both engines read identically. The staged dir is
+    * MEMOIZED per (application, fixture, face) — the split is pure
+    * fixture content, and a 3-iteration bench would otherwise rewrite
+    * ~2× the events table per face per iteration (the q91 layout-memo
+    * lesson); each READER still gets a fresh source-tracking log
+    * because the checkpoint lives with the query, not the staging. */
+  private def stageEventsSplit(s: SparkSession, dir: String, face: String,
+      parts: Seq[Column]): String =
+    stageCache.computeIfAbsent(
+      AppCaches.key(s, dir, stageCache) + "#" + face,
+      { _ => buildStagedSplit(s, dir, parts) })
+
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildStagedSplit(s: SparkSession, dir: String,
       parts: Seq[Column]): String = {
     val ev = ntzNorm(s.read.parquet(s"$dir/events.parquet"))
     val root = java.nio.file.Files.createTempDirectory("graft_stage_").toFile
@@ -408,7 +420,7 @@ object StreamingQueries {
         .agg(max(unix_micros($"ts"))).head().getLong(0)
       val us = unix_micros(col("ts"))
       val late = us % 5 === 0 && us <= mt - 3L * 3600000000L
-      val src = readStaged(s, stageEventsSplit(s, dir,
+      val src = readStaged(s, stageEventsSplit(s, dir, "late",
         Seq(!late && us % 3 =!= 0, !late && us % 3 === 0, late)))
       settleDf(s,
         StreamingIngest.tumblingCounts(eventsNorm(src), "ts", "event_type",
@@ -504,7 +516,7 @@ object StreamingQueries {
     // memory sink — bounded at one entry per event type.
     "q281_streaming_update_counts" -> { (s, dir) =>
       import s.implicits._
-      val src = readStaged(s, stageEventsSplit(s, dir,
+      val src = readStaged(s, stageEventsSplit(s, dir, "err",
         Seq(col("event_type") =!= "error", col("event_type") === "error")))
       val buf = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
       val q = src.filter(col("event_type").isNotNull)
