@@ -92,10 +92,19 @@ object StreamingQueries {
       parts: Seq[Column]): String = {
     val ev = ntzNorm(s.read.parquet(s"$dir/events.parquet"))
     val root = java.nio.file.Files.createTempDirectory("graft_stage_").toFile
-    root.deleteOnExit()
+    // deleteOnExit can't remove a non-empty directory — register a
+    // recursive cleanup instead so repeated Verify/Bench JVMs don't
+    // accumulate staged copies under the temp filesystem.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root)
+    }))
     val stage = new java.io.File(root, "stage")
     stage.mkdirs()
-    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+    def writeOne(df: DataFrame, name: String, mtime: Long): Long = {
       val work = new java.io.File(root, name + "_w")
       df.coalesce(1).write.parquet(work.getAbsolutePath)
       val part = work.listFiles()
@@ -105,11 +114,19 @@ object StreamingQueries {
       val dst = new java.io.File(stage, name + ".parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+      s.read.parquet(dst.getAbsolutePath).count()
     }
     val now = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (p, i) =>
+    val staged = parts.zipWithIndex.map { case (p, i) =>
       writeOne(ev.filter(p), s"b$i", now - 120000L * (parts.size - 1 - i))
-    }
+    }.sum
+    // The scaladoc contract, enforced: the predicates must PARTITION the
+    // fixture (no overlap, no NULL-predicate drops) — a silently lossy
+    // or duplicating split would poison every memoized iteration with
+    // nothing pointing back here.
+    val total = ev.count()
+    require(staged == total,
+      s"staged split is not a partition: ${staged} staged vs $total fixture rows")
     stage.getAbsolutePath
   }
 
@@ -118,6 +135,23 @@ object StreamingQueries {
   private def readStaged(s: SparkSession, stagePath: String): DataFrame =
     s.readStream.schema(s.read.parquet(stagePath).schema)
       .option("maxFilesPerTrigger", "1").parquet(stagePath)
+
+  /** Scope the RocksDB state-store provider (mandatory for
+    * transformWithState) to one stream start, restoring the previous
+    * provider after — shared by q279/q283 so the swap/restore logic
+    * lives once. The provider class is read at query START; by the time
+    * `body` returns, the settled memory table is already materialized. */
+  private def withRocksDBProvider[A](s: SparkSession)(body: => A): A = {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None    => s.conf.unset(confKey)
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -336,11 +370,7 @@ object StreamingQueries {
       import s.implicits._
       val expected = events(s, dir).filter($"user_id".isNotNull)
         .select($"user_id").distinct().count()
-      val confKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(confKey)
-      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state" +
-        ".RocksDBStateStoreProvider")
-      try {
+      withRocksDBProvider(s) {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val src = ntzNorm(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -350,20 +380,21 @@ object StreamingQueries {
             java.time.Duration.ofHours(1)).toDF()
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // Health-aware poll: a dead query must surface ITS exception
+        // immediately, not a 180 s hang ending in a row-count error
+        // (this drain bypasses awaitTermination's propagation path).
         val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-        while (s.table(sink).count() < expected &&
+        while (q.isActive && s.table(sink).count() < expected &&
             System.nanoTime() < deadline)
           Thread.sleep(200)
         q.stop()
+        q.exception.foreach(throw _)
         require(s.table(sink).count() == expected,
           s"ttl dedup face: sink never reached $expected rows")
         s.table(sink)
           .select($"key".cast("long").as("user_id"),
             $"emitted".cast("long").as("emitted"), $"suppressed")
           .orderBy($"user_id")
-      } finally prev match {
-        case Some(v) => s.conf.set(confKey, v)
-        case None    => s.conf.unset(confKey)
       }
     },
 
@@ -420,8 +451,13 @@ object StreamingQueries {
         .agg(max(unix_micros($"ts"))).head().getLong(0)
       val us = unix_micros(col("ts"))
       val late = us % 5 === 0 && us <= mt - 3L * 3600000000L
+      // The max(ts) row is pinned INTO b0 (us === mt overrides the %3
+      // sub-split): the whole timeline argument rests on batch 0
+      // advancing the watermark to max(ts) − 2 h, and leaving that to
+      // the %3 draw would break on ~1/3 of fixture regenerations.
       val src = readStaged(s, stageEventsSplit(s, dir, "late",
-        Seq(!late && us % 3 =!= 0, !late && us % 3 === 0, late)))
+        Seq(!late && (us % 3 =!= 0 || us === mt),
+          !late && us % 3 === 0 && us =!= mt, late)))
       settleDf(s,
         StreamingIngest.tumblingCounts(eventsNorm(src), "ts", "event_type",
           "1 hour", watermark = "2 hours"), "append")
@@ -449,11 +485,7 @@ object StreamingQueries {
     // verbatim. Timers and state shard by key; RocksDB scoped as q279.
     "q283_streaming_session_close" -> { (s, dir) =>
       import s.implicits._
-      val confKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(confKey)
-      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state" +
-        ".RocksDBStateStoreProvider")
-      try {
+      withRocksDBProvider(s) {
         settle(s, dir, "events", "append") { src =>
           StreamingIngest.sessionCloseGate(s,
             eventsNorm(src).filter(col("user_id").isNotNull),
@@ -463,9 +495,6 @@ object StreamingQueries {
           .select($"key".cast("long").as("user_id"),
             $"startMs".as("start_ms"), $"endMs".as("end_ms"), $"nEvents".as("n_events"))
           .orderBy($"user_id")
-      } finally prev match {
-        case Some(v) => s.conf.set(confKey, v)
-        case None    => s.conf.unset(confKey)
       }
     },
 

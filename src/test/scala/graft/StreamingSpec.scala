@@ -549,7 +549,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // The driver face's done-condition (r9 verdict item 1) is that the
     // green CORRECTNESS row actually EXECUTES the arbitrary-state
     // operator — pin that here on the same ttlDedupGate build the face
-    // runs, via the live query's last executed plan.
+    // runs, via the live query's last executed plan. (The conf swap
+    // stays inline here rather than reusing StreamingQueries'
+    // private withRocksDBProvider — the probe must stay independent of
+    // the module under test.)
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
