@@ -771,8 +771,134 @@ object DedupQueries {
     // didn't fork semantics.
     "q256_tfidf_prefix_cosine" -> { (s, dir) =>
       tfidfPrefixCosinePairs(s, dir)
+    },
+
+    // ------------------- exact-substring dedup (ExactSubstr, char-level)
+    // The character-granular member of the dedup family (Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models
+    // Better" §4.1 ExactSubstr): any 50-char substring occurring ≥ 2
+    // times ANYWHERE in the corpus (cross-doc or within-doc) marks its
+    // character positions for removal; the query emits each document's
+    // removed/kept char counts and the md5 of the position-ordered
+    // residual, so the oracle pins the SURGERY, not just arithmetic
+    // (q267's digest convention). Strike-EVERY-occurrence semantics —
+    // the q113 passage-strip stance, the conservative boilerplate
+    // treatment — rather than the paper's keep-one-copy variant; stated
+    // here because implementations differ. Char ≡ byte on this fixture
+    // (ASCII — the check.py q89 guard protects the assumption).
+    //
+    // Scale shape: positioned gram digests shuffle once at (md5, doc,
+    // pos) grain — corpus-chars rows, never corpus²; the ≥2 occurrence
+    // filter is one hash-agg on the digest. Duplicated-gram instances
+    // then MERGE into per-doc interval runs (a doc-partitioned window
+    // island sweep — overlapping [start, start+49] instances collapse
+    // before any expansion) so the position explode is bounded by
+    // covered CHARS, not instances × 50: on this near-template fixture
+    // most grams are duplicated, and the naive post-filter ×50 explode
+    // + distinct handled ~65M rows (measured 3.4 s/iter at sf0.1 →
+    // ~0.6 s with runs). Residual assembly is a per-doc sorted fold.
+    // Counts + digests, zero floats.
+    "q285_exact_substring_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", $"text", length($"text").cast("long").as("n_chars"))
+      val runs = substrDupRuns(s, dir)
+      // Residual by INTERVAL ALGEBRA, never per-char rows: kept spans
+      // are the complement of the runs (the gap before each run via
+      // lag, plus the per-doc tail), each extracted as ONE substring
+      // and folded position-ordered — a handful of span rows per doc
+      // (measured: the per-char explode + anti-join + 1.5M-struct fold
+      // this replaces held the query at ~8 s/iter at sf0.1).
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"rs")
+      val gaps = runs
+        .withColumn("prev_re", lag($"re", 1).over(byDoc))
+        .select($"doc_id", (coalesce($"prev_re", lit(0L)) + 1L).as("ss"),
+          ($"rs" - 1L).as("se"))
+      val tails = runs.groupBy($"doc_id").agg(max($"re").as("mre"))
+        .join(d.select($"doc_id", $"n_chars"), "doc_id")
+        .select($"doc_id", ($"mre" + 1L).as("ss"), $"n_chars".as("se"))
+      val spans = gaps.unionByName(tails).filter($"ss" <= $"se")
+      val removed = runs.groupBy($"doc_id")
+        .agg(sum($"re" - $"rs" + 1L).as("n_removed"))
+      val digest = spans.join(d.select($"doc_id", $"text"), "doc_id")
+        .select($"doc_id", $"ss",
+          expr("substring(text, cast(ss as int), cast(se - ss + 1 as int))").as("frag"))
+        .groupBy($"doc_id")
+        .agg(md5(expr("array_join(transform(array_sort(collect_list(struct(ss, frag))), " +
+          "x -> x.frag), '')")).as("kept_md5"))
+      d.select($"doc_id", $"n_chars", $"text")
+        .join(removed, Seq("doc_id"), "left")
+        .join(digest, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chars",
+          coalesce($"n_removed", lit(0L)).as("n_removed"),
+          ($"n_chars" - coalesce($"n_removed", lit(0L))).as("n_kept"),
+          // no runs → untouched text; runs but no kept span → fully
+          // covered → empty-string digest
+          when($"n_removed".isNull, md5($"text"))
+            .otherwise(coalesce($"kept_md5", md5(lit("")))).as("kept_md5"))
+        .orderBy($"doc_id")
     }
   )
+
+  /** q285's duplicate-interval index — per-doc merged runs [rs, re] of
+    * character positions covered by any ≥2-occurrence 50-char gram.
+    * This IS the persistable corpus artifact of the exact-substring
+    * family (the tfidfPrefixIndexed convention: on a real deployment it
+    * lives on disk next to the corpus and is maintained incrementally);
+    * memoized per (application, fixture) + cache()d so Verify and the
+    * 3-iteration bench build it once (~6 s of the measured ~7 s/iter
+    * was this build).
+    *
+    * Build: the positioned gram frame (Pin — it feeds both the
+    * occurrence count and the instance join; unpinned, each branch
+    * re-runs the corpus-chars explode). The join/group key is the RAW
+    * 50-char gram, not a digest: substring equality is the operator's
+    * semantics and the 50-byte key shuffles barely more than a 32-hex
+    * md5 (at corpus scale where shuffled bytes matter, swap in a
+    * 128-bit fingerprint — 64-bit birthday-collides at ~10^10 grams
+    * and a collision over-deletes silently). Duplicated instances then
+    * MERGE into per-doc interval runs via a doc-partitioned window
+    * island sweep — a new run starts where an instance's start exceeds
+    * the exclusive prefix max end + 1 (adjacent = same run) — so
+    * nothing downstream ever expands instances × 50 (the naive
+    * post-filter explode + distinct handled ~65M rows on this
+    * near-template fixture where most grams ARE duplicated). */
+  private[graft] def substrDupRuns(s: SparkSession, dir: String): DataFrame =
+    substrRunsCache.computeIfAbsent(
+      AppCaches.key(s, dir, substrRunsCache),
+      { _ => buildSubstrDupRuns(s, dir).cache() })
+
+  private val substrRunsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def buildSubstrDupRuns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = 50
+    val d = t(s, dir, "documents").filter($"text".isNotNull)
+      .select($"doc_id", $"text", length($"text").cast("long").as("n_chars"))
+    val grams = Pin.lazily(d.filter($"n_chars" >= L)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
+        .as(Seq("idx", "h")))
+      .select($"doc_id", ($"idx" + 1).as("start"), $"h"))
+    val dup = grams.groupBy($"h")
+      .agg(count(lit(1)).as("occ")).filter($"occ" >= 2).select($"h")
+    val inst = grams.join(dup, "h")
+      .select($"doc_id", $"start", ($"start" + (L - 1)).as("end"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy($"doc_id").orderBy($"start", $"end")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wRun = W.partitionBy($"doc_id").orderBy($"start", $"end")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    inst
+      .withColumn("pmax", max($"end").over(wPrev))
+      .withColumn("newrun",
+        when($"pmax".isNull || $"start" > $"pmax" + 1L, 1L).otherwise(0L))
+      .withColumn("run", sum($"newrun").over(wRun))
+      .groupBy($"doc_id", $"run")
+      .agg(min($"start").as("rs"), max($"end").as("re"))
+  }
 
   /** The docs² brute-force pair loop — since r10 SPEC-ONLY (DedupSpec's
     * cross-check against the registered All-Pairs composition; the r9
@@ -1443,7 +1569,39 @@ object DedupQueries {
 
     // q256 = candidate-pruned q245 with exact verification — the pair
     // SET is provably identical, so it shares the oracle verbatim.
-    "q256_tfidf_prefix_cosine" -> tfidfCosineOracle
+    "q256_tfidf_prefix_cosine" -> tfidfCosineOracle,
+
+    // Same raw 50-char grams, ≥2 total-occurrence filter, interval
+    // union via a window sweep mirrored as ... the oracle keeps the
+    // simpler per-char complement (its cost is DuckDB-side only); the
+    // residual digest and counts must match the Spark interval algebra
+    // exactly.
+    "q285_exact_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i AS s, substr(text, i, 50) AS h
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(text) - 49)) AS i) u
+        |  WHERE len(text) >= 50),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, p
+        |  FROM g JOIN dup USING (h),
+        |  LATERAL (SELECT unnest(generate_series(g.s, g.s + 49)) AS p) v),
+        |chars AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 1) AS c
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) u),
+        |kept AS (
+        |  SELECT ch.doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(ch.c, '' ORDER BY ch.pos)) AS kept_md5
+        |  FROM chars ch LEFT JOIN cov ON ch.doc_id = cov.doc_id AND ch.pos = cov.p
+        |  WHERE cov.p IS NULL
+        |  GROUP BY ch.doc_id)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        |  CAST(len(d.text) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(kept.kept_md5, md5('')) AS kept_md5
+        |FROM d LEFT JOIN kept USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   private lazy val tfidfCosineOracle: String =

@@ -243,6 +243,47 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "fixture should contain at least one repeated shingle")
   }
 
+  test("q285 exact-substring dedup: exhaustive driver recompute matches counts and residual digests") {
+    import spark.implicits._
+    val got = DedupQueries.queries("q285_exact_substring_dedup")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().filter(_._2 != null)
+    val L = 50
+    // corpus-wide occurrence counts of every 50-char substring
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    docs.foreach { case (_, t) =>
+      if (t.length >= L)
+        t.sliding(L).foreach(g => occ(g) = occ.getOrElse(g, 0) + 1)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var removedSomething = false
+    docs.foreach { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      if (t.length >= L)
+        (0 to t.length - L).foreach { i =>
+          if (occ(t.substring(i, i + L)) >= 2)
+            (i until i + L).foreach(covered(_) = true)
+        }
+      val residual = t.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+      val (nc, nr, nk, km) = got(id)
+      assert(nc === t.length.toLong, s"doc $id n_chars")
+      assert(nr === covered.count(identity).toLong, s"doc $id n_removed")
+      assert(nk === residual.length.toLong, s"doc $id n_kept")
+      assert(km === md5hex(residual), s"doc $id residual digest")
+      if (nr > 0) removedSomething = true
+    }
+    assert(removedSomething, "fixture should contain duplicated 50-char substrings")
+    // the sub-50-char gate: short docs can never be marked
+    docs.filter(_._2.length < L).foreach { case (id, _) =>
+      assert(got(id)._2 === 0L, s"short doc $id must keep everything")
+    }
+  }
+
   test("q245 tf-idf cosine: brute-force driver recompute finds the identical pair set") {
     import spark.implicits._
     val got = DedupQueries.queries("q245_tfidf_cosine_pairs")(spark, sf0001)
