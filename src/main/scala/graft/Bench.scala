@@ -31,9 +31,14 @@ object Bench {
     // noop sink materializes every column of every row (count() would let
     // Catalyst prune most of the plan and flatter the numbers); shared by
     // warmup and the timed loop so the two can never diverge.
-    def runToNoop(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    // Job description = query name (guide §1.5): with 280+ queries in one
+    // application the UI/event log is unreadable without labels.
+    def runToNoop(name: String): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.setJobDescription(null)
+    }
     // Untimed warmup: pay JVM/codegen/parquet-footer costs once so the
     // per-query numbers measure the plans, not JIT. One representative
     // per code-path family: scan+hash-agg (q01), typed flatMap + shuffle

@@ -493,15 +493,18 @@ object DedupQueries {
             $"cluster_id".as("j_cluster"))
           else withNbr.join(labels.toDF("j_doc", "j_cluster"),
             $"cluster_id" === $"j_doc", "left")
+        // Carry the OLD label through the pinned frame so convergence is a
+        // filter+count on `next` itself — the former labels-join just to
+        // recompute a value `shortcut` already held cost one extra
+        // shuffle + scan per round (rounds × joins at any scale).
         val next = shortcut
-          .select($"doc_id",
+          .select($"doc_id", $"cluster_id".as("old"),
             least($"cluster_id",
               coalesce($"nbr_min", $"cluster_id"),
               coalesce($"j_cluster", $"cluster_id")).as("cluster_id"))
           .transform(Pin(_))
-        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-          .filter($"cluster_id" =!= $"old").count()
-        labels = next
+        changed = next.filter($"cluster_id" =!= $"old").count()
+        labels = next.drop("old")
         rounds += 1
       }
       require(changed == 0,
@@ -1229,18 +1232,22 @@ object DedupQueries {
     }.mkString("array(", ", ", ")")
     val chunks = sigs.select(col("id"), col("sig"), explode(expr(chunkExpr)).as("x"))
       .select(col("id"), col("sig"), col("x.chunk").as("chunk"), col("x.ckey").as("ckey"))
+    // Verify BEFORE the dedup exchange: hamming is a pure function of the
+    // pair, so computing it on each candidate occurrence (a few codegen'd
+    // xor/bit_counts — cheaper than shuffling the row) and filtering first
+    // means the distinct() shuffles only the QUALIFYING pairs as narrow
+    // (id, id, hamming) triples, never the candidate set with two
+    // signature arrays per row. Same output set: distinct over the triple
+    // equals distinct over the pair because hamming is determined by it.
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming",
         (1 to nWords)
-          .map(i => bit_count(expr(s"element_at(sig_a, $i) ^ element_at(sig_b, $i)")))
-          .reduce(_ + _).cast("long"))
+          .map(i => bit_count(expr(s"element_at(a.sig, $i) ^ element_at(b.sig, $i)")))
+          .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .drop("sig_a", "sig_b")
+      .distinct()
   }
 
   /** 64-bit SimHash per document. Explode tokens once, hash once, then 64
@@ -1258,7 +1265,10 @@ object DedupQueries {
     * only cost is md5 vs xxhash64 per token, paid once per corpus. */
   private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ex = t(s, dir, "documents")
+    // spread before the token explode + per-token md5: fused into a
+    // single-file scan the whole digest pass ran in one task (no-op when
+    // the corpus scan is already parallel — see Tables.spreadIfNarrow)
+    val ex = spreadIfNarrow(t(s, dir, "documents").select($"doc_id", $"text"))
       .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
       .withColumn("h", md5($"tok"))
     val withDigits = ex.select(($"doc_id" +: (0 until 16).map(i =>

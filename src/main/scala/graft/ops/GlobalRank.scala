@@ -43,6 +43,16 @@ object GlobalRank {
 
   private val LocalIdxMask = (1L << 33) - 1
 
+  /** Resolve the range-partition count: callers pass 0 (the default) to
+    * inherit the session's `spark.sql.shuffle.partitions` — the same
+    * scale knob every other exchange in the plan follows — instead of
+    * the former hard-coded 32, which over-split tiny frames at low core
+    * counts and CAPPED parallelism on a real cluster. An explicit
+    * positive argument still wins (tests pin small counts). */
+  private def resolve(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   /**
    * Shared first pass: range-layout `df` over `order`, derive
    * (_gr_pid, _gr_lrn) from `monotonically_increasing_id`'s bit layout,
@@ -75,8 +85,8 @@ object GlobalRank {
       order: Seq[Column],
       rankCol: String,
       nCol: String,
-      partitions: Int = 32): DataFrame = {
-    val tagged = tagByRange(df, order, partitions)
+      partitions: Int = 0): DataFrame = {
+    val tagged = tagByRange(df, order, resolve(df, partitions))
     // One row per partition. max(local rank) == count because local ranks
     // are consecutive from 1 within a partition.
     val counts = tagged.groupBy(col("_gr_pid"))
@@ -119,8 +129,9 @@ object GlobalRank {
       nCol: String,
       prefixCol: String,
       totalCol: String,
-      partitions: Int = 32): DataFrame = {
-    val tagged = tagByRange(df.withColumn("_gp_v", value.cast("long")), order, partitions)
+      partitions: Int = 0): DataFrame = {
+    val tagged = tagByRange(df.withColumn("_gp_v", value.cast("long")), order,
+      resolve(df, partitions))
     val counts = tagged.groupBy(col("_gr_pid"))
       .agg(max(col("_gr_lrn")).as("_gr_cnt"), sum(col("_gp_v")).as("_gp_psum"))
     val offsets = counts
@@ -167,8 +178,9 @@ object GlobalRank {
       rankCol: String,
       nCol: String,
       prefixCol: String,
-      partitions: Int = 32): DataFrame = {
-    val tagged = tagByRange(df.withColumn("_gm_v", value.cast("long")), order, partitions)
+      partitions: Int = 0): DataFrame = {
+    val tagged = tagByRange(df.withColumn("_gm_v", value.cast("long")), order,
+      resolve(df, partitions))
     val counts = tagged.groupBy(col("_gr_pid"))
       .agg(max(col("_gr_lrn")).as("_gr_cnt"), max(col("_gm_v")).as("_gm_pmax"))
     val offsets = counts

@@ -145,8 +145,12 @@ object MultimodalQueries {
   private[graft] def phashDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.PHashFunctions.register(s)
-    withBinaryPayload(docs)
-      .filter($"meta.n_bytes" >= 4)
+    // spread before the 128-bit gram-hash signature: per-row cost is the
+    // md5 gram family over the whole payload, serialized by a single-file
+    // scan otherwise (no-op on an already-parallel scan)
+    Tables.spreadIfNarrow(withBinaryPayload(docs)
+        .filter($"meta.n_bytes" >= 4)
+        .select($"doc_id", $"payload"))
       .select($"doc_id", graft.functions.PHashFunctions.phash128($"payload").as("phash"))
   }
 

@@ -861,7 +861,10 @@ object SimilarityQueries {
     * means derive from it (q139 output; q140/q150 via [[covStats]]). */
   private def coMoments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    embs(s, dir)
+    // spread before the ×2080 (i ≤ j) pair fan-out: fused into a
+    // single-file scan the whole co-moment pass ran in one task (2.5 s);
+    // no-op when the embedding scan is already parallel (Tables.spreadIfNarrow)
+    Tables.spreadIfNarrow(embs(s, dir))
       .select(explode(expr(
         s"""flatten(transform(sequence(0, ${EmbDim - 1}), i ->
            |  transform(sequence(i, ${EmbDim - 1}), j ->

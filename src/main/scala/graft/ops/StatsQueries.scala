@@ -949,6 +949,13 @@ object StatsQueries {
         // characters (they dominate SNM verify cost; same predicate in
         // the oracle, so the admitted set is unchanged by construction)
         .filter(abs(length($"text_a") - length($"text_b")) <= $"k")
+        // re-spread the admitted pairs before the banded DP: AQE coalesces
+        // the candidate exchange to one partition and the O(len·k) verify
+        // then runs serially (2×1.4 s single-task stages measured; a
+        // pre-join spread doesn't work here — the planner broadcasts the
+        // id-only candidate side and the verify inherits the text scan's
+        // partitioning instead)
+        .transform(spread)
         .withColumn("edit_dist", expr("levenshtein(text_a, text_b, k)").cast("long"))
         .filter($"edit_dist" >= 0)
         .select($"doc_a", $"doc_b", $"edit_dist")
@@ -2056,8 +2063,11 @@ object StatsQueries {
       // one md5 digest feeds FOUR replicates (8 hex chars each of the
       // 32-char digest) — the draw count is the dominant cost and this
       // quarters it without touching determinism or independence
-      val reps = t(s, dir, "orders")
-        .select($"o_orderkey", cents($"o_totalprice").as("c"))
+      // spread the 16-byte (key, cents) rows across the configured
+      // parallelism BEFORE the ×B/4 md5 fan-out: fused into a single-file
+      // scan this entire digest loop ran in ONE task (2.5 s of the query)
+      val reps = spreadIfNarrow(t(s, dir, "orders")
+          .select($"o_orderkey", cents($"o_totalprice").as("c")))
         .withColumn("g", explode(expr(s"sequence(0, ${BootstrapReps / 4 - 1})")))
         .withColumn("hx", md5(concat($"o_orderkey".cast("string"), lit(":"),
           $"g".cast("string"))))
@@ -2241,11 +2251,22 @@ object StatsQueries {
       val t0 = day.agg(min($"d").as("d0"))
       val dt = day.crossJoin(broadcast(t0))
         .select(datediff($"d", $"d0").cast("long").as("t"), $"cents")
-      val a = dt.select($"t".as("ta"), $"cents".as("xa"))
-      val b = dt.select($"t".as("tb"), $"cents".as("xb"))
-      val slopes = a.join(b, $"ta" < $"tb")
+      // The pair enumeration is an EXPLODING join (guide §3): n day rows in,
+      // n·(n−1)/2 slope rows out. Left as-is, AQE coalesces the tiny input
+      // to ONE partition and the whole n² emission runs single-task (1.7 s
+      // of the query, twice — repartitionByRange's sample pass re-executes
+      // its child); spreading the stream side across the session's shuffle
+      // partitions BEFORE the join parallelizes the emission, and pinning
+      // the slopes makes the range sampler read blocks instead of
+      // re-running the join.
+      // both sides spread: whichever side the BNL streams then carries the
+      // session's partition count (the other is a trivial tiny broadcast)
+      val spread = dt.repartition(s.sessionState.conf.numShufflePartitions)
+      val a = spread.select($"t".as("ta"), $"cents".as("xa"))
+      val b = spread.select($"t".as("tb"), $"cents".as("xb"))
+      val slopes = Pin(a.join(b, $"ta" < $"tb")
         .select((($"xb" - $"xa").cast("double") /
-          ($"tb" - $"ta").cast("double")).as("sl"))
+          ($"tb" - $"ta").cast("double")).as("sl")))
       // Median by DISTRIBUTED rank selection, not percentile(): the
       // exact-percentile aggregate funnels every pair through one final
       // buffer (4.5 s/iter here, unbounded at scale); GlobalRank range-
@@ -2253,8 +2274,12 @@ object StatsQueries {
       // interpolation lo + f·(hi−lo) is bit-identical to both engines'
       // percentile/quantile_cont formula; rank ties among equal slope
       // VALUES select the same value whichever tied row wins.
-      val ranked = Pin.lazily(
-        GlobalRank.withGlobalRank(slopes, Seq($"sl".asc), "rk", "np"))
+      // No extra pin on `ranked`: GlobalRank's tagged frame is already
+      // pinned, so each consumer below re-runs only a broadcast join over
+      // checkpointed blocks — the former Pin.lazily wrote a second full
+      // copy of the 2.9M-row rank frame for nothing.
+      val ranked =
+        GlobalRank.withGlobalRank(slopes, Seq($"sl".asc), "rk", "np")
       val targets = ranked.agg(max($"np").as("npt"))
         .select($"npt",
           (floor(lit(0.5) * ($"npt" - 1).cast("double")).cast("long") + 1)
@@ -3969,7 +3994,11 @@ object StatsQueries {
         (col(s"$a.p_brand") === col(s"$b.p_brand")).as("g_brand"),
         (col(s"$a.p_type") === col(s"$b.p_type")).as("g_type"),
         (col(s"$a.p_size") === col(s"$b.p_size")).as("g_size"))
-      val rnd = parts.as("a").join(parts.as("b"),
+      // spread the STREAM side before the join: the pinned parts frame is
+      // one partition, so pair emission + JW otherwise serialize in one
+      // task; pre-spreading the narrow input parallelizes the fused
+      // join+verify stage with no extra wide exchange
+      val rnd = spread(parts).as("a").join(parts.as("b"),
           $"b.p_partkey" === $"a.p_partkey" + FsOffset)
         .select(agree("a", "b"): _*)
       val floorU = lit(1.0) / (lit(2.0) * $"n_u".cast("double"))
@@ -4013,7 +4042,12 @@ object StatsQueries {
         ($"brand_a" === $"brand_b").as("g_brand"),
         ($"type_a" === $"type_b").as("g_type"),
         ($"size_a" === $"size_b").as("g_size"))
-      val cand = Salting.saltedEquiJoin(side("a"), side("b"), "blk",
+      // stream side pre-spread (same fix as rnd): candidate emission and
+      // the O(len²) JW verify fuse into the post-join stage, so they run
+      // at the configured parallelism instead of the pinned frame's one
+      // task (measured 2×2 s single-task stages; a post-join respread
+      // only moved the serialization cost into a wide-row exchange)
+      val cand = Salting.saltedEquiJoin(spread(side("a")), side("b"), "blk",
           FsSaltN, Some(hotBlks))
         .filter($"key_a" < $"key_b")
         .select(col("key_a") +: col("key_b") +: agreeR: _*)

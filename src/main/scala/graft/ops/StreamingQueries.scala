@@ -35,6 +35,40 @@ object StreamingQueries {
 
   private val nonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Scale-adaptive stateful-shuffle sizing for the streaming faces
+    * (guide §2: derive partitioning from input size, never a constant
+    * tuned to one environment). A streaming query's shuffle-partition
+    * count is DURABLE — it fixes the number of state-store instances,
+    * is baked into the checkpoint at first start, and every micro-batch
+    * thereafter pays one store open + commit + WAL entry PER PARTITION
+    * whether or not it holds state. So it must be sized to the DATA
+    * (one store per `spark.graft.stream.stateTargetBytes` of source,
+    * default 64 MB), not to the local core count: the fixture derives
+    * 1–2 stores instead of 32 mostly-empty ones (the stream-stream join
+    * keeps FOUR stores per partition), and a 100 TB source derives
+    * thousands. Set/restored around the bounded AvailableNow drain; an
+    * explicit conf overrides the derivation for deployments that know
+    * their state volume. */
+  private def withStatePartitions[A](s: SparkSession, srcBytes: Long)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val target = s.conf.get("spark.graft.stream.stateTargetBytes",
+      (64L * 1024 * 1024).toString).toLong
+    // Floor: a few partitions of compute parallelism even when the state
+    // itself would fit one store (a complete-mode replay re-scans all
+    // state per batch — measured 0.65 s slower single-tasked at fixture
+    // scale); the floor stays far below core count so near-empty store
+    // commits remain bounded. bytes/target dominates at any real volume.
+    val floor = s.conf.get("spark.graft.stream.minStatePartitions", "4").toLong
+    val derived = math.max(floor, math.min((srcBytes + target - 1) / target,
+      1L << 20)).toInt
+    val prev = s.conf.get(key)
+    s.conf.set(key, derived.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  private def fixtureBytes(dir: String, table: String): Long =
+    new java.io.File(s"$dir/$table.parquet").length()
+
   /** Run `build(stream)` over a fixture table read AS A STREAM, collect
     * through a memory sink with AvailableNow, and return the settled
     * table. The stream read applies the same ntz normalization as the
@@ -47,18 +81,21 @@ object StreamingQueries {
     // table so sibling tables never enter the stream.
     val src = ntzNorm(s.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir))
-    settleDf(s, build(src), mode)
+    settleDf(s, build(src), mode, fixtureBytes(dir, table))
   }
 
   /** The sink half of [[settle]], split out for faces that build their
     * own source (the 2-file staged streams below): memory sink,
-    * AvailableNow, drain, return the settled table. */
-  private def settleDf(s: SparkSession, built: DataFrame, mode: String)
-      : DataFrame = {
+    * AvailableNow, drain, return the settled table. `srcBytes` sizes the
+    * stream's stateful shuffle via [[withStatePartitions]]. */
+  private def settleDf(s: SparkSession, built: DataFrame, mode: String,
+      srcBytes: Long): DataFrame = {
     val sink = s"graft_stream_q_${nonce.incrementAndGet()}"
-    val q = built.writeStream.format("memory").queryName(sink)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, srcBytes) {
+      val q = built.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -303,18 +340,20 @@ object StreamingQueries {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
       val buf =
         new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          StreamingIngest.trendingTopK(eventsNorm(batch), "ts",
-              "event_type", "1 hour", k = 3)
-            .select(unix_micros(col("window.start")), col("event_type"),
-              col("n"))
-            .collect()
-            .foreach(r => buf.add((r.getLong(0), r.getString(1), r.getLong(2))))
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, fixtureBytes(dir, "events")) {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            StreamingIngest.trendingTopK(eventsNorm(batch), "ts",
+                "event_type", "1 hour", k = 3)
+              .select(unix_micros(col("window.start")), col("event_type"),
+                col("n"))
+              .collect()
+              .foreach(r => buf.add((r.getLong(0), r.getString(1), r.getLong(2))))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       import scala.jdk.CollectionConverters._
       s.createDataFrame(buf.asScala.toSeq)
         .toDF("window_start_us", "event_type", "n")
@@ -370,7 +409,7 @@ object StreamingQueries {
       import s.implicits._
       val expected = events(s, dir).filter($"user_id".isNotNull)
         .select($"user_id").distinct().count()
-      withRocksDBProvider(s) {
+      withRocksDBProvider(s) { withStatePartitions(s, fixtureBytes(dir, "events")) {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val src = ntzNorm(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -395,7 +434,7 @@ object StreamingQueries {
           .select($"key".cast("long").as("user_id"),
             $"emitted".cast("long").as("emitted"), $"suppressed")
           .orderBy($"user_id")
-      }
+      } }
     },
 
     // ---------------- flatMapGroupsWithState funnel, driver face (r10)
@@ -460,7 +499,8 @@ object StreamingQueries {
           !late && us % 3 === 0 && us =!= mt, late)))
       settleDf(s,
         StreamingIngest.tumblingCounts(eventsNorm(src), "ts", "event_type",
-          "1 hour", watermark = "2 hours"), "append")
+          "1 hour", watermark = "2 hours"), "append",
+        fixtureBytes(dir, "events"))
         .select($"event_type",
           unix_micros($"window.start").as("window_start_us"), $"n")
         .orderBy($"event_type", $"window_start_us")
@@ -548,17 +588,19 @@ object StreamingQueries {
       val src = readStaged(s, stageEventsSplit(s, dir, "err",
         Seq(col("event_type") =!= "error", col("event_type") === "error")))
       val buf = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-      val q = src.filter(col("event_type").isNotNull)
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.collect().foreach { r =>
-            buf.put(r.getString(0), (r.getLong(1), batchId))
+      withStatePartitions(s, fixtureBytes(dir, "events")) {
+        val q = src.filter(col("event_type").isNotNull)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.collect().foreach { r =>
+              buf.put(r.getString(0), (r.getLong(1), batchId))
+            }
+            ()
           }
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       import scala.jdk.CollectionConverters._
       s.createDataFrame(buf.asScala.toSeq.map { case (k, (n, b)) => (k, n, b) })
         .toDF("event_type", "n", "last_update_batch")

@@ -37,7 +37,20 @@ object Tables {
    * instant-preserving and byte-identical to the pre-3.4 read path.
    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    ntzNorm(spark.read.parquet(s"$dir/$name.parquet"))
+    tableCache.computeIfAbsent(
+      AppCaches.key(spark, dir, tableCache) + "#" + name,
+      { _ => ntzNorm(spark.read.parquet(s"$dir/$name.parquet")) })
+
+  /** Plan-level read memo: `spark.read.parquet` pays a driver-side file
+    * listing + footer schema read PER CALL, and a 280-query bench
+    * resolves the same ~10 fixture tables thousands of times. Memoizing
+    * the ANALYZED FRAME (relation + schema — never row data; every use
+    * still scans parquet) is what a catalog table gives you for free,
+    * and at 100 TB the avoided re-listing of a large table's files is
+    * the guide §6 "file listing" cost. Evicted with the application via
+    * [[AppCaches]] like every other control-plane memo. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** The NTZ→UTC-instant cast chain applied to an already-read frame —
     * split out so STREAMING readers (which need an explicit schema and
@@ -71,6 +84,27 @@ object Tables {
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
           .withColumn("ms", unix_millis(col("ts")))
     }
+
+  /** Re-establish the session's configured parallelism before a CPU-bound
+    * projection (crypto-hash fan-outs, string-DP verifies). Partitioning
+    * is byte-based everywhere — a single-file scan yields one task, and
+    * AQE coalesces a few-KB candidate exchange to one partition — which
+    * starves stages whose cost is per-row COMPUTE, not bytes (AQE cannot
+    * see expression cost). `spark.sql.shuffle.partitions` is the
+    * deployment's statement of intended parallelism, so the inserted
+    * round-robin exchange follows the scale knob; callers place it where
+    * the rows are still narrow relative to the work done per row. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** [[spread]] for SCAN-fused fan-outs, conditional on the upstream plan
+    * actually being under-parallel (a single-file fixture scan): a no-op
+    * when the scan already splits to >= the configured parallelism (any
+    * real-scale table), so no corpus-wide exchange is added at scale. */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
 
   /** Exact money arithmetic: decimal-cast before summing (see above). */
   val money: DecimalType = DecimalType(18, 4)

@@ -221,7 +221,11 @@ object TextQueries {
           "                     AND (acc.bestg IS NULL OR x > acc.bestg) THEN x " +
           "                ELSE acc.bestg END), " +
           "acc -> named_struct('n', acc.bestn, 'g', acc.bestg))")
-      t(s, dir, "documents")
+      // spread before the per-document HOF folds (bigram run-length
+      // aggregate, regex scans): single-file scan fusion ran them in one
+      // task, twice via the orderBy range sampler (2×0.84 s measured)
+      spreadIfNarrow(t(s, dir, "documents")
+          .select($"doc_id", $"text", $"n_chars"))
         .withColumn("w", split(lower($"text"), " "))
         .withColumn("n_words", size($"w").cast("long"))
         .withColumn("mean_word_len",
