@@ -69,6 +69,42 @@ object StreamingQueries {
   private def fixtureBytes(dir: String, table: String): Long =
     new java.io.File(s"$dir/$table.parquet").length()
 
+  /** Scratch checkpoint for the bounded batch-face drains. These streams
+    * END inside the call (AvailableNow → memory sink → settled table), so
+    * their checkpoint is pure scratch: there is no resume, and durability
+    * buys nothing — while every offset/commit/state file it writes is
+    * fsync'd, which measured 30–40% of each face's cost on a disk-backed
+    * tmpdir. Default root: /dev/shm when present (RAM-backed, exists on
+    * any modern Linux), else java.io.tmpdir. A deployment running a REAL
+    * continuous stream must point `spark.graft.stream.checkpointDir` at
+    * durable shared storage — that contract is exactly why this is a
+    * conf, and the production StreamingIngest pipelines take an explicit
+    * checkpoint path already (this helper is only for the driver-checked
+    * faces). Each call returns a fresh subdir; [[dropScratch]] removes it
+    * after the drain (a shutdown hook sweeps the root as backstop). */
+  private def scratchCheckpoint(s: SparkSession): String = {
+    val root = s.conf.getOption("spark.graft.stream.checkpointDir")
+      .map(new java.io.File(_)).getOrElse(scratchRoot)
+    root.mkdirs()
+    new java.io.File(root, "ck" + nonce.incrementAndGet()).getAbsolutePath
+  }
+
+  private def dropScratch(path: String): Unit = rmRec(new java.io.File(path))
+
+  private def rmRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmRec))
+    f.delete(); ()
+  }
+
+  private lazy val scratchRoot: java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = java.nio.file.Files.createTempDirectory(base, "graft_ck_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmRec(root)))
+    root
+  }
+
   /** Run `build(stream)` over a fixture table read AS A STREAM, collect
     * through a memory sink with AvailableNow, and return the settled
     * table. The stream read applies the same ntz normalization as the
@@ -91,11 +127,14 @@ object StreamingQueries {
   private def settleDf(s: SparkSession, built: DataFrame, mode: String,
       srcBytes: Long): DataFrame = {
     val sink = s"graft_stream_q_${nonce.incrementAndGet()}"
+    val ck = scratchCheckpoint(s)
     withStatePartitions(s, srcBytes) {
       val q = built.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ck)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    dropScratch(ck)
     s.table(sink)
   }
 
@@ -341,7 +380,9 @@ object StreamingQueries {
       val buf =
         new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
       withStatePartitions(s, fixtureBytes(dir, "events")) {
+        val ck = scratchCheckpoint(s)
         val q = src.writeStream
+          .option("checkpointLocation", ck)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             StreamingIngest.trendingTopK(eventsNorm(batch), "ts",
                 "event_type", "1 hour", k = 3)
@@ -353,6 +394,7 @@ object StreamingQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        dropScratch(ck)
       }
       import scala.jdk.CollectionConverters._
       s.createDataFrame(buf.asScala.toSeq)
@@ -414,10 +456,12 @@ object StreamingQueries {
         val src = ntzNorm(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
         val sink = s"graft_stream_q_${nonce.incrementAndGet()}"
+        val ck = scratchCheckpoint(s)
         val q = StreamingIngest.ttlDedupGate(s,
             src.filter(col("user_id").isNotNull), "user_id",
             java.time.Duration.ofHours(1)).toDF()
           .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ck)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         // Health-aware poll: a dead query must surface ITS exception
         // immediately, not a 180 s hang ending in a row-count error
@@ -428,6 +472,7 @@ object StreamingQueries {
           Thread.sleep(200)
         q.stop()
         q.exception.foreach(throw _)
+        dropScratch(ck)
         require(s.table(sink).count() == expected,
           s"ttl dedup face: sink never reached $expected rows")
         s.table(sink)
@@ -589,9 +634,11 @@ object StreamingQueries {
         Seq(col("event_type") =!= "error", col("event_type") === "error")))
       val buf = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
       withStatePartitions(s, fixtureBytes(dir, "events")) {
+        val ck = scratchCheckpoint(s)
         val q = src.filter(col("event_type").isNotNull)
           .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
           .writeStream.outputMode("update")
+          .option("checkpointLocation", ck)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             batch.collect().foreach { r =>
               buf.put(r.getString(0), (r.getLong(1), batchId))
@@ -600,6 +647,7 @@ object StreamingQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        dropScratch(ck)
       }
       import scala.jdk.CollectionConverters._
       s.createDataFrame(buf.asScala.toSeq.map { case (k, (n, b)) => (k, n, b) })
