@@ -47,14 +47,16 @@ object DedupQueries {
   private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // spread before the typed shingle flatMap: fused into a single-file
-    // scan the whole gram pass (and the Pin write below) ran in one task
-    // for every consumer of this spine; no-op on an already-parallel scan
-    Tables.spreadIfNarrow(docs
+    // (A spreadIfNarrow before this flatMap was tried in the r10
+    // optimization round and REVERTED: the round-robin exchange carries
+    // the full token arrays, which the same-session A/B measured as a
+    // net loss across the spine's seven consumers — the slicing flatMap
+    // is cheap relative to its bytes, unlike the per-token-md5 spines.)
+    docs
       // NULL text must contribute zero shingles (as the SQL formulations
       // do), not a null token array that would NPE inside the flatMap.
       .filter($"text".isNotNull)
-      .select($"doc_id".cast("long"), split(lower($"text"), " ").as("toks")))
+      .select($"doc_id".cast("long"), split(lower($"text"), " ").as("toks"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, toks) =>
         toks.iterator.sliding(ShingleK).withPartial(false)
@@ -108,12 +110,9 @@ object DedupQueries {
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // spread before the typed fingerprinter (same rationale as
-    // shingleRowsOf): the gram→md5→window-min chain is pure per-row
-    // compute that a single-file scan otherwise serializes in one task
-    Tables.spreadIfNarrow(docs
+    docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id").cast("long"), split(lower(col("text")), " ").as("toks")))
+      .select(col("doc_id").cast("long"), split(lower(col("text")), " ").as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -550,14 +549,12 @@ object DedupQueries {
     // 16-byte digests — never the text itself.
     "q78_passage_dedup" -> { (s, dir) =>
       import s.implicits._
-      // spread before the per-passage md5 fan-out (scan-fusion serializes
-      // it otherwise; no-op on an already-parallel scan)
-      val w = spreadIfNarrow(t(s, dir, "documents")
-          .filter($"text".isNotNull)
-          .select($"doc_id", split($"text", " ").as("ws"))
-          // guard: sequence(0, n-1) needs n >= 1; shorter docs have no
-          // complete passage (the oracle applies the same predicate)
-          .filter(size($"ws") >= PassageLen))
+      val w = t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        // guard: sequence(0, n-1) needs n >= 1; shorter docs have no
+        // complete passage (the oracle applies the same predicate)
+        .filter(size($"ws") >= PassageLen)
       val chunks = w.select($"doc_id",
         explode(expr(
           s"""transform(sequence(0, cast(floor(size(ws) / $PassageLen.0) - 1 as int)),
@@ -607,10 +604,9 @@ object DedupQueries {
     // through untouched — the left join keeps them in the audit.
     "q113_boilerplate_strip" -> { (s, dir) =>
       import s.implicits._
-      // spread before the passage-md5 chunking (q78's rationale)
-      val base = spreadIfNarrow(t(s, dir, "documents").filter($"text".isNotNull)
+      val base = t(s, dir, "documents").filter($"text".isNotNull)
         .select($"doc_id", split($"text", " ").as("ws"))
-        .select($"doc_id", size($"ws").cast("long").as("n_words"), $"ws"))
+        .select($"doc_id", size($"ws").cast("long").as("n_words"), $"ws")
       // guard: sequence(0, -1) is DESCENDING in Spark (q55 trap), so docs
       // without one complete passage must not reach the transform
       val chunks = base.filter($"n_words" >= PassageLen).select($"doc_id",
@@ -643,9 +639,9 @@ object DedupQueries {
     // no df pruning is needed; the marginal sizes broadcast.
     "q115_source_overlap" -> { (s, dir) =>
       import s.implicits._
-      val ss = Pin.lazily(spreadIfNarrow(t(s, dir, "documents")
-          .filter($"text".isNotNull)
-          .select($"source", split(lower($"text"), " ").as("toks")))
+      val ss = Pin.lazily(t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"source", split(lower($"text"), " ").as("toks"))
         .as[(String, Seq[String])]
         .flatMap { case (src, toks) =>
           toks.iterator.sliding(ShingleK).withPartial(false)
@@ -709,10 +705,7 @@ object DedupQueries {
     "q143_dup_span_coverage" -> { (s, dir) =>
       import s.implicits._
       val K = ShingleK
-      // spread before the positioned-gram md5 fan-out (the q78/q113 shape):
-      // single-file scan fusion otherwise serializes the spine's pin
-      val pos = Pin.lazily(spreadIfNarrow(t(s, dir, "documents")
-          .select($"doc_id", $"text"))
+      val pos = Pin.lazily(t(s, dir, "documents")
         .withColumn("ws", split(lower($"text"), " "))
         .select($"doc_id", size($"ws").cast("long").as("n_tokens"),
           posexplode(when(size($"ws") >= K, expr(
