@@ -59,12 +59,19 @@ object StreamingQueries {
     // scale); the floor stays far below core count so near-empty store
     // commits remain bounded. bytes/target dominates at any real volume.
     val floor = s.conf.get("spark.graft.stream.minStatePartitions", "4").toLong
-    val derived = math.max(floor, math.min((srcBytes + target - 1) / target,
-      1L << 20)).toInt
+    val derived = derivedStatePartitions(srcBytes, target, floor)
     val prev = s.conf.get(key)
     s.conf.set(key, derived.toString)
     try body finally s.conf.set(key, prev)
   }
+
+  /** The pure derivation under [[withStatePartitions]], split out for
+    * StreamingSpec: ceil(srcBytes / targetBytes), floored at `floor`,
+    * capped at 2²⁰ stores. */
+  private[graft] def derivedStatePartitions(srcBytes: Long, targetBytes: Long,
+      floor: Long): Int =
+    math.max(floor, math.min((srcBytes + targetBytes - 1) / targetBytes,
+      1L << 20)).toInt
 
   private def fixtureBytes(dir: String, table: String): Long =
     new java.io.File(s"$dir/$table.parquet").length()

@@ -28,6 +28,22 @@ class GlobalRankSpec extends AnyFunSuite with SparkSuite {
     GlobalRank.withGlobalRank(fixture(n), Seq($"v", $"id"), "rk", "n_total", partitions = 4)
   }
 
+  test("default partition count inherits spark.sql.shuffle.partitions (r10: was a hard 32)") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      // correctness under the conf-derived default path: exact 1..n ranks
+      val w = Window.orderBy($"v", $"id")
+      val expected = fixture(61)
+        .withColumn("rk_w", row_number().over(w).cast("long"))
+        .select($"id", $"rk_w")
+      val got = GlobalRank.withGlobalRank(fixture(61), Seq($"v", $"id"), "rk", "n")
+      assert(got.join(expected, "id").filter($"rk" =!= $"rk_w").count() === 0)
+      assert(got.agg(org.apache.spark.sql.functions.max($"n")).head().getLong(0) === 61L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("global rank equals row_number over the unpartitioned window") {
     import spark.implicits._
     val w = Window.orderBy($"v", $"id")

@@ -667,4 +667,19 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
     assert(got.contains("error"), "fixture must have error rows to exercise batch 1")
   }
+
+  test("r10: state-partition derivation is size-adaptive, floored, and capped") {
+    import graft.ops.StreamingQueries.derivedStatePartitions
+    val M = 64L * 1024 * 1024
+    // below one target: the floor rules
+    assert(derivedStatePartitions(2L * 1024 * 1024, M, 4) === 4)
+    assert(derivedStatePartitions(0L, M, 1) === 1)
+    // ceil division once past the floor
+    assert(derivedStatePartitions(10L * M, M, 4) === 10)
+    assert(derivedStatePartitions(10L * M + 1, M, 4) === 11)
+    // 1 TB derives thousands of stores; 100 TB hits the 2^20 cap
+    assert(derivedStatePartitions(1024L * 1024 * 1024 * 1024, M, 4) === 16384)
+    assert(derivedStatePartitions(100L * 1024 * 1024 * 1024 * 1024, M, 4) === (1 << 20))
+    assert(derivedStatePartitions(Long.MaxValue / 2, 1L, 4) === (1 << 20))
+  }
 }
