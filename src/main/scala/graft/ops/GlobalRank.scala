@@ -43,31 +43,83 @@ object GlobalRank {
 
   private val LocalIdxMask = (1L << 33) - 1
 
-  /** Resolve the range-partition count: callers pass 0 (the default) to
-    * inherit the session's `spark.sql.shuffle.partitions` — the same
-    * scale knob every other exchange in the plan follows — instead of
-    * the former hard-coded 32, which over-split tiny frames at low core
-    * counts and CAPPED parallelism on a real cluster. An explicit
-    * positive argument still wins (tests pin small counts). */
-  private def resolve(df: DataFrame, partitions: Int): Int =
-    if (partitions > 0) partitions
-    else df.sparkSession.sessionState.conf.numShufflePartitions
+  /** Range-partition count from the MEASURED bytes of the pinned rank
+    * input: one partition per `spark.graft.rank.targetBytes` (default
+    * 64 MB — guide §2.2's "fewer, larger partitions" band), floor 1, cap
+    * 2²⁰. The r10 default (inherit `spark.sql.shuffle.partitions`) sized
+    * the range shuffle to the CLUSTER, which over-splits the small
+    * aggregate frames most ranks run on (32 near-empty sort tasks + a
+    * 32-partition pin per rank at any core count) and under-splits a
+    * genuinely large rank input on a small-conf cluster. Bytes come from
+    * the block manager's storage info for the pinned RDD — exact, already
+    * materialized, driver-side O(partitions); when the pin is a RELIABLE
+    * checkpoint (cluster deployments that set a checkpoint dir) there are
+    * no storage blocks, and the conf count is the honest fallback. An
+    * explicit positive `partitions` argument still wins (tests pin small
+    * counts). */
+  private[graft] def derivedRangePartitions(pinned: DataFrame): Int = {
+    val s = pinned.sparkSession
+    val target = s.conf.get("spark.graft.rank.targetBytes",
+      (64L * 1024 * 1024).toString).toLong
+    pinnedBytes(pinned) match {
+      case Some(b) =>
+        math.max(1L, math.min((b + target - 1) / target, 1L << 20)).toInt
+      case None => s.sessionState.conf.numShufflePartitions
+    }
+  }
+
+  /** Measured storage size of an eagerly local-checkpointed frame; None
+    * when the frame is not a single in-memory checkpoint (reliable
+    * checkpoint, or an unexpected plan shape). */
+  private def pinnedBytes(pinned: DataFrame): Option[Long] =
+    (pinned.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }).flatMap { rdd =>
+      pinned.sparkSession.sparkContext.getRDDStorageInfo
+        .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
+    }
+
+  /** Drop a private input pin's blocks once the downstream tagged frame is
+    * materialized — the blocks are this method's scratch copy, never the
+    * caller's frame, so holding them to context GC would only add storage
+    * pressure (32 concurrent tasks share one heap in local mode). */
+  private def dropPin(pinned: DataFrame): Unit =
+    pinned.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /**
-   * Shared first pass: range-layout `df` over `order`, derive
+   * Shared first pass: PIN the input (the range exchange executes its
+   * child TWICE — once for the boundary sampler, once for the shuffle —
+   * so both now read checkpoint blocks instead of re-running the child's
+   * post-exchange segment; the pin also yields the measured bytes the
+   * partition derivation needs), then range-layout over `order`, derive
    * (_gr_pid, _gr_lrn) from `monotonically_increasing_id`'s bit layout,
    * and PIN the result — two downstream jobs must agree on the range
    * partitioning, and `RangePartitioner` re-samples boundaries per
    * planned RDD (reliable checkpoint when a dir is configured — see Pin).
+   * The input pin is dropped as soon as the tagged pin is materialized.
    */
-  private def tagByRange(df: DataFrame, order: Seq[Column], partitions: Int): DataFrame =
-    df.repartitionByRange(partitions, order: _*)
+  private def tagByRange(df: DataFrame, order: Seq[Column], partitions: Int): DataFrame = {
+    val pinned = df.queryExecution.analyzed match {
+      // already a bare pinned frame (e.g. a caller's Pin) — don't copy it
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => Pin(df)
+    }
+    val n = if (partitions > 0) partitions else derivedRangePartitions(pinned)
+    val tagged = pinned.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_gr_mid", monotonically_increasing_id())
       .withColumn("_gr_pid", shiftright(col("_gr_mid"), 33))
       .withColumn("_gr_lrn", col("_gr_mid").bitwiseAND(lit(LocalIdxMask)) + lit(1L))
       .drop("_gr_mid")
       .transform(Pin(_))
+    if (!(pinned eq df)) dropPin(pinned)
+    tagged
+  }
 
   // Control-plane windows: ordered over ≤`partitions` one-row-per-partition
   // rows — the only unpartitioned windows in any GlobalRank plan.
@@ -86,7 +138,7 @@ object GlobalRank {
       rankCol: String,
       nCol: String,
       partitions: Int = 0): DataFrame = {
-    val tagged = tagByRange(df, order, resolve(df, partitions))
+    val tagged = tagByRange(df, order, partitions)
     // One row per partition. max(local rank) == count because local ranks
     // are consecutive from 1 within a partition.
     val counts = tagged.groupBy(col("_gr_pid"))
@@ -131,7 +183,7 @@ object GlobalRank {
       totalCol: String,
       partitions: Int = 0): DataFrame = {
     val tagged = tagByRange(df.withColumn("_gp_v", value.cast("long")), order,
-      resolve(df, partitions))
+      partitions)
     val counts = tagged.groupBy(col("_gr_pid"))
       .agg(max(col("_gr_lrn")).as("_gr_cnt"), sum(col("_gp_v")).as("_gp_psum"))
     val offsets = counts
@@ -180,7 +232,7 @@ object GlobalRank {
       prefixCol: String,
       partitions: Int = 0): DataFrame = {
     val tagged = tagByRange(df.withColumn("_gm_v", value.cast("long")), order,
-      resolve(df, partitions))
+      partitions)
     val counts = tagged.groupBy(col("_gr_pid"))
       .agg(max(col("_gr_lrn")).as("_gr_cnt"), max(col("_gm_v")).as("_gm_pmax"))
     val offsets = counts

@@ -28,20 +28,35 @@ class GlobalRankSpec extends AnyFunSuite with SparkSuite {
     GlobalRank.withGlobalRank(fixture(n), Seq($"v", $"id"), "rk", "n_total", partitions = 4)
   }
 
-  test("default partition count inherits spark.sql.shuffle.partitions (r10: was a hard 32)") {
+  test("default partition count derives from measured pinned bytes (r11: was conf-inherited)") {
     import spark.implicits._
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // correctness under the byte-derived default path: exact 1..n ranks
+    val w = Window.orderBy($"v", $"id")
+    val expected = fixture(61)
+      .withColumn("rk_w", row_number().over(w).cast("long"))
+      .select($"id", $"rk_w")
+    val got = GlobalRank.withGlobalRank(fixture(61), Seq($"v", $"id"), "rk", "n")
+    assert(got.join(expected, "id").filter($"rk" =!= $"rk_w").count() === 0)
+    assert(got.agg(org.apache.spark.sql.functions.max($"n")).head().getLong(0) === 61L)
+  }
+
+  test("derivedRangePartitions: one partition per targetBytes of measured pin, floor 1") {
+    import spark.implicits._
+    val pinned = graft.ops.Pin(fixture(1000))
+    // a ~KB-scale frame derives 1 partition under the 64 MB default
+    assert(GlobalRank.derivedRangePartitions(pinned) === 1)
+    val prev = spark.conf.getOption("spark.graft.rank.targetBytes")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "3")
-      // correctness under the conf-derived default path: exact 1..n ranks
-      val w = Window.orderBy($"v", $"id")
-      val expected = fixture(61)
-        .withColumn("rk_w", row_number().over(w).cast("long"))
-        .select($"id", $"rk_w")
-      val got = GlobalRank.withGlobalRank(fixture(61), Seq($"v", $"id"), "rk", "n")
-      assert(got.join(expected, "id").filter($"rk" =!= $"rk_w").count() === 0)
-      assert(got.agg(org.apache.spark.sql.functions.max($"n")).head().getLong(0) === 61L)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.graft.rank.targetBytes", "1024")
+      // tiny target: the same measured bytes now derive several partitions
+      assert(GlobalRank.derivedRangePartitions(pinned) > 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.rank.targetBytes", v)
+      case None    => spark.conf.unset("spark.graft.rank.targetBytes")
+    }
+    // a frame that is NOT an in-memory pin falls back to the conf count
+    assert(GlobalRank.derivedRangePartitions(fixture(10)) ===
+      spark.sessionState.conf.numShufflePartitions)
   }
 
   test("global rank equals row_number over the unpartitioned window") {
