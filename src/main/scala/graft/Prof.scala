@@ -28,8 +28,10 @@ object Prof {
     val spark = extra.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val stages = mutable.Map[Int, (String, Long, Long, Int)]() // id -> (name, submit, done, tasks)
-    val jobs = mutable.Map[Int, (Long, Long, String)]()
+    // TrieMap: the listener bus mutates from its own thread while main
+    // clears/iterates — a plain mutable.Map can throw or tear mid-drain.
+    val stages = scala.collection.concurrent.TrieMap[Int, (String, Long, Long, Int)]() // id -> (name, submit, done, tasks)
+    val jobs = scala.collection.concurrent.TrieMap[Int, (Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo

@@ -41,7 +41,11 @@ object StreamingQueries {
     * count is DURABLE — it fixes the number of state-store instances,
     * is baked into the checkpoint at first start, and every micro-batch
     * thereafter pays one store open + commit + WAL entry PER PARTITION
-    * whether or not it holds state. So it must be sized to the DATA
+    * whether or not it holds state. The set/restore is session-global:
+    * these bounded drains are strictly sequential per session (Bench,
+    * Verify and the driver all run queries one at a time) — concurrent
+    * batch work on the SAME session during a drain would see the derived
+    * count; use a separate session for such work. Sized to the DATA
     * (one store per `spark.graft.stream.stateTargetBytes` of source,
     * default 64 MB), not to the local core count: the fixture derives
     * 1–2 stores instead of 32 mostly-empty ones (the stream-stream join
@@ -73,8 +77,20 @@ object StreamingQueries {
     math.max(floor, math.min((srcBytes + targetBytes - 1) / targetBytes,
       1L << 20)).toInt
 
-  private def fixtureBytes(dir: String, table: String): Long =
-    new java.io.File(s"$dir/$table.parquet").length()
+  /** Source size feeding the state-partition derivation: a RECURSIVE
+    * leaf-file sum through the Hadoop FileSystem API. `java.io.File.length`
+    * (the r10 implementation) returns 0 for any non-local URI and ~4 KB for
+    * a directory-layout parquet table, degenerating the derivation to the
+    * floor on exactly the sources that need real state sizing; content
+    * summary counts the actual bytes for single files, directory tables and
+    * remote filesystems alike. Unknown/missing paths report 0 — the
+    * derivation then uses its floor. */
+  private[graft] def fixtureBytes(s: SparkSession, dir: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    catch { case _: java.io.IOException => 0L }
+  }
 
   /** Scratch checkpoint for the bounded batch-face drains. These streams
     * END inside the call (AvailableNow → memory sink → settled table), so
@@ -93,7 +109,12 @@ object StreamingQueries {
     val root = s.conf.getOption("spark.graft.stream.checkpointDir")
       .map(new java.io.File(_)).getOrElse(scratchRoot)
     root.mkdirs()
-    new java.io.File(root, "ck" + nonce.incrementAndGet()).getAbsolutePath
+    // Unique PER RUN, not per JVM: "ck" + AtomicLong restarts at 1 every
+    // JVM, so under a configured checkpointDir a crashed run's leftover
+    // ck1 would be REUSED by the next run — AvailableNow then sees all
+    // offsets committed and the sink settles empty (r10 advice).
+    new java.io.File(root,
+      "ck_" + java.util.UUID.randomUUID().toString).getAbsolutePath
   }
 
   private def dropScratch(path: String): Unit = rmRec(new java.io.File(path))
@@ -124,7 +145,7 @@ object StreamingQueries {
     // table so sibling tables never enter the stream.
     val src = ntzNorm(s.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir))
-    settleDf(s, build(src), mode, fixtureBytes(dir, table))
+    settleDf(s, build(src), mode, fixtureBytes(s, dir, table))
   }
 
   /** The sink half of [[settle]], split out for faces that build their
@@ -135,13 +156,15 @@ object StreamingQueries {
       srcBytes: Long): DataFrame = {
     val sink = s"graft_stream_q_${nonce.incrementAndGet()}"
     val ck = scratchCheckpoint(s)
-    withStatePartitions(s, srcBytes) {
+    // finally, not post-success: a failed drain must not leak its scratch
+    // checkpoint (the shutdown hook sweeps only the default root, never a
+    // user-configured spark.graft.stream.checkpointDir — r10 advice).
+    try withStatePartitions(s, srcBytes) {
       val q = built.writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", ck)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    }
-    dropScratch(ck)
+    } finally dropScratch(ck)
     s.table(sink)
   }
 
@@ -386,22 +409,23 @@ object StreamingQueries {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
       val buf =
         new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
-      withStatePartitions(s, fixtureBytes(dir, "events")) {
+      withStatePartitions(s, fixtureBytes(s, dir, "events")) {
         val ck = scratchCheckpoint(s)
-        val q = src.writeStream
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            StreamingIngest.trendingTopK(eventsNorm(batch), "ts",
-                "event_type", "1 hour", k = 3)
-              .select(unix_micros(col("window.start")), col("event_type"),
-                col("n"))
-              .collect()
-              .foreach(r => buf.add((r.getLong(0), r.getString(1), r.getLong(2))))
-            ()
-          }
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        dropScratch(ck)
+        try {
+          val q = src.writeStream
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              StreamingIngest.trendingTopK(eventsNorm(batch), "ts",
+                  "event_type", "1 hour", k = 3)
+                .select(unix_micros(col("window.start")), col("event_type"),
+                  col("n"))
+                .collect()
+                .foreach(r => buf.add((r.getLong(0), r.getString(1), r.getLong(2))))
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally dropScratch(ck)
       }
       import scala.jdk.CollectionConverters._
       s.createDataFrame(buf.asScala.toSeq)
@@ -458,28 +482,29 @@ object StreamingQueries {
       import s.implicits._
       val expected = events(s, dir).filter($"user_id".isNotNull)
         .select($"user_id").distinct().count()
-      withRocksDBProvider(s) { withStatePartitions(s, fixtureBytes(dir, "events")) {
+      withRocksDBProvider(s) { withStatePartitions(s, fixtureBytes(s, dir, "events")) {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val src = ntzNorm(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
         val sink = s"graft_stream_q_${nonce.incrementAndGet()}"
         val ck = scratchCheckpoint(s)
-        val q = StreamingIngest.ttlDedupGate(s,
-            src.filter(col("user_id").isNotNull), "user_id",
-            java.time.Duration.ofHours(1)).toDF()
-          .writeStream.format("memory").queryName(sink)
-          .option("checkpointLocation", ck)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        // Health-aware poll: a dead query must surface ITS exception
-        // immediately, not a 180 s hang ending in a row-count error
-        // (this drain bypasses awaitTermination's propagation path).
-        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-        while (q.isActive && s.table(sink).count() < expected &&
-            System.nanoTime() < deadline)
-          Thread.sleep(200)
-        q.stop()
-        q.exception.foreach(throw _)
-        dropScratch(ck)
+        try {
+          val q = StreamingIngest.ttlDedupGate(s,
+              src.filter(col("user_id").isNotNull), "user_id",
+              java.time.Duration.ofHours(1)).toDF()
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          // Health-aware poll: a dead query must surface ITS exception
+          // immediately, not a 180 s hang ending in a row-count error
+          // (this drain bypasses awaitTermination's propagation path).
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          while (q.isActive && s.table(sink).count() < expected &&
+              System.nanoTime() < deadline)
+            Thread.sleep(200)
+          q.stop()
+          q.exception.foreach(throw _)
+        } finally dropScratch(ck)
         require(s.table(sink).count() == expected,
           s"ttl dedup face: sink never reached $expected rows")
         s.table(sink)
@@ -552,7 +577,7 @@ object StreamingQueries {
       settleDf(s,
         StreamingIngest.tumblingCounts(eventsNorm(src), "ts", "event_type",
           "1 hour", watermark = "2 hours"), "append",
-        fixtureBytes(dir, "events"))
+        fixtureBytes(s, dir, "events"))
         .select($"event_type",
           unix_micros($"window.start").as("window_start_us"), $"n")
         .orderBy($"event_type", $"window_start_us")
@@ -640,21 +665,22 @@ object StreamingQueries {
       val src = readStaged(s, stageEventsSplit(s, dir, "err",
         Seq(col("event_type") =!= "error", col("event_type") === "error")))
       val buf = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-      withStatePartitions(s, fixtureBytes(dir, "events")) {
+      withStatePartitions(s, fixtureBytes(s, dir, "events")) {
         val ck = scratchCheckpoint(s)
-        val q = src.filter(col("event_type").isNotNull)
-          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.collect().foreach { r =>
-              buf.put(r.getString(0), (r.getLong(1), batchId))
+        try {
+          val q = src.filter(col("event_type").isNotNull)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.collect().foreach { r =>
+                buf.put(r.getString(0), (r.getLong(1), batchId))
+              }
+              ()
             }
-            ()
-          }
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        dropScratch(ck)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally dropScratch(ck)
       }
       import scala.jdk.CollectionConverters._
       s.createDataFrame(buf.asScala.toSeq.map { case (k, (n, b)) => (k, n, b) })

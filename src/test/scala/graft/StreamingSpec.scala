@@ -682,4 +682,33 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(derivedStatePartitions(100L * 1024 * 1024 * 1024 * 1024, M, 4) === (1 << 20))
     assert(derivedStatePartitions(Long.MaxValue / 2, 1L, 4) === (1 << 20))
   }
+
+  test("r11: fixtureBytes sums leaf files of a directory-layout table (File.length saw ~4KB)") {
+    import graft.ops.StreamingQueries.fixtureBytes
+    // single-file fixture: content summary equals the file length
+    val f = new java.io.File(s"$sf0001/events.parquet")
+    assert(f.isFile)
+    assert(fixtureBytes(spark, sf0001, "events") === f.length())
+    // directory-layout table: the sum of leaf part files, not the dirent size
+    val root = java.nio.file.Files.createTempDirectory("graft_fb_").toFile
+    try {
+      val dirTable = new java.io.File(root, "t.parquet")
+      graft.ops.Tables.t(spark, sf0001, "events").limit(100)
+        .repartition(3).write.parquet(dirTable.getAbsolutePath)
+      // exclude the local FS's hidden .crc shadows — the Hadoop listing
+      // (and any real deployment FS) never surfaces them
+      val leafSum = dirTable.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .map(_.length()).sum
+      assert(leafSum > 0)
+      assert(fixtureBytes(spark, root.getAbsolutePath, "t") === leafSum)
+      // unknown table: 0, so the derivation falls to its floor
+      assert(fixtureBytes(spark, root.getAbsolutePath, "missing") === 0L)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(root)
+    }
+  }
 }
