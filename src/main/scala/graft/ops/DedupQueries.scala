@@ -511,6 +511,8 @@ object DedupQueries {
         changed = next.filter($"cluster_id" =!= $"old").count()
         labels = next.drop("old")
         rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round $rounds changed=$changed")
       }
       require(changed == 0,
         s"connected components did not converge in $maxRounds rounds")

@@ -53,13 +53,16 @@ object Pq {
   def fit(vecs: DataFrame, iters: Int, m: Int = M, k: Int = K): Model = {
     val s = vecs.sparkSession
     import s.implicits._
-    val dim = vecs.select(size($"emb")).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
     // Deterministic seeds: codeword j of subspace mi = that subvector of
-    // the j-th lowest vec_id. k rows collected — control-plane data.
+    // the j-th lowest vec_id. k rows collected — control-plane data. The
+    // dimension falls out of the same collect (a separate size() head()
+    // was one more driver-sequenced job per fit).
     val seedRows = vecs.orderBy($"vec_id").limit(k).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("emb").toIndexedSeq)
+    require(seedRows.nonEmpty, "pq fit needs a non-empty vector frame")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
     var cb: Seq[Seq[Seq[Double]]] =
       (0 until m).map(mi => seedRows.toSeq.map(row =>
         (0 until dsub).map(d => row(mi * dsub + d))))

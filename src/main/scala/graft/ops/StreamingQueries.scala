@@ -501,7 +501,8 @@ object StreamingQueries {
           val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
           while (q.isActive && s.table(sink).count() < expected &&
               System.nanoTime() < deadline)
-            Thread.sleep(200)
+            Thread.sleep(50) // fine-grained: the 200 ms quantum added up to
+                             // ~0.2 s of pure wait after the batch landed
           q.stop()
           q.exception.foreach(throw _)
         } finally dropScratch(ck)
